@@ -1,0 +1,399 @@
+package graft.ontology
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.rdf.Vocab._
+
+/** Ontology-schema extraction operators P1-P3, J1-J4, K3 (SURVEY §2.2/2.3/2.6)
+  * re-expressed as declarative DataFrame transformations over a triple table
+  * `(s, p, o, oKind[, oDatatype, graph])`.
+  *
+  * Scale design:
+  *  - every pattern scan (P1-P3) is a pushed-down filter + projection on the
+  *    triple table — Catalyst prunes to the 2-3 columns used;
+  *  - schema-side tables (classes, declared properties) are bounded by the
+  *    Fabric caps (≤500 entity types, `constants.py:154-203`), so joins
+  *    against them broadcast; the only join that touches the full triple
+  *    table twice is usage inference J3, which aggregates map-side via
+  *    partial `min` before the shuffle;
+  *  - "first match wins" rules of the reference are nondeterministic
+  *    (Python set/dict order); per SURVEY §7.1 we canonicalize to `min`
+  *    ordering everywhere and document the divergence.
+  */
+object Extract {
+
+  /** P1 — class discovery (`property_extractor.py:69-89`): subjects of
+    * `rdf:type owl:Class` ∪ `rdf:type rdfs:Class` ∪ subjects of
+    * `rdfs:subClassOf`; URI subjects only.
+    */
+  def classes(triples: DataFrame): DataFrame = {
+    val uriSubj = triples.filter(col("oKind") =!= "literal" && !col("s").startsWith("_:"))
+    uriSubj
+      .filter(col("p") === RdfType && col("o").isin(OwlClass, RdfsClass))
+      .select(col("s").as("classUri"))
+      .union(uriSubj.filter(col("p") === RdfsSubClassOf).select(col("s").as("classUri")))
+      .distinct()
+  }
+
+  /** P1 + ids: entity-type skeleton rows `(classUri, id, name)`. */
+  def classesWithIds(triples: DataFrame): DataFrame =
+    classes(triples)
+      .withColumn("id", Ids.entityIdCol(col("classUri")))
+      .withColumn("name", Names.uriToNameCol(col("classUri")))
+
+  /** J1 — parent-class resolution (`property_extractor.py:106-131`): per
+    * class, the first non-cyclic `rdfs:subClassOf` parent that is itself a
+    * discovered class. "First" canonicalized to `min(parentUri)`; cyclic
+    * parents are excluded exactly as the reference's `has_cycle` DFS
+    * (J6/G5). The subclass edge set is schema-scale (bounded by class
+    * count), so the cycle check collects it once; everything else stays
+    * relational.
+    */
+  def parentResolution(triples: DataFrame, classDf: DataFrame): DataFrame = {
+    val cls = broadcast(classDf.select(col("classUri")))
+    val edges = triples
+      .filter(col("p") === RdfsSubClassOf && col("oKind") === "uri" &&
+        !col("s").startsWith("_:"))
+      .select(col("s").as("child"), col("o").as("parent"))
+      .join(cls.withColumnRenamed("classUri", "child"), Seq("child"))
+      .join(cls.withColumnRenamed("classUri", "parent"), Seq("parent"))
+      .select("child", "parent").distinct()
+
+    // Cycle check on the collected (small) edge list — reference `has_cycle`
+    // at property_extractor.py:107-116: parent is cyclic for child iff
+    // following subClassOf from parent can reach child.
+    val edgeList = edges.collect().map(r => (r.getString(0), r.getString(1)))
+    val adj = edgeList.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toList }
+    def reaches(from: String, to: String, seen: Set[String]): Boolean =
+      from == to || (!seen(from) &&
+        adj.getOrElse(from, Nil).exists(reaches(_, to, seen + from)))
+    val cyclic = edgeList.filter { case (c, p) => reaches(p, c, Set.empty) }
+
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val cyclicDf = spark.createDataset(cyclic.toSeq).toDF("child", "parent")
+    val w = Window.partitionBy(col("child")).orderBy(col("parent"))
+    edges
+      .join(broadcast(cyclicDf), Seq("child", "parent"), "left_anti")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("child").as("classUri"), col("parent").as("parentUri"))
+  }
+
+  /** First declared range per property — "first" = min(range) over URI
+    * ranges, else min over bnode ranges (`property_extractor.py:183-190`
+    * takes `ranges[0]`).
+    */
+  private def firstRange(triples: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("s"))
+      .orderBy(when(col("oKind") === "uri", 0).otherwise(1), col("o"))
+    triples
+      .filter(col("p") === RdfsRange && col("oKind") =!= "literal")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("s").as("propUri"), col("o").as("range"),
+        col("oKind").as("rangeKind"))
+  }
+
+  /** P2 — data-property discovery (`property_extractor.py:170-193`):
+    * `owl:DatatypeProperty` subjects ∪ `rdf:Property` subjects whose first
+    * `rdfs:range` is an XSD type. Output: `propUri`.
+    */
+  def dataProperties(triples: DataFrame): DataFrame = {
+    val owlData = triples
+      .filter(col("p") === RdfType && col("o") === OwlDatatypeProperty &&
+        !col("s").startsWith("_:"))
+      .select(col("s").as("propUri"))
+    val rdfProps = triples
+      .filter(col("p") === RdfType && col("o") === RdfProperty &&
+        !col("s").startsWith("_:"))
+      .select(col("s").as("propUri"))
+    val withXsdRange = rdfProps
+      .join(firstRange(triples), Seq("propUri"))
+      .filter(col("rangeKind") === "uri" && TypeLattice.isXsdCol(col("range")))
+      .select("propUri")
+    owlData.union(withXsdRange).distinct()
+  }
+
+  /** P3 — object-property discovery (`property_extractor.py:294-318`):
+    * `owl:ObjectProperty` ∪ (`rdf:Property` whose first range is a URI and
+    * not XSD) minus properties already classified as data properties with a
+    * domain (left-anti against `assignedDataProps`).
+    */
+  def objectProperties(triples: DataFrame, assignedDataProps: DataFrame): DataFrame = {
+    val owlObj = triples
+      .filter(col("p") === RdfType && col("o") === OwlObjectProperty &&
+        !col("s").startsWith("_:"))
+      .select(col("s").as("propUri"))
+    val rdfProps = triples
+      .filter(col("p") === RdfType && col("o") === RdfProperty &&
+        !col("s").startsWith("_:"))
+      .select(col("s").as("propUri"))
+    val withEntityRange = rdfProps
+      .join(firstRange(triples), Seq("propUri"))
+      .filter(col("rangeKind") === "uri" && !TypeLattice.isXsdCol(col("range")))
+      .select("propUri")
+      .join(broadcast(assignedDataProps.select("propUri")), Seq("propUri"), "left_anti")
+    owlObj.union(withEntityRange).distinct()
+  }
+
+  /** Resolved domains per property (J2 input): explode each declared
+    * `rdfs:domain` through the class-expression resolver G1/G2. The
+    * resolver is broadcast; declared (prop, domain) pairs are schema-scale.
+    * Output: `(propUri, domainUri)`.
+    */
+  def resolvedDomains(triples: DataFrame): DataFrame =
+    resolvedTargets(triples, RdfsDomain, "domainUri")
+
+  /** Resolved ranges per property. Output: `(propUri, rangeUri)`. */
+  def resolvedRanges(triples: DataFrame): DataFrame =
+    resolvedTargets(triples, RdfsRange, "rangeUri")
+
+  private def resolvedTargets(triples: DataFrame, pred: String,
+                              outCol: String): DataFrame = {
+    val spark = triples.sparkSession
+    val resolver = resolverFor(triples)
+    val bc = spark.sparkContext.broadcast(resolver)
+    val resolve = udf { (o: String, kind: String) =>
+      bc.value.resolveClassTargets(o, kind)
+    }
+    triples
+      .filter(col("p") === pred && col("oKind") =!= "literal")
+      .select(col("s").as("propUri"), explode(resolve(col("o"), col("oKind"))).as(outCol))
+      .distinct()
+  }
+
+  // The bnode/schema subgraph is collected once per triple table (identity
+  // keyed); repeated stages reuse it instead of re-scanning.
+  private val resolverCache =
+    new java.util.concurrent.ConcurrentHashMap[DataFrame, ClassExprResolver]()
+  private def resolverFor(triples: DataFrame): ClassExprResolver =
+    resolverCache.computeIfAbsent(triples, t => ClassExprResolver.collect(t))
+
+  /** Value type per data property (P2 ranges through the lattice):
+    * URI range → table lookup; bnode range → G3 datatype-union resolution;
+    * none → String (`property_extractor.py:206-222`).
+    */
+  def dataPropertyTypes(triples: DataFrame, dataProps: DataFrame): DataFrame = {
+    val spark = triples.sparkSession
+    val resolver = resolverFor(triples)
+    val bc = spark.sparkContext.broadcast(resolver)
+    val unionType = udf { (node: String) => bc.value.resolveDatatypeUnion(node) }
+    dataProps
+      .join(firstRange(triples), Seq("propUri"), "left")
+      .withColumn("valueType",
+        when(col("rangeKind") === "uri", TypeLattice.fabricTypeCol(col("range")))
+          .when(col("rangeKind") === "bnode", unionType(col("range")))
+          .otherwise(lit(TypeLattice.StringT)))
+      .select("propUri", "valueType")
+  }
+
+  /** P5 — timeseries marker: first (min) `rdfs:comment` containing
+    * "(timeseries)" case-insensitively (`property_extractor.py:224-230`).
+    * Output: `(propUri, isTimeseries)` for all props in `props`.
+    */
+  def timeseriesFlags(triples: DataFrame, props: DataFrame): DataFrame = {
+    val comments = triples
+      .filter(col("p") === RdfsComment && col("oKind") === "literal")
+      .groupBy(col("s").as("propUri"))
+      .agg(min(col("o")).as("comment"))
+    props
+      .join(comments, Seq("propUri"), "left")
+      .withColumn("isTimeseries",
+        coalesce(lower(col("comment")).contains("(timeseries)"), lit(false)))
+      .select("propUri", "isTimeseries")
+  }
+
+  /** J2 — property→domain assignment (`property_extractor.py:202-248`):
+    * multi-domain replicates the property into every discovered domain
+    * class. Output rows: `(classUri, propUri, propId, name, valueType,
+    * isTimeseries)`; propId = entityId-scoped hash (K2).
+    */
+  def propertyAssignment(triples: DataFrame, classDf: DataFrame): DataFrame = {
+    val dataProps = dataProperties(triples)
+    val types = dataPropertyTypes(triples, dataProps)
+    val ts = timeseriesFlags(triples, dataProps)
+    val domains = resolvedDomains(triples)
+    dataProps
+      .join(domains, Seq("propUri"))
+      .join(broadcast(classDf.select(col("classUri"), col("id").as("entityId"))),
+        col("domainUri") === col("classUri"))
+      .join(types, Seq("propUri"))
+      .join(ts, Seq("propUri"))
+      .withColumn("name", Names.uriToNameCol(col("propUri")))
+      .withColumn("propId", Ids.propertyIdCol(col("entityId"), col("name")))
+      .select("classUri", "propUri", "propId", "name", "valueType", "isTimeseries")
+  }
+
+  /** J3 — usage-pattern inference (`property_extractor.py:322-372`): for
+    * object properties lacking a declared domain/range, scan the instance
+    * triples, join subject / object `rdf:type` against discovered classes,
+    * and pick a deterministic representative (`min`; reference picks an
+    * arbitrary set element). This is the one genuinely large join: the type
+    * map may be big, the class set is broadcast, and the aggregation is
+    * map-side partial `min`.
+    * Output: `(propUri, inferredDomain, inferredRange)` (either nullable).
+    */
+  def usageInference(triples: DataFrame, objProps: DataFrame,
+                     classDf: DataFrame): DataFrame = {
+    val classSet = broadcast(classDf.select(col("classUri")))
+    // rdf:type assertions restricted to discovered classes
+    val typeOf = triples
+      .filter(col("p") === RdfType)
+      .select(col("s").as("node"), col("o").as("cls"))
+      .join(classSet, col("cls") === col("classUri")).drop("classUri")
+    val usage = triples
+      .join(broadcast(objProps), triples("p") === objProps("propUri"))
+      .select(col("propUri"), col("s"), col("o"), col("oKind"))
+    val subjTypes = usage
+      .join(typeOf, usage("s") === typeOf("node"))
+      .groupBy("propUri").agg(min(col("cls")).as("inferredDomain"))
+    val objTypes = usage
+      .filter(col("oKind") === "uri")
+      .join(typeOf, usage("o") === typeOf("node"))
+      .groupBy("propUri").agg(min(col("cls")).as("inferredRange"))
+    objProps
+      .join(subjTypes, Seq("propUri"), "left")
+      .join(objTypes, Seq("propUri"), "left")
+  }
+
+  /** J4 — relationship expansion (`property_extractor.py:389-407`): each
+    * object property with m resolved domains × n resolved ranges (falling
+    * back to usage inference when undeclared) yields m·n relationship rows.
+    * Skips produce ledger rows per the reference's reason taxonomy
+    * (`property_extractor.py:374-387`).
+    * Returns (relationships, skipped).
+    */
+  def relationships(triples: DataFrame, classDf: DataFrame): (DataFrame, DataFrame) = {
+    val dataProps = dataProperties(triples)
+    val domains = resolvedDomains(triples)
+    val assignedData = dataProps.join(domains, Seq("propUri"), "left_semi")
+    val objProps = objectProperties(triples, assignedData)
+    val ranges = resolvedRanges(triples)
+    val cls = broadcast(classDf.select(col("classUri"), col("id")))
+
+    val declDomains = objProps.join(domains, Seq("propUri"))
+      .join(cls, col("domainUri") === col("classUri"), "left_semi")
+    val declRanges = objProps.join(ranges, Seq("propUri"))
+      .join(cls, col("rangeUri") === col("classUri"), "left_semi")
+    val inferred = usageInference(triples, objProps, classDf)
+
+    val effDomains = objProps
+      .join(declDomains.groupBy("propUri").agg(collect_set("domainUri").as("decl")),
+        Seq("propUri"), "left")
+      .join(inferred.select("propUri", "inferredDomain"), Seq("propUri"), "left")
+      .withColumn("domainUri", explode_outer(
+        when(size(col("decl")) > 0, col("decl"))
+          .otherwise(when(col("inferredDomain").isNotNull,
+            array(col("inferredDomain"))).otherwise(array()))))
+      .select("propUri", "domainUri")
+    val effRanges = objProps
+      .join(declRanges.groupBy("propUri").agg(collect_set("rangeUri").as("decl")),
+        Seq("propUri"), "left")
+      .join(inferred.select("propUri", "inferredRange"), Seq("propUri"), "left")
+      .withColumn("rangeUri", explode_outer(
+        when(size(col("decl")) > 0, col("decl"))
+          .otherwise(when(col("inferredRange").isNotNull,
+            array(col("inferredRange"))).otherwise(array()))))
+      .select("propUri", "rangeUri")
+
+    val pairs = effDomains.join(effRanges, Seq("propUri"))
+    val rels = pairs
+      .filter(col("domainUri").isNotNull && col("rangeUri").isNotNull)
+      .join(cls.select(col("classUri").as("domainUri"), col("id").as("srcEntityTypeId")),
+        Seq("domainUri"))
+      .join(cls.select(col("classUri").as("rangeUri"), col("id").as("dstEntityTypeId")),
+        Seq("rangeUri"))
+      .withColumn("name", Names.uriToNameCol(col("propUri")))
+      .withColumn("id", Ids.relIdCol(col("propUri"), col("domainUri"), col("rangeUri")))
+      .select(col("id"), col("name"), col("propUri").as("uri"),
+        col("srcEntityTypeId"), col("dstEntityTypeId"),
+        col("domainUri").as("srcUri"), col("rangeUri").as("dstUri"))
+
+    val skipped = pairs
+      .groupBy("propUri")
+      .agg(max(col("domainUri").isNotNull).as("hasDomain"),
+        max(col("rangeUri").isNotNull).as("hasRange"))
+      .filter(!col("hasDomain") || !col("hasRange"))
+      .withColumn("reason",
+        when(!col("hasDomain") && !col("hasRange"), lit("missing both domain and range"))
+          .when(!col("hasDomain"), lit("missing domain class"))
+          .otherwise(lit("missing range class")))
+      .select(lit("relationship").as("itemType"),
+        Names.uriToNameCol(col("propUri")).as("name"),
+        col("reason"), col("propUri").as("uri"))
+
+    (rels, skipped)
+  }
+
+  /** K3 — entity identifier/display-name selection
+    * (`property_extractor.py:430-464`): id property = a property whose
+    * lowercased name contains "id" with valueType String|BigInt; display =
+    * name contains "name" and String, else the id property; fallback =
+    * first property with a valid key type. The reference's "last match in
+    * insertion order" is canonicalized to `max(name)` ordering for the
+    * id/name picks and `min(name)` for the first-valid fallback.
+    * Output: `(classUri, entityIdPart, displayNamePropertyId)`.
+    */
+  def identifiers(assignment: DataFrame): DataFrame = {
+    val props = assignment.filter(!col("isTimeseries"))
+    val valid = col("valueType").isin(TypeLattice.StringT, TypeLattice.BigIntT)
+    val agg = props.groupBy("classUri").agg(
+      max(when(lower(col("name")).contains("id") && valid,
+        struct(col("name"), col("propId")))).as("idProp"),
+      max(when(lower(col("name")).contains("name") &&
+        col("valueType") === TypeLattice.StringT,
+        struct(col("name"), col("propId")))).as("nameProp"),
+      min(when(valid, struct(col("name"), col("propId")))).as("firstValid"))
+    agg.select(
+      col("classUri"),
+      coalesce(col("idProp.propId"), col("firstValid.propId")).as("entityIdPart"),
+      when(col("idProp").isNotNull,
+        coalesce(col("nameProp.propId"), col("idProp.propId")))
+        .otherwise(col("firstValid.propId")).as("displayNamePropertyId"))
+  }
+
+  /** Full schema extraction: assembled nested entity-type rows + rels +
+    * skipped. The shape mirrors FIXTURES.md §6 oracle tables.
+    */
+  def entityTypes(triples: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val cls = classesWithIds(triples)
+    val parents = parentResolution(triples, cls)
+    val assignment = propertyAssignment(triples, cls)
+    val ids = identifiers(assignment)
+    val (rels, skipped) = relationships(triples, cls)
+
+    val propStruct = struct(col("propId").as("id"), col("name"),
+      col("valueType"), col("isTimeseries"))
+    val grouped = assignment
+      .groupBy("classUri")
+      .agg(
+        sort_array(collect_list(when(!col("isTimeseries"), propStruct)))
+          .as("properties"),
+        sort_array(collect_list(when(col("isTimeseries"), propStruct)))
+          .as("timeseriesProperties"))
+
+    val entities = cls
+      .join(parents, Seq("classUri"), "left")
+      .join(broadcast(cls.select(col("classUri").as("parentUri"),
+        col("id").as("baseEntityTypeId"))), Seq("parentUri"), "left")
+      .join(grouped, Seq("classUri"), "left")
+      .join(ids, Seq("classUri"), "left")
+      .select(
+        col("id"), col("name"), col("classUri").as("uri"),
+        col("baseEntityTypeId"),
+        when(col("entityIdPart").isNotNull, array(col("entityIdPart")))
+          .otherwise(array().cast("array<string>")).as("entityIdParts"),
+        col("displayNamePropertyId"),
+        coalesce(col("properties"), array().cast(
+          "array<struct<id:string,name:string,valueType:string,isTimeseries:boolean>>"))
+          .as("properties"),
+        coalesce(col("timeseriesProperties"), array().cast(
+          "array<struct<id:string,name:string,valueType:string,isTimeseries:boolean>>"))
+          .as("timeseriesProperties"))
+
+    (entities, rels, skipped)
+  }
+}

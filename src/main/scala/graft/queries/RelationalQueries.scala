@@ -1,0 +1,242 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational core of the engine (SURVEY §2.2-2.4, §2.6 patterns):
+  * aggregation with map-side partials, broadcast joins, windows,
+  * semi/anti joins, rollup. Each query has a DuckDB oracle in
+  * [[graft.SparkEntry.oracleSql]].
+  *
+  * Numeric determinism: double sums are order-dependent, so every money
+  * aggregate casts to DECIMAL(18,2) first (exact, associative) and casts
+  * the final result back to double — both engines then agree bit-for-bit.
+  */
+object RelationalQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** A1-style global aggregation with multiple measures (pricing summary).
+    * Shuffle: one hash-agg keyed by the 2 flag columns — partial agg
+    * map-side, 6 groups total.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) -
+          dec(col("l_discount")))).cast("double").as("sum_disc_price"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Broadcast-join chain: fact orders joined to small dims customer ⋈
+    * nation ⋈ region; revenue per nation. customer/nation/region are dim
+    * tables → explicit broadcast; agg partials map-side.
+    */
+  def q2JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** K3/K4-style ranked selection: top-3 orders per market segment
+    * (row_number window with deterministic tiebreak).
+    */
+  def q3TopkWindow(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("rn"), col("o_orderkey"),
+        dec(col("o_totalprice")).cast("double").as("o_totalprice"))
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  /** Left-semi join (EXISTS): customers having at least one order, counted
+    * per segment.
+    */
+  def q4Semi(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no urgent orders. */
+  def q5Anti(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val c = t(spark, dir, "customer")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Selective filter + projection (predicate pushdown to parquet — the
+    * scan reads 3 columns and `PushedFilters` shows the range predicate).
+    */
+  def q6Filter(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Scalar extraction from a JSON-ish column via regexp (F-series string
+    * ops; stays in whole-stage codegen).
+    */
+  def q7Json(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    e.withColumn("k", regexp_extract(col("props"), "[0-9]+", 0).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Running (prefix) aggregation per user ordered by time — the
+    * reference's sequential streaming counters (A9/T1) as a window frame.
+    * Decimal-exact running sum keeps both engines bit-identical.
+    */
+  def q8Running(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("running_value", sum(dec(col("value"))).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"), col("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Rollup (A2-style histogram with subtotal tiers). NULLS FIRST ordering
+    * matches Spark's asc default; oracle says NULLS FIRST explicitly.
+    */
+  def q9Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .rollup(col("n_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy(col("n_name").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** Time-bucketed aggregation (tumbling 1-hour windows, batch form of the
+    * T1 streaming phases; the bucket arithmetic is identical to the
+    * Structured Streaming `window()` start).
+    */
+  def q10TimeBucket(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    e.withColumn("bucket",
+        (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long"))
+      .groupBy(col("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg,
+    "q2_join_agg" -> q2JoinAgg,
+    "q3_topk_window" -> q3TopkWindow,
+    "q4_semi" -> q4Semi,
+    "q5_anti" -> q5Anti,
+    "q6_filter" -> q6Filter,
+    "q7_json" -> q7Json,
+    "q8_running" -> q8Running,
+    "q9_rollup" -> q9Rollup,
+    "q10_time_bucket" -> q10TimeBucket
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_join_agg" ->
+      """SELECT r_name, n_name,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q3_topk_window" ->
+      """SELECT c_mktsegment, rn, o_orderkey, o_totalprice FROM (
+        |SELECT c_mktsegment, o_orderkey,
+        |CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+        |ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+    "q4_semi" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q5_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q6_filter" ->
+      """SELECT
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q7_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k,
+        |MIN(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS min_k,
+        |MAX(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q8_running" ->
+      """SELECT user_id, event_id,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q9_rollup" ->
+      """SELECT n_name, o_orderpriority, COUNT(*) AS n_orders,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, o_orderpriority)
+        |ORDER BY n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q10_time_bucket" ->
+      """SELECT (CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) AS bucket,
+        |event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+  )
+}
