@@ -1,0 +1,96 @@
+package graft.canon
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Large-star / small-star connected components (north star: "iterative
+  * DataFrame self-joins (large-star/small-star) to merge coreferent
+  * entities").
+  *
+  * Algorithm: Kiveris et al., "Connected Components in MapReduce and
+  * Beyond" (SOCC'14) — alternate two star operations until fixpoint:
+  *
+  *  - large-star: for every node u, connect every strictly-larger
+  *    neighbor v > u to m(u) = min({u} ∪ N(u));
+  *  - small-star: for every node u, connect u and every neighbor v ≤ u
+  *    to the minimum of that set.
+  *
+  * Converges in O(log n) rounds (vs O(diameter) for naive label
+  * propagation), which is what makes it viable on web-scale co-mention
+  * graphs with long chains. Each round is two shuffles (groupBy u); the
+  * driver loop `localCheckpoint`s per round to cut lineage, and
+  * convergence is detected by comparing a deterministic edge-set digest
+  * (count + xor/sum of hashes) instead of a full subtract — one cheap
+  * aggregate per round. Skewed head entities (huge N(u)) are handled by
+  * AQE skew-join splitting plus the algorithm's own property that
+  * large-star moves high-degree work onto the min label.
+  *
+  * Node ids are strings ordered lexicographically; the component label is
+  * the lexicographic min member, making output deterministic under any
+  * partitioning.
+  */
+object ConnectedComponents {
+
+  /** edges(a, b) undirected → (node, component). Includes isolated nodes
+    * present in `edges` as their own component.
+    */
+  def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
+
+    def canon(df: DataFrame): DataFrame =
+      df.filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .distinct()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val m = und.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      und.join(m, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient edges towards the larger endpoint: (u = max, v = min)
+      val down = e.select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      val m = down.groupBy("u").agg(min(col("v")).as("m"))
+      down.join(m, Seq("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(m.select(col("u").as("a"), col("m").as("b")))
+    }
+
+    var current = canon(edges).localCheckpoint()
+    var digest = digestOf(current)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val next = canon(smallStar(largeStar(current))).localCheckpoint()
+      val nextDigest = digestOf(next)
+      converged = nextDigest == digest
+      current = next
+      digest = nextDigest
+      iter += 1
+    }
+
+    // Fixpoint is a star forest normalized (a=root/min, b=child): each
+    // child node appears as `b` exactly once; roots and isolated nodes
+    // label themselves. min() guards against a non-converged maxIter exit.
+    val nodes = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node"))).distinct()
+    val labels = current.groupBy(col("b").as("node")).agg(min(col("a")).as("comp"))
+    nodes
+      .join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("comp"), col("node")).as("component"))
+  }
+
+  private def digestOf(e: DataFrame): (Long, Long) = {
+    // bit_xor: order-independent, overflow-free (ANSI mode) set digest
+    val r = e.agg(count(lit(1)),
+      coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+}

@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.extract.{Gazetteer, HtmlText, MentionScan}
+import graft.pages.PageGen
+import graft.canon.ConnectedComponents
+import graft.shape.ShapeRules
+
+/** End-to-end knowledge-graph construction pipeline (the north rule):
+  * pages → byte-identical text extraction → gazetteer mentions → candidate
+  * triples → shape validation → connected-component canonicalization →
+  * checkpointed materialization with per-partition lineage.
+  *
+  * Phase structure mirrors the reference's 4-phase streaming converter
+  * (`src/formats/rdf/streaming_converter.py:197-237`): each phase is a
+  * stage boundary, materialized as a snapshot directory with a `_SUCCESS`
+  * marker. A rerun resumes from the last completed phase (the sandbox
+  * stand-in for Iceberg snapshot checkpoints — same contract: idempotent
+  * writes keyed by phase, restart reads the committed snapshot). Lineage:
+  * every phase writes per-partition row counts
+  * (`spark_partition_id → count`) alongside, so a resumed run can prove
+  * input equivalence.
+  */
+object KgPipeline {
+
+  val Phases = Seq("pages", "mentions", "triples", "canonical")
+
+  final case class Result(
+      triples: DataFrame,
+      canonicalTriples: DataFrame,
+      issues: DataFrame,
+      invariantViolations: Long)
+
+  /** Shape catalog for the synthetic KG. */
+  val DocCls = "urn:cls:Document"
+  val EntCls = "urn:cls:Entity"
+  def shapeRules(spark: SparkSession): DataFrame = ShapeRules.rulesDf(spark, Seq(
+    (MentionScan.MentionsPred, DocCls, EntCls),
+    (MentionScan.CoOccursPred, EntCls, EntCls)))
+
+  private def phaseDir(out: String, phase: String) = s"$out/phase=$phase"
+  private def done(out: String, phase: String): Boolean =
+    Files.exists(Paths.get(phaseDir(out, phase), "_SUCCESS"))
+
+  /** Write a phase snapshot + lineage (per-partition counts). */
+  private def commit(df: DataFrame, out: String, phase: String): DataFrame = {
+    val spark = df.sparkSession
+    val dir = phaseDir(out, phase)
+    df.write.mode("overwrite").parquet(dir)
+    val lineage = spark.read.parquet(dir)
+      .groupBy(spark_partition_id().as("partition"))
+      .agg(count(lit(1)).as("rows"))
+    lineage.coalesce(1).write.mode("overwrite").parquet(s"$out/lineage/phase=$phase")
+    spark.read.parquet(dir)
+  }
+
+  private def load(spark: SparkSession, out: String, phase: String): DataFrame =
+    spark.read.parquet(phaseDir(out, phase))
+
+  /** Run (or resume) the pipeline. Each completed phase is skipped on
+    * rerun — the kill/resume test asserts byte-identical final output.
+    */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          gazetteer: Gazetteer = Gazetteer(Gazetteer.DefaultEntities),
+          failAfterPhase: Option[String] = None): Result = {
+
+    // Phase 1 — pages + extraction invariant ---------------------------
+    val pages =
+      if (done(outDir, "pages")) load(spark, outDir, "pages")
+      else {
+        val p = PageGen.pages(spark, sfDir)
+        val extractText = udf((html: Array[Byte]) => HtmlText.extractMainFromBytes(html))
+        val withExtract = p.withColumn("extracted", extractText(col("html")))
+        commit(withExtract, outDir, "pages")
+      }
+    val invariantViolations = pages.filter(col("extracted") =!= col("text")).count()
+    failpoint(failAfterPhase, "pages")
+
+    // Phase 2 — mentions ----------------------------------------------
+    val mentions =
+      if (done(outDir, "mentions")) load(spark, outDir, "mentions")
+      else commit(
+        MentionScan.mentions(
+          pages.select(col("doc_id"), col("extracted").as("text")), gazetteer),
+        outDir, "mentions")
+    failpoint(failAfterPhase, "mentions")
+
+    // Phase 3 — candidate triples + shape validation -------------------
+    val (triples, issues) =
+      if (done(outDir, "triples"))
+        (load(spark, outDir, "triples"), load(spark, outDir, "issues"))
+      else {
+        val typeTriples = mentions.select(
+            concat(lit("urn:doc:"), col("doc_id")).as("node"), lit(DocCls).as("cls"))
+          .union(mentions.select(
+            concat(lit("urn:ent:"), col("entity")).as("node"), lit(EntCls).as("cls")))
+          .distinct()
+        val candidate = MentionScan.mentionTriples(mentions)
+          .union(MentionScan.coOccurrenceTriples(mentions).select("s", "p", "o"))
+        val (valid, iss) = ShapeRules.validate(candidate, typeTriples, shapeRules(spark))
+        // issues first: `done` keys on the triples marker, so a crash
+        // between the two writes must leave triples uncommitted
+        val i = commit(iss, outDir, "issues")
+        val t = commit(valid, outDir, "triples")
+        (t, i)
+      }
+    failpoint(failAfterPhase, "triples")
+
+    // Phase 4 — canonicalization + final graph -------------------------
+    val canonical =
+      if (done(outDir, "canonical")) load(spark, outDir, "canonical")
+      else {
+        // co-mention graph over entities; components merge coreferent ids
+        val edges = triples.filter(col("p") === MentionScan.CoOccursPred)
+          .select(col("s").as("a"), col("o").as("b"))
+        val comp = ConnectedComponents.run(edges)
+        val canonMap = comp.select(col("node"), col("component"))
+        val rewritten = triples
+          .join(canonMap.withColumnRenamed("node", "s")
+            .withColumnRenamed("component", "sCanon"), Seq("s"), "left")
+          .join(canonMap.withColumnRenamed("node", "o")
+            .withColumnRenamed("component", "oCanon"), Seq("o"), "left")
+          .select(
+            coalesce(col("sCanon"), col("s")).as("s"), col("p"),
+            coalesce(col("oCanon"), col("o")).as("o"))
+          .distinct()
+        commit(rewritten, outDir, "canonical")
+      }
+
+    Result(triples, canonical, issues, invariantViolations)
+  }
+
+  private def failpoint(failAfter: Option[String], phase: String): Unit =
+    if (failAfter.contains(phase))
+      throw new RuntimeException(s"failpoint after phase $phase")
+}

@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.extract.{Gazetteer, HtmlText, MentionScan}
+import graft.pages.PageGen
+import graft.canon.ConnectedComponents
+import graft.shape.ShapeRules
+import graft.pipeline.KgPipeline
+
+/** KG-construction operators as driver-checkable queries. Each stage of
+  * the north-rule pipeline is exposed individually with a DuckDB oracle
+  * that recomputes the same result from the raw `documents` parquet:
+  * token-count semantics for mentions, self-join for co-occurrence, a
+  * recursive CTE for connected components.
+  */
+object KgQueries {
+
+  private val gaz = Gazetteer.DefaultEntities
+  private def gazList = gaz.map(e => s"'$e'").mkString("(", ",", ")")
+
+  private def pagesDf(spark: SparkSession, dir: String): DataFrame =
+    PageGen.pages(spark, dir)
+
+  /** Byte-identical extraction invariant, checked end-to-end: synthesize
+    * html bytes, extract, return (doc_id, extracted). Oracle: the source
+    * text itself.
+    */
+  def kgExtractText(spark: SparkSession, dir: String): DataFrame = {
+    val extractText = udf((html: Array[Byte]) => HtmlText.extractMainFromBytes(html))
+    pagesDf(spark, dir)
+      .select(col("doc_id"), extractText(col("html")).as("extracted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Aho-Corasick mention scan; word-boundary counts == whitespace-token
+    * counts for the single-word gazetteer (oracle recomputes via
+    * string_split + unnest).
+    */
+  def kgMentions(spark: SparkSession, dir: String): DataFrame = {
+    val pages = pagesDf(spark, dir)
+    MentionScan.mentions(pages, Gazetteer(gaz))
+      .orderBy(col("doc_id"), col("entity"))
+  }
+
+  /** Document frequency + integer mention stats per entity (the exact
+    * integer core of the TF-IDF scorer; the float score itself is covered
+    * by a ScalaTest oracle to avoid cross-engine libm drift).
+    */
+  def kgEntityStats(spark: SparkSession, dir: String): DataFrame = {
+    val m = MentionScan.mentions(pagesDf(spark, dir), Gazetteer(gaz))
+    m.groupBy("entity")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
+        max(col("tf")).as("max_tf"))
+      .orderBy(col("entity"))
+  }
+
+  /** Entity co-occurrence triples (s, p, o, n_docs). */
+  def kgCooccur(spark: SparkSession, dir: String): DataFrame = {
+    val m = MentionScan.mentions(pagesDf(spark, dir), Gazetteer(gaz))
+    MentionScan.coOccurrenceTriples(m).orderBy(col("s"), col("o"))
+  }
+
+  /** Shape validation over candidate triples plus a deterministic batch of
+    * corrupted rows (doc/entity endpoints swapped for doc_id % 7 == 0) —
+    * exercises domain/range violations; output = issue histogram.
+    */
+  def kgShape(spark: SparkSession, dir: String): DataFrame = {
+    val m = MentionScan.mentions(pagesDf(spark, dir), Gazetteer(gaz))
+    val typeTriples = m.select(
+        concat(lit("urn:doc:"), col("doc_id")).as("node"),
+        lit(KgPipeline.DocCls).as("cls"))
+      .union(m.select(concat(lit("urn:ent:"), col("entity")).as("node"),
+        lit(KgPipeline.EntCls).as("cls")))
+      .distinct()
+    val good = MentionScan.mentionTriples(m)
+    val swapped = m.filter(col("doc_id") % 7 === 0).select(
+      concat(lit("urn:ent:"), col("entity")).as("s"),
+      lit(MentionScan.MentionsPred).as("p"),
+      concat(lit("urn:doc:"), col("doc_id")).as("o"))
+    val unknown = m.filter(col("doc_id") % 13 === 0).select(
+      concat(lit("urn:doc:"), col("doc_id")).as("s"),
+      lit("urn:graft:undeclared").as("p"),
+      concat(lit("urn:ent:"), col("entity")).as("o"))
+    val candidate = good.union(swapped).union(unknown)
+    val (valid, issues) = ShapeRules.validate(candidate, typeTriples,
+      KgPipeline.shapeRules(spark))
+    issues.groupBy("category", "severity").agg(count(lit(1)).as("n"))
+      .union(valid.agg(lit("valid").as("category"), lit("ok").as("severity"),
+        count(lit(1)).as("n")))
+      .orderBy(col("category"))
+  }
+
+  /** Large-star/small-star connected components on a deterministic
+    * order-part bipartite subgraph of lineitem; oracle = transitive
+    * closure via recursive CTE. Component label = lexicographic min node.
+    */
+  def kgCc(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val edges = li.filter(col("l_orderkey") < 500)
+      .select(concat(lit("o"), col("l_orderkey")).as("a"),
+        concat(lit("p"), col("l_partkey")).as("b"))
+      .distinct()
+    ConnectedComponents.run(edges).orderBy(col("node"))
+  }
+
+  /** Full pipeline, pure form: canonical triples after CC merge of
+    * coreferent entities (components of the co-occurrence graph).
+    */
+  def kgCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val m = MentionScan.mentions(pagesDf(spark, dir), Gazetteer(gaz))
+    val mentionT = MentionScan.mentionTriples(m)
+    val co = MentionScan.coOccurrenceTriples(m).select("s", "p", "o")
+    val edges = co.select(col("s").as("a"), col("o").as("b"))
+    val comp = ConnectedComponents.run(edges)
+    val canonMap = comp.select(col("node"), col("component"))
+    mentionT.union(co)
+      .join(canonMap.withColumnRenamed("node", "s")
+        .withColumnRenamed("component", "sCanon"), Seq("s"), "left")
+      .join(canonMap.withColumnRenamed("node", "o")
+        .withColumnRenamed("component", "oCanon"), Seq("o"), "left")
+      .select(coalesce(col("sCanon"), col("s")).as("s"), col("p"),
+        coalesce(col("oCanon"), col("o")).as("o"))
+      .distinct()
+      .orderBy(col("s"), col("p"), col("o"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg_extract_text" -> kgExtractText,
+    "kg_mentions" -> kgMentions,
+    "kg_entity_stats" -> kgEntityStats,
+    "kg_cooccur" -> kgCooccur,
+    "kg_shape" -> kgShape,
+    "kg_cc" -> kgCc,
+    "kg_canonical" -> kgCanonical
+  )
+
+  private val tokensCte =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS entity FROM documents),
+      |m AS (SELECT doc_id, entity, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+      |      WHERE entity IN GAZ GROUP BY doc_id, entity)""".stripMargin
+      .replace("GAZ", Gazetteer.DefaultEntities.map(e => s"'$e'")
+        .mkString("(", ",", ")"))
+
+  val oracles: Map[String, String] = Map(
+    "kg_extract_text" ->
+      "SELECT doc_id, text AS extracted FROM documents ORDER BY doc_id",
+    "kg_mentions" ->
+      s"WITH $tokensCte SELECT doc_id, entity, tf FROM m ORDER BY doc_id, entity",
+    "kg_entity_stats" ->
+      s"""WITH $tokensCte
+         |SELECT entity, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+         |MAX(tf) AS max_tf FROM m GROUP BY entity ORDER BY entity""".stripMargin,
+    "kg_cooccur" ->
+      s"""WITH $tokensCte
+         |SELECT 'urn:ent:' || a.entity AS s, 'urn:graft:coOccursWith' AS p,
+         |'urn:ent:' || b.entity AS o, COUNT(*) AS n_docs
+         |FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.entity < b.entity
+         |GROUP BY 1, 2, 3 ORDER BY s, o""".stripMargin,
+    "kg_shape" ->
+      s"""WITH $tokensCte,
+         |hist AS (
+         |  SELECT 'domain-violation' AS category, 'error' AS severity,
+         |         COUNT(*) AS n FROM m WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT 'undeclared-predicate', 'warning', COUNT(*) FROM m WHERE doc_id % 13 = 0
+         |  UNION ALL
+         |  SELECT 'valid', 'ok', COUNT(*) FROM m)
+         |SELECT category, severity, n FROM hist WHERE n > 0 ORDER BY category""".stripMargin,
+    "kg_cc" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT 'o' || l_orderkey AS a, 'p' || l_partkey AS b
+        |  FROM lineitem WHERE l_orderkey < 500),
+        |und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+        |reach(n, x) AS (
+        |  SELECT a, a FROM und
+        |  UNION
+        |  SELECT r.n, u.b FROM reach r JOIN und u ON r.x = u.a)
+        |SELECT n AS node, MIN(x) AS component FROM reach GROUP BY n ORDER BY node""".stripMargin,
+    "kg_canonical" ->
+      s"""WITH RECURSIVE $tokensCte,
+         |co AS (
+         |  SELECT 'urn:ent:' || a.entity AS s, 'urn:graft:coOccursWith' AS p,
+         |         'urn:ent:' || b.entity AS o
+         |  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.entity < b.entity
+         |  GROUP BY 1, 2, 3),
+         |und AS (SELECT s AS a, o AS b FROM co UNION SELECT o, s FROM co),
+         |reach(n, x) AS (
+         |  SELECT a, a FROM und
+         |  UNION
+         |  SELECT r.n, u.b FROM reach r JOIN und u ON r.x = u.a),
+         |comp AS (SELECT n AS node, MIN(x) AS component FROM reach GROUP BY n),
+         |triples AS (
+         |  SELECT 'urn:doc:' || doc_id AS s, 'urn:graft:mentions' AS p,
+         |         'urn:ent:' || entity AS o FROM m
+         |  UNION ALL SELECT s, p, o FROM co)
+         |SELECT DISTINCT
+         |  COALESCE(cs.component, t.s) AS s, t.p,
+         |  COALESCE(co2.component, t.o) AS o
+         |FROM triples t
+         |LEFT JOIN comp cs ON t.s = cs.node
+         |LEFT JOIN comp co2 ON t.o = co2.node
+         |ORDER BY s, p, o""".stripMargin
+  )
+}

@@ -1,0 +1,78 @@
+package graft.extract
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets
+import graft.ontology.PropertyChecking
+
+class HtmlTextSpec extends AnyFunSuite with PropertyChecking {
+  test("tag stripping, entity decode, whitespace collapse") {
+    val html = "<html><body><h1>Title</h1><p>a &amp; b &lt;c&gt;</p>" +
+      "<script>var x = '<p>no</p>';</script><style>p{}</style>" +
+      "<footer>end</footer></body></html>"
+    assert(HtmlText.extract(html) == "Title a & b <c> end")
+  }
+
+  test("inline tags glue, block tags separate") {
+    assert(HtmlText.extract("<p>he<b>ll</b>o</p><p>world</p>") == "hello world")
+  }
+
+  test("numeric character references") {
+    assert(HtmlText.extract("&#65;&#x42;") == "AB")
+  }
+
+  test("decode ladder: strict utf-8, latin-1 fallback (rdf_converter.py:650-660)") {
+    val utf8 = "héllo".getBytes(StandardCharsets.UTF_8)
+    assert(HtmlText.decodeBytes(utf8) == "héllo")
+    val latin1 = "héllo".getBytes(StandardCharsets.ISO_8859_1) // 0xE9 invalid in utf-8
+    assert(HtmlText.decodeBytes(latin1) == "héllo")
+  }
+
+  test("PageGen round-trip law: extractMain(template(text)) == text byte-identically") {
+    forAll { s =>
+      // corpus text is space-separated words; model that shape but keep
+      // arbitrary word content (minus whitespace/control/surrogate chars)
+      val words = s.filterNot(Character.isSurrogate)
+        .split("[\\s\\u0000-\\u001f]+").filter(_.nonEmpty)
+      val text = words.mkString(" ")
+      val html = graft.pages.PageGen.template(1L, "en", "src0", HtmlText.escape(text))
+      HtmlText.extractMainFromBytes(html.getBytes(StandardCharsets.UTF_8)) == text
+    }
+  }
+
+  test("extractMain falls back to whole page without <p>") {
+    assert(HtmlText.extractMain("<html><body><h1>x</h1> y</body></html>") == "x y")
+  }
+}
+
+class GazetteerSpec extends AnyFunSuite {
+  test("word-boundary matches equal token counts on word-shaped text") {
+    val g = Gazetteer(Seq("spark", "join", "window"))
+    val text = "spark join sparkly window spark respark join"
+    // 'sparkly' and 'respark' must NOT match (word boundaries)
+    assert(g.countMatches(text) == Map("spark" -> 2, "join" -> 2, "window" -> 1))
+  }
+
+  test("overlapping dictionary entries all found (failure links)") {
+    val g = Gazetteer(Seq("he", "she", "his", "hers"))
+    val ms = g.findAll("she hers his").map(m => (m.entity, m.begin)).toSet
+    // word-boundary filter: "she" matches at 0; "he" inside "she"/"hers" is
+    // boundary-blocked; "hers" at 4; "his" at 9
+    assert(ms == Set(("she", 0), ("hers", 4), ("his", 9)))
+  }
+
+  test("matches agree with naive regex scan on random corpus text") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("spark", "join", "windows", "wind", "ow", "stream",
+      "streaming", "a", "batchjoin", "xyz")
+    val dict = Seq("spark", "join", "wind", "stream", "batchjoin")
+    val g = Gazetteer(dict)
+    for (_ <- 1 to 200) {
+      val text = Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val expected = dict.flatMap { w =>
+        ("(?<![\\p{L}\\p{N}])" + java.util.regex.Pattern.quote(w) + "(?![\\p{L}\\p{N}])")
+          .r.findAllMatchIn(text).map(_ => w)
+      }.groupBy(identity).map { case (k, v) => k -> v.size }
+      assert(g.countMatches(text) == expected, s"text: $text")
+    }
+  }
+}
