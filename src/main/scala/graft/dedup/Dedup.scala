@@ -1,0 +1,215 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Four tiers, by cost and fuzziness:
+  *  - exact (hash-groupBy),
+  *  - unigram/n-gram Jaccard within blocking groups,
+  *  - MinHash + LSH banding (near-dup candidates without O(n²)),
+  *  - SimHash (64-bit fingerprints, hamming-distance candidates).
+  *
+  * Scale design: every tier avoids the quadratic pair join on the full
+  * corpus — exact dedup is one shuffle on the content hash; Jaccard only
+  * compares within blocking groups; MinHash pairs come from band-bucket
+  * joins (candidates ∝ true near-dups, not n²); SimHash buckets on 16-bit
+  * chunks (pigeonhole: hamming ≤ 3 ⇒ one of 4 chunks equal).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per identical text. One shuffle
+    * keyed on sha2(text) — the hash, not the text, so wide rows don't
+    * inflate the exchange.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
+    docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Duplicate-cluster table: (doc_id, keep_id) for every doc whose text
+    * has an earlier twin.
+    */
+  def exactClusters(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
+    docs.select(col(idCol), min(col(idCol)).over(w).as("keep_id"))
+      .filter(col(idCol) =!= col("keep_id"))
+  }
+
+  /** Distinct-token set per doc (unigram shingles) as a sorted array. */
+  def tokenSets(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      array_sort(array_distinct(split(col(textCol), " "))).as("tokens"))
+
+  /** Unigram-Jaccard near-dup pairs within blocking groups (here:
+    * (lang, source)). Entirely relational: `array_intersect`/`array_union`
+    * sizes, integer-exact, one division at the end. The blocking join
+    * bounds the pair count — the full-corpus cross join never happens.
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"), col("source"),
+      array_sort(array_distinct(split(col("text"), " "))).as("tokens"))
+    val a = toks.select(col("lang"), col("source"), col("doc_id").as("a"),
+      col("tokens").as("ta"))
+    val b = toks.select(col("lang"), col("source"), col("doc_id").as("b"),
+      col("tokens").as("tb"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("a") < col("b"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("uni", size(array_union(col("ta"), col("tb"))))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "inter", "uni", "jaccard")
+  }
+
+  /** Word n-gram shingles (n consecutive tokens, distinct). */
+  def shingles(text: String, n: Int): Set[String] = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    if (toks.length < n) Set(toks.mkString(" "))
+    else toks.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  /** Exact n-gram Jaccard of two texts (the brute-force oracle used by
+    * tests and the verify stage of MinHash candidates).
+    */
+  def ngramJaccard(a: String, b: String, n: Int): Double = {
+    val (sa, sb) = (shingles(a, n), shingles(b, n))
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else (sa & sb).size.toDouble / (sa | sb).size
+  }
+
+  // ---- MinHash + LSH -------------------------------------------------
+
+  /** Deterministic universal-hash family h_i(x) = (a_i·x + b_i) mod p,
+    * seeded — same signatures on every executor/run.
+    */
+  final case class MinHashParams(numHashes: Int, bands: Int, seed: Long) {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand: Int = numHashes / bands
+    private val p = 2305843009213693951L // 2^61 - 1 (Mersenne prime)
+    private[dedup] def coeffs: Array[(Long, Long)] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(numHashes)((math.abs(rnd.nextLong()) % (p - 1) + 1,
+        math.abs(rnd.nextLong()) % p))
+    }
+    private[dedup] def prime: Long = p
+  }
+
+  /** MinHash signature of a shingle set (base hash: 64-bit FNV-1a of the
+    * shingle string — deterministic, platform-independent).
+    */
+  def minHashSignature(sh: Set[String], params: MinHashParams): Array[Long] = {
+    val cs = params.coeffs
+    val p = params.prime
+    val sig = Array.fill(params.numHashes)(Long.MaxValue)
+    for (s <- sh) {
+      val x = fnv1a(s) & Long.MaxValue
+      var i = 0
+      while (i < cs.length) {
+        // (a*x + b) mod p without overflow: Math.multiplyHigh-free route —
+        // use BigInt-free 128-bit-ish reduction via doubling is costly;
+        // x < 2^63, a < p < 2^61: multiply in unsigned 128 via Math.multiplyHigh
+        val a = cs(i)._1; val b = cs(i)._2
+        val hi = Math.multiplyHigh(a, x)
+        val lo = a * x
+        // reduce (hi*2^64 + lo) mod p, p = 2^61-1: 2^64 ≡ 8 (mod p)
+        val r = (Math.floorMod(hi, p) * 8 + Math.floorMod(lo, p) + b) % p
+        if (r < sig(i)) sig(i) = r
+        i += 1
+      }
+    }
+    sig
+  }
+
+  private def fnv1a(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** LSH banding: docs sharing any band bucket become candidate pairs;
+    * candidates are verified with exact n-gram Jaccard. The heavy
+    * signature computation runs in a typed map (one pass per doc); the
+    * bucket join shuffles only (band, bucketHash) keys.
+    */
+  def minHashCandidates(docs: DataFrame, n: Int, params: MinHashParams,
+                        verifyThreshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        (id, minHashSignature(shingles(text, n), params))
+      }
+      .toDF("doc_id", "sig")
+    val bands = sigs.select(col("doc_id"), posexplode(
+        expr(s"transform(sequence(0, ${params.bands - 1}), " +
+          s"b -> hash(slice(sig, b * ${params.rowsPerBand} + 1, ${params.rowsPerBand})))")))
+      .toDF("doc_id", "band", "bucket")
+    val l = bands.select(col("band"), col("bucket"), col("doc_id").as("a"))
+    val r = bands.select(col("band"), col("bucket"), col("doc_id").as("b"))
+    val cand = l.join(r, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    // verify candidates with exact Jaccard (join texts back)
+    val txt = docs.select(col("doc_id"), col("text"))
+    val jac = udf((x: String, y: String) => ngramJaccard(x, y, n))
+    cand
+      .join(txt.withColumnRenamed("doc_id", "a").withColumnRenamed("text", "textA"), Seq("a"))
+      .join(txt.withColumnRenamed("doc_id", "b").withColumnRenamed("text", "textB"), Seq("b"))
+      .withColumn("jaccard", jac(col("textA"), col("textB")))
+      .filter(col("jaccard") >= verifyThreshold)
+      .select("a", "b", "jaccard")
+  }
+
+  // ---- SimHash -------------------------------------------------------
+
+  /** 64-bit SimHash over token FNV hashes. */
+  def simHash(text: String): Long = {
+    val v = new Array[Int](64)
+    for (tok <- text.split(" ") if tok.nonEmpty) {
+      val h = fnv1a(tok)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) v(i) += 1 else v(i) -= 1
+        i += 1
+      }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (v(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxDist, found by
+    * pigeonhole bucketing on 16-bit chunks (maxDist ≤ 3 ⇒ some chunk
+    * equal) — no quadratic join.
+    */
+  def simHashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, simHash(t)) }
+      .toDF("doc_id", "sim")
+    val chunks = sh.select(col("doc_id"), col("sim"), posexplode(array(
+      (0 until 4).map(i =>
+        shiftrightunsigned(col("sim"), i * 16).bitwiseAND(lit(0xffffL)).cast("int")): _*)))
+      .toDF("doc_id", "sim", "chunk", "value")
+    val l = chunks.select(col("chunk"), col("value"), col("doc_id").as("a"),
+      col("sim").as("simA"))
+    val r = chunks.select(col("chunk"), col("value"), col("doc_id").as("b"),
+      col("sim").as("simB"))
+    l.join(r, Seq("chunk", "value"))
+      .filter(col("a") < col("b"))
+      .withColumn("dist", bit_count(col("simA").bitwiseXOR(col("simB"))))
+      .filter(col("dist") <= maxDist)
+      .select("a", "b", "dist").distinct()
+  }
+}

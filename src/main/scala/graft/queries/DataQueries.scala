@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.ann.Similarity
+import graft.text.TextAnalysis
+import graft.multimodal.Multimodal
+
+/** Training-data pipeline operators as driver-checkable queries: dedup
+  * tiers, similarity search, text analysis, multimodal plumbing. Oracles
+  * recompute each result in DuckDB from the raw parquet (integer-exact
+  * formulations; float-ranked variants are covered by ScalaTest instead).
+  */
+object DataQueries {
+
+  /** Exact dedup survivor histogram per lang. */
+  def ddExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(spark.read.parquet(s"$dir/documents.parquet"))
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
+  /** Exact duplicate clusters (doc → kept representative). */
+  def ddExactClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactClusters(spark.read.parquet(s"$dir/documents.parquet"))
+      .orderBy("doc_id")
+
+  /** Unigram-Jaccard near-dup pairs within (lang, source) blocks. */
+  def ddJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(spark.read.parquet(s"$dir/documents.parquet"), 0.8)
+      .select(col("a"), col("b"), col("inter").cast("long").as("inter"),
+        col("uni").cast("long").as("uni"), col("jaccard"))
+      .orderBy("a", "b")
+
+  /** MinHash-LSH candidates verified at Jaccard ≥ 0.7 (unigram shingles).
+    * No SQL oracle (hash-family specific); ScalaTest checks recall vs
+    * brute force — here the driver checks rows/stability.
+    */
+  def ddMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minHashCandidates(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") < 100), // bounded slice: the synthetic
+        // corpus is uniformly similar (shared 31-word vocab), so an
+        // unbounded unigram-minhash sweep degenerates to ~n²; real
+        // corpora use n=3 shingles where candidates ∝ true near-dups
+        n = 1, Dedup.MinHashParams(numHashes = 64, bands = 16, seed = 42L),
+        verifyThreshold = 0.7)
+      .select(col("a"), col("b"), col("jaccard"))
+      .orderBy("a", "b")
+
+  /** SimHash fingerprints + per-lang collision stats (hamming-0 pairs are
+    * exact-text or near-exact duplicates).
+    */
+  def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val sh = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, Dedup.simHash(t)) }
+      .toDF("doc_id", "sim")
+    sh.groupBy("sim").agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"))
+      .filter(col("n") > 1)
+      .orderBy("sim")
+  }
+
+  /** Integer-exact nearest neighbor by quantized dot product. */
+  def annTop1(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantizedTop1(spark.read.parquet(s"$dir/embeddings.parquet"),
+        col("vec_id") < 30)
+      .orderBy("query_id")
+
+  /** Brute-force cosine top-5 (float; ScalaTest-verified, driver
+    * rows-check only).
+    */
+  def annBruteTopk(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(spark.read.parquet(s"$dir/embeddings.parquet"),
+        col("vec_id") % 50 === 0, k = 5)
+      .orderBy("query_id", "rank")
+
+  /** LSH-bucketed approximate top-5 (scale path; recall vs brute force
+    * checked in ScalaTest).
+    */
+  def annLshTopk(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(spark.read.parquet(s"$dir/embeddings.parquet"),
+        col("vec_id") % 50 === 0, k = 5)
+      .orderBy("query_id", "rank")
+
+  /** Text-quality features (integer counts + exact single divisions). */
+  def txtQuality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.quality(spark.read.parquet(s"$dir/documents.parquet"))
+      .select(col("doc_id"), col("n_tokens"), col("n_punct"),
+        col("n_stopwords"), col("mean_token_len"), col("stopword_ratio"))
+      .orderBy("doc_id")
+
+  /** Rolling-hash fingerprints: shared-window containment groups. */
+  def txtFingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprints(
+        spark.read.parquet(s"$dir/documents.parquet"), window = 5)
+      .groupBy("fingerprint").agg(count(lit(1)).as("n"),
+        min("doc_id").as("first_doc"))
+      .filter(col("n") > 1)
+      .orderBy("fingerprint")
+
+  /** Multimodal: synthesize container bytes, batch-decode metadata —
+    * oracle recomputes every field (incl. byte size) from doc_id alone,
+    * proving the encode → binary column → mapPartitions decode loop.
+    */
+  def mmMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeMeta(Multimodal.mediaTable(spark, dir))
+      .orderBy("doc_id")
+
+  /** Multimodal: frame sampling plumbing (video rows, stride 7). */
+  def mmFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(Multimodal.mediaTable(spark, dir), stride = 7)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
+      .orderBy("doc_id", "frame_idx")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact" -> ddExact,
+    "dd_exact_clusters" -> ddExactClusters,
+    "dd_jaccard" -> ddJaccard,
+    "dd_minhash" -> ddMinhash,
+    "dd_simhash" -> ddSimhash,
+    "ann_top1" -> annTop1,
+    "ann_brute_topk" -> annBruteTopk,
+    "ann_lsh_topk" -> annLshTopk,
+    "txt_quality" -> txtQuality,
+    "txt_fingerprint" -> txtFingerprint,
+    "mm_meta" -> mmMeta,
+    "mm_frames" -> mmFrames
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT lang, COUNT(*) AS n_docs FROM (
+        |  SELECT lang, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
+    "dd_exact_clusters" ->
+      """SELECT doc_id, keep_id FROM (
+        |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS keep_id
+        |  FROM documents) t
+        |WHERE doc_id <> keep_id ORDER BY doc_id""".stripMargin,
+    "dd_jaccard" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, lang, source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM tok a JOIN tok b ON a.w = b.w AND a.lang = b.lang
+        |    AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.a, p.b, p.inter,
+        |  CAST(sa.n + sb.n - p.inter AS BIGINT) AS uni,
+        |  CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
+        |FROM pairs p JOIN sizes sa ON p.a = sa.doc_id
+        |JOIN sizes sb ON p.b = sb.doc_id
+        |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.8
+        |ORDER BY a, b""".stripMargin,
+    "ann_top1" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+        |         CAST(SUM(a.q * b.q) AS BIGINT) AS dp
+        |  FROM v a JOIN v b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 30 GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id, cand_id, dp,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dp DESC, cand_id) AS rn
+        |  FROM dots)
+        |SELECT query_id, cand_id, dp FROM ranked WHERE rn = 1 ORDER BY query_id""".stripMargin,
+    "txt_quality" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS n_punct,
+        |  CAST(length(list_filter(string_split_regex(trim(text), '\s+'),
+        |    w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) AS BIGINT) AS n_stopwords,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |       ELSE CAST(length(text) - length(regexp_split_to_array(trim(text), '\s+')) + 1 AS DOUBLE)
+        |            / length(regexp_split_to_array(trim(text), '\s+')) END AS mean_token_len,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |       ELSE CAST(length(list_filter(string_split_regex(trim(text), '\s+'),
+        |    w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE)
+        |            / length(regexp_split_to_array(trim(text), '\s+')) END AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_meta" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    CAST(64 + doc_id % 64 AS INTEGER) AS width,
+        |    CAST(64 + (doc_id // 2) % 64 AS INTEGER) AS height,
+        |    CAST(3 AS INTEGER) AS channels,
+        |    CAST(1 + doc_id % 30 AS INTEGER) AS n_frames,
+        |    CAST(16000 AS INTEGER) AS sample_rate
+        |  FROM documents)
+        |SELECT doc_id, kind, width, height, channels, n_frames, sample_rate,
+        |  CAST(length('GFT1|' || kind || '|' || CAST(width AS VARCHAR) || '|' ||
+        |    CAST(height AS VARCHAR) || '|3|' || CAST(n_frames AS VARCHAR) || '|16000|') +
+        |    CASE kind WHEN 'image' THEN width * height * 3
+        |              WHEN 'video' THEN width * height * 3 * n_frames
+        |              ELSE 32000 END AS BIGINT) AS n_bytes,
+        |  TRUE AS decoded
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "mm_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 30 AS INTEGER) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id, CAST(unnest(generate_series(0, n_frames - 1, 7)) AS BIGINT) AS frame_idx
+        |FROM m ORDER BY doc_id, frame_idx""".stripMargin
+  )
+}

@@ -1,0 +1,143 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, language identification, document fingerprinting.
+  * Everything except langid/fingerprint is pure Column expressions
+  * (codegen'd); those two are deterministic Scala kernels applied in a
+  * typed map.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** BPE-ish subword token estimate: split on word/punct boundaries the
+    * way byte-pair tokenizers pre-segment (letters+digits runs vs single
+    * punctuation marks), via one regexp scan.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(text, "(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])"),
+      t => length(t) > 0 && t =!= " ")).cast("long")
+
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of",
+    "to", "in", "is", "it")
+
+  /** Quality features per document: lengths, ratios, stopword share —
+    * integer counts + single final divisions (cross-engine exact).
+    */
+  def quality(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = split(trim(t), "\\s+")
+    docs
+      .withColumn("n_chars_m", length(t).cast("long"))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_punct",
+        (length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))).cast("long"))
+      .withColumn("n_stopwords",
+        size(filter(toks, w => w.isin(Stopwords.map(lit): _*))).cast("long"))
+      .withColumn("mean_token_len",
+        when(col("n_tokens") > 0,
+          (col("n_chars_m") - col("n_tokens") + 1).cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .withColumn("punct_ratio",
+        when(col("n_chars_m") > 0, col("n_punct").cast("double") / col("n_chars_m"))
+          .otherwise(lit(0.0)))
+      .withColumn("stopword_ratio",
+        when(col("n_tokens") > 0, col("n_stopwords").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+  }
+
+  // ---- Language identification (character n-gram heuristic) -----------
+
+  /** Tiny deterministic char-trigram profiles per language, derived from
+    * public-domain sample phrases (written here, not fetched). A real
+    * deployment would train profiles offline; the operator shape —
+    * broadcast profiles + one pass per doc — is the production shape.
+    */
+  private val SeedText: Map[String, String] = Map(
+    "en" -> ("the quick brown fox jumps over the lazy dog and then it runs " +
+      "away with all of the other animals in the big green field they said"),
+    "de" -> ("der schnelle braune fuchs springt über den faulen hund und " +
+      "dann läuft er mit allen anderen tieren auf dem großen grünen feld weg"),
+    "fr" -> ("le rapide renard brun saute par dessus le chien paresseux et " +
+      "puis il court avec tous les autres animaux dans le grand champ vert"),
+    "es" -> ("el rápido zorro marrón salta sobre el perro perezoso y luego " +
+      "corre con todos los demás animales en el gran campo verde dijeron"),
+    "it" -> ("la rapida volpe marrone salta sopra il cane pigro e poi corre " +
+      "con tutti gli altri animali nel grande campo verde hanno detto")
+  )
+
+  private def trigrams(s: String): Map[String, Double] = {
+    val padded = " " + s.toLowerCase.replaceAll("[^\\p{L} ]", "") + " "
+    val grams = padded.sliding(3).toSeq
+    val n = grams.size.toDouble
+    grams.groupBy(identity).map { case (g, xs) => g -> xs.size / n }
+  }
+
+  lazy val Profiles: Map[String, Map[String, Double]] = SeedText.map {
+    case (lang, txt) => lang -> trigrams(txt)
+  }
+
+  /** Cosine-ish overlap score against each profile; argmax wins (ties
+    * broken by language code order for determinism).
+    */
+  def detectLanguage(text: String): String = {
+    if (text == null || text.trim.isEmpty) return "und"
+    val tg = trigrams(text)
+    Profiles.toSeq.sortBy(_._1).map { case (lang, prof) =>
+      val score = tg.iterator.map { case (g, w) => prof.getOrElse(g, 0.0) * w }.sum
+      (lang, score)
+    }.maxBy(_._2) match {
+      case (lang, s) if s > 0 => lang
+      case _ => "und"
+    }
+  }
+
+  def withLanguage(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val f = udf((t: String) => detectLanguage(t))
+    docs.withColumn("detected_lang", f(col(textCol)))
+  }
+
+  // ---- Fingerprinting (rolling hash / winnowing) ----------------------
+
+  /** Polynomial rolling hashes of token windows; the document fingerprint
+    * is the minimum window hash (winnowing with one global window) plus
+    * the full set for containment checks.
+    */
+  def windowHashes(text: String, window: Int): Seq[Long] = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < window) {
+      if (toks.isEmpty) Seq.empty else Seq(polyHash(toks))
+    } else toks.sliding(window).map(polyHash).toSeq
+  }
+
+  private def polyHash(toks: Array[String]): Long = {
+    var h = 1469598103934665603L
+    for (t <- toks) {
+      var i = 0
+      while (i < t.length) { h ^= t.charAt(i); h *= 1099511628211L; i += 1 }
+      h ^= ' '
+      h *= 1099511628211L
+    }
+    h
+  }
+
+  /** (doc_id, fingerprint) — equal fingerprints ⇒ shared window content;
+    * used for containment/overlap detection across documents.
+    */
+  def fingerprints(docs: DataFrame, window: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val hs = windowHashes(t, window)
+        (id, if (hs.isEmpty) 0L else hs.min, hs.length.toLong)
+      }
+      .toDF("doc_id", "fingerprint", "n_windows")
+  }
+}
