@@ -1,0 +1,380 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ontology._
+import graft.rdf.Vocab._
+import graft.shape.{Limits, Preflight}
+import graft.sink.Diff
+
+/** Ontology-extraction operators (SURVEY §2.2/2.3/2.5/2.6/2.8/2.11) as
+  * driver-checkable queries over the fixture ontology + table-derived
+  * instance triples. The DuckDB oracles are generated from the SAME
+  * fixture Seq (single source of truth) but re-derive every result with
+  * independent SQL logic — recursive CTEs for RDF lists and topology,
+  * joins over the parquet dims for usage inference.
+  */
+object OntologyQueries {
+
+  import FixtureOntology._
+
+  private def combinedDf(spark: SparkSession, dir: String): DataFrame =
+    FixtureOntology.combined(spark, dir)
+
+  // ---------- queries ----------
+
+  def ontoClasses(spark: SparkSession, dir: String): DataFrame =
+    Extract.classes(combinedDf(spark, dir))
+      .withColumn("name", Names.uriToNameCol(col("classUri")))
+      .orderBy("classUri")
+
+  def ontoParents(spark: SparkSession, dir: String): DataFrame = {
+    val t = combinedDf(spark, dir)
+    Extract.parentResolution(t, Extract.classesWithIds(t))
+      .orderBy("classUri")
+  }
+
+  def ontoProps(spark: SparkSession, dir: String): DataFrame = {
+    val t = combinedDf(spark, dir)
+    Extract.propertyAssignment(t, Extract.classesWithIds(t))
+      .select(col("classUri"), col("name").as("propName"), col("valueType"),
+        col("isTimeseries"))
+      .orderBy("classUri", "propName")
+  }
+
+  def ontoRels(spark: SparkSession, dir: String): DataFrame = {
+    val t = combinedDf(spark, dir)
+    val (rels, _) = Extract.relationships(t, Extract.classesWithIds(t))
+    rels.select(col("name"), col("srcUri"), col("dstUri"))
+      .orderBy("name", "srcUri", "dstUri")
+  }
+
+  def ontoSkipped(spark: SparkSession, dir: String): DataFrame = {
+    val t = combinedDf(spark, dir)
+    val (_, skipped) = Extract.relationships(t, Extract.classesWithIds(t))
+    skipped.select("itemType", "name", "reason").orderBy("name")
+  }
+
+  def ontoIdentifiers(spark: SparkSession, dir: String): DataFrame = {
+    val t = combinedDf(spark, dir)
+    val assignment = Extract.propertyAssignment(t, Extract.classesWithIds(t))
+    val byId = assignment.select(col("propId"), col("name").as("propName")).distinct()
+    Extract.identifiers(assignment)
+      .join(byId.withColumnRenamed("propId", "entityIdPart")
+        .withColumnRenamed("propName", "idPropName"), Seq("entityIdPart"), "left")
+      .join(byId.withColumnRenamed("propId", "displayNamePropertyId")
+        .withColumnRenamed("propName", "displayPropName"),
+        Seq("displayNamePropertyId"), "left")
+      .filter(col("entityIdPart").isNotNull)
+      .select(col("classUri"), col("idPropName"), col("displayPropName"))
+      .orderBy("classUri")
+  }
+
+  def ontoTopo(spark: SparkSession, dir: String): DataFrame = {
+    val t = combinedDf(spark, dir)
+    val cls = Extract.classesWithIds(t)
+    Topo.ordered(cls, Extract.parentResolution(t, cls))
+      .select(col("classUri"), col("name"), col("level").cast("long").as("level"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("rank")
+  }
+
+  def ontoPreflight(spark: SparkSession, dir: String): DataFrame =
+    Preflight.validate(FixtureOntology.df(spark))
+      .groupBy("category", "severity").agg(count(lit(1)).as("n"))
+      .orderBy("category")
+
+  def ontoLimits(spark: SparkSession, dir: String): DataFrame = {
+    val t = combinedDf(spark, dir)
+    val (entities, rels, _) = Extract.entityTypes(t)
+    Limits.global(entities, rels)
+      .select("nEntities", "nRels", "entityStatus", "relStatus")
+  }
+
+  def ontoDiff(spark: SparkSession, dir: String): DataFrame = {
+    val t = combinedDf(spark, dir)
+    val cls = Extract.classesWithIds(t)
+    val assignment = Extract.propertyAssignment(t, cls)
+    val (rels, _) = Extract.relationships(t, cls)
+    def named(kind: String, df: DataFrame, nameCol: String) =
+      df.select(lit(kind).as("kind"), col(nameCol).as("name")).distinct()
+    val a = named("class", cls, "name")
+      .union(named("data_property", assignment, "name"))
+      .union(named("object_property", rels, "name"))
+    // variant B: Supplier renamed to Warehouse (the compare_ontologies
+    // test shape: one missing, one extra per side)
+    val b = a.withColumn("name",
+      when(col("name") === "Supplier", "Warehouse").otherwise(col("name")))
+    Diff.compare(a, b).withColumnRenamed("match", "is_match").orderBy("kind")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "onto_classes" -> ontoClasses,
+    "onto_parents" -> ontoParents,
+    "onto_props" -> ontoProps,
+    "onto_rels" -> ontoRels,
+    "onto_skipped" -> ontoSkipped,
+    "onto_identifiers" -> ontoIdentifiers,
+    "onto_topo" -> ontoTopo,
+    "onto_preflight" -> ontoPreflight,
+    "onto_limits" -> ontoLimits,
+    "onto_diff" -> ontoDiff
+  )
+
+  // ---------- oracles ----------
+
+  private val bn = "substr(s, 1, 2) <> '_:'"
+
+  /** xsd → (tier, fabric) VALUES generated from TypeLattice.hierarchy. */
+  private val xsdTiersSql: String = {
+    val rows = TypeLattice.hierarchy.zipWithIndex.flatMap {
+      case ((tier, fabric), i) => tier.map(x => s"('$x', ${i + 1}, '$fabric')")
+    }.mkString(", ")
+    s"xsdtiers(xsd, tier, fabric) AS (SELECT * FROM (VALUES $rows) v(xsd, tier, fabric))"
+  }
+
+  /** Shared CTE block. Note: WITH RECURSIVE prefixes the whole chain. */
+  private val common: String =
+    s"""WITH RECURSIVE ${FixtureOntology.valuesSql},
+       |${FixtureOntology.instanceSql},
+       |all_t(s, p, o, okind) AS (
+       |  SELECT * FROM fixture UNION ALL SELECT s, p, o, 'uri' FROM inst),
+       |$xsdTiersSql,
+       |classes AS (
+       |  SELECT DISTINCT s AS classUri FROM all_t
+       |  WHERE ((p = '$RdfType' AND o IN ('$OwlClass', '$RdfsClass'))
+       |      OR p = '$RdfsSubClassOf')
+       |    AND okind <> 'literal' AND $bn),
+       |listchain(root, node) AS (
+       |  SELECT s, s FROM all_t WHERE p = '$RdfFirst'
+       |  UNION
+       |  SELECT c.root, t.o FROM listchain c
+       |  JOIN all_t t ON t.s = c.node AND t.p = '$RdfRest' AND t.o <> '$RdfNil'),
+       |members(root, item) AS (
+       |  SELECT DISTINCT c.root, t.o FROM listchain c
+       |  JOIN all_t t ON t.s = c.node AND t.p = '$RdfFirst'),
+       |unionof(bnode, item) AS (
+       |  SELECT DISTINCT u.s, m.item FROM all_t u
+       |  JOIN members m ON u.o = m.root WHERE u.p = '$OwlUnionOf'),
+       |rdomains(prop, d) AS (
+       |  SELECT DISTINCT t.s, t.o FROM all_t t WHERE t.p = '$RdfsDomain' AND t.okind = 'uri'
+       |  UNION
+       |  SELECT DISTINCT t.s, u.item FROM all_t t
+       |  JOIN unionof u ON t.o = u.bnode WHERE t.p = '$RdfsDomain' AND t.okind = 'bnode'),
+       |rranges(prop, r) AS (
+       |  SELECT DISTINCT t.s, t.o FROM all_t t WHERE t.p = '$RdfsRange' AND t.okind = 'uri'
+       |  UNION
+       |  SELECT DISTINCT t.s, u.item FROM all_t t
+       |  JOIN unionof u ON t.o = u.bnode WHERE t.p = '$RdfsRange' AND t.okind = 'bnode'),
+       |dataprops(prop) AS (
+       |  SELECT DISTINCT s FROM all_t
+       |  WHERE p = '$RdfType' AND o = '$OwlDatatypeProperty' AND $bn
+       |  UNION
+       |  SELECT DISTINCT t.s FROM all_t t
+       |  JOIN all_t r ON r.s = t.s AND r.p = '$RdfsRange' AND r.okind = 'uri'
+       |    AND r.o LIKE '$XSD%'
+       |  WHERE t.p = '$RdfType' AND t.o = '${RdfProperty}' AND substr(t.s, 1, 2) <> '_:'),
+       |objprops(prop) AS (
+       |  SELECT DISTINCT s FROM all_t
+       |  WHERE p = '$RdfType' AND o = '$OwlObjectProperty' AND $bn
+       |  UNION
+       |  SELECT DISTINCT t.s FROM all_t t
+       |  JOIN all_t r ON r.s = t.s AND r.p = '$RdfsRange' AND r.okind = 'uri'
+       |    AND r.o NOT LIKE '$XSD%'
+       |  WHERE t.p = '$RdfType' AND t.o = '${RdfProperty}' AND substr(t.s, 1, 2) <> '_:'
+       |    AND t.s NOT IN (SELECT prop FROM dataprops)),
+       |typeof(node, cls) AS (
+       |  SELECT s, o FROM inst WHERE p = '$RdfType'),
+       |inferred_d(prop, d) AS (
+       |  SELECT i.p, MIN(t.cls) FROM inst i JOIN typeof t ON i.s = t.node
+       |  WHERE i.p IN (SELECT prop FROM objprops) AND i.p <> '$RdfType'
+       |  GROUP BY i.p),
+       |inferred_r(prop, r) AS (
+       |  SELECT i.p, MIN(t.cls) FROM inst i JOIN typeof t ON i.o = t.node
+       |  WHERE i.p IN (SELECT prop FROM objprops) AND i.p <> '$RdfType'
+       |  GROUP BY i.p),
+       |eff_d(prop, d) AS (
+       |  SELECT o.prop, rd.d FROM objprops o JOIN rdomains rd ON rd.prop = o.prop
+       |    AND rd.d IN (SELECT classUri FROM classes)
+       |  UNION
+       |  SELECT o.prop, i.d FROM objprops o JOIN inferred_d i ON i.prop = o.prop
+       |  WHERE NOT EXISTS (SELECT 1 FROM rdomains rd2 WHERE rd2.prop = o.prop
+       |    AND rd2.d IN (SELECT classUri FROM classes))),
+       |eff_r(prop, r) AS (
+       |  SELECT o.prop, rr.r FROM objprops o JOIN rranges rr ON rr.prop = o.prop
+       |    AND rr.r IN (SELECT classUri FROM classes)
+       |  UNION
+       |  SELECT o.prop, i.r FROM objprops o JOIN inferred_r i ON i.prop = o.prop
+       |  WHERE NOT EXISTS (SELECT 1 FROM rranges rr2 WHERE rr2.prop = o.prop
+       |    AND rr2.r IN (SELECT classUri FROM classes))),
+       |relpairs(prop, d, r) AS (
+       |  SELECT d.prop, d.d, r.r FROM eff_d d JOIN eff_r r ON d.prop = r.prop),
+       |lname(uri, nm) AS (
+       |  SELECT DISTINCT s, regexp_extract(s, '([^#]*)$$', 1) FROM all_t WHERE $bn)""".stripMargin
+
+  private def localName(c: String) = s"regexp_extract($c, '([^#]*)$$', 1)"
+
+  val oracles: Map[String, String] = Map(
+    "onto_classes" ->
+      s"""$common
+         |SELECT classUri, ${localName("classUri")} AS name FROM classes
+         |ORDER BY classUri""".stripMargin,
+    "onto_parents" ->
+      s"""$common
+         |SELECT s AS classUri, MIN(o) AS parentUri FROM all_t
+         |WHERE p = '$RdfsSubClassOf' AND okind = 'uri' AND $bn
+         |  AND s IN (SELECT classUri FROM classes)
+         |  AND o IN (SELECT classUri FROM classes)
+         |GROUP BY s ORDER BY classUri""".stripMargin,
+    "onto_props" ->
+      s"""$common,
+         |proptype(prop, valueType) AS (
+         |  SELECT dp.prop, COALESCE(
+         |    (SELECT x.fabric FROM rranges rr JOIN xsdtiers x ON rr.r = x.xsd
+         |     WHERE rr.prop = dp.prop ORDER BY x.tier LIMIT 1), 'String')
+         |  FROM dataprops dp),
+         |ts(prop) AS (
+         |  SELECT DISTINCT s FROM all_t
+         |  WHERE p = '$RdfsComment' AND okind = 'literal'
+         |    AND lower(o) LIKE '%(timeseries)%')
+         |SELECT rd.d AS classUri, ${localName("dp.prop")} AS propName,
+         |  pt.valueType, (dp.prop IN (SELECT prop FROM ts)) AS isTimeseries
+         |FROM dataprops dp
+         |JOIN rdomains rd ON rd.prop = dp.prop AND rd.d IN (SELECT classUri FROM classes)
+         |JOIN proptype pt ON pt.prop = dp.prop
+         |ORDER BY classUri, propName""".stripMargin,
+    "onto_rels" ->
+      s"""$common
+         |SELECT ${localName("prop")} AS name, d AS srcUri, r AS dstUri
+         |FROM relpairs ORDER BY name, srcUri, dstUri""".stripMargin,
+    "onto_skipped" ->
+      s"""$common
+         |SELECT 'relationship' AS itemType, ${localName("o.prop")} AS name,
+         |  CASE WHEN NOT EXISTS (SELECT 1 FROM eff_d d WHERE d.prop = o.prop)
+         |        AND NOT EXISTS (SELECT 1 FROM eff_r r WHERE r.prop = o.prop)
+         |       THEN 'missing both domain and range'
+         |       WHEN NOT EXISTS (SELECT 1 FROM eff_d d WHERE d.prop = o.prop)
+         |       THEN 'missing domain class'
+         |       ELSE 'missing range class' END AS reason
+         |FROM objprops o
+         |WHERE NOT EXISTS (SELECT 1 FROM eff_d d WHERE d.prop = o.prop)
+         |   OR NOT EXISTS (SELECT 1 FROM eff_r r WHERE r.prop = o.prop)
+         |ORDER BY name""".stripMargin,
+    "onto_identifiers" ->
+      s"""$common,
+         |proptype(prop, valueType) AS (
+         |  SELECT dp.prop, COALESCE(
+         |    (SELECT x.fabric FROM rranges rr JOIN xsdtiers x ON rr.r = x.xsd
+         |     WHERE rr.prop = dp.prop ORDER BY x.tier LIMIT 1), 'String')
+         |  FROM dataprops dp),
+         |ts(prop) AS (
+         |  SELECT DISTINCT s FROM all_t
+         |  WHERE p = '$RdfsComment' AND okind = 'literal'
+         |    AND lower(o) LIKE '%(timeseries)%'),
+         |assigned(classUri, propName, valueType) AS (
+         |  SELECT rd.d, ${localName("dp.prop")}, pt.valueType
+         |  FROM dataprops dp
+         |  JOIN rdomains rd ON rd.prop = dp.prop AND rd.d IN (SELECT classUri FROM classes)
+         |  JOIN proptype pt ON pt.prop = dp.prop
+         |  WHERE dp.prop NOT IN (SELECT prop FROM ts)),
+         |agg AS (
+         |  SELECT classUri,
+         |    MAX(CASE WHEN lower(propName) LIKE '%id%'
+         |          AND valueType IN ('String', 'BigInt') THEN propName END) AS idProp,
+         |    MAX(CASE WHEN lower(propName) LIKE '%name%'
+         |          AND valueType = 'String' THEN propName END) AS nameProp,
+         |    MIN(CASE WHEN valueType IN ('String', 'BigInt') THEN propName END) AS firstValid
+         |  FROM assigned GROUP BY classUri)
+         |SELECT classUri,
+         |  COALESCE(idProp, firstValid) AS idPropName,
+         |  CASE WHEN idProp IS NOT NULL THEN COALESCE(nameProp, idProp)
+         |       ELSE firstValid END AS displayPropName
+         |FROM agg WHERE COALESCE(idProp, firstValid) IS NOT NULL
+         |ORDER BY classUri""".stripMargin,
+    "onto_topo" ->
+      s"""$common,
+         |parents(child, parent) AS (
+         |  SELECT s, MIN(o) FROM all_t
+         |  WHERE p = '$RdfsSubClassOf' AND okind = 'uri' AND $bn
+         |    AND s IN (SELECT classUri FROM classes)
+         |    AND o IN (SELECT classUri FROM classes)
+         |  GROUP BY s),
+         |lvl(classUri, level) AS (
+         |  SELECT classUri, CAST(0 AS BIGINT) FROM classes
+         |  WHERE classUri NOT IN (SELECT child FROM parents)
+         |  UNION ALL
+         |  SELECT p.child, l.level + 1 FROM parents p JOIN lvl l ON p.parent = l.classUri)
+         |SELECT classUri, ${localName("classUri")} AS name, level,
+         |  ROW_NUMBER() OVER (ORDER BY level, ${localName("classUri")}) AS rank
+         |FROM lvl ORDER BY rank""".stripMargin,
+    "onto_preflight" ->
+      s"""$common,
+         |issues(category, severity) AS (
+         |  SELECT 'external_import', 'warning' FROM fixture WHERE p = '$OwlImports'
+         |  UNION ALL
+         |  SELECT 'property_restriction', 'warning' FROM fixture
+         |  WHERE p = '$RdfType' AND o = '$OwlRestriction'
+         |  UNION ALL
+         |  SELECT 'property_characteristic', 'info' FROM fixture
+         |  WHERE p = '$RdfType' AND o LIKE '$OWL%Property'
+         |    AND o IN ('${OWL}FunctionalProperty', '${OWL}InverseFunctionalProperty',
+         |      '${OWL}SymmetricProperty', '${OWL}AsymmetricProperty',
+         |      '${OWL}TransitiveProperty', '${OWL}ReflexiveProperty',
+         |      '${OWL}IrreflexiveProperty') AND $bn
+         |  UNION ALL
+         |  SELECT 'missing_signature', 'warning' FROM (
+         |    SELECT DISTINCT s AS prop FROM fixture
+         |    WHERE p = '$RdfType' AND $bn
+         |      AND o IN ('$OwlDatatypeProperty', '$OwlObjectProperty', '$RdfProperty')) pr
+         |  WHERE NOT EXISTS (SELECT 1 FROM fixture f
+         |          WHERE f.s = pr.prop AND f.p = '$RdfsDomain')
+         |     OR NOT EXISTS (SELECT 1 FROM fixture f
+         |          WHERE f.s = pr.prop AND f.p = '$RdfsRange')
+         |  UNION ALL
+         |  SELECT 'unsupported_datatype', 'info' FROM fixture dp2
+         |  JOIN fixture r2 ON r2.s = dp2.s AND r2.p = '$RdfsRange'
+         |  WHERE dp2.p = '$RdfType' AND dp2.o = '$OwlDatatypeProperty'
+         |    AND ((r2.okind = 'uri' AND r2.o LIKE '$XSD%'
+         |          AND r2.o NOT IN (${Preflight.SupportedXsd.map(x => s"'$x'").mkString(", ")}))
+         |      OR (r2.okind = 'bnode' AND EXISTS (SELECT 1 FROM fixture u2
+         |            WHERE u2.s = r2.o AND u2.p = '$OwlUnionOf'))))
+         |SELECT category, severity, COUNT(*) AS n FROM issues
+         |GROUP BY category, severity ORDER BY category""".stripMargin,
+    "onto_limits" ->
+      s"""$common
+         |SELECT (SELECT COUNT(*) FROM classes) AS nEntities,
+         |  (SELECT COUNT(*) FROM relpairs) AS nRels,
+         |  CASE WHEN (SELECT COUNT(*) FROM classes) > 500 THEN 'error'
+         |       WHEN (SELECT COUNT(*) FROM classes) > 450 THEN 'warning'
+         |       ELSE 'ok' END AS entityStatus,
+         |  CASE WHEN (SELECT COUNT(*) FROM relpairs) > 500 THEN 'error'
+         |       WHEN (SELECT COUNT(*) FROM relpairs) > 450 THEN 'warning'
+         |       ELSE 'ok' END AS relStatus""".stripMargin,
+    "onto_diff" ->
+      s"""$common,
+         |a(kind, name) AS (
+         |  SELECT DISTINCT 'class', ${localName("classUri")} FROM classes
+         |  UNION
+         |  SELECT DISTINCT 'data_property', ${localName("dp.prop")}
+         |  FROM dataprops dp JOIN rdomains rd ON rd.prop = dp.prop
+         |    AND rd.d IN (SELECT classUri FROM classes)
+         |  UNION
+         |  SELECT DISTINCT 'object_property', ${localName("prop")} FROM relpairs),
+         |b(kind, name) AS (
+         |  SELECT kind, CASE WHEN name = 'Supplier' THEN 'Warehouse' ELSE name END
+         |  FROM a)
+         |SELECT k.kind,
+         |  (SELECT COUNT(*) FROM a WHERE a.kind = k.kind
+         |     AND a.name IN (SELECT name FROM b WHERE b.kind = k.kind)) AS n_matching,
+         |  (SELECT COUNT(*) FROM a WHERE a.kind = k.kind
+         |     AND a.name NOT IN (SELECT name FROM b WHERE b.kind = k.kind)) AS only_in_first,
+         |  (SELECT COUNT(*) FROM b WHERE b.kind = k.kind
+         |     AND b.name NOT IN (SELECT name FROM a WHERE a.kind = k.kind)) AS only_in_second,
+         |  ((SELECT COUNT(*) FROM a WHERE a.kind = k.kind
+         |     AND a.name NOT IN (SELECT name FROM b WHERE b.kind = k.kind)) = 0
+         |   AND (SELECT COUNT(*) FROM b WHERE b.kind = k.kind
+         |     AND b.name NOT IN (SELECT name FROM a WHERE a.kind = k.kind)) = 0) AS is_match
+         |FROM (SELECT DISTINCT kind FROM a) k ORDER BY kind""".stripMargin
+  )
+}

@@ -1,0 +1,147 @@
+package graft.sink
+
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** O1 — Fabric definition assembly (reference:
+  * `src/formats/rdf/fabric_serializer.py:32-199`): `.platform` part,
+  * `definition.json`, one part per entity type (topologically sorted,
+  * parents first — `fabric_serializer.py:57-58`), one per relationship;
+  * each part's payload is base64 of JSON rendered exactly like Python's
+  * `json.dumps(indent=2)` (SURVEY §7.5 byte-parity caveat — hence the
+  * tiny printer below instead of a JSON library with different
+  * formatting).
+  */
+object FabricParts {
+
+  // ---- byte-stable JSON printer (Python json.dumps(indent=2) dialect) --
+
+  sealed trait J
+  final case class JStr(v: String) extends J
+  final case class JNum(v: Long) extends J
+  final case class JBool(v: Boolean) extends J
+  case object JNull extends J
+  final case class JArr(items: Seq[J]) extends J
+  final case class JObj(fields: Seq[(String, J)]) extends J
+
+  /** Matches CPython's json.dumps(obj, indent=2): item separator ",",
+    * key separator ": ", newline before every element, closing bracket
+    * on its own line at parent indent, empty containers inline.
+    */
+  def render(j: J, indent: Int = 0): String = {
+    val pad = "  " * indent
+    val childPad = "  " * (indent + 1)
+    j match {
+      case JStr(v) => "\"" + escape(v) + "\""
+      case JNum(v) => v.toString
+      case JBool(v) => if (v) "true" else "false"
+      case JNull => "null"
+      case JArr(Seq()) => "[]"
+      case JArr(items) =>
+        items.map(i => childPad + render(i, indent + 1))
+          .mkString("[\n", ",\n", s"\n$pad]")
+      case JObj(Seq()) => "{}"
+      case JObj(fields) =>
+        fields.map { case (k, v) =>
+          childPad + "\"" + escape(k) + "\": " + render(v, indent + 1)
+        }.mkString("{\n", ",\n", s"\n$pad}")
+    }
+  }
+
+  private def escape(s: String): String = {
+    val sb = new StringBuilder
+    for (c <- s) c match {
+      case '"' => sb ++= "\\\""
+      case '\\' => sb ++= "\\\\"
+      case '\n' => sb ++= "\\n"
+      case '\r' => sb ++= "\\r"
+      case '\t' => sb ++= "\\t"
+      case c if c < ' ' => sb ++= f"\\u${c.toInt}%04x"
+      case c if c > 126 => sb ++= f"\\u${c.toInt}%04x" // ensure_ascii=True
+      case c => sb += c
+    }
+    sb.toString
+  }
+
+  def b64(json: String): String =
+    Base64.getEncoder.encodeToString(json.getBytes(StandardCharsets.UTF_8))
+
+  final case class Part(path: String, payload: String,
+                        payloadType: String = "InlineBase64")
+
+  /** Entity row (Extract.entityTypes schema) → Fabric EntityType JSON
+    * (field order mirrors `fabric_types.py:60-118` `to_dict`).
+    */
+  def entityJson(r: Row): J = {
+    def propJson(p: Row): J = JObj(Seq(
+      "id" -> JStr(p.getAs[String]("id")),
+      "name" -> JStr(p.getAs[String]("name")),
+      "valueType" -> JStr(p.getAs[String]("valueType"))))
+    val props = r.getAs[scala.collection.Seq[Row]]("properties")
+    val tsProps = r.getAs[scala.collection.Seq[Row]]("timeseriesProperties")
+    val idParts = r.getAs[scala.collection.Seq[String]]("entityIdParts")
+    JObj(Seq(
+      "id" -> JStr(r.getAs[String]("id")),
+      "name" -> JStr(r.getAs[String]("name")),
+      "namespace" -> JStr("usertypes"),
+      "namespaceType" -> JStr("Custom"),
+      "visibility" -> JStr("Visible")) ++
+      Option(r.getAs[String]("baseEntityTypeId"))
+        .map(b => "baseEntityTypeId" -> JStr(b)).toSeq ++
+      Seq("entityIdParts" -> JArr(idParts.map(JStr).toSeq)) ++
+      Option(r.getAs[String]("displayNamePropertyId"))
+        .map(d => "displayNamePropertyId" -> JStr(d)).toSeq ++
+      Seq(
+        "properties" -> JArr(props.map(propJson).toSeq),
+        "timeseriesProperties" -> JArr(tsProps.map(propJson).toSeq)))
+  }
+
+  def relJson(r: Row): J = JObj(Seq(
+    "id" -> JStr(r.getAs[String]("id")),
+    "name" -> JStr(r.getAs[String]("name")),
+    "namespace" -> JStr("usertypes"),
+    "namespaceType" -> JStr("Custom"),
+    "source" -> JObj(Seq("entityTypeId" -> JStr(r.getAs[String]("srcEntityTypeId")))),
+    "target" -> JObj(Seq("entityTypeId" -> JStr(r.getAs[String]("dstEntityTypeId"))))))
+
+  /** Assemble the full definition: platform + definition.json + parts,
+    * entities in parents-first topological order (G4), relationships
+    * after, both name-ordered within a level for determinism.
+    */
+  def assemble(entities: DataFrame, rels: DataFrame,
+               topoRank: Map[String, Int], displayName: String): Seq[Part] = {
+    val platform = JObj(Seq(
+      "$schema" -> JStr("https://developer.microsoft.com/json-schemas/fabric/gitIntegration/platformProperties/2.0.0/schema.json"),
+      "metadata" -> JObj(Seq("type" -> JStr("Ontology"),
+        "displayName" -> JStr(displayName))),
+      "config" -> JObj(Seq("version" -> JStr("2.0"),
+        "logicalId" -> JStr("00000000-0000-0000-0000-000000000000")))))
+    val definition = JObj(Seq("version" -> JStr("1.0"), "parts" -> JArr(Nil)))
+
+    val entityRows = entities.collect()
+      .sortBy(r => (topoRank.getOrElse(r.getAs[String]("uri"), Int.MaxValue),
+        r.getAs[String]("name")))
+    val relRows = rels.collect().sortBy(r =>
+      (r.getAs[String]("name"), r.getAs[String]("id")))
+
+    Seq(
+      Part(".platform", b64(render(platform))),
+      Part("definition.json", b64(render(definition)))) ++
+      entityRows.map(r => Part(s"EntityTypes/${r.getAs[String]("name")}.json",
+        b64(render(entityJson(r))))) ++
+      relRows.map(r => Part(s"RelationshipTypes/${r.getAs[String]("name")}_${r.getAs[String]("id")}.json",
+        b64(render(relJson(r)))))
+  }
+
+  /** S6 — read a definition back: decode parts, route by path prefix
+    * (`fabric_to_ttl.py:89-173`). Returns (entityJsons, relJsons).
+    */
+  def decode(parts: Seq[Part]): (Seq[String], Seq[String]) = {
+    def dec(p: Part) = new String(Base64.getDecoder.decode(p.payload),
+      StandardCharsets.UTF_8)
+    (parts.filter(_.path.startsWith("EntityTypes/")).map(dec),
+      parts.filter(_.path.startsWith("RelationshipTypes/")).map(dec))
+  }
+}

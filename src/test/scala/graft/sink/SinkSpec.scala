@@ -1,0 +1,134 @@
+package graft.sink
+
+import graft.SparkSpec
+import graft.ontology.{Extract, FixtureOntology, Topo}
+import graft.rdf.TurtleParser
+import org.apache.spark.sql.functions._
+
+class FabricPartsSpec extends SparkSpec {
+  import FabricParts._
+
+  test("JSON printer is byte-identical to Python json.dumps(indent=2)") {
+    val obj = JObj(Seq(
+      "id" -> JStr("123"), "name" -> JStr("Person"),
+      "namespace" -> JStr("usertypes"),
+      "entityIdParts" -> JArr(Seq(JStr("p1"))),
+      "properties" -> JArr(Seq(JObj(Seq(
+        "id" -> JStr("p1"), "name" -> JStr("nä me"),
+        "valueType" -> JStr("String"))))),
+      "timeseriesProperties" -> JArr(Nil)))
+    // golden string produced by CPython json.dumps(obj, indent=2)
+    val expected = "{\n  \"id\": \"123\",\n  \"name\": \"Person\",\n  \"namespace\": \"usertypes\",\n  \"entityIdParts\": [\n    \"p1\"\n  ],\n  \"properties\": [\n    {\n      \"id\": \"p1\",\n      \"name\": \"n\\u00e4 me\",\n      \"valueType\": \"String\"\n    }\n  ],\n  \"timeseriesProperties\": []\n}"
+    assert(render(obj) == expected)
+    assert(b64(render(obj)) == "ewogICJpZCI6ICIxMjMiLAogICJuYW1lIjogIlBlcnNvbiIsCiAgIm5hbWVzcGFjZSI6ICJ1c2VydHlwZXMiLAogICJlbnRpdHlJZFBhcnRzIjogWwogICAgInAxIgogIF0sCiAgInByb3BlcnRpZXMiOiBbCiAgICB7CiAgICAgICJpZCI6ICJwMSIsCiAgICAgICJuYW1lIjogIm5cdTAwZTQgbWUiLAogICAgICAidmFsdWVUeXBlIjogIlN0cmluZyIKICAgIH0KICBdLAogICJ0aW1lc2VyaWVzUHJvcGVydGllcyI6IFtdCn0=")
+  }
+
+  test("O1 assembly: topo order parents-first, parts route by prefix (S6)") {
+    val t = FixtureOntology.df(spark)
+    val (entities, rels, _) = Extract.entityTypes(t)
+    val cls = Extract.classesWithIds(t)
+    val rank = Topo.ordered(cls, Extract.parentResolution(t, cls))
+      .collect().map(r => r.getAs[String]("classUri") -> r.getAs[Int]("rank")).toMap
+    val parts = assemble(entities, rels, rank, "TestOntology")
+    assert(parts.head.path == ".platform")
+    assert(parts(1).path == "definition.json")
+    val entityPaths = parts.map(_.path).filter(_.startsWith("EntityTypes/"))
+    // LegalEntity (level 0) must precede Customer/Supplier (level 1)
+    assert(entityPaths.indexOf("EntityTypes/LegalEntity.json") <
+      entityPaths.indexOf("EntityTypes/Customer.json"))
+    val (es, rs) = decode(parts)
+    // fixture-only input: inNation has no usage data → skipped, 4 rels
+    assert(es.size == 7 && rs.size == 4)
+    assert(es.exists(_.contains("\"name\": \"Customer\"")))
+  }
+}
+
+class TtlExportSpec extends SparkSpec {
+  test("O2 + D2: export to triples, re-extract, semantic diff matches (round_trip_test)") {
+    val t = FixtureOntology.df(spark)
+    val cls = Extract.classesWithIds(t)
+    val assignment = Extract.propertyAssignment(t, cls)
+    val (rels, _) = Extract.relationships(t, cls)
+    val (entities, relsDf, _) = Extract.entityTypes(t)
+
+    // materialize: downstream re-extraction must not recompute (and
+    // re-optimize) the deep export plan per action
+    val exported = TtlExport.toTriples(entities, relsDf).localCheckpoint()
+    // re-extract from the exported triples
+    val cls2 = Extract.classesWithIds(exported)
+    val assignment2 = Extract.propertyAssignment(exported, cls2)
+    val (rels2, _) = Extract.relationships(exported, cls2)
+
+    def names(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.select(c).distinct().collect().map(_.getString(0)).toSet
+    assert(names(cls2, "name") == names(cls, "name"))
+    assert(names(rels2, "name") == names(rels, "name"))
+    // data property names survive (types reverse-map: BigInt→integer→BigInt etc.)
+    assert(names(assignment2, "name") == names(assignment, "name"))
+    val types2 = assignment2.select("name", "valueType").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(types2("custId") == "BigInt")
+    assert(types2("acctBal") == "Double")
+  }
+
+  test("N-Triples serialization parses back to the same triple set (S1 inverse)") {
+    val t = FixtureOntology.df(spark)
+    val (entities, relsDf, _) = Extract.entityTypes(t)
+    val exported = TtlExport.toTriples(entities, relsDf).localCheckpoint()
+    val nt = TtlExport.toNTriples(exported)
+    val parsed = TurtleParser.parseNTriples(nt)
+    assert(parsed.size == exported.count())
+    val reparsed = parsed.map(x => (x.s, x.p, x.o)).toSet
+    val orig = exported.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(reparsed == orig)
+  }
+}
+
+class DiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("D1 compare: only_in sets and match flags") {
+    val a = Seq(("class", "A"), ("class", "B"), ("prop", "x")).toDF("kind", "name")
+    val b = Seq(("class", "A"), ("class", "C"), ("prop", "x")).toDF("kind", "name")
+    val d = Diff.compare(a, b).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    assert(d("class") == ((1L, 1L, 1L, false)))
+    assert(d("prop") == ((1L, 0L, 0L, true)))
+  }
+
+  test("north-rule P/R metric on triple sets") {
+    val golden = Seq(("s1", "p", "o1"), ("s2", "p", "o2"), ("s3", "p", "o3"))
+      .toDF("s", "p", "o")
+    val candidate = Seq(("s1", "p", "o1"), ("s2", "p", "o2"), ("s4", "p", "o4"))
+      .toDF("s", "p", "o")
+    val (precision, recall) = Diff.precisionRecall(candidate, golden)
+    assert(math.abs(precision - 2.0 / 3) < 1e-12)
+    assert(math.abs(recall - 2.0 / 3) < 1e-12)
+  }
+}
+
+class PreflightSpec extends SparkSpec {
+  import graft.shape.Preflight
+
+  test("2.11: fixture ontology issue histogram matches reference categories") {
+    val issues = Preflight.validate(FixtureOntology.df(spark))
+    val hist = issues.groupBy("category", "severity").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(hist(("external_import", "warning")) == 1)
+    assert(hist(("property_restriction", "warning")) == 1)
+    assert(hist(("property_characteristic", "info")) == 1)
+    assert(hist(("missing_signature", "warning")) == 2) // inNation, orphanRel
+    assert(hist(("unsupported_datatype", "info")) == 2) // gYear + datatype union
+    assert(!hist.keySet.exists(_._1 == "complex_class_expression")) // unionOf not flagged
+    assert(!Preflight.isSeamless(issues))
+  }
+
+  test("seamless ⇔ no warnings/errors (preflight_validator.py:650-656)") {
+    import spark.implicits._
+    val clean = Seq(
+      graft.model.Triple("http://x/A", graft.rdf.Vocab.RdfType,
+        graft.rdf.Vocab.OwlClass, "uri")).toDF()
+    assert(Preflight.isSeamless(Preflight.validate(clean)))
+  }
+}
