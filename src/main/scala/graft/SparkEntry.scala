@@ -17,10 +17,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ KgQueries.queries ++ DataQueries.queries ++ OntologyQueries.queries
+    RelationalQueries.queries ++ KgQueries.queries ++ DataQueries.queries ++ OntologyQueries.queries ++ SchemaFormatQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ KgQueries.oracles ++ DataQueries.oracles ++ OntologyQueries.oracles
+    RelationalQueries.oracles ++ KgQueries.oracles ++ DataQueries.oracles ++ OntologyQueries.oracles ++ SchemaFormatQueries.oracles
 }
