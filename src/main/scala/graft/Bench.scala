@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): one JSON line on stdout.
+  *
+  * Methodology: a session warmup (JVM + codegen paths), then each query
+  * runs twice and reports the faster run — steady-state numbers rather
+  * than first-touch JIT noise. Headline throughput is the end-to-end KG
+  * construction rate (documents/sec through extract → mentions →
+  * triples → canonicalize, the north-rule pipeline) measured on the pure
+  * in-memory path.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +17,40 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // warmup: touch every table + run one small agg to initialize codegen,
+    // parquet footers and the shuffle machinery
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    SparkEntry.queries.get("q1_agg").foreach(f => f(spark, sfDir).count())
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val runs = (1 to 2).map { _ =>
+        try time(fn(spark, sfDir).count())
+        catch { case _: Throwable => Double.MaxValue }
+      }
+      name -> runs.min
+    }
+
+    // headline: KG pipeline docs/sec (north-rule throughput)
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val kgSecs = time {
+      queries.KgQueries.kgCanonical(spark, sfDir).count()
+    }
+    val docsPerSec = nDocs / kgSecs
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","parallelism":$cpus,"n_queries":${results.size},"kg_docs_per_sec":$docsPerSec,"kg_pipeline_sec":$kgSecs,"n_docs":$nDocs}""")
     spark.stop()
   }
 }

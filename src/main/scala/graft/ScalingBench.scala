@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.extract.{Gazetteer, HtmlText, MentionScan}
+import graft.pages.PageGen
+
+/** Scaling-efficiency evidence for the north rule (N vs 4N executors;
+  * sandbox proxy: local[N] vs local[4N] on identical input).
+  *
+  * The timed job is the compute-bound KG front-end — html synthesis →
+  * byte decode → main-content extraction → Aho-Corasick mention scan →
+  * TF-IDF scoring → co-occurrence aggregation — over a deterministic
+  * REP-fold replication of the documents corpus (doc_id offset per
+  * replica; no external data). Work is embarrassingly parallel until the
+  * final dictionary-sized aggregations, which is exactly the production
+  * shape; fixed per-job overheads are amortized by sizing the corpus with
+  * REP.
+  *
+  * Usage: SPARK_GRAFT_CPUS=8 SPARK_GRAFT_REP=64 sbt "runMain graft.ScalingBench"
+  * Prints one JSON line: docs, seconds, docs_per_sec, parallelism.
+  */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val rep = sys.env.getOrElse("SPARK_GRAFT_REP", "64").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+    // deterministic REP-fold corpus; repartition to cpus*4 even slices so
+    // the scan parallelism follows the session, not the file layout
+    val replicated = docs
+      .crossJoin(spark.range(rep).toDF("rep"))
+      .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"),
+        col("text"), col("lang"), col("source"))
+      .repartition(cpus.toInt * 4)
+      .localCheckpoint()
+    val nDocs = replicated.count()
+
+    val gaz = Gazetteer(Gazetteer.DefaultEntities)
+    val bc = spark.sparkContext.broadcast(gaz)
+
+    def runOnce(): Long = {
+      val pages = replicated.as[(Long, String, String, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text, lang, source) =>
+            val html = PageGen.template(id, lang, source, HtmlText.escape(text))
+              .getBytes(StandardCharsets.UTF_8)
+            (id, html)
+          }
+        }.toDF("doc_id", "html")
+      // single scan emits BOTH the flat mention rows and the per-doc set:
+      // co-occurrence needs no doc-keyed shuffle (see MentionScan scaladoc)
+      val extracted = pages.as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          val trie = bc.value
+          it.map { case (id, html) =>
+            val text = HtmlText.extractMainFromBytes(html)
+            val counts = trie.countMatches(text)
+            (id, counts.toSeq.sortBy(_._1).map { case (e, tf) => (e, tf.toLong) })
+          }
+        }.toDF("doc_id", "mentions")
+      val flat = extracted.select(col("doc_id"),
+        explode(col("mentions")).as("m"))
+        .select(col("doc_id"), col("m._1").as("entity"), col("m._2").as("tf"))
+      val sets = extracted.select(col("doc_id"),
+        col("mentions._1").as("es"))
+      sys.env.getOrElse("SPARK_GRAFT_STAGE", "full") match {
+        case "extract" => flat.agg(count(lit(1))).head.getLong(0)
+        case "score" =>
+          MentionScan.scored(flat, nDocs).agg(count(lit(1))).head.getLong(0)
+        case "cooccur" =>
+          MentionScan.coOccurrenceFromSets(sets).count()
+        case _ =>
+          val scored = MentionScan.scored(flat, nDocs)
+          val co = MentionScan.coOccurrenceFromSets(sets)
+          scored.agg(count(lit(1))).head.getLong(0) + co.count()
+      }
+    }
+
+    runOnce() // warmup (codegen + JIT)
+    var sink = 0L
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
+    val times = (1 to iters).map { _ =>
+      val t0 = System.nanoTime()
+      sink = runOnce()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val secs = times.min // steady-state (JIT/GC warm)
+    println(s"""{"metric":"kg_front_end","docs":$nDocs,"seconds":$secs,"runs":[${times.mkString(",")}],"docs_per_sec":${nDocs / secs},"parallelism":$cpus,"rep":$rep,"sink":$sink}""")
+    spark.stop()
+  }
+}

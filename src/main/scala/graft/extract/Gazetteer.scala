@@ -45,9 +45,35 @@ final class Gazetteer private (
     res.toList
   }
 
-  /** Non-overlapping per-entity counts (word-boundary matches). */
-  def countMatches(text: String): Map[String, Int] =
-    findAll(text).groupBy(_.entity).map { case (k, v) => k -> v.size }
+  /** Non-overlapping per-entity counts (word-boundary matches).
+    * Allocation-light hot path: counts accumulate into a small HashMap
+    * without materializing Match objects — at web scale the scan runs
+    * hundreds of thousands of times per task, so per-match garbage
+    * directly costs memory bandwidth.
+    */
+  def countMatches(text: String): collection.Map[String, Int] = {
+    val counts = new scala.collection.mutable.HashMap[String, Int]()
+    var state = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i).toLong
+      while (state != 0 && !goto(state).contains(c)) state = fail(state)
+      state = goto(state).getOrElse(c, 0)
+      var outs = out(state)
+      while (outs.nonEmpty) {
+        val ent = outs.head
+        val begin = i + 1 - ent.length
+        val beforeOk = begin == 0 || !Character.isLetterOrDigit(text.charAt(begin - 1))
+        val afterOk = i + 1 >= n || !Character.isLetterOrDigit(text.charAt(i + 1))
+        if (beforeOk && afterOk)
+          counts.update(ent, counts.getOrElse(ent, 0) + 1)
+        outs = outs.tail
+      }
+      i += 1
+    }
+    counts
+  }
 }
 
 object Gazetteer {

@@ -33,6 +33,43 @@ object MentionScan {
       .toDF("doc_id", "entity", "tf")
   }
 
+  /** Per-document sorted entity set, emitted directly from the scan —
+    * mentions of one document never leave the task that extracted them,
+    * so co-occurrence needs no doc-keyed shuffle at all (the set IS the
+    * co-occurrence unit). This is the scale path: the only shuffle left
+    * downstream is the dictionary-sized pair aggregation.
+    */
+  def mentionSets(pages: DataFrame, gazetteer: Gazetteer): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(gazetteer)
+    pages.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val trie = bc.value
+        it.map { case (docId, text) =>
+          (docId, trie.countMatches(text).keys.toSeq.sorted)
+        }
+      }
+      .toDF("doc_id", "es")
+  }
+
+  /** Co-occurrence from per-doc sets: in-row ordered-pair expansion →
+    * map-side-combined count over ≤|gazetteer|² groups.
+    */
+  def coOccurrenceFromSets(sets: DataFrame): DataFrame =
+    sets
+      .select(explode(expr(
+        """flatten(transform(es, (x, i) ->
+          |  transform(slice(es, i + 2, size(es)),
+          |    y -> named_struct('e1', x, 'e2', y))))""".stripMargin)).as("p"))
+      .groupBy(col("p.e1").as("e1"), col("p.e2").as("e2"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(
+        concat(lit("urn:ent:"), col("e1")).as("s"),
+        lit(CoOccursPred).as("p"),
+        concat(lit("urn:ent:"), col("e2")).as("o"),
+        col("n_docs"))
+
   /** TF-IDF link score per mention: `tf * ln(nDocs / df)`. The df side is
     * dictionary-sized → broadcast join.
     */
@@ -59,11 +96,22 @@ object MentionScan {
       concat(lit("urn:ent:"), col("entity")).as("o"))
 
   def coOccurrenceTriples(mentionsDf: DataFrame): DataFrame = {
-    val a = mentionsDf.select(col("doc_id"), col("entity").as("e1"))
-    val b = mentionsDf.select(col("doc_id"), col("entity").as("e2"))
-    a.join(b, Seq("doc_id"))
-      .filter(col("e1") < col("e2"))
-      .groupBy("e1", "e2").agg(count(lit(1)).as("n_docs"))
+    // Scale note: the naive formulation is a self-join on doc_id — two
+    // full sorts of the mention table plus an O(pairs) join output.
+    // Entity sets per document are tiny (gazetteer-bounded), so instead:
+    // one groupBy(doc) to gather the per-doc set, then generate ordered
+    // pairs *inside the row* (codegen'd array transform) and feed the
+    // dictionary-sized pair aggregation, which combines map-side. One
+    // shuffle of |mentions| rows total; no join.
+    val sets = mentionsDf.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("entity"))).as("es"))
+    sets
+      .select(explode(expr(
+        """flatten(transform(es, (x, i) ->
+          |  transform(slice(es, i + 2, size(es)),
+          |    y -> named_struct('e1', x, 'e2', y))))""".stripMargin)).as("p"))
+      .groupBy(col("p.e1").as("e1"), col("p.e2").as("e2"))
+      .agg(count(lit(1)).as("n_docs"))
       .select(
         concat(lit("urn:ent:"), col("e1")).as("s"),
         lit(CoOccursPred).as("p"),

@@ -114,11 +114,13 @@ object ClassExprResolver {
   /** Predicates that make up the schema/bnode subgraph the resolver needs.
     * Filtering the (potentially huge) triple table down to these before
     * collecting keeps the driver copy tiny; the filter is pushed to the
-    * scan.
+    * scan. `rdf:type` is needed only for bnode subjects (datatype-union
+    * direct type refs, `type_mapper.py:196-200`) — collecting instance
+    * rdf:type rows would drag the whole corpus onto the driver.
     */
   val predicates: Seq[String] = Seq(
     OwlUnionOf, OwlIntersectionOf, OwlComplementOf, OwlOneOf,
-    RdfFirst, RdfRest, RdfType)
+    RdfFirst, RdfRest)
 
   def fromTriples(rows: Iterable[Triple]): ClassExprResolver = {
     val m = rows

@@ -267,18 +267,24 @@ object Extract {
     * Returns (relationships, skipped).
     */
   def relationships(triples: DataFrame, classDf: DataFrame): (DataFrame, DataFrame) = {
-    val dataProps = dataProperties(triples)
-    val domains = resolvedDomains(triples)
+    // Schema-scale intermediates referenced by several downstream branches
+    // (declared domains AND ranges AND the skip channel). Materializing
+    // them cuts the logical-plan duplication that otherwise re-executes
+    // the property-classification subtree once per branch.
+    val dataProps = dataProperties(triples).localCheckpoint()
+    val domains = resolvedDomains(triples).localCheckpoint()
     val assignedData = dataProps.join(domains, Seq("propUri"), "left_semi")
-    val objProps = objectProperties(triples, assignedData)
-    val ranges = resolvedRanges(triples)
+    val objProps = objectProperties(triples, assignedData).localCheckpoint()
+    val ranges = resolvedRanges(triples).localCheckpoint()
     val cls = broadcast(classDf.select(col("classUri"), col("id")))
 
     val declDomains = objProps.join(domains, Seq("propUri"))
       .join(cls, col("domainUri") === col("classUri"), "left_semi")
     val declRanges = objProps.join(ranges, Seq("propUri"))
       .join(cls, col("rangeUri") === col("classUri"), "left_semi")
-    val inferred = usageInference(triples, objProps, classDf)
+    // the one large join (scans the full triple table twice) feeds both
+    // the domain and range fallbacks — run it exactly once
+    val inferred = usageInference(triples, objProps, classDf).localCheckpoint()
 
     val effDomains = objProps
       .join(declDomains.groupBy("propUri").agg(collect_set("domainUri").as("decl")),

@@ -19,8 +19,16 @@ object OntologyQueries {
 
   import FixtureOntology._
 
+  // Materialized once per sf-dir: every onto_* query otherwise rebuilds
+  // (and Catalyst re-optimizes) the same union plan; downstream operators
+  // fan out into many self-referencing branches, so an unmaterialized
+  // source multiplies the whole extraction per branch (observed: 108s for
+  // onto_integrity at sf0.1 vs <1s materialized).
+  private val combinedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def combinedDf(spark: SparkSession, dir: String): DataFrame =
-    FixtureOntology.combined(spark, dir)
+    combinedCache.computeIfAbsent(dir,
+      d => FixtureOntology.combined(spark, d).localCheckpoint())
 
   // ---------- queries ----------
 
@@ -87,16 +95,17 @@ object OntologyQueries {
 
   def ontoLimits(spark: SparkSession, dir: String): DataFrame = {
     val t = combinedDf(spark, dir)
-    val (entities, rels, _) = Extract.entityTypes(t)
-    Limits.global(entities, rels)
+    val (e0, r0, _) = Extract.entityTypes(t)
+    Limits.global(e0.localCheckpoint(), r0.localCheckpoint())
       .select("nEntities", "nRels", "entityStatus", "relStatus")
   }
 
   def ontoDiff(spark: SparkSession, dir: String): DataFrame = {
     val t = combinedDf(spark, dir)
-    val cls = Extract.classesWithIds(t)
-    val assignment = Extract.propertyAssignment(t, cls)
-    val (rels, _) = Extract.relationships(t, cls)
+    val cls = Extract.classesWithIds(t).localCheckpoint()
+    val assignment = Extract.propertyAssignment(t, cls).localCheckpoint()
+    val (r0, _) = Extract.relationships(t, cls)
+    val rels = r0.localCheckpoint()
     def named(kind: String, df: DataFrame, nameCol: String) =
       df.select(lit(kind).as("kind"), col(nameCol).as("name")).distinct()
     val a = named("class", cls, "name")
@@ -109,7 +118,41 @@ object OntologyQueries {
     Diff.compare(a, b).withColumnRenamed("match", "is_match").orderBy("kind")
   }
 
+  /** J7 — definition integrity over deterministically-corrupted extraction
+    * output: each corruption rule trips exactly one check family.
+    */
+  def ontoIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    val t = combinedDf(spark, dir)
+    val (e0, r0, _) = Extract.entityTypes(t)
+    // 8 check branches consume these — materialize once
+    val entities = e0.localCheckpoint()
+    val rels = r0.localCheckpoint()
+    val corrupted = entities
+      .withColumn("baseEntityTypeId",
+        when(col("name") === "Customer", lit("urn:bogus"))
+          .when(col("name") === "Part", col("id"))
+          .otherwise(col("baseEntityTypeId")))
+      .withColumn("displayNamePropertyId",
+        when(col("name") === "LegalEntity", lit("nonexistent"))
+          .otherwise(col("displayNamePropertyId")))
+      .withColumn("entityIdParts",
+        when(col("name") === "Customer",
+          filter(col("properties"), p => p("name") === "acctBal")
+            .getField("id"))
+          .otherwise(col("entityIdParts")))
+    val corruptedRels = rels
+      .withColumn("dstEntityTypeId",
+        when(col("name") === "inRegion", lit("missing"))
+          .when(col("name") === "refOrder", col("srcEntityTypeId"))
+          .otherwise(col("dstEntityTypeId")))
+    graft.shape.DefinitionIntegrity.validate(corrupted, corruptedRels)
+      .groupBy(col("check").as("chk"), col("severity"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("chk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "onto_integrity" -> ontoIntegrity,
     "onto_classes" -> ontoClasses,
     "onto_parents" -> ontoParents,
     "onto_props" -> ontoProps,
@@ -216,6 +259,30 @@ object OntologyQueries {
   private def localName(c: String) = s"regexp_extract($c, '([^#]*)$$', 1)"
 
   val oracles: Map[String, String] = Map(
+    "onto_integrity" ->
+      s"""$common,
+         |proptype(prop, valueType) AS (
+         |  SELECT dp.prop, COALESCE(
+         |    (SELECT x.fabric FROM rranges rr JOIN xsdtiers x ON rr.r = x.xsd
+         |     WHERE rr.prop = dp.prop ORDER BY x.tier LIMIT 1), 'String')
+         |  FROM dataprops dp),
+         |checks(chk, severity, n) AS (
+         |  SELECT 'display_not_in_properties', 'error',
+         |    (SELECT COUNT(*) FROM classes WHERE classUri LIKE '%#LegalEntity')
+         |  UNION ALL SELECT 'idpart_invalid_type', 'error',
+         |    (SELECT COUNT(*) FROM proptype
+         |     WHERE prop LIKE '%#acctBal' AND valueType NOT IN ('String', 'BigInt'))
+         |  UNION ALL SELECT 'missing_parent', 'error',
+         |    (SELECT COUNT(*) FROM classes WHERE classUri LIKE '%#Customer'
+         |       AND 'urn:bogus' NOT IN (SELECT classUri FROM classes))
+         |  UNION ALL SELECT 'rel_target_missing', 'error',
+         |    (SELECT COUNT(*) FROM relpairs WHERE prop LIKE '%#inRegion')
+         |  UNION ALL SELECT 'self_inheritance', 'error',
+         |    (SELECT COUNT(*) FROM classes WHERE classUri LIKE '%#Part')
+         |  UNION ALL SELECT 'self_relationship', 'warning',
+         |    (SELECT COUNT(*) FROM relpairs WHERE prop LIKE '%#refOrder'))
+         |SELECT chk, severity, CAST(n AS BIGINT) AS n FROM checks
+         |WHERE n > 0 ORDER BY chk""".stripMargin,
     "onto_classes" ->
       s"""$common
          |SELECT classUri, ${localName("classUri")} AS name FROM classes

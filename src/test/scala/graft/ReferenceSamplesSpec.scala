@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import graft.rdf.TurtleParser
+import graft.ontology.Extract
+
+/** North-rule parity evidence: run the engine over the reference's own
+  * sample ontologies (read-only at /root/reference/samples/rdf) and assert
+  * the reference test suite's expectations
+  * (`tests/rdf/test_converter.py:376-518`). The reference itself cannot
+  * execute in this sandbox (no rdflib), so its committed assertions are
+  * the oracle.
+  */
+class ReferenceSamplesSpec extends SparkSpec {
+
+  private val samplesDir = "/root/reference/samples/rdf"
+
+  private def parse(name: String): DataFrame = {
+    val content = Files.readString(Paths.get(samplesDir, name))
+    import spark.implicits._
+    spark.createDataset(TurtleParser.parseTurtle(content)).toDF()
+      .localCheckpoint()
+  }
+
+  test("supply chain: 11 declared classes extract as entity types") {
+    val (entities, _, _) = Extract.entityTypes(parse("sample_supply_chain_ontology.ttl"))
+    val names = entities.collect().map(_.getAs[String]("name")).toSet
+    assert(names.size >= 3) // reference asserts >= 3 entity parts
+    assert(Set("Supplier", "Facility", "Warehouse", "Product").subsetOf(names),
+      names.toString)
+    // every entity row is well-formed (id, name, namespace contract)
+    entities.collect().foreach { r =>
+      assert(r.getAs[String]("id").nonEmpty && r.getAs[String]("name").nonEmpty)
+    }
+  }
+
+  test("foaf: >=5 entity types; Person inherits from Agent") {
+    val (entities, _, _) = Extract.entityTypes(parse("sample_foaf_ontology.ttl"))
+    val rows = entities.collect()
+    assert(rows.length >= 5)
+    val person = rows.find(_.getAs[String]("name") == "Person")
+    assert(person.isDefined)
+    assert(person.get.getAs[String]("baseEntityTypeId") != null,
+      "Person should inherit (subClassOf Agent)")
+  }
+
+  test("iot: Device entity with >=3 properties incl. deviceId/status") {
+    val (entities, _, _) = Extract.entityTypes(parse("sample_iot_ontology.ttl"))
+    val device = entities.collect().find(_.getAs[String]("name") == "Device")
+    assert(device.isDefined, "Device entity type not found")
+    val props = device.get
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("properties")
+      .map(_.getAs[String]("name"))
+    assert(props.size >= 3, props.toString)
+    assert(props.contains("deviceId") || props.contains("status"))
+  }
+
+  test("all sample .ttl files parse and extract without failure") {
+    val ttls = Files.list(Paths.get(samplesDir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".ttl")).toSeq.sorted
+    assert(ttls.nonEmpty)
+    val results = ttls.map { f =>
+      try {
+        val t = parse(f)
+        val (entities, rels, _) = Extract.entityTypes(t)
+        (f, "SUCCESS", entities.count() + rels.count())
+      } catch {
+        case e: Exception => (f, "FAILED", -1L)
+      }
+    }
+    val failures = results.filter(_._2 == "FAILED")
+    assert(failures.isEmpty, s"failed: ${failures.map(_._1)} of $results")
+  }
+
+  test("iot multi-serialization: .nt/.n3 variants parse to extractable graphs (S1/S2)") {
+    // note: the reference's per-format iot samples are sibling ontologies,
+    // not byte-equal re-serializations (the .nt adds an Actuator class) —
+    // so this checks structural extraction per format, not set equality
+    for (f <- Seq("sample_iot_ontology.nt", "sample_iot_ontology.n3")) {
+      val content = Files.readString(Paths.get(samplesDir, f))
+      val triples = if (f.endsWith(".nt")) TurtleParser.parseNTriples(content)
+        else TurtleParser.parseTurtle(content)
+      assert(triples.nonEmpty, f)
+      import spark.implicits._
+      val df = spark.createDataset(triples).toDF().localCheckpoint()
+      val (entities, _, _) = Extract.entityTypes(df)
+      val names = entities.collect().map(_.getAs[String]("name")).toSet
+      assert(names.contains("Device"), s"$f: $names")
+    }
+  }
+}
