@@ -11,9 +11,12 @@ import graft.queries._
   * RelationalQueries scaladoc for the decimal-exactness convention).
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The north-rule pipeline end-to-end: pages → byte-identical text →
+    * gazetteer mentions → triples → connected-component canonicalization.
+    */
   def entry(spark: SparkSession): DataFrame =
-    RelationalQueries.q1Agg(spark, "/root/testdata/sf0.001")
+    KgQueries.kgCanonical(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,124 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ontology._
+import graft.rdf.TurtleParser
+import graft.shape.Preflight
+import graft.sink.{Diff, FabricParts, TtlExport}
+import graft.pipeline.StatsAggregator
+
+/** spark-submit entry points (SURVEY §7.2: convert | validate | export |
+  * compare | kg), mirroring the reference CLI's command map
+  * (`src/main.py:58-103`) on the Spark engine:
+  *
+  *   convert  <in.ttl> <out.json>   TTL → Fabric definition JSON (O1/O3)
+  *   validate <in.ttl>              preflight report (2.11)
+  *   export   <in.json> <out.nt>    Fabric definition → N-Triples (S6/O2)
+  *   compare  <a.ttl> <b.ttl>       semantic diff (D1)
+  *   kg       <sfDir> <outDir>      checkpointed KG pipeline (north rule)
+  */
+object Main {
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val s = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def triplesOf(spark: SparkSession, path: String) = {
+    InputValidation.validatePath(path, InputValidation.TtlExtensions) match {
+      case Left(r) => throw new IllegalArgumentException(r.reason)
+      case Right(_) => ()
+    }
+    val content = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    import spark.implicits._
+    spark.createDataset(TurtleParser.parse(content,
+      path.substring(path.lastIndexOf('.') + 1))).toDF().localCheckpoint()
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "convert" :: in :: out :: Nil =>
+      val spark = session()
+      val t = triplesOf(spark, in)
+      val name = OntologyName.extract(t)
+      val cls = Extract.classesWithIds(t)
+      val (entities, rels, skipped) = Extract.entityTypes(t)
+      val e = entities.localCheckpoint(); val r = rels.localCheckpoint()
+      val rank = Topo.ordered(cls, Extract.parentResolution(t, cls))
+        .collect().map(x => x.getAs[String]("classUri") -> x.getAs[Int]("rank")).toMap
+      val parts = FabricParts.assemble(e, r, rank, name)
+      val stats = StatsAggregator.ledger(e, r, skipped)
+      FabricParts.writeOutput(out, name, parts, stats)
+      println(s"converted $in -> $out: ${stats.entityTypes} entities, " +
+        s"${stats.relationshipTypes} relationships, ${stats.skippedItems} skipped")
+      spark.stop()
+
+    case "validate" :: in :: Nil =>
+      val spark = session()
+      val issues = Preflight.validate(triplesOf(spark, in)).localCheckpoint()
+      issues.orderBy("category").collect().foreach { r =>
+        println(s"[${r.getAs[String]("severity")}] ${r.getAs[String]("category")}: " +
+          r.getAs[String]("message"))
+      }
+      println(if (Preflight.isSeamless(issues)) "seamless: yes" else "seamless: no")
+      spark.stop()
+
+    case "export" :: in :: out :: Nil =>
+      val spark = session()
+      val json = java.nio.file.Files.readString(java.nio.file.Paths.get(in))
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(json)
+      import scala.jdk.CollectionConverters._
+      val partsNode = if (root.has("definition")) root.get("definition").get("parts")
+        else root.get("parts")
+      val parts = partsNode.elements().asScala.map(p =>
+        FabricParts.Part(p.get("path").asText, p.get("payload").asText)).toSeq
+      val (entities, rels) = FabricParts.toDataFrames(spark, parts)
+      val nt = TtlExport.toNTriples(TtlExport.toTriples(entities, rels).localCheckpoint())
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), nt)
+      println(s"exported $in -> $out (${nt.linesIterator.size} triples)")
+      spark.stop()
+
+    case "compare" :: a :: b :: Nil =>
+      val spark = session()
+      def names(path: String) = {
+        val t = triplesOf(spark, path)
+        val cls = Extract.classesWithIds(t).localCheckpoint()
+        val assignment = Extract.propertyAssignment(t, cls).localCheckpoint()
+        val (rels, _) = Extract.relationships(t, cls)
+        cls.select(lit("class").as("kind"), col("name"))
+          .union(assignment.select(lit("data_property").as("kind"), col("name")))
+          .union(rels.select(lit("object_property").as("kind"), col("name")))
+          .localCheckpoint()
+      }
+      Diff.compare(names(a), names(b)).orderBy("kind").collect().foreach { r =>
+        println(s"${r.getString(0)}: matching=${r.getLong(1)} " +
+          s"only_in_first=${r.getLong(2)} only_in_second=${r.getLong(3)} " +
+          s"match=${r.getBoolean(4)}")
+      }
+      spark.stop()
+
+    case "kg" :: sfDir :: outDir :: Nil =>
+      val spark = session()
+      val res = graft.pipeline.KgPipeline.run(spark, sfDir, outDir)
+      println(s"kg pipeline: triples=${res.canonicalTriples.count()} " +
+        s"invariantViolations=${res.invariantViolations} " +
+        s"issues=${res.issues.count()}")
+      spark.stop()
+
+    case other =>
+      System.err.println(
+        s"""unknown command: ${other.mkString(" ")}
+           |usage: convert <in.ttl> <out.json> | validate <in.ttl> |
+           |       export <in.json> <out.nt> | compare <a.ttl> <b.ttl> |
+           |       kg <sfDir> <outDir>""".stripMargin)
+      sys.exit(2)
+  }
+}

@@ -144,4 +144,64 @@ object FabricParts {
     (parts.filter(_.path.startsWith("EntityTypes/")).map(dec),
       parts.filter(_.path.startsWith("RelationshipTypes/")).map(dec))
   }
+
+  /** S6 continued — decoded parts → entity/rel DataFrames in the
+    * `Extract.entityTypes` schema, closing the export loop
+    * (definition → [[TtlExport.toTriples]] → TTL). JSON via Jackson
+    * (Spark classpath).
+    */
+  def toDataFrames(spark: org.apache.spark.sql.SparkSession,
+                   parts: Seq[Part]): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    import graft.model.{EntityType, Prop, Rel}
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val (es, rs) = decode(parts)
+    def props(n: com.fasterxml.jackson.databind.JsonNode, field: String) = {
+      import scala.jdk.CollectionConverters._
+      Option(n.get(field)).map(_.elements().asScala.toSeq).getOrElse(Nil)
+        .map(p => Prop(p.get("id").asText, p.get("name").asText,
+          p.get("valueType").asText, isTimeseries = field == "timeseriesProperties"))
+    }
+    val entities = es.map { j =>
+      val n = mapper.readTree(j)
+      import scala.jdk.CollectionConverters._
+      EntityType(
+        id = n.get("id").asText, name = n.get("name").asText,
+        uri = "", // not carried in the Fabric payload
+        baseEntityTypeId = Option(n.get("baseEntityTypeId")).map(_.asText),
+        entityIdParts = Option(n.get("entityIdParts"))
+          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil),
+        displayNamePropertyId = Option(n.get("displayNamePropertyId")).map(_.asText),
+        properties = props(n, "properties"),
+        timeseriesProperties = props(n, "timeseriesProperties"))
+    }
+    val rels = rs.map { j =>
+      val n = mapper.readTree(j)
+      Rel(n.get("id").asText, n.get("name").asText, "",
+        n.get("source").get("entityTypeId").asText,
+        n.get("target").get("entityTypeId").asText, "", "")
+    }
+    (spark.createDataset(entities).toDF(), spark.createDataset(rels).toDF())
+  }
+
+  /** O3 — JSON output file with conversion ledger (reference:
+    * `unified/convert.py:133-150`): `{displayName, description,
+    * definition, conversionResult}`, byte-stable rendering.
+    */
+  def writeOutput(path: String, displayName: String, parts: Seq[Part],
+                  stats: graft.model.ConversionStats): Unit = {
+    val doc = JObj(Seq(
+      "displayName" -> JStr(displayName),
+      "description" -> JStr(s"Converted ontology: $displayName"),
+      "definition" -> JObj(Seq("parts" -> JArr(parts.map(p => JObj(Seq(
+        "path" -> JStr(p.path),
+        "payload" -> JStr(p.payload),
+        "payloadType" -> JStr(p.payloadType))))))),
+      "conversionResult" -> JObj(Seq(
+        "entityTypes" -> JNum(stats.entityTypes),
+        "relationshipTypes" -> JNum(stats.relationshipTypes),
+        "skippedItems" -> JNum(stats.skippedItems),
+        "warnings" -> JNum(stats.warnings)))))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), render(doc))
+  }
 }

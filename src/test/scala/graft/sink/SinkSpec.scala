@@ -41,6 +41,22 @@ class FabricPartsSpec extends SparkSpec {
     assert(es.size == 7 && rs.size == 4)
     assert(es.exists(_.contains("\"name\": \"Customer\"")))
   }
+
+  test("S6: decoded parts round-trip to DataFrames (export lifecycle §3.3)") {
+    val t = FixtureOntology.df(spark)
+    val (entities, rels, _) = Extract.entityTypes(t)
+    val e0 = entities.localCheckpoint(); val r0 = rels.localCheckpoint()
+    val parts = assemble(e0, r0, Map.empty, "X")
+    val (e2, r2) = toDataFrames(spark, parts)
+    assert(e2.count() == e0.count() && r2.count() == r0.count())
+    val names = e2.collect().map(_.getAs[String]("name")).toSet
+    assert(names == e0.collect().map(_.getAs[String]("name")).toSet)
+    // property fidelity through the base64 JSON payloads
+    val person = e2.collect().find(_.getAs[String]("name") == "Customer").get
+    val props = person.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("properties")
+      .map(_.getAs[String]("name")).toSet
+    assert(props == Set("acctBal", "custId", "mktSegment"))
+  }
 }
 
 class TtlExportSpec extends SparkSpec {
