@@ -75,14 +75,17 @@ class ReferenceSamplesSpec extends SparkSpec {
     assert(failures.isEmpty, s"failed: ${failures.map(_._1)} of $results")
   }
 
-  test("iot multi-serialization: .nt/.n3 variants parse to extractable graphs (S1/S2)") {
+  test("iot multi-serialization: 7 formats parse to extractable graphs (S1/S2)") {
     // note: the reference's per-format iot samples are sibling ontologies,
     // not byte-equal re-serializations (the .nt adds an Actuator class) —
     // so this checks structural extraction per format, not set equality
-    for (f <- Seq("sample_iot_ontology.nt", "sample_iot_ontology.n3")) {
+    for (f <- Seq("sample_iot_ontology.ttl", "sample_iot_ontology.nt",
+      "sample_iot_ontology.n3", "sample_iot_ontology.nq",
+      "sample_iot_ontology.trig", "sample_iot_ontology.jsonld",
+      "sample_iot_ontology.rdf")) {
       val content = Files.readString(Paths.get(samplesDir, f))
-      val triples = if (f.endsWith(".nt")) TurtleParser.parseNTriples(content)
-        else TurtleParser.parseTurtle(content)
+      val fmt = f.substring(f.lastIndexOf('.') + 1)
+      val triples = TurtleParser.parse(content, fmt)
       assert(triples.nonEmpty, f)
       import spark.implicits._
       val df = spark.createDataset(triples).toDF().localCheckpoint()
@@ -90,5 +93,14 @@ class ReferenceSamplesSpec extends SparkSpec {
       val names = entities.collect().map(_.getAs[String]("name")).toSet
       assert(names.contains("Device"), s"$f: $names")
     }
+  }
+
+  test("named graphs: TriG blocks and N-Quads 4th term carry the graph column") {
+    val trig = TurtleParser.parse(Files.readString(
+      Paths.get(samplesDir, "sample_iot_ontology.trig")), "trig")
+    assert(trig.exists(_.graph.isDefined), "TriG triples should be graph-tagged")
+    val nq = TurtleParser.parse(Files.readString(
+      Paths.get(samplesDir, "sample_iot_ontology.nq")), "nq")
+    assert(nq.exists(_.graph.isDefined), "N-Quads triples should carry graphs")
   }
 }
