@@ -119,6 +119,32 @@ object Preflight {
             .when(col("hasD").isNull, "domain").otherwise("range")),
         col("prop")): _*)
 
+    // missing_signature variants (preflight_validator.py:505-534): declared
+    // domain / non-XSD range classes that are not declared locally
+    val declaredClasses = triples
+      .filter((col("p") === RdfType && col("o").isin(OwlClass, RdfsClass)) ||
+        col("p") === RdfsSubClassOf)
+      .filter(!col("s").startsWith("_:"))
+      .select(col("s").as("cls")).distinct()
+    val undeclaredDomain = triples
+      .filter(col("p") === RdfsDomain && col("oKind") === "uri")
+      .join(declaredProps.withColumnRenamed("prop", "s"), Seq("s"), "left_semi")
+      .join(declaredClasses.withColumnRenamed("cls", "o"), Seq("o"), "left_anti")
+      .select(issue("missing_signature", "warning",
+        concat(lit("Property '"), name, lit("' domain '"),
+          Names.uriToNameCol(col("o")), lit("' not declared locally")),
+        col("s")): _*)
+    val undeclaredRange = triples
+      .filter(col("p") === RdfsRange && col("oKind") === "uri" &&
+        !col("o").startsWith(XSD) &&
+        !col("o").isin(SupportedXsd.toSeq: _*))
+      .join(declaredProps.withColumnRenamed("prop", "s"), Seq("s"), "left_semi")
+      .join(declaredClasses.withColumnRenamed("cls", "o"), Seq("o"), "left_anti")
+      .select(issue("missing_signature", "warning",
+        concat(lit("Property '"), name, lit("' range '"),
+          Names.uriToNameCol(col("o")), lit("' not declared locally")),
+        col("s")): _*)
+
     // unsupported_datatype / INFO (536-563): DatatypeProperty range in the
     // xsd namespace but outside the supported set; datatype unions
     val dtProps = triples
@@ -166,7 +192,8 @@ object Preflight {
         lit("Reified statement"), when(!col("s").startsWith("_:"), col("s"))): _*)
 
     Seq(imports, complexExpr, restrictions, chars, chains, equivProps,
-      inverses, classAxioms, allDisjoint, missing, unsupported, unionRanges,
+      inverses, classAxioms, allDisjoint, missing, undeclaredDomain,
+      undeclaredRange, unsupported, unionRanges,
       individuals, sameAs, annotations, reified)
       .reduce(_ union _)
   }
