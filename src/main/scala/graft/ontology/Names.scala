@@ -58,18 +58,17 @@ object Names {
     if (name == null || name.isEmpty) "UnnamedClass"
     else sanitizeName(name, prefix = "C_")
 
-  /** F5 ontology-name cleanup: ≤100, `O_` prefix
-    * (`rdf_converter.py:468-475, 722-727`).
+  /** F5 ontology-name cleanup (`rdf_converter.py:722-728`): REPLACE
+    * every non-[alnum_] char with '_' (not filter), truncate to 100
+    * FIRST, then prefix `O_` when the first char is not a letter (so
+    * the result may reach 102 chars, as in the reference).
     */
   def sanitizeOntologyName(name: String): String = {
-    if (name == null || name.isEmpty) return "Ontology"
-    val cleaned = name.filter(c => Character.isLetterOrDigit(c) || c == '_')
-    if (cleaned.isEmpty) "Ontology"
-    else {
-      val prefixed =
-        if (!Character.isLetter(cleaned.charAt(0))) "O_" + cleaned else cleaned
-      prefixed.take(100)
-    }
+    if (name == null || name.isEmpty) return "ImportedOntology"
+    val cleaned = name
+      .map(c => if (Character.isLetterOrDigit(c) || c == '_') c else '_')
+      .take(100)
+    if (!Character.isLetter(cleaned.charAt(0))) "O_" + cleaned else cleaned
   }
 
   /** F6 validity predicate `^[letter][letter|digit|_]{0,127}$`

@@ -7,10 +7,11 @@ import graft.rdf.Vocab._
 import graft.model.{ConversionStats, Skipped}
 
 /** P6 — ontology-name extraction (reference:
-  * `src/formats/rdf/rdf_converter.py:712-728`): the first `owl:Ontology`
-  * subject's `rdfs:label`, sanitized to ≤100 chars with an `O_` prefix
-  * when the first char is not a letter; fallbacks: the ontology URI's
-  * local name, then "Ontology".
+  * `src/rdf/rdf_converter.py:712-728`): the first `owl:Ontology`
+  * subject's `rdfs:label`, sanitized (truncate-then-prefix, see
+  * [[Names.sanitizeOntologyName]]); default "ImportedOntology" when
+  * there is no ontology subject OR the subject has no label — the
+  * reference has no URI-local-name fallback.
   */
 object OntologyName {
 
@@ -19,19 +20,18 @@ object OntologyName {
       .filter(col("p") === RdfType && col("o") === OwlOntology &&
         !col("s").startsWith("_:"))
       .select(col("s"))
-      .orderBy(col("s")) // deterministic "first"
+      .orderBy(col("s")) // deterministic "first" (rdflib iteration order is set-ish)
       .limit(1)
       .collect().headOption.map(_.getString(0))
     onto match {
-      case None => "Ontology"
+      case None => "ImportedOntology"
       case Some(uri) =>
         val label = triples
           .filter(col("s") === uri && col("p") === RdfsLabel &&
             col("oKind") === "literal")
           .select(min(col("o"))) // deterministic first label
           .collect().headOption.flatMap(r => Option(r.getString(0)))
-        Names.sanitizeOntologyName(
-          label.getOrElse(Names.uriToName(uri)))
+        label.map(Names.sanitizeOntologyName).getOrElse("ImportedOntology")
     }
   }
 }

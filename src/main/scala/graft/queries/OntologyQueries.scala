@@ -30,43 +30,56 @@ object OntologyQueries {
     combinedCache.computeIfAbsent(dir,
       d => FixtureOntology.combined(spark, d).localCheckpoint())
 
+  /** The full extraction DAG, materialized ONCE per sf-dir and shared by
+    * every onto_* query (round-1 verdict: onto_skipped / onto_integrity /
+    * onto_diff / onto_limits each re-ran `Extract.relationships` +
+    * `entityTypes`, ~6 eager localCheckpoint jobs apiece — 57% of the
+    * bench suite for a 7-class fixture). Each member is checkpointed so
+    * downstream consumers start from materialized RDDs.
+    */
+  final case class Extraction(cls: DataFrame, parents: DataFrame,
+                              assignment: DataFrame, entities: DataFrame,
+                              rels: DataFrame, skipped: DataFrame)
+  private val extractionCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Extraction]()
+  private def extraction(spark: SparkSession, dir: String): Extraction =
+    extractionCache.computeIfAbsent(dir, { d =>
+      val t = combinedDf(spark, d)
+      val cls = Extract.classesWithIds(t).localCheckpoint()
+      val parents = Extract.parentResolution(t, cls).localCheckpoint()
+      val assignment = Extract.propertyAssignment(t, cls).localCheckpoint()
+      val (r0, s0) = Extract.relationships(t, cls)
+      val rels = r0.localCheckpoint()
+      val skipped = s0.localCheckpoint()
+      val entities =
+        Extract.assembleEntities(cls, parents, assignment).localCheckpoint()
+      Extraction(cls, parents, assignment, entities, rels, skipped)
+    })
+
   // ---------- queries ----------
 
   def ontoClasses(spark: SparkSession, dir: String): DataFrame =
-    Extract.classes(combinedDf(spark, dir))
-      .withColumn("name", Names.uriToNameCol(col("classUri")))
-      .orderBy("classUri")
+    extraction(spark, dir).cls.select("classUri", "name").orderBy("classUri")
 
-  def ontoParents(spark: SparkSession, dir: String): DataFrame = {
-    val t = combinedDf(spark, dir)
-    Extract.parentResolution(t, Extract.classesWithIds(t))
-      .orderBy("classUri")
-  }
+  def ontoParents(spark: SparkSession, dir: String): DataFrame =
+    extraction(spark, dir).parents.orderBy("classUri")
 
-  def ontoProps(spark: SparkSession, dir: String): DataFrame = {
-    val t = combinedDf(spark, dir)
-    Extract.propertyAssignment(t, Extract.classesWithIds(t))
+  def ontoProps(spark: SparkSession, dir: String): DataFrame =
+    extraction(spark, dir).assignment
       .select(col("classUri"), col("name").as("propName"), col("valueType"),
         col("isTimeseries"))
       .orderBy("classUri", "propName")
-  }
 
-  def ontoRels(spark: SparkSession, dir: String): DataFrame = {
-    val t = combinedDf(spark, dir)
-    val (rels, _) = Extract.relationships(t, Extract.classesWithIds(t))
-    rels.select(col("name"), col("srcUri"), col("dstUri"))
+  def ontoRels(spark: SparkSession, dir: String): DataFrame =
+    extraction(spark, dir).rels.select(col("name"), col("srcUri"), col("dstUri"))
       .orderBy("name", "srcUri", "dstUri")
-  }
 
-  def ontoSkipped(spark: SparkSession, dir: String): DataFrame = {
-    val t = combinedDf(spark, dir)
-    val (_, skipped) = Extract.relationships(t, Extract.classesWithIds(t))
-    skipped.select("itemType", "name", "reason").orderBy("name")
-  }
+  def ontoSkipped(spark: SparkSession, dir: String): DataFrame =
+    extraction(spark, dir).skipped
+      .select("itemType", "name", "reason").orderBy("name")
 
   def ontoIdentifiers(spark: SparkSession, dir: String): DataFrame = {
-    val t = combinedDf(spark, dir)
-    val assignment = Extract.propertyAssignment(t, Extract.classesWithIds(t))
+    val assignment = extraction(spark, dir).assignment
     val byId = assignment.select(col("propId"), col("name").as("propName")).distinct()
     Extract.identifiers(assignment)
       .join(byId.withColumnRenamed("propId", "entityIdPart")
@@ -80,9 +93,8 @@ object OntologyQueries {
   }
 
   def ontoTopo(spark: SparkSession, dir: String): DataFrame = {
-    val t = combinedDf(spark, dir)
-    val cls = Extract.classesWithIds(t)
-    Topo.ordered(cls, Extract.parentResolution(t, cls))
+    val e = extraction(spark, dir)
+    Topo.ordered(e.cls, e.parents)
       .select(col("classUri"), col("name"), col("level").cast("long").as("level"),
         col("rank").cast("long").as("rank"))
       .orderBy("rank")
@@ -94,9 +106,8 @@ object OntologyQueries {
       .orderBy("category")
 
   def ontoLimits(spark: SparkSession, dir: String): DataFrame = {
-    val t = combinedDf(spark, dir)
-    val (e0, r0, _) = Extract.entityTypes(t)
-    Limits.global(e0.localCheckpoint(), r0.localCheckpoint())
+    val e = extraction(spark, dir)
+    Limits.global(e.entities, e.rels)
       .select("nEntities", "nRels", "entityStatus", "relStatus")
   }
 
@@ -122,11 +133,10 @@ object OntologyQueries {
     * output: each corruption rule trips exactly one check family.
     */
   def ontoIntegrity(spark: SparkSession, dir: String): DataFrame = {
-    val t = combinedDf(spark, dir)
-    val (e0, r0, _) = Extract.entityTypes(t)
-    // 8 check branches consume these — materialize once
-    val entities = e0.localCheckpoint()
-    val rels = r0.localCheckpoint()
+    val e = extraction(spark, dir)
+    // 8 check branches consume these — already materialized by the cache
+    val entities = e.entities
+    val rels = e.rels
     val corrupted = entities
       .withColumn("baseEntityTypeId",
         when(col("name") === "Customer", lit("urn:bogus"))

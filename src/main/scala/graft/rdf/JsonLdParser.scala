@@ -65,10 +65,12 @@ object JsonLdParser {
         for (value <- values) {
           if (value.isObject) {
             if (value.has("@value")) {
+              val langTag = Option(value.get("@language")).map(_.asText)
               val dt = Option(value.get("@type")).map(t => expand(t.asText))
-                .orElse(if (value.has("@language"))
+                .orElse(if (langTag.isDefined)
                   Some(Vocab.RDF + "langString") else Some(Vocab.XSD + "string"))
-              out += Triple(subj, pred, value.get("@value").asText, "literal", dt, None)
+              out += Triple(subj, pred, value.get("@value").asText, "literal",
+                dt, None, if (dt.contains(Vocab.RDF + "langString")) langTag else None)
             } else if (value.has("@id") && value.size() == 1) {
               val (o, k) = nodeId(value)
               out += Triple(subj, pred, o, k, None, None)

@@ -99,7 +99,8 @@ object TurtleParser {
       if (input.startsWith(s, pos)) { pos += s.length; true } else false
     }
 
-    case class Node(value: String, kind: String, datatype: Option[String])
+    case class Node(value: String, kind: String, datatype: Option[String],
+                    lang: Option[String] = None)
 
     def parseDocument(): Seq[Triple] = {
       while (!eof) {
@@ -157,7 +158,7 @@ object TurtleParser {
       skipWs()
       val g = if (peek == '<' || input.startsWith("_:", pos)) Some(parseSubject().value) else graph
       skipWs(); if (peek == '.') pos += 1
-      Triple(s.value, p.value, o.value, o.kind, o.datatype, g)
+      Triple(s.value, p.value, o.value, o.kind, o.datatype, g, o.lang)
     }
 
     private def readUntil(c: Char): String = {
@@ -303,8 +304,11 @@ object TurtleParser {
         Node(lex, "literal", Some(dt.value))
       } else if (peek == '@') {
         pos += 1
-        while (pos < input.length && (input.charAt(pos).isLetterOrDigit || input.charAt(pos) == '-')) pos += 1
-        Node(lex, "literal", Some(Vocab.RDF + "langString"))
+        val t = new StringBuilder
+        while (pos < input.length && (input.charAt(pos).isLetterOrDigit || input.charAt(pos) == '-')) {
+          t += input.charAt(pos); pos += 1
+        }
+        Node(lex, "literal", Some(Vocab.RDF + "langString"), Some(t.toString))
       } else Node(lex, "literal", Some(XsdString))
     }
 
@@ -336,7 +340,7 @@ object TurtleParser {
     }
 
     private def emit(s: Node, p: Node, o: Node): Unit =
-      out += Triple(s.value, p.value, o.value, o.kind, o.datatype, currentGraph)
+      out += Triple(s.value, p.value, o.value, o.kind, o.datatype, currentGraph, o.lang)
 
     private def parsePredicateObjectList(subject: Node): Unit = {
       var go = true
@@ -349,7 +353,10 @@ object TurtleParser {
           more = tryConsume(",")
         }
         skipWs()
-        if (tryConsume(";")) { skipWs(); go = peek != '.' && peek != ']' && pos < input.length }
+        if (tryConsume(";")) {
+          skipWs()
+          go = peek != '.' && peek != ']' && peek != '}' && pos < input.length
+        }
         else go = false
       }
     }

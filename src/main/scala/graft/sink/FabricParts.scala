@@ -58,8 +58,10 @@ object FabricParts {
       case '\n' => sb ++= "\\n"
       case '\r' => sb ++= "\\r"
       case '\t' => sb ++= "\\t"
+      case '\b' => sb ++= "\\b"
+      case '\f' => sb ++= "\\f"
       case c if c < ' ' => sb ++= f"\\u${c.toInt}%04x"
-      case c if c > 126 => sb ++= f"\\u${c.toInt}%04x" // ensure_ascii=True
+      case c if c > 127 => sb ++= f"\\u${c.toInt}%04x" // ensure_ascii escapes >0x7F only (DEL stays raw)
       case c => sb += c
     }
     sb.toString
@@ -71,8 +73,12 @@ object FabricParts {
   final case class Part(path: String, payload: String,
                         payloadType: String = "InlineBase64")
 
-  /** Entity row (Extract.entityTypes schema) → Fabric EntityType JSON
-    * (field order mirrors `fabric_types.py:60-118` `to_dict`).
+  /** Entity row (Extract.entityTypes schema) → Fabric EntityType JSON.
+    * Field order and presence mirror `fabric_types.py:100-118` `to_dict`
+    * exactly: id, namespace, name, namespaceType, visibility,
+    * baseEntityTypeId (always present, JSON null when absent); then
+    * entityIdParts / displayNamePropertyId / properties /
+    * timeseriesProperties only when non-empty.
     */
   def entityJson(r: Row): J = {
     def propJson(p: Row): J = JObj(Seq(
@@ -84,24 +90,26 @@ object FabricParts {
     val idParts = r.getAs[scala.collection.Seq[String]]("entityIdParts")
     JObj(Seq(
       "id" -> JStr(r.getAs[String]("id")),
-      "name" -> JStr(r.getAs[String]("name")),
       "namespace" -> JStr("usertypes"),
+      "name" -> JStr(r.getAs[String]("name")),
       "namespaceType" -> JStr("Custom"),
-      "visibility" -> JStr("Visible")) ++
-      Option(r.getAs[String]("baseEntityTypeId"))
-        .map(b => "baseEntityTypeId" -> JStr(b)).toSeq ++
-      Seq("entityIdParts" -> JArr(idParts.map(JStr).toSeq)) ++
+      "visibility" -> JStr("Visible"),
+      "baseEntityTypeId" -> Option(r.getAs[String]("baseEntityTypeId"))
+        .map(JStr).getOrElse(JNull)) ++
+      (if (idParts.nonEmpty) Seq("entityIdParts" -> JArr(idParts.map(JStr).toSeq)) else Nil) ++
       Option(r.getAs[String]("displayNamePropertyId"))
         .map(d => "displayNamePropertyId" -> JStr(d)).toSeq ++
-      Seq(
-        "properties" -> JArr(props.map(propJson).toSeq),
-        "timeseriesProperties" -> JArr(tsProps.map(propJson).toSeq)))
+      (if (props.nonEmpty) Seq("properties" -> JArr(props.map(propJson).toSeq)) else Nil) ++
+      (if (tsProps.nonEmpty)
+        Seq("timeseriesProperties" -> JArr(tsProps.map(propJson).toSeq)) else Nil))
   }
 
+  /** Field order mirrors `fabric_types.py:167-176`: id, namespace, name,
+    * namespaceType, source, target. */
   def relJson(r: Row): J = JObj(Seq(
     "id" -> JStr(r.getAs[String]("id")),
-    "name" -> JStr(r.getAs[String]("name")),
     "namespace" -> JStr("usertypes"),
+    "name" -> JStr(r.getAs[String]("name")),
     "namespaceType" -> JStr("Custom"),
     "source" -> JObj(Seq("entityTypeId" -> JStr(r.getAs[String]("srcEntityTypeId")))),
     "target" -> JObj(Seq("entityTypeId" -> JStr(r.getAs[String]("dstEntityTypeId"))))))
@@ -112,13 +120,13 @@ object FabricParts {
     */
   def assemble(entities: DataFrame, rels: DataFrame,
                topoRank: Map[String, Int], displayName: String): Seq[Part] = {
+    // .platform carries only {metadata:{type,displayName}}
+    // (fabric_serializer.py:71-85); definition.json is literally {}
+    // (fabric_serializer.py:88-94).
     val platform = JObj(Seq(
-      "$schema" -> JStr("https://developer.microsoft.com/json-schemas/fabric/gitIntegration/platformProperties/2.0.0/schema.json"),
       "metadata" -> JObj(Seq("type" -> JStr("Ontology"),
-        "displayName" -> JStr(displayName))),
-      "config" -> JObj(Seq("version" -> JStr("2.0"),
-        "logicalId" -> JStr("00000000-0000-0000-0000-000000000000")))))
-    val definition = JObj(Seq("version" -> JStr("1.0"), "parts" -> JArr(Nil)))
+        "displayName" -> JStr(displayName)))))
+    val definition = JObj(Nil)
 
     val entityRows = entities.collect()
       .sortBy(r => (topoRank.getOrElse(r.getAs[String]("uri"), Int.MaxValue),
@@ -129,9 +137,9 @@ object FabricParts {
     Seq(
       Part(".platform", b64(render(platform))),
       Part("definition.json", b64(render(definition)))) ++
-      entityRows.map(r => Part(s"EntityTypes/${r.getAs[String]("name")}.json",
+      entityRows.map(r => Part(s"EntityTypes/${r.getAs[String]("id")}/definition.json",
         b64(render(entityJson(r))))) ++
-      relRows.map(r => Part(s"RelationshipTypes/${r.getAs[String]("name")}_${r.getAs[String]("id")}.json",
+      relRows.map(r => Part(s"RelationshipTypes/${r.getAs[String]("id")}/definition.json",
         b64(render(relJson(r)))))
   }
 
@@ -168,7 +176,8 @@ object FabricParts {
       EntityType(
         id = n.get("id").asText, name = n.get("name").asText,
         uri = "", // not carried in the Fabric payload
-        baseEntityTypeId = Option(n.get("baseEntityTypeId")).map(_.asText),
+        baseEntityTypeId = Option(n.get("baseEntityTypeId"))
+          .filter(!_.isNull).map(_.asText),
         entityIdParts = Option(n.get("entityIdParts"))
           .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil),
         displayNamePropertyId = Option(n.get("displayNamePropertyId")).map(_.asText),

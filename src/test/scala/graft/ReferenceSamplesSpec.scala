@@ -103,4 +103,14 @@ class ReferenceSamplesSpec extends SparkSpec {
       Paths.get(samplesDir, "sample_iot_ontology.nq")), "nq")
     assert(nq.exists(_.graph.isDefined), "N-Quads triples should carry graphs")
   }
+
+  test("TriG: statement ending '; }' parses (ADVICE r1 terminator fix)") {
+    val trig = """@prefix : <http://e.org/> .
+:g { :a :p :b ; :q :c ; }
+"""
+    val ts = TurtleParser.parse(trig, "trig")
+    assert(ts.map(t => (t.p, t.o)).toSet ==
+      Set(("http://e.org/p", "http://e.org/b"), ("http://e.org/q", "http://e.org/c")))
+    assert(ts.forall(_.graph.contains("http://e.org/g")))
+  }
 }

@@ -199,4 +199,37 @@ class ExtractSpec extends SparkSpec {
     assert(rels.count() == 100)
     assert(skipped.count() == 0)
   }
+  test("G1 bounded collect: 1M data-level bnodes never reach the driver") {
+    import org.apache.spark.sql.functions._
+    import graft.rdf.Vocab._
+    import spark.implicits._
+    val ex = "http://e.org/"
+    // schema: one property whose domain is a 2-element owl:unionOf list
+    val schema = Seq(
+      graft.model.Triple(ex + "prop", RdfsDomain, "_:u1", "bnode"),
+      graft.model.Triple("_:u1", OwlUnionOf, "_:l1", "bnode"),
+      graft.model.Triple("_:l1", RdfFirst, ex + "A", "uri"),
+      graft.model.Triple("_:l1", RdfRest, "_:l2", "bnode"),
+      graft.model.Triple("_:l2", RdfFirst, ex + "B", "uri"),
+      graft.model.Triple("_:l2", RdfRest, RdfNil, "uri"))
+    val schemaDf = spark.createDataset(schema).toDF()
+    // 1.2M data-level bnode list cells: they survive the predicate prune
+    // (rdf:first) but are UNREACHABLE from any rdfs:domain/range root, so
+    // the closure must exclude them all
+    val dataDf = spark.range(1200000).select(
+      concat(lit("_:d"), col("id")).as("s"),
+      lit(RdfFirst).as("p"),
+      concat(lit("_:x"), col("id")).as("o"),
+      lit("bnode").as("oKind"),
+      lit(null).cast("string").as("oDatatype"),
+      lit(null).cast("string").as("graph"),
+      lit(null).cast("string").as("lang"))
+    val t = schemaDf.unionByName(dataDf)
+    val r = ClassExprResolver.collect(t)
+    assert(r.indexSize <= schema.size,
+      s"closure leaked data bnodes: index has ${r.indexSize} groups")
+    // and the schema expression still resolves exactly
+    assert(r.resolveClassTargets("_:u1", "bnode").toSet == Set(ex + "A", ex + "B"))
+  }
+
 }

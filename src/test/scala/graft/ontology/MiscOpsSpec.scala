@@ -14,16 +14,17 @@ class MiscOpsSpec extends SparkSpec {
 <http://e.org/onto> a owl:Ontology ; rdfs:label "9 Supply-Chain Ontology!" .
 """
     val df = spark.createDataset(TurtleParser.parseTurtle(ttl)).toDF()
-    assert(OntologyName.extract(df) == "O_9SupplyChainOntology")
+    // reference replaces non-alnum with '_' (rdf_converter.py:725)
+    assert(OntologyName.extract(df) == "O_9_Supply_Chain_Ontology_")
   }
 
-  test("P6: fallbacks — URI local name, then 'Ontology'") {
+  test("P6: no label / no ontology subject -> ImportedOntology (rdf_converter.py:719)") {
     val noLabel = spark.createDataset(TurtleParser.parseTurtle(
       """@prefix owl: <http://www.w3.org/2002/07/owl#> .
         |<http://e.org/MyOnto> a owl:Ontology .""".stripMargin)).toDF()
-    assert(OntologyName.extract(noLabel) == "MyOnto")
+    assert(OntologyName.extract(noLabel) == "ImportedOntology")
     val empty = spark.createDataset(Seq.empty[graft.model.Triple]).toDF()
-    assert(OntologyName.extract(empty) == "Ontology")
+    assert(OntologyName.extract(empty) == "ImportedOntology")
   }
 
   test("input validation: traversal, extension, id prefix (input.py)") {

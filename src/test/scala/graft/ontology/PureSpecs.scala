@@ -40,7 +40,9 @@ class NamesSpec extends AnyFunSuite with PropertyChecking {
     assert(Names.sanitizeNameDtdl("a" * 300).length == 90)
     assert(Names.sanitizeNameExport("3M") == "C_3M")
     assert(Names.sanitizeNameExport("") == "UnnamedClass")
-    assert(Names.sanitizeOntologyName("My Ontology!") == "MyOntology")
+    assert(Names.sanitizeOntologyName("My Ontology!") == "My_Ontology_")
+    // truncate-to-100 happens BEFORE the O_ prefix (rdf_converter.py:726-728)
+    assert(Names.sanitizeOntologyName("9" * 150) == "O_" + "9" * 100)
     assert(Names.sanitizeOntologyName("9lives") == "O_9lives")
   }
 

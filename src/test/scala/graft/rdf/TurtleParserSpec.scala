@@ -59,6 +59,8 @@ class TurtleParserSpec extends AnyFunSuite {
 """
     val ts = TurtleParser.parseTurtle(ttl)
     assert(ts.find(_.p == "http://e.org/label").get.oDatatype.contains(RDF + "langString"))
+    // the tag itself is carried (ADVICE r1: was dropped)
+    assert(ts.find(_.p == "http://e.org/label").get.lang.contains("de"))
     assert(ts.find(_.p == "http://e.org/flag").get.oDatatype.contains(XSD + "boolean"))
     assert(ts.find(_.p == "http://e.org/n").get.oDatatype.contains(XSD + "integer"))
     assert(ts.find(_.p == "http://e.org/d").get.oDatatype.contains(XSD + "decimal"))

@@ -23,6 +23,13 @@ class FabricPartsSpec extends SparkSpec {
     assert(b64(render(obj)) == "ewogICJpZCI6ICIxMjMiLAogICJuYW1lIjogIlBlcnNvbiIsCiAgIm5hbWVzcGFjZSI6ICJ1c2VydHlwZXMiLAogICJlbnRpdHlJZFBhcnRzIjogWwogICAgInAxIgogIF0sCiAgInByb3BlcnRpZXMiOiBbCiAgICB7CiAgICAgICJpZCI6ICJwMSIsCiAgICAgICJuYW1lIjogIm5cdTAwZTQgbWUiLAogICAgICAidmFsdWVUeXBlIjogIlN0cmluZyIKICAgIH0KICBdLAogICJ0aW1lc2VyaWVzUHJvcGVydGllcyI6IFtdCn0=")
   }
 
+  test("escape matches CPython on control/edge chars (\\b \\f, DEL raw)") {
+    // golden from CPython: json.dumps('a\b\f\x1b\x7f\xe9')
+    // == '"a\\b\\f\\u001b<DEL>\\u00e9"' -- 0x7F is NOT escaped
+    assert(render(JStr("a\b\f\u001b\u007f\u00e9")) ==
+      "\"a\\b\\f\\u001b\u007f\\u00e9\"")
+  }
+
   test("O1 assembly: topo order parents-first, parts route by prefix (S6)") {
     val t = FixtureOntology.df(spark)
     val (entities, rels, _) = Extract.entityTypes(t)
@@ -32,10 +39,23 @@ class FabricPartsSpec extends SparkSpec {
     val parts = assemble(entities, rels, rank, "TestOntology")
     assert(parts.head.path == ".platform")
     assert(parts(1).path == "definition.json")
-    val entityPaths = parts.map(_.path).filter(_.startsWith("EntityTypes/"))
+    // reference path convention: EntityTypes/{id}/definition.json
+    // (fabric_serializer.py:101) — id-keyed, not name-keyed
+    val entityParts = parts.filter(_.path.startsWith("EntityTypes/"))
+    assert(entityParts.forall(p =>
+      p.path.matches("EntityTypes/\\d+/definition\\.json")))
     // LegalEntity (level 0) must precede Customer/Supplier (level 1)
-    assert(entityPaths.indexOf("EntityTypes/LegalEntity.json") <
-      entityPaths.indexOf("EntityTypes/Customer.json"))
+    def nameOf(p: FabricParts.Part): String = {
+      val j = new String(java.util.Base64.getDecoder.decode(p.payload), "UTF-8")
+      "\"name\": \"([^\"]+)\"".r.findFirstMatchIn(j).get.group(1)
+    }
+    val entityNames = entityParts.map(nameOf)
+    assert(entityNames.indexOf("LegalEntity") < entityNames.indexOf("Customer"))
+    // definition.json is literally {} (fabric_serializer.py:92)
+    assert(new String(java.util.Base64.getDecoder.decode(parts(1).payload), "UTF-8") == "{}")
+    // .platform carries only the metadata envelope (fabric_serializer.py:73-78)
+    assert(new String(java.util.Base64.getDecoder.decode(parts.head.payload), "UTF-8") ==
+      "{\n  \"metadata\": {\n    \"type\": \"Ontology\",\n    \"displayName\": \"TestOntology\"\n  }\n}")
     val (es, rs) = decode(parts)
     // fixture-only input: inNation has no usage data → skipped, 4 rels
     assert(es.size == 7 && rs.size == 4)
