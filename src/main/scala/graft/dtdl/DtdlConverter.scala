@@ -83,7 +83,9 @@ object DtdlConverter {
   def convert(interfaces: Seq[DtdlInterface],
               componentMode: ComponentMode.Value = ComponentMode.Separate,
               commandMode: CommandMode.Value = CommandMode.Entity,
-              sdMode: ScaledDecimalMode.Value = ScaledDecimalMode.JsonString)
+              sdMode: ScaledDecimalMode.Value = ScaledDecimalMode.JsonString,
+              idParts: graft.shape.EntityIdParts.Inferrer =
+                graft.shape.EntityIdParts.Inferrer())
     : Result = {
 
     val byDtmi = interfaces.map(i => i.dtmi -> i).toMap
@@ -118,22 +120,6 @@ object DtdlConverter {
             case None => registry(propName) = fabricType; propName
           }
       }
-    }
-
-    /** K4 auto inference (`fabric_limits.py:500-537`): first property (in
-      * order) with a valid type whose name matches a pk pattern (exact or
-      * contains), else first valid-typed property.
-      */
-    val patterns = Seq("id", "identifier", "pk", "key", "uuid", "guid")
-    def inferIdParts(props: Seq[Prop]): Seq[String] = {
-      val valid = Set("String", "BigInt")
-      props.find { p =>
-        valid(p.valueType) && {
-          val n = p.name.toLowerCase
-          patterns.contains(n) || patterns.exists(n.contains)
-        }
-      }.orElse(props.find(p => valid(p.valueType)))
-        .map(p => Seq(p.id)).getOrElse(Nil)
     }
 
     val entities = scala.collection.mutable.ArrayBuffer[EntityType]()
@@ -193,7 +179,8 @@ object DtdlConverter {
         name = sanitize(iface.resolvedDisplayName),
         uri = iface.dtmi,
         baseEntityTypeId = baseId,
-        entityIdParts = inferIdParts(props),
+        // K4: strategy object covers auto|first_valid|explicit|none
+        entityIdParts = idParts.inferFromProps(sanitize(iface.resolvedDisplayName), props),
         displayNamePropertyId = displayNameId,
         properties = props,
         timeseriesProperties = tsProps)

@@ -30,14 +30,18 @@ final case class DtdlContent(
     semanticTypes: Seq[String] = Nil,
     unit: Option[String] = None,
     minMultiplicity: Option[Int] = None,
-    maxMultiplicity: Option[Int] = None)
+    maxMultiplicity: Option[Int] = None,
+    dtmi: Option[String] = None,            // content-level @id
+    relProps: Seq[String] = Nil)            // Relationship nested property names
 
 final case class DtdlInterface(
     dtmi: String,
     displayName: Option[String],
     extendsList: Seq[String],
     contents: Seq[DtdlContent],
-    contextVersion: Int) {
+    contextVersion: Int,
+    description: Option[String] = None,
+    schemaDefIds: Seq[Option[String]] = Nil) { // @id of each Interface.schemas entry
 
   def properties: Seq[DtdlContent] = contents.filter(_.kind == "Property")
   def telemetries: Seq[DtdlContent] = contents.filter(_.kind == "Telemetry")
@@ -60,9 +64,12 @@ object DtdlInterface {
     noVersion.split(":").last
   }
 
-  /** F7 — DTMI validation (`dtdl_validator.py:143-162`). */
-  private val DtmiRegex =
-    "^dtmi:[A-Za-z](?:[A-Za-z0-9_]*[A-Za-z0-9])?(?::[A-Za-z](?:[A-Za-z0-9_]*[A-Za-z0-9])?)*(?:;[1-9][0-9]*)?$".r
+  /** F7 — DTMI format (`dtdl_validator.py:143-148`, DTMI_PATTERN): first
+    * segment starts with a letter; further segments may start with `_`;
+    * version is `;major` (1-9 digits) with optional `.minor` (1-6 digits).
+    */
+  val DtmiRegex =
+    "^dtmi:[A-Za-z][A-Za-z0-9_]*(?::[A-Za-z_][A-Za-z0-9_]*)*(?:;[1-9][0-9]{0,8}(?:\\.[1-9][0-9]{0,5})?)?$".r
   def isValidDtmi(dtmi: String): Boolean =
     dtmi != null && dtmi.length <= 2048 && DtmiRegex.matches(dtmi)
 }

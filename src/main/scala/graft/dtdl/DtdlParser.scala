@@ -54,7 +54,18 @@ object DtdlParser {
     val contents = Option(n.get("contents")).map { c =>
       c.elements().asScala.flatMap(parseContent).toSeq
     }.getOrElse(Nil)
-    Some(DtdlInterface(dtmi, displayName, extendsList, contents, context))
+    val description = Option(n.get("description")).map { d =>
+      if (d.isObject) Option(d.get("en")).map(_.asText)
+        .getOrElse(d.elements().asScala.toSeq.headOption.map(_.asText).getOrElse(""))
+      else d.asText
+    }.filter(_.nonEmpty)
+    // reusable schema definitions: only their @id presence/shape is
+    // validated (dtdl_validator.py:485-502)
+    val schemaDefIds = Option(n.get("schemas")).map { ss =>
+      ss.elements().asScala.map(sd => Option(sd.get("@id")).map(_.asText)).toSeq
+    }.getOrElse(Nil)
+    Some(DtdlInterface(dtmi, displayName, extendsList, contents, context,
+      description, schemaDefIds))
   }
 
   private val ContentKinds =
@@ -83,7 +94,10 @@ object DtdlParser {
       semanticTypes = semantics,
       unit = Option(n.get("unit")).map(_.asText),
       minMultiplicity = Option(n.get("minMultiplicity")).map(_.asInt),
-      maxMultiplicity = Option(n.get("maxMultiplicity")).map(_.asInt)))
+      maxMultiplicity = Option(n.get("maxMultiplicity")).map(_.asInt),
+      dtmi = Option(n.get("@id")).map(_.asText),
+      relProps = Option(n.get("properties")).map(_.elements().asScala
+        .flatMap(p => Option(p.get("name")).map(_.asText)).toSeq).getOrElse(Nil)))
   }
 
   def parseSchema(s: JsonNode): Option[DtdlSchema] = {

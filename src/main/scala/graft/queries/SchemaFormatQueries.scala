@@ -76,8 +76,76 @@ object SchemaFormatQueries {
     ]
   }"""
 
+  /** V-DTDL fixture: one planted violation per validator check family
+    * (`dtdl_validator.py:120-619`). Strings above limits are generated so
+    * the Spark fixture and the DuckDB oracle share the exact bytes.
+    */
+  val dtdlValidationFixture: String = {
+    val longSeg = "a" * 130 // interface DTMI limit is 128
+    val longName = "d" * 513 // displayName/description limit is 512
+    val depthChain = (0 until 14).map { k =>
+      val ext = if (k < 13) s""", "extends": ["dtmi:ex:D${k + 1};1"]""" else ""
+      s"""{"@id": "dtmi:ex:D$k;1", "@type": "Interface",
+         | "@context": "dtmi:dtdl:context;3"$ext}""".stripMargin
+    }.mkString(",\n")
+    s"""[
+    {"@id": "dtmi:ex:Dup;1", "@type": "Interface",
+     "@context": "dtmi:dtdl:context;3"},
+    {"@id": "dtmi:ex:Dup;1", "@type": "Interface",
+     "@context": "dtmi:dtdl:context;3"},
+    {"@id": "dtmi:1bad;1", "@type": "Interface",
+     "@context": "dtmi:dtdl:context;3"},
+    {"@id": "dtmi:$longSeg;1", "@type": "Interface",
+     "@context": "dtmi:dtdl:context;3"},
+    {"@id": "dtmi:standard:Thing;1", "@type": "Interface",
+     "@context": "dtmi:dtdl:context;3"},
+    {"@id": "dtmi:ex:OldVer;1", "@type": "Interface",
+     "@context": "dtmi:dtdl:context;5"},
+    {"@id": "dtmi:ex:SelfLoop;1", "@type": "Interface",
+     "@context": "dtmi:dtdl:context;3", "extends": ["dtmi:ex:SelfLoop;1"]},
+    {"@id": "dtmi:ex:Orphan;1", "@type": "Interface",
+     "@context": "dtmi:dtdl:context;3", "extends": ["dtmi:ex:MissingParent;1"]},
+    {"@id": "dtmi:ex:CycA;1", "@type": "Interface",
+     "@context": "dtmi:dtdl:context;3", "extends": ["dtmi:ex:CycB;1"]},
+    {"@id": "dtmi:ex:CycB;1", "@type": "Interface",
+     "@context": "dtmi:dtdl:context;3", "extends": ["dtmi:ex:CycA;1"]},
+    $depthChain,
+    {"@id": "dtmi:ex:Contents;1", "@type": "Interface",
+     "@context": "dtmi:dtdl:context;3",
+     "displayName": "$longName",
+     "description": "$longName",
+     "schemas": [{"@type": "Enum", "valueSchema": "string"}],
+     "contents": [
+       {"@type": "Property", "name": "x", "schema": "string"},
+       {"@type": "Property", "name": "x", "schema": "integer"},
+       {"@type": "Property", "name": "9bad", "schema": "string"},
+       {"@type": "Property", "name": "weird", "schema": "floatish"},
+       {"@type": "Property", "name": "hasEmptyId", "schema": "string", "@id": ""},
+       {"@type": "Property", "name": "n$longName", "schema": "string"},
+       {"@type": "Relationship", "name": "relBad", "target": "dtmi:ex:NoSuch;1",
+        "maxMultiplicity": 0,
+        "properties": [{"name": "p", "schema": "string"},
+                       {"name": "p", "schema": "string"}]},
+       {"@type": "Component", "name": "comp", "schema": "dtmi:ex:NoComp;1"}
+     ]}
+  ]"""
+  }
+
   private def interfaces = DtdlParser.parse(dtdlFixture)
   private def manifest = CdmParser.parse(cdmFixture)
+
+  /** V-DTDL — validator histogram over the planted-violation fixture,
+    * run with external references DISALLOWED so every reference-integrity
+    * family fires (`allow_external_references=False` paths).
+    */
+  def dtdlValidate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val issues = DtdlValidator.validate(
+      DtdlParser.parse(dtdlValidationFixture), allowExternalReferences = false)
+    issues.map(i => (i.category, i.level)).toDF("category", "severity")
+      .groupBy("category", "severity").agg(count(lit(1)).as("n"))
+      .orderBy("category", "severity")
+  }
 
   /** S3 parse-level inventory per interface. */
   def dtdlEntities(spark: SparkSession, dir: String): DataFrame = {
@@ -142,6 +210,7 @@ object SchemaFormatQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dtdl_entities" -> dtdlEntities,
     "dtdl_types" -> dtdlTypes,
+    "dtdl_validate" -> dtdlValidate,
     "cdm_entities" -> cdmEntities,
     "cdm_flat" -> cdmFlat,
     "cdm_rels" -> cdmRels
@@ -207,7 +276,135 @@ object SchemaFormatQueries {
     s"COALESCE(CASE data_type $entries END, CASE trait0 $traits END, 'String')"
   }
 
+  /** DTMI + name regexes shared with the validator (DuckDB dialect). */
+  private val dtmiPatternSql =
+    "dtmi:[A-Za-z][A-Za-z0-9_]*(:[A-Za-z_][A-Za-z0-9_]*)*(;[1-9][0-9]{0,8}(\\.[1-9][0-9]{0,5})?)?"
+  private val namePatternSql = "[A-Za-z][A-Za-z0-9_]*[A-Za-z0-9]?"
+  private val primitivesSql =
+    DtdlValidator.PrimitiveSchemas.toSeq.sorted.map(p => s"'$p'").mkString(", ")
+
+  /** Independent re-derivation of every validator check family from the
+    * raw fixture JSON: DTMI-occurrence table for shape checks, recursive
+    * CTE walking `extends` with a path array for cycle + depth.
+    */
+  private val dtdlValidateOracle: String =
+    s"""WITH RECURSIVE docs(j) AS (VALUES (${sqlStr(dtdlValidationFixture)}::JSON)),
+       |idx AS (SELECT unnest(generate_series(0,
+       |  CAST(json_array_length(j) AS INTEGER) - 1)) AS i, j FROM docs),
+       |iface AS (SELECT i,
+       |  json_extract_string(j, '$$[' || i || '].@id') AS dtmi,
+       |  json_extract(j, '$$[' || i || ']') AS node FROM idx),
+       |ext AS (SELECT f.dtmi AS child,
+       |    json_extract_string(f.node, '$$.extends[' || e || ']') AS parent
+       |  FROM iface f, unnest(generate_series(0, CAST(COALESCE(
+       |    json_array_length(f.node, '$$.extends'), 0) AS INTEGER) - 1)) AS t(e)),
+       |cont AS (SELECT f.dtmi, json_extract(f.node, '$$.contents[' || k || ']') AS c
+       |  FROM iface f, unnest(generate_series(0, CAST(COALESCE(
+       |    json_array_length(f.node, '$$.contents'), 0) AS INTEGER) - 1)) AS t(k)),
+       |kinds AS (SELECT dtmi,
+       |    COALESCE(json_extract_string(c, '$$."@type"[0]'),
+       |             json_extract_string(c, '$$."@type"')) AS kind,
+       |    json_extract_string(c, '$$.name') AS name,
+       |    json_extract_string(c, '$$.schema') AS schema,
+       |    json_extract_string(c, '$$.target') AS target,
+       |    json_extract_string(c, '$$."@id"') AS cid,
+       |    TRY_CAST(json_extract_string(c, '$$.maxMultiplicity') AS INTEGER) AS maxmult,
+       |    c
+       |  FROM cont),
+       |relprops AS (SELECT k.dtmi, k.name AS relname,
+       |    json_extract_string(k.c, '$$.properties[' || q || '].name') AS pname
+       |  FROM kinds k, unnest(generate_series(0, CAST(COALESCE(
+       |    json_array_length(k.c, '$$.properties'), 0) AS INTEGER) - 1)) AS t(q)
+       |  WHERE k.kind = 'Relationship'),
+       |schemadefs AS (SELECT f.dtmi,
+       |    json_extract_string(f.node, '$$.schemas[' || q || '].@id') AS sid
+       |  FROM iface f, unnest(generate_series(0, CAST(COALESCE(
+       |    json_array_length(f.node, '$$.schemas'), 0) AS INTEGER) - 1)) AS t(q)),
+       |dtmis(d, is_iface) AS (
+       |  SELECT dtmi, true FROM iface
+       |  UNION ALL SELECT parent, false FROM ext
+       |  UNION ALL SELECT cid, false FROM kinds WHERE cid IS NOT NULL
+       |  UNION ALL SELECT target, false FROM kinds
+       |    WHERE kind = 'Relationship' AND target IS NOT NULL
+       |  UNION ALL SELECT schema, false FROM kinds
+       |    WHERE kind = 'Component' AND schema IS NOT NULL
+       |  UNION ALL SELECT sid, false FROM schemadefs WHERE sid IS NOT NULL),
+       |walk(root, node, path, depth) AS (
+       |  SELECT dtmi, dtmi, [dtmi], 0 FROM iface
+       |  UNION ALL
+       |  SELECT w.root, e.parent, list_append(w.path, e.parent), w.depth + 1
+       |  FROM walk w JOIN ext e ON e.child = w.node
+       |  WHERE NOT list_contains(w.path, e.parent) AND w.depth < 15),
+       |cyc AS (SELECT DISTINCT w.root FROM walk w
+       |  JOIN ext e ON e.child = w.node WHERE list_contains(w.path, e.parent)),
+       |deep AS (SELECT DISTINCT root FROM walk
+       |  WHERE depth > 12 AND root NOT IN (SELECT root FROM cyc)),
+       |issues(category, severity, n) AS (
+       |  SELECT 'duplicate_dtmi', 'error',
+       |    (SELECT COUNT(*) - COUNT(DISTINCT dtmi) FROM iface)
+       |  UNION ALL SELECT 'dtmi_format', 'error', (SELECT COUNT(*) FROM dtmis
+       |    WHERE d <> '' AND NOT regexp_full_match(d, '$dtmiPatternSql'))
+       |  UNION ALL SELECT 'dtmi_too_long', 'error', (SELECT COUNT(*) FROM dtmis
+       |    WHERE d <> '' AND ((is_iface AND length(d) > 128)
+       |      OR (NOT is_iface AND length(d) > 2048)))
+       |  UNION ALL SELECT 'dtmi_empty', 'error',
+       |    (SELECT COUNT(*) FROM dtmis WHERE d = '')
+       |  UNION ALL SELECT 'dtmi_reserved_prefix', 'warning',
+       |    (SELECT COUNT(*) FROM dtmis WHERE d <> '' AND
+       |      (d LIKE 'dtmi:dtdl:%' OR d LIKE 'dtmi:standard:%'))
+       |  UNION ALL SELECT 'unsupported_version', 'error',
+       |    (SELECT COUNT(*) FROM iface WHERE TRY_CAST(regexp_extract(
+       |       json_extract_string(node, '$$."@context"'), ';([0-9]+)$$', 1)
+       |       AS INTEGER) NOT IN (2, 3, 4))
+       |  UNION ALL SELECT 'self_extends', 'error',
+       |    (SELECT COUNT(*) FROM ext WHERE parent = child)
+       |  UNION ALL SELECT 'parent_not_found', 'error',
+       |    (SELECT COUNT(*) FROM ext WHERE parent <> child
+       |       AND parent NOT IN (SELECT dtmi FROM iface))
+       |  UNION ALL SELECT 'inheritance_cycle', 'error', (SELECT COUNT(*) FROM cyc)
+       |  UNION ALL SELECT 'extends_depth', 'error', (SELECT COUNT(*) FROM deep)
+       |  UNION ALL SELECT 'duplicate_content_name', 'error',
+       |    (SELECT COALESCE(SUM(cc), 0) FROM (SELECT COUNT(*) - COUNT(DISTINCT name) AS cc
+       |       FROM kinds WHERE name IS NOT NULL GROUP BY dtmi) x)
+       |  UNION ALL SELECT 'content_name_format', 'error',
+       |    (SELECT COUNT(*) FROM kinds WHERE name IS NOT NULL
+       |       AND NOT regexp_full_match(name, '$namePatternSql'))
+       |  UNION ALL SELECT 'content_name_too_long', 'error',
+       |    (SELECT COUNT(*) FROM kinds WHERE length(name) > 512)
+       |  UNION ALL SELECT 'unknown_schema', 'warning',
+       |    (SELECT COUNT(*) FROM kinds WHERE kind IN ('Property', 'Telemetry')
+       |       AND schema IS NOT NULL AND schema NOT LIKE 'dtmi:%'
+       |       AND schema NOT IN ($primitivesSql))
+       |  UNION ALL SELECT 'rel_target_not_found', 'warning',
+       |    (SELECT COUNT(*) FROM kinds WHERE kind = 'Relationship'
+       |       AND target IS NOT NULL AND target NOT IN (SELECT dtmi FROM iface))
+       |  UNION ALL SELECT 'max_multiplicity', 'error',
+       |    (SELECT COUNT(*) FROM kinds WHERE kind = 'Relationship' AND maxmult < 1)
+       |  UNION ALL SELECT 'duplicate_rel_property', 'error',
+       |    (SELECT COALESCE(SUM(cc), 0) FROM (SELECT COUNT(*) - COUNT(DISTINCT pname) AS cc
+       |       FROM relprops GROUP BY dtmi, relname) x)
+       |  UNION ALL SELECT 'component_schema_not_found', 'error',
+       |    (SELECT COUNT(*) FROM kinds WHERE kind = 'Component'
+       |       AND schema IS NOT NULL AND schema NOT IN (SELECT dtmi FROM iface))
+       |  UNION ALL SELECT 'schema_missing_id', 'error',
+       |    (SELECT COUNT(*) FROM schemadefs WHERE sid IS NULL)
+       |  UNION ALL SELECT 'display_name_too_long', 'error',
+       |    (SELECT COUNT(*) FROM iface
+       |       WHERE length(json_extract_string(node, '$$.displayName')) > 512)
+       |  UNION ALL SELECT 'description_too_long', 'warning',
+       |    (SELECT COUNT(*) FROM iface
+       |       WHERE length(json_extract_string(node, '$$.description')) > 512)
+       |  UNION ALL SELECT 'orphaned_rel_target', 'warning',
+       |    (SELECT COUNT(DISTINCT target) FROM kinds WHERE kind = 'Relationship'
+       |       AND target IS NOT NULL AND target NOT IN (SELECT dtmi FROM iface))
+       |  UNION ALL SELECT 'missing_component_schema', 'warning',
+       |    (SELECT COUNT(DISTINCT schema) FROM kinds WHERE kind = 'Component'
+       |       AND schema NOT IN (SELECT dtmi FROM iface)))
+       |SELECT category, severity, CAST(n AS BIGINT) AS n FROM issues
+       |WHERE n > 0 ORDER BY category, severity""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dtdl_validate" -> dtdlValidateOracle,
     "dtdl_entities" ->
       s"""$dtdlCtes
          |SELECT i.dtmi,
