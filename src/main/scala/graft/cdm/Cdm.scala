@@ -16,7 +16,8 @@ final case class CdmAttribute(
     dataType: Option[String],
     traits: Seq[String],
     purpose: Option[String],
-    displayName: Option[String]) {
+    displayName: Option[String],
+    maximumLength: Option[Long] = None) {
 
   /** K6 — `cdm_models.py:153-163`. */
   def isPrimaryKey: Boolean =
@@ -33,7 +34,8 @@ final case class CdmAttribute(
 final case class CdmEntity(
     name: String,
     extendsEntity: Option[String],
-    attributes: Seq[CdmAttribute])
+    attributes: Seq[CdmAttribute],
+    sourcePath: Option[String] = None) // corpus path of a referenced entity
 
 final case class CdmRelationship(
     fromEntity: String, fromAttribute: String,
@@ -52,7 +54,10 @@ final case class CdmRelationship(
 }
 
 final case class CdmManifest(entities: Seq[CdmEntity],
-                             relationships: Seq[CdmRelationship])
+                             relationships: Seq[CdmRelationship],
+                             name: String = "unknown",
+                             schemaVersion: String = "1.0.0",
+                             subManifests: Seq[String] = Nil)
 
 object CdmParser {
   private val mapper = new ObjectMapper()
@@ -95,19 +100,33 @@ object CdmParser {
       Option(a.get("purpose")).map(p =>
         if (p.isTextual) p.asText
         else Option(p.get("purposeReference")).map(_.asText).getOrElse("")),
-      Option(a.get("displayName")).map(_.asText)))
+      Option(a.get("displayName")).map(_.asText),
+      Option(a.get("maximumLength")).map(_.asLong)))
   }
 
   private def parseEntityNode(e: JsonNode): Option[CdmEntity] = {
+    // manifest entity *declarations* may be reference-only: a corpus-path
+    // string or {type: LocalEntity, entityPath, entityName}
+    // (`cdm_parser.py:634-686`) — produce a placeholder carrying the path
+    // for [[CdmFolder]] to resolve against the folder
+    if (e.isTextual) {
+      val path = e.asText
+      val name = path.split("/").last
+      return Some(CdmEntity(name, None, Nil, Some(path)))
+    }
+    val entityPath = Option(e.get("entityPath"))
+      .orElse(Option(e.get("entityDeclaration"))).map(_.asText)
     val name = Option(e.get("entityName")).orElse(Option(e.get("name")))
-      .map(_.asText).getOrElse(return None)
+      .map(_.asText)
+      .orElse(entityPath.map(_.split("/").last))
+      .getOrElse(return None)
     val ext = Option(e.get("extendsEntity")).map(x =>
       if (x.isTextual) x.asText
       else Option(x.get("entityReference")).map(_.asText).getOrElse(""))
       .filter(_.nonEmpty)
     val attrs = strings(e, "hasAttributes").flatMap(parseAttribute) ++
       strings(e, "attributes").flatMap(parseAttribute)
-    Some(CdmEntity(name, ext, attrs))
+    Some(CdmEntity(name, ext, attrs, entityPath))
   }
 
   private def parseRelationship(r: JsonNode): Option[CdmRelationship] = {
@@ -128,14 +147,35 @@ object CdmParser {
 
   def parseManifest(root: JsonNode): CdmManifest = CdmManifest(
     strings(root, "entities").flatMap(parseEntityNode),
-    strings(root, "relationships").flatMap(parseRelationship))
+    strings(root, "relationships").flatMap(parseRelationship),
+    name = Option(root.get("manifestName")).orElse(Option(root.get("folderName")))
+      .map(_.asText).getOrElse("unknown"),
+    schemaVersion = Option(root.get("jsonSchemaSemanticVersion"))
+      .map(_.asText).getOrElse("1.0.0"),
+    subManifests = strings(root, "subManifests").map { sub =>
+      if (sub.isTextual) sub.asText
+      else Option(sub.get("manifestPath"))
+        .orElse(Option(sub.get("definition"))).map(_.asText).getOrElse("")
+    }.filter(_.nonEmpty))
 
   def parseEntitySchema(root: JsonNode): CdmManifest = CdmManifest(
     strings(root, "definitions").flatMap(parseEntityNode), Nil)
 
   def parseModelJson(root: JsonNode): CdmManifest = CdmManifest(
     strings(root, "entities").flatMap(parseEntityNode),
-    strings(root, "relationships").flatMap { r =>
+    // attributeReference-style inline FKs (`cdm_parser.py:327-341`)
+    strings(root, "entities").flatMap { e =>
+      val en = Option(e.get("name")).map(_.asText).getOrElse("")
+      strings(e, "attributes").flatMap { a =>
+        Option(a.get("attributeReference")).filter(_.isObject).map { ref =>
+          CdmRelationship(en,
+            Option(a.get("name")).map(_.asText).getOrElse(""),
+            Option(ref.get("entityName")).map(_.asText).getOrElse(""),
+            Option(ref.get("attributeName")).map(_.asText).getOrElse(""),
+            None, None)
+        }
+      }
+    } ++ strings(root, "relationships").flatMap { r =>
       // model.json relationship dialect: $type SingleKeyRelationship with
       // fromAttribute/toAttribute {entityName, attributeName}
       (for {
@@ -147,11 +187,13 @@ object CdmParser {
         Option(f.get("attributeName")).map(_.asText).getOrElse(""),
         te, Option(t.get("attributeName")).map(_.asText).getOrElse(""),
         Option(r.get("name")).map(_.asText), None)).toSeq
-    })
+    },
+    name = Option(root.get("name")).map(_.asText).getOrElse("model"),
+    schemaVersion = Option(root.get("version")).map(_.asText).getOrElse("1.0"))
 }
 
 object CdmTypeMapper {
-  /** Primitive table (`cdm_type_mapper.py:50-102`). */
+  /** Primitive table — every entry of `cdm_type_mapper.py:50-105`. */
   val primitives: Map[String, String] = Map(
     "string" -> "String", "char" -> "String", "text" -> "String",
     "integer" -> "BigInt", "int" -> "BigInt", "int64" -> "BigInt",
@@ -170,19 +212,57 @@ object CdmTypeMapper {
     "JSON" -> "String", "json" -> "String", "object" -> "String",
     "variant" -> "String")
 
-  /** Representative slice of the ~80-entry semantic table
-    * (`cdm_type_mapper.py:112-210`).
+  /** Semantic table — every entry of `cdm_type_mapper.py:112-210`
+    * (round-1 shipped a 21-entry slice; this is the full ~97-entry set,
+    * golden-tested entry-by-entry in CdmSpec).
     */
   val semantics: Map[String, String] = Map(
-    "email" -> "String", "phone" -> "String", "url" -> "String",
-    "name" -> "String", "firstName" -> "String", "lastName" -> "String",
-    "fullName" -> "String", "addressLine" -> "String", "city" -> "String",
-    "country" -> "String", "postalCode" -> "String",
+    // identity
+    "name" -> "String", "fullName" -> "String", "firstName" -> "String",
+    "lastName" -> "String", "middleName" -> "String",
+    // contact
+    "email" -> "String", "phone" -> "String", "phoneNumber" -> "String",
+    "fax" -> "String",
+    // internet
+    "url" -> "String", "uri" -> "String", "webAddress" -> "String",
+    "ipAddress" -> "String", "ipV4Address" -> "String",
+    "ipV6Address" -> "String",
+    // address
+    "address" -> "String", "city" -> "String", "stateOrProvince" -> "String",
+    "country" -> "String", "postalCode" -> "String", "county" -> "String",
     "latitude" -> "Double", "longitude" -> "Double",
-    "currency" -> "Decimal", "baseCurrency" -> "Decimal",
-    "age" -> "BigInt", "year" -> "BigInt", "day" -> "BigInt",
-    "birthDate" -> "DateTime", "createdOn" -> "DateTime",
-    "modifiedOn" -> "DateTime")
+    // localization
+    "languageTag" -> "String", "locale" -> "String", "cultureTag" -> "String",
+    "timezone" -> "String",
+    // date components
+    "year" -> "BigInt", "month" -> "BigInt", "day" -> "BigInt",
+    "week" -> "BigInt", "quarter" -> "BigInt", "fiscalYear" -> "BigInt",
+    "fiscalMonth" -> "BigInt", "fiscalQuarter" -> "BigInt",
+    // measurements
+    "age" -> "BigInt", "duration" -> "BigInt", "distance" -> "Double",
+    "weight" -> "Double", "height" -> "Double", "area" -> "Double",
+    "volume" -> "Double", "temperature" -> "Double",
+    "percentage" -> "Double", "probability" -> "Double",
+    // financial
+    "currency" -> "Decimal", "currencyCode" -> "String",
+    "baseCurrency" -> "Decimal", "exchangeRate" -> "Decimal",
+    "amount" -> "Decimal", "price" -> "Decimal", "tax" -> "Decimal",
+    "discount" -> "Decimal",
+    // counts
+    "count" -> "BigInt", "quantity" -> "BigInt", "sequence" -> "BigInt",
+    "ordinal" -> "BigInt",
+    // status
+    "statusCode" -> "BigInt", "stateCode" -> "BigInt",
+    "versionNumber" -> "BigInt",
+    // color
+    "colorName" -> "String", "colorValue" -> "String",
+    // file
+    "fileName" -> "String", "filePath" -> "String", "mimeType" -> "String",
+    "fileSize" -> "BigInt",
+    // codes
+    "code" -> "String", "tickerSymbol" -> "String", "accountCode" -> "String",
+    "productCode" -> "String", "transactionCode" -> "String",
+    "referenceCode" -> "String")
 
   /** Trait inference (`cdm_type_mapper.py:371-395`). */
   val traitTypes: Map[String, String] = Map(
@@ -196,16 +276,33 @@ object CdmTypeMapper {
     "is.dataFormat.character" -> "String", "is.dataFormat.array" -> "String",
     "is.dataFormat.guid" -> "String", "is.dataFormat.byte" -> "BigInt")
 
-  /** P7 — entity references become relationships, not scalars
-    * (`cdm_type_mapper.py:223-227`).
+  // the reference matches types case-INSENSITIVELY (`map_type` lowers
+  // both sides, cdm_type_mapper.py:329-346)
+  private val primitivesLower = primitives.map { case (k, v) => k.toLowerCase -> v }
+  private val semanticsLower = semantics.map { case (k, v) => k.toLowerCase -> v }
+
+  /** P7 skip set as the CONVERTER applies it (`cdm_converter.py:296`):
+    * lowercase {entity, entityreference}. (The type mapper's
+    * CDM_ENTITY_REFERENCE_TYPES nominally adds entityId/entityName, but
+    * its mixed-case set never matches the lowered input — dead entries we
+    * don't replicate.)
     */
-  val entityReferenceTypes: Set[String] = Set("entity", "entityId", "entityName")
+  val entityReferenceTypes: Set[String] = Set("entity", "entityreference")
 
   def isEntityReference(dataType: Option[String]): Boolean =
-    dataType.exists(d => entityReferenceTypes.contains(d))
+    dataType.exists(d => entityReferenceTypes.contains(d.toLowerCase))
 
+  def isSupportedType(dataType: String): Boolean = {
+    val d = dataType.toLowerCase
+    primitivesLower.contains(d) || semanticsLower.contains(d)
+  }
+
+  /** `map_type` order: primitives, semantics (both case-insensitive),
+    * then first matching trait, then String default.
+    */
   def fabricType(attr: CdmAttribute): String =
-    attr.dataType.flatMap(d => primitives.get(d).orElse(semantics.get(d)))
+    attr.dataType.map(_.toLowerCase)
+      .flatMap(d => primitivesLower.get(d).orElse(semanticsLower.get(d)))
       .orElse(attr.traits.collectFirst {
         case t if traitTypes.contains(t) => traitTypes(t)
       })
@@ -246,12 +343,11 @@ object CdmConverter {
         CdmTypeMapper.isEntityReference(a.dataType))
       refs.foreach(a => skipped += Skipped("attribute", a.name,
         "entity reference modeled as relationship", e.name))
+      // Decimal is a first-class FabricValueType in the CDM path
+      // (cdm_type_mapper.py:31-43) — no Double collapse
       val props = scalars.map { a =>
         Prop(Ids.propertyId(eid, a.name), Names.sanitizeName(a.name),
-          CdmTypeMapper.fabricType(a) match {
-            case "Decimal" => "Double" // Fabric core types; Decimal only in CDM path
-            case t => t
-          })
+          CdmTypeMapper.fabricType(a))
       }
       // K6: trait-driven key/display, falling back to K4-style inference
       val pk = scalars.zip(props).collectFirst {

@@ -131,8 +131,67 @@ object SchemaFormatQueries {
   ]"""
   }
 
+  /** V-CDM fixture: one planted violation per validator check family
+    * (`cdm_validator.py:194-548`).
+    */
+  val cdmValidationFixture: String = {
+    val longName = "E" + "e" * 100 // Fabric name limit is 100
+    s"""{
+    "manifestName": "",
+    "jsonSchemaSemanticVersion": "9.9.9",
+    "entities": [
+      {"entityName": "Account", "hasAttributes": [
+        {"name": "accountId", "dataType": "integer",
+         "appliedTraits": ["means.identity.entityId"]}
+      ]},
+      {"entityName": "Account", "hasAttributes": [
+        {"name": "accountId", "dataType": "integer",
+         "appliedTraits": ["means.identity.entityId"]}
+      ]},
+      {"entityName": "9 Bad Name", "hasAttributes": [
+        {"name": "bid", "dataType": "int",
+         "appliedTraits": ["means.identity.entityId"]}
+      ]},
+      {"entityName": "$longName"},
+      {"entityName": "SelfExt", "extendsEntity": "SelfExt", "hasAttributes": [
+        {"name": "x", "dataType": "string"}
+      ]},
+      {"entityName": "Child", "extendsEntity": "Account", "hasAttributes": [
+        {"name": "y", "dataType": "string"}
+      ]},
+      {"entityName": "Type", "hasAttributes": [
+        {"name": "id", "dataType": "string", "appliedTraits": ["is.identifiedBy"]}
+      ]},
+      {"entityName": "Attrs", "hasAttributes": [
+        {"name": "dup", "dataType": "string"},
+        {"name": "dup", "dataType": "string"},
+        {"name": "noType"},
+        {"name": "weirdType", "dataType": "blob"},
+        {"name": "entRef", "dataType": "entityId"},
+        {"name": "negLen", "dataType": "string", "maximumLength": -5},
+        {"name": "hugeLen", "dataType": "string", "maximumLength": 2000000000}
+      ]}
+    ],
+    "relationships": [
+      {"fromEntity": "Tx/Missing.cdm.json/Missing", "fromEntityAttribute": "x",
+       "toEntity": "Acc/Account.cdm.json/Account", "toEntityAttribute": "accountId"},
+      {"fromEntity": "", "fromEntityAttribute": "x",
+       "toEntity": "", "toEntityAttribute": "y"}
+    ]
+  }"""
+  }
+
   private def interfaces = DtdlParser.parse(dtdlFixture)
   private def manifest = CdmParser.parse(cdmFixture)
+
+  /** V-CDM — validator histogram over the planted-violation manifest. */
+  def cdmValidate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val issues = CdmValidator.validate(CdmParser.parse(cdmValidationFixture))
+    issues.map(i => (i.category, i.severity)).toDF("category", "severity")
+      .groupBy("category", "severity").agg(count(lit(1)).as("n"))
+      .orderBy("category", "severity")
+  }
 
   /** V-DTDL — validator histogram over the planted-violation fixture,
     * run with external references DISALLOWED so every reference-integrity
@@ -211,6 +270,7 @@ object SchemaFormatQueries {
     "dtdl_entities" -> dtdlEntities,
     "dtdl_types" -> dtdlTypes,
     "dtdl_validate" -> dtdlValidate,
+    "cdm_validate" -> cdmValidate,
     "cdm_entities" -> cdmEntities,
     "cdm_flat" -> cdmFlat,
     "cdm_rels" -> cdmRels
@@ -261,19 +321,19 @@ object SchemaFormatQueries {
        |  FROM ent, unnest(generate_series(0,
        |    CAST(json_array_length(node, '$$.hasAttributes') AS INTEGER) - 1)) AS t(k))""".stripMargin
 
-  /** CASE over the CDM primitive table (+Decimal→Double collapse). */
+  /** CASE over the full CDM type tables (primitives + semantics matched
+    * case-insensitively, then traits — `cdm_type_mapper.py:289-369`;
+    * Decimal is first-class).
+    */
   private val cdmTypeCase: String = {
-    val entries = CdmTypeMapper.primitives.toSeq.sortBy(_._1).map {
-      case (k, v) =>
-        val core = if (v == "Decimal") "Double" else v
-        s"WHEN '$k' THEN '$core'"
-    }.mkString(" ")
+    val entries = (CdmTypeMapper.primitives ++ CdmTypeMapper.semantics)
+      .map { case (k, v) => k.toLowerCase -> v }
+      .toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN '$k' THEN '$v'" }.mkString(" ")
     val traits = CdmTypeMapper.traitTypes.toSeq.sortBy(_._1).map {
-      case (k, v) =>
-        val core = if (v == "Decimal") "Double" else v
-        s"WHEN '$k' THEN '$core'"
+      case (k, v) => s"WHEN '$k' THEN '$v'"
     }.mkString(" ")
-    s"COALESCE(CASE data_type $entries END, CASE trait0 $traits END, 'String')"
+    s"COALESCE(CASE lower(data_type) $entries END, CASE trait0 $traits END, 'String')"
   }
 
   /** DTMI + name regexes shared with the validator (DuckDB dialect). */
@@ -403,8 +463,108 @@ object SchemaFormatQueries {
        |SELECT category, severity, CAST(n AS BIGINT) AS n FROM issues
        |WHERE n > 0 ORDER BY category, severity""".stripMargin
 
+  private val cdmSupportedTypesSql: String =
+    (CdmTypeMapper.primitives.keySet ++ CdmTypeMapper.semantics.keySet)
+      .map(_.toLowerCase).toSeq.sorted.map(t => s"'$t'").mkString(", ")
+  private val cdmReservedSql: String =
+    CdmValidator.ReservedNames.toSeq.sorted.map(n => s"'$n'").mkString(", ")
+  private val cdmVersionsSql: String =
+    CdmValidator.SupportedCdmVersions.toSeq.sorted.map(v => s"'$v'").mkString(", ")
+  private val cdmPkTraitsSql = "'means.identity.entityId', 'is.identifiedBy'"
+
+  /** Independent re-derivation of every CDM validator family from the raw
+    * manifest JSON.
+    */
+  private val cdmValidateOracle: String =
+    s"""WITH m(j) AS (VALUES (${sqlStr(cdmValidationFixture)}::JSON)),
+       |ent AS (SELECT i,
+       |    json_extract_string(j, '$$.entities[' || i || '].entityName') AS entity,
+       |    COALESCE(json_extract_string(j,
+       |      '$$.entities[' || i || '].extendsEntity'), '') AS ext,
+       |    json_extract(j, '$$.entities[' || i || ']') AS node
+       |  FROM m, unnest(generate_series(0, CAST(json_array_length(j,
+       |    '$$.entities') AS INTEGER) - 1)) AS t(i)),
+       |attr AS (SELECT e.i AS ei, e.entity,
+       |    json_extract_string(e.node, '$$.hasAttributes[' || k || '].name') AS attr,
+       |    json_extract_string(e.node, '$$.hasAttributes[' || k || '].dataType') AS data_type,
+       |    COALESCE(json_extract_string(e.node,
+       |      '$$.hasAttributes[' || k || '].appliedTraits[0]'), '') AS trait0,
+       |    TRY_CAST(json_extract_string(e.node,
+       |      '$$.hasAttributes[' || k || '].maximumLength') AS BIGINT) AS maxlen
+       |  FROM ent e, unnest(generate_series(0, CAST(COALESCE(json_array_length(
+       |    e.node, '$$.hasAttributes'), 0) AS INTEGER) - 1)) AS t(k)),
+       |relx AS (SELECT
+       |    COALESCE(json_extract_string(j, '$$.relationships[' || i || '].fromEntity'), '') AS fe,
+       |    COALESCE(json_extract_string(j, '$$.relationships[' || i || '].toEntity'), '') AS te,
+       |    json_extract_string(j, '$$.relationships[' || i || '].name') AS rname
+       |  FROM m, unnest(generate_series(0, CAST(COALESCE(json_array_length(j,
+       |    '$$.relationships'), 0) AS INTEGER) - 1)) AS t(i)),
+       |relnames AS (SELECT COALESCE(rname,
+       |    regexp_extract(regexp_extract(fe, '([^/]*)$$', 1), '^([^.]*)', 1)
+       |      || '_to_' ||
+       |    regexp_extract(regexp_extract(te, '([^/]*)$$', 1), '^([^.]*)', 1)) AS rn
+       |  FROM relx),
+       |names(nm) AS (
+       |  SELECT entity FROM ent
+       |  UNION ALL SELECT attr FROM attr WHERE attr IS NOT NULL AND attr <> ''
+       |  UNION ALL SELECT rn FROM relnames WHERE rn <> ''),
+       |issues(category, severity, n) AS (
+       |  SELECT 'missing_required', 'warning',
+       |    (SELECT CASE WHEN COALESCE(json_extract_string(j, '$$.manifestName'), '') = ''
+       |       THEN 1 ELSE 0 END FROM m)
+       |    + (SELECT COUNT(*) FROM attr WHERE data_type IS NULL OR data_type = '')
+       |  UNION ALL SELECT 'unsupported_construct', 'info',
+       |    (SELECT CASE WHEN COALESCE(json_extract_string(j,
+       |       '$$.jsonSchemaSemanticVersion'), '1.0.0')
+       |       NOT IN ($cdmVersionsSql) THEN 1 ELSE 0 END FROM m)
+       |  UNION ALL SELECT 'unsupported_construct', 'warning',
+       |    (SELECT COUNT(*) FROM attr WHERE data_type IS NOT NULL AND data_type <> ''
+       |       AND lower(data_type) NOT IN ($cdmSupportedTypesSql)
+       |       AND lower(data_type) NOT IN ('entity', 'entityid', 'entityreference'))
+       |  UNION ALL SELECT 'conversion_limitation', 'info',
+       |    (SELECT COUNT(*) FROM attr
+       |       WHERE lower(COALESCE(data_type, '')) IN ('entity', 'entityid', 'entityreference')
+       |         AND lower(data_type) NOT IN ($cdmSupportedTypesSql))
+       |  UNION ALL SELECT 'name_conflict', 'error',
+       |    (SELECT COUNT(*) - COUNT(DISTINCT entity) FROM ent)
+       |    + (SELECT COALESCE(SUM(c), 0) FROM
+       |        (SELECT COUNT(*) - COUNT(DISTINCT attr) AS c FROM attr GROUP BY ei) x)
+       |  UNION ALL SELECT 'name_conflict', 'info',
+       |    (SELECT COUNT(*) FROM names WHERE lower(nm) IN ($cdmReservedSql))
+       |  UNION ALL SELECT 'name_too_long', 'error',
+       |    (SELECT COUNT(*) FROM names WHERE length(nm) > 100)
+       |  UNION ALL SELECT 'invalid_character', 'warning',
+       |    (SELECT COUNT(*) FROM names
+       |       WHERE NOT regexp_matches(substr(nm, 1, 1), '[A-Za-z_]'))
+       |    + (SELECT COUNT(*) FROM names WHERE nm LIKE '% %')
+       |  UNION ALL SELECT 'circular_reference', 'error',
+       |    (SELECT COUNT(*) FROM ent WHERE ext <> '' AND ext = entity)
+       |  UNION ALL SELECT 'external_dependency', 'info',
+       |    (SELECT COUNT(*) FROM ent WHERE ext <> '' AND ext <> entity)
+       |  UNION ALL SELECT 'constraint_violation', 'warning',
+       |    (SELECT COUNT(*) FROM attr WHERE maxlen IS NOT NULL
+       |       AND (maxlen <= 0 OR maxlen > 1073741824))
+       |  UNION ALL SELECT 'missing_required', 'info',
+       |    (SELECT COUNT(*) FROM ent e2
+       |       WHERE NOT EXISTS (SELECT 1 FROM attr a WHERE a.ei = e2.i))
+       |    + (SELECT COUNT(*) FROM ent e2
+       |       WHERE EXISTS (SELECT 1 FROM attr a WHERE a.ei = e2.i)
+       |         AND NOT EXISTS (SELECT 1 FROM attr a WHERE a.ei = e2.i
+       |           AND a.trait0 IN ($cdmPkTraitsSql)))
+       |  UNION ALL SELECT 'missing_required', 'error',
+       |    (SELECT COUNT(*) FROM relx WHERE fe = '')
+       |    + (SELECT COUNT(*) FROM relx WHERE te = '')
+       |  UNION ALL SELECT 'invalid_reference', 'info',
+       |    (SELECT COUNT(*) FROM relx WHERE fe <> ''
+       |       AND regexp_extract(fe, '([^/]*)$$', 1) NOT IN (SELECT entity FROM ent))
+       |    + (SELECT COUNT(*) FROM relx WHERE te <> ''
+       |       AND regexp_extract(te, '([^/]*)$$', 1) NOT IN (SELECT entity FROM ent)))
+       |SELECT category, severity, CAST(n AS BIGINT) AS n FROM issues
+       |WHERE n > 0 ORDER BY category, severity""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dtdl_validate" -> dtdlValidateOracle,
+    "cdm_validate" -> cdmValidateOracle,
     "dtdl_entities" ->
       s"""$dtdlCtes
          |SELECT i.dtmi,
@@ -449,7 +609,8 @@ object SchemaFormatQueries {
          |  WHERE e.extends_entity <> ''
          |    AND pa.attr NOT IN (SELECT a2.attr FROM attr a2 WHERE a2.entity = e.entity))
          |SELECT entity, attr, $cdmTypeCase AS value_type
-         |FROM flat WHERE COALESCE(data_type, '') NOT IN ('entity', 'entityId', 'entityName')
+         |FROM flat
+         |WHERE lower(COALESCE(data_type, '')) NOT IN ('entity', 'entityreference')
          |ORDER BY entity, attr""".stripMargin,
     "cdm_rels" ->
       s"""WITH m(j) AS (VALUES (${sqlStr(cdmFixture)}::JSON)),

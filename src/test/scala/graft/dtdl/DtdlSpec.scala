@@ -209,9 +209,11 @@ class CdmSpec extends AnyFunSuite {
     val res = CdmConverter.convert(CdmParser.parse(manifest))
     val p = res.entities.find(_.name == "PremiumCustomer").get
     val types = p.properties.map(x => x.name -> x.valueType).toMap
-    // inherited: customerId, fullName; own: tier; override: balance (Decimal→Double)
+    // inherited: customerId, fullName; own: tier; override: balance
     assert(types.keySet == Set("customerId", "fullName", "tier", "balance"))
-    assert(types("balance") == "Double") // child decimal wins over parent money
+    // Decimal is first-class in the CDM path (FabricValueType.DECIMAL,
+    // cdm_type_mapper.py:43) — round-1's Double collapse was a divergence
+    assert(types("balance") == "Decimal")
     assert(p.baseEntityTypeId.contains(CdmConverter.entityId("Customer")))
   }
 
