@@ -10,8 +10,10 @@ import graft.model.Triple
   * format matrix its samples exercise — Turtle, N3, N-Triples, N-Quads
   * (4th term → graph), TriG (named-graph blocks), JSON-LD (via
   * [[JsonLdParser]]) and RDF/XML (via [[RdfXmlParser]]) — as
-  * dependency-free recursive-descent parsers. TriX/HexTuples remain
-  * unsupported (absent from the reference's sample corpus).
+  * dependency-free recursive-descent parsers, plus TriX ([[TrixParser]])
+  * and HexTuples ([[HexTuplesParser]]) dataset formats — 11 of the
+  * reference's serializations; rdfa/microdata (HTML-embedded) remain out
+  * of scope.
   * It is a pure `String => Seq[Triple]` function, so at scale it runs inside
   * `mapPartitions` over whole files (`spark.read.option("wholetext", true)`
   * or binaryFile), one document per task — embarrassingly parallel, no
@@ -44,6 +46,8 @@ object TurtleParser {
       case "turtle" | "n3" | "trig" => parseTurtle(content)
       case "jsonld" => JsonLdParser.parse(content)
       case "rdfxml" => RdfXmlParser.parse(content)
+      case "trix" => TrixParser.parse(content)
+      case "hext" => HexTuplesParser.parse(content)
       case other => throw new ParseException(s"unsupported RDF format: $other")
     }
 
@@ -53,8 +57,10 @@ object TurtleParser {
       "ttl" -> "turtle", "turtle" -> "turtle", "n3" -> "n3",
       "nt" -> "nt", "ntriples" -> "nt", "n-triples" -> "nt",
       "nq" -> "nquads", "nquads" -> "nquads", "n-quads" -> "nquads",
-      "trig" -> "trig",
+      "trig" -> "trig", "nquad" -> "nquads",
+      "trix" -> "trix", "hext" -> "hext", "hextuples" -> "hext",
       "jsonld" -> "jsonld", "json-ld" -> "jsonld", "json" -> "jsonld",
+      "json_ld" -> "jsonld",
       "rdf" -> "rdfxml", "xml" -> "rdfxml", "rdfxml" -> "rdfxml",
       "rdf-xml" -> "rdfxml", "owl" -> "rdfxml"
     ).getOrElse(f, f)

@@ -104,6 +104,58 @@ class ReferenceSamplesSpec extends SparkSpec {
     assert(nq.exists(_.graph.isDefined), "N-Quads triples should carry graphs")
   }
 
+  test("S1: TriX dataset parses — uri/id/plain/typed terms, named graphs") {
+    val trix = """<?xml version="1.0"?>
+<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/">
+  <graph>
+    <uri>http://e.org/g1</uri>
+    <triple>
+      <uri>http://e.org/Device</uri>
+      <uri>http://www.w3.org/1999/02/22-rdf-syntax-ns#type</uri>
+      <uri>http://www.w3.org/2002/07/owl#Class</uri>
+    </triple>
+    <triple>
+      <uri>http://e.org/Device</uri>
+      <uri>http://www.w3.org/2000/01/rdf-schema#label</uri>
+      <plainLiteral xml:lang="en">Device</plainLiteral>
+    </triple>
+  </graph>
+  <graph>
+    <triple>
+      <id>b0</id>
+      <uri>http://e.org/count</uri>
+      <typedLiteral datatype="http://www.w3.org/2001/XMLSchema#integer">5</typedLiteral>
+    </triple>
+  </graph>
+</TriX>"""
+    val ts = TurtleParser.parse(trix, "trix")
+    assert(ts.size == 3)
+    assert(ts.head.graph.contains("http://e.org/g1"))
+    val label = ts.find(_.p.endsWith("label")).get
+    assert(label.lang.contains("en") && label.oKind == "literal")
+    val cnt = ts.find(_.p.endsWith("count")).get
+    assert(cnt.s == "_:b0" && cnt.oDatatype.exists(_.endsWith("integer")))
+    assert(cnt.graph.isEmpty) // unnamed graph block = default graph
+  }
+
+  test("S1: HexTuples ND-JSON parses — globalId/localId/literal datatypes") {
+    val hext =
+      """["http://e.org/Device", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "http://www.w3.org/2002/07/owl#Class", "globalId", "", ""]
+        |["http://e.org/Device", "http://www.w3.org/2000/01/rdf-schema#label", "Device", "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString", "en", "http://e.org/g1"]
+        |["_:b1", "http://e.org/count", "5", "http://www.w3.org/2001/XMLSchema#integer", "", ""]
+        |["http://e.org/x", "http://e.org/linked", "_:b1", "localId", "", ""]""".stripMargin
+    val ts = TurtleParser.parse(hext, "hextuples")
+    assert(ts.size == 4)
+    assert(ts(0).oKind == "uri")
+    assert(ts(1).lang.contains("en") && ts(1).graph.contains("http://e.org/g1"))
+    assert(ts(2).oDatatype.exists(_.endsWith("integer")))
+    assert(ts(3).oKind == "bnode" && ts(3).o == "_:b1")
+    // the parsed dataset extracts like any other serialization
+    import spark.implicits._
+    val df = spark.createDataset(ts).toDF()
+    assert(Extract.classes(df).count() == 1)
+  }
+
   test("TriG: statement ending '; }' parses (ADVICE r1 terminator fix)") {
     val trig = """@prefix : <http://e.org/> .
 :g { :a :p :b ; :q :c ; }

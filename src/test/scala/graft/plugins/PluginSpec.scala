@@ -46,3 +46,49 @@ class PluginSpec extends SparkSpec {
     assert(PluginRegistry.default.byFormat("custom").isEmpty)
   }
 }
+
+/** X1 — per-type value-converter registry (type_registry.py:41-445). */
+class TypeRegistrySpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TypeRegistry._
+
+  test("global registry pre-seeds rdf/dtdl/cdm tables") {
+    val xsd = "http://www.w3.org/2001/XMLSchema#"
+    assert(global.getFabricType("rdf", xsd + "integer") == "BigInt")
+    assert(global.getFabricType("RDF", xsd + "decimal") == "Double") // case-insens format
+    assert(global.getFabricType("dtdl", "scaledDecimal") == "String")
+    assert(global.getFabricType("cdm", "money") == "Decimal")
+    assert(global.getFabricType("rdf", "unknown:type") == "String") // default
+    assert(global.getFabricType("rdf", "unknown:type", Some("Double")) == "Double")
+    assert(global.listFormats == Seq("cdm", "dtdl", "rdf"))
+  }
+
+  test("value converters, aliases, precision-loss (type_registry.py:237-260)") {
+    val r = new Registry()
+    r.registerMapping("custom", "epochMillis", "DateTime",
+      converter = Some(v => new java.sql.Timestamp(v.asInstanceOf[Long])),
+      precisionLoss = false)
+    r.registerMapping("custom", "float16", "Double",
+      notes = "half precision widens", precisionLoss = true)
+    r.registerAlias("custom", "ts", "epochMillis")
+    // converter runs on lookup, alias resolves to canonical
+    assert(r.convertValue("custom", "ts", 1000L) ==
+      new java.sql.Timestamp(1000L))
+    assert(r.getFabricType("custom", "ts") == "DateTime")
+    // unregistered types pass values through unchanged
+    assert(r.convertValue("custom", "other", "x") == "x")
+    assert(r.precisionLossTypes("custom") == Seq("float16"))
+    assert(r.listMappings("custom").keySet == Set("epochMillis", "float16"))
+    // invalid fabric type rejected
+    intercept[IllegalArgumentException] {
+      r.registerMapping("custom", "bad", "Float128")
+    }
+  }
+
+  test("resolve_union_type hierarchy (type_registry.py:410-445)") {
+    assert(resolveUnionType(Nil) == "String")
+    assert(resolveUnionType(Seq("BigInt")) == "BigInt")
+    assert(resolveUnionType(Seq("int", "long")) == "BigInt")
+    assert(resolveUnionType(Seq("float", "double", "decimal")) == "Double")
+    assert(resolveUnionType(Seq("BigInt", "Double")) == "String") // mixed
+  }
+}
