@@ -38,7 +38,9 @@ object PageGen {
         .getBytes(StandardCharsets.UTF_8)
     }
     docs.select(
-      udf((id: Long) => url(id)).apply(col("doc_id")).as("url"),
+      // codegen'd concat (round-1 advice: a UDF here broke whole-stage
+      // codegen for the whole projection)
+      concat(lit("https://example.org/doc/"), col("doc_id")).as("url"),
       to_timestamp(lit("2024-01-01 00:00:00")).as("warc_ts"),
       mkHtml(col("doc_id"), col("lang"), col("source"), col("text")).as("html"),
       col("text"),

@@ -33,19 +33,35 @@ object DataQueries {
         col("uni").cast("long").as("uni"), col("jaccard"))
       .orderBy("a", "b")
 
-  /** MinHash-LSH candidates verified at Jaccard ≥ 0.7 (unigram shingles).
-    * No SQL oracle (hash-family specific); ScalaTest checks recall vs
-    * brute force — here the driver checks rows/stability.
+  /** Corpus for the MinHash sweep: the FULL documents table plus planted
+    * near-duplicates — every 20th doc gets a twin (id + 1,000,000) with
+    * the last two tokens dropped, giving 3-gram Jaccard ≈ 0.95. This
+    * replaces round 1's `doc_id < 100` slice: candidates are now ∝ true
+    * near-dups, exactly the regime banding is built for.
+    */
+  private def minhashCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val planted = base.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(toks, lit(1), greatest(size(toks) - 2, lit(3))), " ")
+          .as("text"))
+    base.union(planted)
+  }
+
+  /** MinHash-LSH candidates over the full corpus (3-gram shingles,
+    * 64 hashes × 16 bands), verified at exact 3-gram Jaccard ≥ 0.8.
+    * ORACLED: the DuckDB side recomputes the TRUE ≥0.8 pair set with an
+    * exact shared-shingle self-join — banding at these parameters has
+    * miss probability (1-J⁴)¹⁶ < 1e-7 for J ≥ 0.9, so the LSH output
+    * equals the exact set on this corpus (recall additionally asserted
+    * in DedupSpec).
     */
   def ddMinhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minHashCandidates(
-        spark.read.parquet(s"$dir/documents.parquet")
-          .filter(col("doc_id") < 100), // bounded slice: the synthetic
-        // corpus is uniformly similar (shared 31-word vocab), so an
-        // unbounded unigram-minhash sweep degenerates to ~n²; real
-        // corpora use n=3 shingles where candidates ∝ true near-dups
-        n = 1, Dedup.MinHashParams(numHashes = 64, bands = 16, seed = 42L),
-        verifyThreshold = 0.7)
+    Dedup.minHashCandidates(minhashCorpus(spark, dir),
+        n = 3, Dedup.MinHashParams(numHashes = 64, bands = 16, seed = 42L),
+        verifyThreshold = 0.8)
       .select(col("a"), col("b"), col("jaccard"))
       .orderBy("a", "b")
 
@@ -154,6 +170,34 @@ object DataQueries {
         |  GROUP BY 1, 2)
         |SELECT p.a, p.b, p.inter,
         |  CAST(sa.n + sb.n - p.inter AS BIGINT) AS uni,
+        |  CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
+        |FROM pairs p JOIN sizes sa ON p.a = sa.doc_id
+        |JOIN sizes sb ON p.b = sb.doc_id
+        |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.8
+        |ORDER BY a, b""".stripMargin,
+    "dd_minhash" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(list_slice(string_split(text, ' '), 1,
+        |      greatest(len(string_split(text, ' ')) - 2, 3)), ' ')
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i)
+        |  WHERE len(w) >= 3
+        |  UNION
+        |  SELECT doc_id, array_to_string(w, ' ') FROM toks WHERE len(w) < 3),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.a, p.b,
         |  CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
         |FROM pairs p JOIN sizes sa ON p.a = sa.doc_id
         |JOIN sizes sb ON p.b = sb.doc_id

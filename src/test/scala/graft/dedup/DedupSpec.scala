@@ -83,3 +83,62 @@ class DedupSpec extends SparkSpec {
       assert(pairs.contains((1L, 2L)) || dist > 3)
   }
 }
+
+/** Round-2 additions: full-corpus minhash entry + length-bucketed
+  * Jaccard blocking (verdict items 5 and 10).
+  */
+class DedupScaleSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("dd_minhash entry: full corpus, recall = 1.0 on planted near-dups") {
+    val dir = "/root/testdata/sf0.001"
+    val result = graft.queries.DataQueries.ddMinhash(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    // every planted twin pair (k, k+1000000) with jaccard >= 0.8 must be
+    // found; recompute the expectation with the exact per-pair jaccard
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val planted = docs.keys.filter(_ % 20 == 0).flatMap { k =>
+      val toks = docs(k).split(" ")
+      val twin = toks.take(math.max(toks.length - 2, 3)).mkString(" ")
+      val j = Dedup.ngramJaccard(docs(k), twin, 3)
+      if (j >= 0.8) Some((k, k + 1000000L)) else None
+    }.toSet
+    assert(planted.nonEmpty, "fixture must plant at least one near-dup")
+    val found = planted.intersect(result)
+    assert(found == planted,
+      s"LSH missed ${(planted -- found).size} of ${planted.size} planted pairs")
+  }
+
+  test("jaccard length-bucket blocking: lossless at threshold, bounds skew") {
+    // skewed block: 40 short + 40 long docs, same (lang, source)
+    val short = (0L until 40L).map(i => (i, s"tok$i a b c d", "en", "s"))
+    val long = (100L until 140L).map(i =>
+      (i, (0 until 400).map(t => s"w${i}_$t").mkString(" "), "en", "s"))
+    // plus one true near-dup pair among the long docs
+    val dup = Seq((500L, (0 until 400).map(t => s"w${100L}_$t").mkString(" ")
+      + " extra", "en", "s"))
+    val docs = (short ++ long ++ dup).toDF("doc_id", "text", "lang", "source")
+
+    val candidates = Dedup.jaccardCandidates(docs, 0.8)
+    val nCand = candidates.count()
+    // old (lang, source)-only blocking would consider all 81*80/2 = 3240
+    // pairs; the length bucket keeps shorts and longs apart
+    assert(nCand < 3240 / 2, s"blocking did not bound the block: $nCand")
+    assert(!candidates.collect().exists(r =>
+      r.getAs[Long]("a") < 40 && r.getAs[Long]("b") >= 100),
+      "short docs must never pair with 400-token docs")
+
+    // losslessness: the thresholded result equals brute force over the block
+    val pairs = Dedup.jaccardPairs(docs, 0.8).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val all = (short ++ long ++ dup).map(x => (x._1, x._2))
+    val brute = (for {
+      (ia, ta) <- all; (ib, tb) <- all if ia < ib
+      j = Dedup.ngramJaccard(ta, tb, 1)
+      if j >= 0.8
+    } yield (ia, ib)).toSet
+    assert(pairs == brute)
+    assert(brute.contains((100L, 500L))) // the planted pair survives
+  }
+}
