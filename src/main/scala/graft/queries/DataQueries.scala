@@ -86,20 +86,29 @@ object DataQueries {
         col("vec_id") < 30)
       .orderBy("query_id")
 
-  /** Brute-force cosine top-5 (float; ScalaTest-verified, driver
-    * rows-check only).
+  /** Brute-force cosine top-5. ORACLED despite float scoring: both
+    * engines fold the dot product and norms LEFT-TO-RIGHT over the array
+    * (Spark `aggregate`, DuckDB `list_reduce`) with float multiplies and
+    * double accumulation, so the IEEE result is bitwise identical —
+    * verified exact on the full sf0.01 pair set.
     */
   def annBruteTopk(spark: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(spark.read.parquet(s"$dir/embeddings.parquet"),
         col("vec_id") % 50 === 0, k = 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), col("cos"))
       .orderBy("query_id", "rank")
 
-  /** LSH-bucketed approximate top-5 (scale path; recall vs brute force
-    * checked in ScalaTest).
+  /** LSH-bucketed approximate top-5 (scale path). ORACLED: the seeded
+    * hyperplane tables are embedded in the SQL as exact round-trip double
+    * literals, so DuckDB replays bucketing, multi-probe and the
+    * sequential-fold cosine bit-for-bit.
     */
   def annLshTopk(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(spark.read.parquet(s"$dir/embeddings.parquet"),
         col("vec_id") % 50 === 0, k = 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), col("cos"))
       .orderBy("query_id", "rank")
 
   /** Text-quality features (integer counts + exact single divisions). */
@@ -147,7 +156,160 @@ object DataQueries {
     "mm_frames" -> mmFrames
   )
 
+  // ---- FNV-1a in DuckDB SQL -------------------------------------------
+  // The engine's rolling hashes (TextAnalysis.polyHash, Dedup.fnv1a) are
+  // 64-bit wraparound folds; DuckDB has no wraparound BIGINT, so the
+  // oracle folds in HUGEINT mod 2^64 with a signed<->unsigned bridge for
+  // the xor step. Byte-exact vs the JVM (prototype-verified).
+  private val Two63 = "9223372036854775808"
+  private val Two64 = "18446744073709551616"
+
+  /** HUGEINT expression: fold FNV-1a over the chars of `strExpr`,
+    * starting from unsigned `initUnsigned`. */
+  private def fnvFoldSql(strExpr: String, initUnsigned: String): String = {
+    val hSigned =
+      s"CAST(h - (CASE WHEN h >= CAST('$Two63' AS HUGEINT) THEN CAST('$Two64' AS HUGEINT) ELSE 0 END) AS BIGINT)"
+    val x = s"xor($hSigned, CAST(c AS BIGINT))"
+    val xUnsigned =
+      s"(CASE WHEN $x < 0 THEN CAST($x AS HUGEINT) + CAST('$Two64' AS HUGEINT) ELSE CAST($x AS HUGEINT) END)"
+    s"list_reduce(list_prepend(CAST('$initUnsigned' AS HUGEINT), " +
+      s"list_transform(generate_series(1, length($strExpr)), " +
+      s"i -> CAST(unicode(($strExpr)[i]) AS HUGEINT))), " +
+      s"(h, c) -> (($xUnsigned * 1099511628211) % CAST('$Two64' AS HUGEINT)))"
+  }
+
+  /** BIGINT reinterpretation of an unsigned HUGEINT column. */
+  private def signedSql(hu: String): String =
+    s"CAST($hu - (CASE WHEN $hu >= CAST('$Two63' AS HUGEINT) THEN CAST('$Two64' AS HUGEINT) ELSE 0 END) AS BIGINT)"
+
+  /** Sequential-fold cosine, mirroring Similarity.dot/norm exactly:
+    * per-element float multiply, double accumulation in index order.
+    */
+  private def cosineFoldSql(a: String, b: String): String = {
+    def fold(products: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $products), (acc, x) -> acc + x)"
+    val dot = fold(s"list_transform(generate_series(1, len($a)), i -> CAST($a[i] * $b[i] AS DOUBLE))")
+    val na = fold(s"list_transform(generate_series(1, len($a)), i -> CAST($a[i] * $a[i] AS DOUBLE))")
+    val nb = fold(s"list_transform(generate_series(1, len($b)), i -> CAST($b[i] * $b[i] AS DOUBLE))")
+    s"$dot / (sqrt($na) * sqrt($nb))"
+  }
+
+  /** The exact hyperplane tables lshTopK uses (same code path, same
+    * seed), as a DuckDB VALUES list: (tbl, bit, 64-double plane).
+    * Double.toString is shortest-round-trip, so DuckDB parses back the
+    * identical IEEE doubles.
+    */
+  private def lshPlanesSql: String = {
+    val rows = for {
+      t <- 0 until 10
+      planes = Similarity.hyperplanes(64, 7, 42L + 1000L * t)
+      b <- 0 until 7
+    } yield s"($t, $b, [${planes(b).mkString(", ")}])"
+    s"planes(tbl, bit, p) AS (SELECT * FROM (VALUES ${rows.mkString(",\n  ")}) v(tbl, bit, p))"
+  }
+
+  /** Sequential double fold of embedding·plane (Spark promotes the float
+    * element to double BEFORE the multiply here, unlike the float·float
+    * cosine products). */
+  private def projFoldSql(v: String, p: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, len($v)), i -> CAST($v[i] AS DOUBLE) * $p[i])), " +
+      s"(acc, x) -> acc + x)"
+
   val oracles: Map[String, String] = Map(
+    "ann_lsh_topk" ->
+      s"""WITH ${lshPlanesSql},
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |buckets AS (
+         |  SELECT e.vec_id, pl.tbl,
+         |    CAST(SUM(CASE WHEN ${projFoldSql("e.embedding", "pl.p")} >= 0
+         |      THEN (1 << pl.bit) ELSE 0 END) AS INTEGER) AS bucket
+         |  FROM e CROSS JOIN planes pl
+         |  GROUP BY e.vec_id, pl.tbl),
+         |qc AS (
+         |  SELECT b.vec_id AS query_id, b.tbl, xor(b.bucket, pr.p) AS bucket
+         |  FROM buckets b,
+         |    (VALUES (0), (1), (2), (4), (8), (16), (32), (64)) pr(p)
+         |  WHERE b.vec_id % 50 = 0),
+         |cand AS (
+         |  SELECT DISTINCT q.query_id, c.vec_id AS cand_id
+         |  FROM qc q JOIN buckets c ON c.tbl = q.tbl AND c.bucket = q.bucket
+         |  WHERE c.vec_id <> q.query_id),
+         |scored AS (
+         |  SELECT cand.query_id, cand.cand_id,
+         |    ${cosineFoldSql("qe.embedding", "ce.embedding")} AS cos
+         |  FROM cand
+         |  JOIN e qe ON qe.vec_id = cand.query_id
+         |  JOIN e ce ON ce.vec_id = cand.cand_id),
+         |ranked AS (SELECT query_id, cand_id, cos,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, cos
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_brute_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |pairs AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |         q.embedding AS qv, c.embedding AS cv
+         |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id % 50 = 0),
+         |scored AS (SELECT query_id, cand_id,
+         |  ${cosineFoldSql("qv", "cv")} AS cos FROM pairs),
+         |ranked AS (SELECT query_id, cand_id, cos,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, cos
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // window strings mirror polyHash exactly: each token followed by one
+    // space (incl. trailing), init = the engine's basis constant
+    "txt_fingerprint" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
+         |    t -> t <> '') AS w
+         |  FROM documents),
+         |wins AS (
+         |  SELECT doc_id, array_to_string(list_slice(w, i, i + 4), ' ') || ' ' AS s
+         |  FROM toks, unnest(generate_series(1, len(w) - 4)) AS t(i)
+         |  WHERE len(w) >= 5
+         |  UNION ALL
+         |  SELECT doc_id, array_to_string(w, ' ') || ' '
+         |  FROM toks WHERE len(w) < 5 AND len(w) > 0),
+         |hashes AS (SELECT doc_id, ${fnvFoldSql("s", "1469598103934665603")} AS hu
+         |  FROM wins),
+         |fp AS (SELECT doc_id, MIN(${signedSql("hu")}) AS fingerprint
+         |  FROM hashes GROUP BY doc_id
+         |  UNION ALL
+         |  SELECT doc_id, CAST(0 AS BIGINT) FROM toks WHERE len(w) = 0)
+         |SELECT fingerprint, COUNT(*) AS n, MIN(doc_id) AS first_doc
+         |FROM fp GROUP BY fingerprint HAVING COUNT(*) > 1
+         |ORDER BY fingerprint""".stripMargin,
+    // 64-bit simhash: per-token FNV-1a (Dedup's basis), bit votes summed
+    // per position, sign bit reassembled to match the JVM long
+    "dd_simhash" ->
+      s"""WITH RECURSIVE pow2(i, v) AS (
+         |  SELECT 0, CAST(1 AS HUGEINT)
+         |  UNION ALL SELECT i + 1, v * 2 FROM pow2 WHERE i < 63),
+         |toks AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+         |    t -> t <> '')) AS tok
+         |  FROM documents),
+         |hashes AS (SELECT doc_id, ${fnvFoldSql("tok", "14695981039346656037")} AS hu
+         |  FROM toks),
+         |votes AS (
+         |  SELECT h.doc_id, p.i,
+         |    SUM(CASE WHEN (h.hu // p.v) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM hashes h CROSS JOIN pow2 p
+         |  GROUP BY h.doc_id, p.i),
+         |sims AS (
+         |  SELECT v2.doc_id, CAST(SUM(CASE WHEN v2.v > 0 THEN
+         |      CASE WHEN v2.i = 63 THEN CAST('-$Two63' AS BIGINT)
+         |           ELSE CAST(p.v AS BIGINT) END
+         |    ELSE 0 END) AS BIGINT) AS sim
+         |  FROM votes v2 JOIN pow2 p ON p.i = v2.i
+         |  GROUP BY v2.doc_id)
+         |SELECT sim, COUNT(*) AS n, MIN(doc_id) AS first_doc
+         |FROM sims GROUP BY sim HAVING COUNT(*) > 1
+         |ORDER BY sim""".stripMargin,
     "dd_exact" ->
       """SELECT lang, COUNT(*) AS n_docs FROM (
         |  SELECT lang, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
