@@ -279,12 +279,20 @@ object Extract {
     // Schema-scale intermediates referenced by several downstream branches
     // (declared domains AND ranges AND the skip channel). Materializing
     // them cuts the logical-plan duplication that otherwise re-executes
-    // the property-classification subtree once per branch.
-    val dataProps = dataProperties(triples).localCheckpoint()
-    val domains = resolvedDomains(triples).localCheckpoint()
+    // the property-classification subtree once per branch. The three
+    // independent ones materialize concurrently (fixed job overhead
+    // dominates at schema scale).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fData = Future(dataProperties(triples).localCheckpoint())
+    val fDomains = Future(resolvedDomains(triples).localCheckpoint())
+    val fRanges = Future(resolvedRanges(triples).localCheckpoint())
+    val dataProps = Await.result(fData, Duration.Inf)
+    val domains = Await.result(fDomains, Duration.Inf)
     val assignedData = dataProps.join(domains, Seq("propUri"), "left_semi")
     val objProps = objectProperties(triples, assignedData).localCheckpoint()
-    val ranges = resolvedRanges(triples).localCheckpoint()
+    val ranges = Await.result(fRanges, Duration.Inf)
     val cls = broadcast(classDf.select(col("classUri"), col("id")))
 
     val declDomains = objProps.join(domains, Seq("propUri"))
