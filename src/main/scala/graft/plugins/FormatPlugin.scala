@@ -30,7 +30,7 @@ trait FormatPlugin {
 object RdfPlugin extends FormatPlugin {
   val formatName = "rdf"
   val fileExtensions = Set(".ttl", ".turtle", ".n3", ".nt", ".nq", ".trig",
-    ".jsonld", ".rdf", ".xml")
+    ".jsonld", ".rdf", ".xml", ".trix", ".hext", ".rdfa")
   def convert(spark: SparkSession, content: String, format: String)
     : (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._

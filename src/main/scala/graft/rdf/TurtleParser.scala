@@ -10,10 +10,10 @@ import graft.model.Triple
   * format matrix its samples exercise — Turtle, N3, N-Triples, N-Quads
   * (4th term → graph), TriG (named-graph blocks), JSON-LD (via
   * [[JsonLdParser]]) and RDF/XML (via [[RdfXmlParser]]) — as
-  * dependency-free recursive-descent parsers, plus TriX ([[TrixParser]])
-  * and HexTuples ([[HexTuplesParser]]) dataset formats — 11 of the
-  * reference's serializations; rdfa/microdata (HTML-embedded) remain out
-  * of scope.
+  * dependency-free recursive-descent parsers, plus TriX ([[TrixParser]]),
+  * HexTuples ([[HexTuplesParser]]), RDFa-lite ([[RdfaParser]]) and HTML
+  * microdata ([[MicrodataParser]]) — all 11 of the reference's
+  * serializations (the HTML-embedded pair on well-formed XHTML).
   * It is a pure `String => Seq[Triple]` function, so at scale it runs inside
   * `mapPartitions` over whole files (`spark.read.option("wholetext", true)`
   * or binaryFile), one document per task — embarrassingly parallel, no
@@ -48,6 +48,8 @@ object TurtleParser {
       case "rdfxml" => RdfXmlParser.parse(content)
       case "trix" => TrixParser.parse(content)
       case "hext" => HexTuplesParser.parse(content)
+      case "rdfa" => RdfaParser.parse(content)
+      case "microdata" => MicrodataParser.parse(content)
       case other => throw new ParseException(s"unsupported RDF format: $other")
     }
 
@@ -59,6 +61,8 @@ object TurtleParser {
       "nq" -> "nquads", "nquads" -> "nquads", "n-quads" -> "nquads",
       "trig" -> "trig", "nquad" -> "nquads",
       "trix" -> "trix", "hext" -> "hext", "hextuples" -> "hext",
+      "rdfa" -> "rdfa", "html" -> "rdfa", "xhtml" -> "rdfa", "htm" -> "rdfa",
+      "microdata" -> "microdata",
       "jsonld" -> "jsonld", "json-ld" -> "jsonld", "json" -> "jsonld",
       "json_ld" -> "jsonld",
       "rdf" -> "rdfxml", "xml" -> "rdfxml", "rdfxml" -> "rdfxml",

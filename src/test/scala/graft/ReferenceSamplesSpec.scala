@@ -156,6 +156,66 @@ class ReferenceSamplesSpec extends SparkSpec {
     assert(Extract.classes(df).count() == 1)
   }
 
+  test("S1: RDFa-lite XHTML parses — vocab/prefix/typeof/property/resource") {
+    val html = """<html xmlns="http://www.w3.org/1999/xhtml">
+<body vocab="http://schema.org/" prefix="ex: http://e.org/">
+  <div about="http://e.org/dev1" typeof="ex:Device">
+    <span property="name">Thermostat</span>
+    <span property="ex:status" content="active">shown text ignored</span>
+    <a property="manufacturer" href="http://e.org/acme">Acme</a>
+    <p property="description" lang="de">Ein Ger&#228;t</p>
+    <div property="location" typeof="Place">
+      <span property="name">Lab</span>
+    </div>
+  </div>
+</body></html>"""
+    val ts = TurtleParser.parse(html, "rdfa")
+    val byP = ts.groupBy(_.p)
+    assert(ts.exists(t => t.s == "http://e.org/dev1" &&
+      t.p == graft.rdf.Vocab.RdfType && t.o == "http://e.org/Device"))
+    assert(byP("http://schema.org/name").exists(t =>
+      t.s == "http://e.org/dev1" && t.o == "Thermostat"))
+    assert(byP("http://e.org/status").head.o == "active") // content attr wins
+    assert(byP("http://schema.org/manufacturer").head.o == "http://e.org/acme"
+      && byP("http://schema.org/manufacturer").head.oKind == "uri")
+    assert(byP("http://schema.org/description").head.lang.contains("de"))
+    // nested typed object: bnode linked via location, typed Place, named Lab
+    val loc = byP("http://schema.org/location").head
+    assert(loc.oKind == "bnode")
+    assert(ts.exists(t => t.s == loc.o && t.p == graft.rdf.Vocab.RdfType &&
+      t.o == "http://schema.org/Place"))
+    assert(ts.exists(t => t.s == loc.o &&
+      t.p == "http://schema.org/name" && t.o == "Lab"))
+  }
+
+  test("S1: microdata XHTML parses — itemscope/itemtype/itemprop/itemid") {
+    val html = """<html xmlns="http://www.w3.org/1999/xhtml"><body>
+  <div itemscope="" itemtype="http://schema.org/Product"
+       itemid="http://e.org/p1">
+    <span itemprop="name">Widget</span>
+    <meta itemprop="sku" content="W-1"/>
+    <a itemprop="url" href="http://e.org/w">link</a>
+    <div itemprop="brand" itemscope="" itemtype="http://schema.org/Brand">
+      <span itemprop="name">Acme</span>
+    </div>
+  </div>
+</body></html>"""
+    val ts = TurtleParser.parse(html, "microdata")
+    assert(ts.exists(t => t.s == "http://e.org/p1" &&
+      t.p == graft.rdf.Vocab.RdfType && t.o == "http://schema.org/Product"))
+    // itemprop expands against the itemtype vocabulary
+    assert(ts.exists(t => t.s == "http://e.org/p1" &&
+      t.p == "http://schema.org/name" && t.o == "Widget"))
+    assert(ts.exists(t => t.p == "http://schema.org/sku" && t.o == "W-1"))
+    assert(ts.exists(t => t.p == "http://schema.org/url" &&
+      t.o == "http://e.org/w" && t.oKind == "uri"))
+    val brand = ts.find(t => t.p == "http://schema.org/brand").get
+    assert(brand.oKind == "bnode")
+    assert(ts.exists(t => t.s == brand.o && t.o == "http://schema.org/Brand"))
+    assert(ts.exists(t => t.s == brand.o &&
+      t.p == "http://schema.org/name" && t.o == "Acme"))
+  }
+
   test("TriG: statement ending '; }' parses (ADVICE r1 terminator fix)") {
     val trig = """@prefix : <http://e.org/> .
 :g { :a :p :b ; :q :c ; }
