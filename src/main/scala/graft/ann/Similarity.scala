@@ -71,6 +71,35 @@ object Similarity {
       .select("query_id", "cand_id", "dp")
   }
 
+  /** Embedding-cosine near-duplicate PAIRS (the dedup flavor of ANN:
+    * symmetric, thresholded, corpus×corpus): candidates are same-bucket
+    * pairs in ANY of the hyperplane tables (no probes — near-dups at
+    * cosine ≥ ~0.95 collide with overwhelming probability across 10
+    * tables), verified by exact sequential-fold cosine. Never quadratic:
+    * the join is bucket-blocked, candidates ∝ true near-dups.
+    */
+  def embeddingNearDupPairs(emb: DataFrame, threshold: Double,
+                            nBits: Int = 7, numTables: Int = 10,
+                            seed: Long = 42L): DataFrame = {
+    val dim = 64
+    val tables = (0 until numTables).map(t => hyperplanes(dim, nBits, seed + 1000L * t))
+    val withBuckets = emb.withColumn("buckets",
+      array(tables.map(p => lshBucket(col("embedding"), p)): _*))
+    val sides = withBuckets
+      .select(col("vec_id"), col("embedding"), posexplode(col("buckets")))
+      .toDF("vec_id", "embedding", "table", "bucket")
+    val l = sides.select(col("table"), col("bucket"), col("vec_id").as("a"),
+      col("embedding").as("va"))
+    val r = sides.select(col("table"), col("bucket"), col("vec_id").as("b"),
+      col("embedding").as("vb"))
+    l.join(r, Seq("table", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "va", "vb").distinct()
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("a", "b", "cos")
+  }
+
   /** Deterministic random hyperplanes (seeded), broadcast as literals. */
   def hyperplanes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

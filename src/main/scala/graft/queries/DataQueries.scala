@@ -80,6 +80,33 @@ object DataQueries {
       .orderBy("sim")
   }
 
+  /** Embedding-cosine near-dup corpus: embeddings plus planted twins —
+    * every 40th vector gets a copy (id + 1,000,000) with component 0
+    * scaled by 1.1f (cosine ≥ 0.999 vs the original; random 64-dim pairs
+    * sit near 0). Both engines build the identical corpus: float
+    * multiply is IEEE-identical cross-engine.
+    */
+  private def embedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val planted = base.filter(col("vec_id") % 40 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x * lit(1.1f)).otherwise(x)).as("embedding"))
+    base.union(planted)
+  }
+
+  /** Embedding-cosine near-dup pairs at cosine ≥ 0.99 (the dedup tier the
+    * brief lists alongside minhash/simhash). LSH-bucketed candidates +
+    * exact verify; ORACLED — the DuckDB side replays the same seeded
+    * hyperplane bucketing and sequential-fold cosine, so spark/oracle
+    * agree bit-for-bit by construction (recall on planted pairs asserted
+    * in ScalaTest).
+    */
+  def ddEmbed(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDupPairs(embedCorpus(spark, dir), 0.99)
+      .orderBy("a", "b")
+
   /** Integer-exact nearest neighbor by quantized dot product. */
   def annTop1(spark: SparkSession, dir: String): DataFrame =
     Similarity.quantizedTop1(spark.read.parquet(s"$dir/embeddings.parquet"),
@@ -147,6 +174,7 @@ object DataQueries {
     "dd_jaccard" -> ddJaccard,
     "dd_minhash" -> ddMinhash,
     "dd_simhash" -> ddSimhash,
+    "dd_embed" -> ddEmbed,
     "ann_top1" -> annTop1,
     "ann_brute_topk" -> annBruteTopk,
     "ann_lsh_topk" -> annLshTopk,
@@ -217,6 +245,36 @@ object DataQueries {
       s"(acc, x) -> acc + x)"
 
   val oracles: Map[String, String] = Map(
+    "dd_embed" ->
+      s"""WITH ${lshPlanesSql},
+         |corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_transform(generate_series(1, len(embedding)),
+         |      i -> CASE WHEN i = 1
+         |        THEN CAST(embedding[i] * CAST(1.1 AS FLOAT) AS FLOAT)
+         |        ELSE embedding[i] END)
+         |  FROM embeddings WHERE vec_id % 40 = 0),
+         |buckets AS (
+         |  SELECT c.vec_id, pl.tbl,
+         |    CAST(SUM(CASE WHEN ${projFoldSql("c.embedding", "pl.p")} >= 0
+         |      THEN (1 << pl.bit) ELSE 0 END) AS INTEGER) AS bucket
+         |  FROM corpus c CROSS JOIN planes pl
+         |  GROUP BY c.vec_id, pl.tbl),
+         |cand AS (
+         |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+         |  FROM buckets l JOIN buckets r
+         |    ON l.tbl = r.tbl AND l.bucket = r.bucket
+         |  WHERE l.vec_id < r.vec_id),
+         |scored AS (
+         |  SELECT cand.a, cand.b,
+         |    ${cosineFoldSql("ea.embedding", "eb.embedding")} AS cos
+         |  FROM cand
+         |  JOIN corpus ea ON ea.vec_id = cand.a
+         |  JOIN corpus eb ON eb.vec_id = cand.b)
+         |SELECT a, b, cos FROM scored WHERE cos >= 0.99
+         |ORDER BY a, b""".stripMargin,
     "ann_lsh_topk" ->
       s"""WITH ${lshPlanesSql},
          |e AS (SELECT vec_id, embedding FROM embeddings),

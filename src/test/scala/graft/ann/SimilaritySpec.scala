@@ -119,3 +119,24 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 }
+
+/** dd_embed: embedding-cosine near-dup tier (round-2 addition). */
+class EmbedDedupSpec extends graft.SparkSpec {
+  test("embedding near-dup pairs: every planted twin found, no random pairs") {
+    val dir = "/root/testdata/sf0.001"
+    val result = graft.queries.DataQueries.ddEmbed(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    import org.apache.spark.sql.functions._
+    val plantedIds = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 40 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(plantedIds.nonEmpty)
+    // all planted (k, k+1000000) pairs found (cosine >= ~0.999 >> 0.99)
+    val expected = plantedIds.map(k => (k, k + 1000000L))
+    assert(expected.subsetOf(result.toSet),
+      s"missing ${(expected -- result.toSet).size} of ${expected.size}")
+    // and nothing else: random 64-dim cosines never reach 0.99
+    assert(result.length == expected.size)
+    result.foreach { case (a, b) => assert(b == a + 1000000L) }
+  }
+}
