@@ -61,14 +61,37 @@ object Main {
       spark.stop()
 
     case "validate" :: in :: Nil =>
-      val spark = session()
-      val issues = Preflight.validate(triplesOf(spark, in)).localCheckpoint()
-      issues.orderBy("category").collect().foreach { r =>
-        println(s"[${r.getAs[String]("severity")}] ${r.getAs[String]("category")}: " +
-          r.getAs[String]("message"))
+      // format routing like the reference's validate command: CDM by the
+      // .cdm.json/.model.json suffixes, DTDL by .json/.dtdl, else RDF
+      // preflight
+      if (in.endsWith(".cdm.json") || in.endsWith(".model.json")) {
+        val manifest =
+          if (in.endsWith(".manifest.cdm.json")) graft.cdm.CdmFolder.parse(in)
+          else graft.cdm.CdmParser.parse(
+            java.nio.file.Files.readString(java.nio.file.Paths.get(in)))
+        val issues = graft.cdm.CdmValidator.validate(manifest)
+        issues.foreach(i => println(s"[${i.severity}] ${i.category}: ${i.message}" +
+          i.location.map(l => s" ($l)").getOrElse("")))
+        println(if (graft.cdm.CdmValidator.isValid(issues))
+          "valid: yes" else "valid: no")
+      } else if (in.endsWith(".json") || in.endsWith(".dtdl")) {
+        val ifaces = graft.dtdl.DtdlParser.parse(
+          java.nio.file.Files.readString(java.nio.file.Paths.get(in)))
+        val issues = graft.dtdl.DtdlValidator.validate(ifaces)
+        issues.foreach(i => println(s"[${i.level}] ${i.category}: ${i.message}" +
+          i.field.map(f => s" [field: $f]").getOrElse("")))
+        println(if (graft.dtdl.DtdlValidator.isValid(issues))
+          "valid: yes" else "valid: no")
+      } else {
+        val spark = session()
+        val issues = Preflight.validate(triplesOf(spark, in)).localCheckpoint()
+        issues.orderBy("category").collect().foreach { r =>
+          println(s"[${r.getAs[String]("severity")}] ${r.getAs[String]("category")}: " +
+            r.getAs[String]("message"))
+        }
+        println(if (Preflight.isSeamless(issues)) "seamless: yes" else "seamless: no")
+        spark.stop()
       }
-      println(if (Preflight.isSeamless(issues)) "seamless: yes" else "seamless: no")
-      spark.stop()
 
     case "export" :: in :: out :: Nil =>
       val spark = session()
