@@ -118,7 +118,9 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand: Int = numHashes / bands
     private val p = 2305843009213693951L // 2^61 - 1 (Mersenne prime)
-    private[dedup] def coeffs: Array[(Long, Long)] = {
+    // materialized once per executor (was a def: regenerating 64 Random
+    // draws per DOCUMENT — pure waste on a corpus-scale scan)
+    @transient private[dedup] lazy val coeffs: Array[(Long, Long)] = {
       val rnd = new scala.util.Random(seed)
       Array.fill(numHashes)((math.abs(rnd.nextLong()) % (p - 1) + 1,
         math.abs(rnd.nextLong()) % p))

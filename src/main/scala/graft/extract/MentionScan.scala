@@ -70,6 +70,101 @@ object MentionScan {
         concat(lit("urn:ent:"), col("e2")).as("o"),
         col("n_docs"))
 
+  /** Partition-fused co-occurrence — the 100 TB fast path. The explode
+    * formulation above is fully declarative but materializes one row per
+    * (doc, entity-pair): ~45 string-struct rows/doc through the hash
+    * aggregate, which profiling showed dominating the front end (≈4.5 s
+    * of the 8.3 s full pipeline at local[32], REP=512). Since the pair
+    * histogram is dictionary-sized, each partition can accumulate it in
+    * a primitive LongMap keyed by `i*K + j` over broadcast entity
+    * indices and emit ≤ K²/2 partial rows — the shuffle carries
+    * per-partition partials instead of per-document pairs. Same output
+    * as [[coOccurrenceFromSets]] (equivalence ScalaTested): indices are
+    * assigned in lexicographic entity order, so (e1 < e2) pairing is
+    * preserved.
+    */
+  def coOccurrenceFused(sets: DataFrame, entities: Seq[String]): DataFrame = {
+    val spark = sets.sparkSession
+    import spark.implicits._
+    val sorted = entities.sorted.toArray
+    val k = sorted.length
+    val bcIdx = spark.sparkContext.broadcast(sorted.zipWithIndex.toMap)
+    val partials = sets.select(col("es")).as[Seq[String]]
+      .mapPartitions { it =>
+        val idx = bcIdx.value
+        val counts = new scala.collection.mutable.LongMap[Long]()
+        val buf = new Array[Int](k)
+        for (es <- it) {
+          var n = 0
+          es.foreach { e =>
+            val i = idx.getOrElse(e, -1)
+            if (i >= 0) { buf(n) = i; n += 1 }
+          }
+          java.util.Arrays.sort(buf, 0, n)
+          var i = 0
+          while (i < n) {
+            var j = i + 1
+            while (j < n) {
+              val key = buf(i).toLong * k + buf(j)
+              counts(key) = counts.getOrElse(key, 0L) + 1L
+              j += 1
+            }
+            i += 1
+          }
+        }
+        counts.iterator
+      }
+      .toDF("key", "cnt")
+    val dict = typedLit(sorted.toSeq)
+    partials.groupBy("key").agg(sum("cnt").as("n_docs"))
+      .select(
+        concat(lit("urn:ent:"),
+          element_at(dict, (col("key") / k).cast("int") + 1)).as("s"),
+        lit(CoOccursPred).as("p"),
+        concat(lit("urn:ent:"),
+          element_at(dict, (col("key") % k).cast("int") + 1)).as("o"),
+        col("n_docs"))
+  }
+
+  /** Index-typed variant of [[coOccurrenceFused]] for scans that already
+    * dictionary-encode entities (`es` = array<int> of entity indices in
+    * lexicographic entity order): no per-doc string lookups, int pair
+    * keys end-to-end. */
+  def coOccurrenceFusedIdx(setsIdx: DataFrame, entities: Seq[String]): DataFrame = {
+    val spark = setsIdx.sparkSession
+    import spark.implicits._
+    val sorted = entities.sorted.toArray
+    val k = sorted.length
+    val partials = setsIdx.select(col("es")).as[Seq[Int]]
+      .mapPartitions { it =>
+        val counts = new scala.collection.mutable.LongMap[Long]()
+        for (es <- it) {
+          val n = es.length
+          var i = 0
+          while (i < n) {
+            var j = i + 1
+            while (j < n) {
+              val key = es(i).toLong * k + es(j)
+              counts(key) = counts.getOrElse(key, 0L) + 1L
+              j += 1
+            }
+            i += 1
+          }
+        }
+        counts.iterator
+      }
+      .toDF("key", "cnt")
+    val dict = typedLit(sorted.toSeq)
+    partials.groupBy("key").agg(sum("cnt").as("n_docs"))
+      .select(
+        concat(lit("urn:ent:"),
+          element_at(dict, (col("key") / k).cast("int") + 1)).as("s"),
+        lit(CoOccursPred).as("p"),
+        concat(lit("urn:ent:"),
+          element_at(dict, (col("key") % k).cast("int") + 1)).as("o"),
+        col("n_docs"))
+  }
+
   /** TF-IDF link score per mention: `tf * ln(nDocs / df)`. The df side is
     * dictionary-sized → broadcast join.
     */

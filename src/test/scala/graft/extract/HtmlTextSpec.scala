@@ -76,3 +76,18 @@ class GazetteerSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Fused co-occurrence ≡ declarative explode formulation. */
+class CoOccurrenceFusedSpec extends graft.SparkSpec {
+  test("coOccurrenceFused matches coOccurrenceFromSets on real pages") {
+    val pages = graft.pages.PageGen.pages(spark, "/root/testdata/sf0.001")
+    val gaz = Gazetteer(Gazetteer.DefaultEntities)
+    val sets = MentionScan.mentionSets(pages, gaz).localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(2), r.getLong(3))).toSet
+    val declarative = rows(MentionScan.coOccurrenceFromSets(sets))
+    val fused = rows(MentionScan.coOccurrenceFused(sets, Gazetteer.DefaultEntities))
+    assert(declarative.nonEmpty)
+    assert(fused == declarative)
+  }
+}
