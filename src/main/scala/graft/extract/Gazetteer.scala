@@ -19,7 +19,8 @@ import scala.collection.mutable
 final class Gazetteer private (
     goto: Array[mutable.LongMap[Int]], // node -> (char -> node)
     fail: Array[Int],
-    out: Array[List[String]] // entity ids emitted at this node
+    out: Array[List[String]], // entity ids emitted at this node
+    val entityList: Seq[String] // the dictionary this trie was built from
 ) extends Serializable {
 
   final case class Match(entity: String, begin: Int, end: Int)
@@ -108,7 +109,8 @@ object Gazetteer {
         if (fail(v) != v) outB(v) = outB(v) ++ outB(fail(v))
       }
     }
-    new Gazetteer(goto.map(m => m).toArray, fail, outB.toArray)
+    new Gazetteer(goto.map(m => m).toArray, fail, outB.toArray,
+      entries.distinct.filter(_.nonEmpty))
   }
 
   /** The fixed demo gazetteer over the synthetic corpus vocabulary —

@@ -184,6 +184,19 @@ object MentionScan {
   val MentionsPred = "urn:graft:mentions"
   val CoOccursPred = "urn:graft:coOccursWith"
 
+  /** [[coOccurrenceTriples]] computed through the fused histogram — same
+    * output (minus nothing: identical (s, p, o, n_docs) rows), one
+    * doc-keyed set gather then partition-local pair counting instead of
+    * the per-pair explode. The kg_cooccur / kg_canonical DuckDB oracles
+    * validate this path end-to-end.
+    */
+  def coOccurrenceTriplesFused(mentionsDf: DataFrame,
+                               entities: Seq[String]): DataFrame = {
+    val sets = mentionsDf.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("entity"))).as("es"))
+    coOccurrenceFused(sets, entities)
+  }
+
   def mentionTriples(mentionsDf: DataFrame): DataFrame =
     mentionsDf.select(
       concat(lit("urn:doc:"), col("doc_id")).as("s"),

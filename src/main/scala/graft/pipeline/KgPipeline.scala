@@ -99,7 +99,8 @@ object KgPipeline {
             concat(lit("urn:ent:"), col("entity")).as("node"), lit(EntCls).as("cls")))
           .distinct()
         val candidate = MentionScan.mentionTriples(mentions)
-          .union(MentionScan.coOccurrenceTriples(mentions).select("s", "p", "o"))
+          .union(MentionScan.coOccurrenceTriplesFused(mentions,
+            gazetteer.entityList).select("s", "p", "o"))
         val (valid, iss) = ShapeRules.validate(candidate, typeTriples, shapeRules(spark))
         // issues first: `done` keys on the triples marker, so a crash
         // between the two writes must leave triples uncommitted

@@ -59,7 +59,7 @@ object KgQueries {
   /** Entity co-occurrence triples (s, p, o, n_docs). */
   def kgCooccur(spark: SparkSession, dir: String): DataFrame = {
     val m = MentionScan.mentions(pagesDf(spark, dir), Gazetteer(gaz))
-    MentionScan.coOccurrenceTriples(m).orderBy(col("s"), col("o"))
+    MentionScan.coOccurrenceTriplesFused(m, gaz).orderBy(col("s"), col("o"))
   }
 
   /** Shape validation over candidate triples plus a deterministic batch of
@@ -111,7 +111,7 @@ object KgQueries {
   def kgCanonical(spark: SparkSession, dir: String): DataFrame = {
     val m = MentionScan.mentions(pagesDf(spark, dir), Gazetteer(gaz))
     val mentionT = MentionScan.mentionTriples(m)
-    val co = MentionScan.coOccurrenceTriples(m).select("s", "p", "o")
+    val co = MentionScan.coOccurrenceTriplesFused(m, gaz).select("s", "p", "o")
     val edges = co.select(col("s").as("a"), col("o").as("b"))
     val comp = ConnectedComponents.run(edges)
     val canonMap = comp.select(col("node"), col("component"))
