@@ -104,7 +104,10 @@ object DataQueries {
     * in ScalaTest).
     */
   def ddEmbed(spark: SparkSession, dir: String): DataFrame =
-    Similarity.embeddingNearDupPairs(embedCorpus(spark, dir), 0.99)
+    // nBits=11 (2048 buckets): ~10 vectors/bucket at sf0.1 keeps the
+    // candidate join near-linear; twin recall stays ~1-4e-9 across the
+    // 10 tables (cos 0.999 -> per-table P=0.855)
+    Similarity.embeddingNearDupPairs(embedCorpus(spark, dir), 0.99, nBits = 11)
       .orderBy("a", "b")
 
   /** Integer-exact nearest neighbor by quantized dot product. */
@@ -227,11 +230,11 @@ object DataQueries {
     * Double.toString is shortest-round-trip, so DuckDB parses back the
     * identical IEEE doubles.
     */
-  private def lshPlanesSql: String = {
+  private def lshPlanesSql(nBits: Int = 7): String = {
     val rows = for {
       t <- 0 until 10
-      planes = Similarity.hyperplanes(64, 7, 42L + 1000L * t)
-      b <- 0 until 7
+      planes = Similarity.hyperplanes(64, nBits, 42L + 1000L * t)
+      b <- 0 until nBits
     } yield s"($t, $b, [${planes(b).mkString(", ")}])"
     s"planes(tbl, bit, p) AS (SELECT * FROM (VALUES ${rows.mkString(",\n  ")}) v(tbl, bit, p))"
   }
@@ -246,7 +249,7 @@ object DataQueries {
 
   val oracles: Map[String, String] = Map(
     "dd_embed" ->
-      s"""WITH ${lshPlanesSql},
+      s"""WITH ${lshPlanesSql(11)},
          |corpus AS (
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL
@@ -276,7 +279,7 @@ object DataQueries {
          |SELECT a, b, cos FROM scored WHERE cos >= 0.99
          |ORDER BY a, b""".stripMargin,
     "ann_lsh_topk" ->
-      s"""WITH ${lshPlanesSql},
+      s"""WITH ${lshPlanesSql()},
          |e AS (SELECT vec_id, embedding FROM embeddings),
          |buckets AS (
          |  SELECT e.vec_id, pl.tbl,
