@@ -71,6 +71,45 @@ object Similarity {
       .select("query_id", "cand_id", "dp")
   }
 
+  /** (table, bucket, vec_id) rows from a typed per-partition projection
+    * loop. The Column formulation (an `array` of numTables×nBits nested
+    * `aggregate` folds) exceeds whole-stage-codegen limits above ~70
+    * expressions and falls back to interpreted evaluation; the loop does
+    * the SAME IEEE arithmetic (float element promoted to double, double
+    * accumulation in index order — what the DuckDB oracle replays) at
+    * memory-bandwidth speed.
+    */
+  def lshBucketsTyped(emb: DataFrame, nBits: Int, numTables: Int,
+                      seed: Long): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dim = 64
+    val tables: Array[Array[Array[Double]]] = (0 until numTables)
+      .map(t => hyperplanes(dim, nBits, seed + 1000L * t)).toArray
+    val bcT = spark.sparkContext.broadcast(tables)
+    emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val ts = bcT.value
+        it.flatMap { case (id, v) =>
+          val arr = v.toArray
+          Iterator.tabulate(ts.length) { t =>
+            val planes = ts(t)
+            var bucket = 0
+            var b = 0
+            while (b < planes.length) {
+              val pl = planes(b)
+              var acc = 0.0
+              var i = 0
+              while (i < pl.length) { acc += arr(i).toDouble * pl(i); i += 1 }
+              if (acc >= 0) bucket |= (1 << b)
+              b += 1
+            }
+            (t, bucket, id)
+          }
+        }
+      }.toDF("table", "bucket", "vec_id")
+  }
+
   /** Embedding-cosine near-duplicate PAIRS (the dedup flavor of ANN:
     * symmetric, thresholded, corpus×corpus): candidates are same-bucket
     * pairs in ANY of the hyperplane tables (no probes — near-dups at
@@ -81,20 +120,16 @@ object Similarity {
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double,
                             nBits: Int = 7, numTables: Int = 10,
                             seed: Long = 42L): DataFrame = {
-    val dim = 64
-    val tables = (0 until numTables).map(t => hyperplanes(dim, nBits, seed + 1000L * t))
-    val withBuckets = emb.withColumn("buckets",
-      array(tables.map(p => lshBucket(col("embedding"), p)): _*))
-    val sides = withBuckets
-      .select(col("vec_id"), col("embedding"), posexplode(col("buckets")))
-      .toDF("vec_id", "embedding", "table", "bucket")
-    val l = sides.select(col("table"), col("bucket"), col("vec_id").as("a"),
-      col("embedding").as("va"))
-    val r = sides.select(col("table"), col("bucket"), col("vec_id").as("b"),
-      col("embedding").as("vb"))
-    l.join(r, Seq("table", "bucket"))
+    val buckets = lshBucketsTyped(emb, nBits, numTables, seed)
+    val l = buckets.select(col("table"), col("bucket"), col("vec_id").as("a"))
+    val r = buckets.select(col("table"), col("bucket"), col("vec_id").as("b"))
+    val cand = l.join(r, Seq("table", "bucket"))
       .filter(col("a") < col("b"))
-      .select("a", "b", "va", "vb").distinct()
+      .select("a", "b").distinct()
+    val e = emb.select(col("vec_id"), col("embedding"))
+    cand
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("va")), Seq("a"))
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("vb")), Seq("b"))
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("a", "b", "cos")
@@ -126,28 +161,26 @@ object Similarity {
     */
   def lshTopK(emb: DataFrame, queryPred: Column, k: Int, nBits: Int = 7,
               numTables: Int = 10, seed: Long = 42L): DataFrame = {
-    val dim = 64
-    val tables = (0 until numTables)
-      .map(t => hyperplanes(dim, nBits, seed + 1000L * t))
-    val bucketCols = array(tables.map(p => lshBucket(col("embedding"), p)): _*)
-    val withBuckets = emb.withColumn("buckets", bucketCols)
-    val c = withBuckets.select(col("vec_id").as("cand_id"),
-        col("embedding").as("cv"), posexplode(col("buckets")))
-      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
-    val q = withBuckets.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        posexplode(col("buckets")))
-      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket0")
+    val buckets = lshBucketsTyped(emb, nBits, numTables, seed)
+    val c = buckets.select(col("table"), col("bucket"),
+      col("vec_id").as("cand_id"))
+    val queryIds = emb.filter(queryPred).select(col("vec_id").as("query_id"))
+    val q = buckets.join(queryIds,
+        buckets("vec_id") === queryIds("query_id"))
       .withColumn("probe", explode(array(
         lit(0) +: (0 until nBits).map(i => lit(1 << i)): _*)))
-      .select(col("query_id"), col("qv"), col("table"),
-        col("bucket0").bitwiseXOR(col("probe")).as("bucket"))
+      .select(col("query_id"), col("table"),
+        col("bucket").bitwiseXOR(col("probe")).as("bucket"))
+    val e = emb.select(col("vec_id"), col("embedding"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
     q.join(c, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"), col("qv"), col("cv"))
-      .distinct()
+      .select("query_id", "cand_id").distinct()
+      .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        Seq("query_id"))
+      .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("cv")),
+        Seq("cand_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
