@@ -72,8 +72,11 @@ object KgPipeline {
       if (done(outDir, "pages")) load(spark, outDir, "pages")
       else {
         val p = PageGen.pages(spark, sfDir)
-        val extractText = udf((html: Array[Byte]) => HtmlText.extractMainFromBytes(html))
-        val withExtract = p.withColumn("extracted", extractText(col("html")))
+        // native Catalyst expression (doGenCode static call) instead of a
+        // UDF: stays inside whole-stage codegen, no catalyst<->scala row
+        // conversion on the hot path
+        val withExtract = p.withColumn("extracted",
+          graft.extract.ExtractMainText(col("html")))
         commit(withExtract, outDir, "pages")
       }
     val invariantViolations = pages.filter(col("extracted") =!= col("text")).count()

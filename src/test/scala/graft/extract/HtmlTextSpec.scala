@@ -91,3 +91,35 @@ class CoOccurrenceFusedSpec extends graft.SparkSpec {
     assert(fused == declarative)
   }
 }
+
+/** Native ExtractMainText expression: codegen + parity with the scala path. */
+class ExtractMainTextSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("expression output is byte-identical to the function and the source text") {
+    val pages = graft.pages.PageGen.pages(spark, "/root/testdata/sf0.001")
+    val out = pages
+      .withColumn("viaExpr", ExtractMainText(col("html")))
+      .select("text", "viaExpr")
+    assert(out.filter(col("viaExpr") =!= col("text")).count() == 0)
+    // whole-stage codegen survives: the project sits inside a
+    // WholeStageCodegenExec (rendered as the *(n) prefix)
+    val hasWsc = out.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(hasWsc, out.queryExecution.executedPlan.toString.take(500))
+  }
+
+  test("null-safe and type-checked") {
+    import spark.implicits._
+    val df = Seq((1L, null: Array[Byte]),
+      (2L, "<html><body><p>x</p></body></html>".getBytes("UTF-8")))
+      .toDF("id", "html")
+    val r = df.select(col("id"), ExtractMainText(col("html")).as("t"))
+      .collect().map(x => (x.getLong(0), Option(x.getString(1)))).toMap
+    assert(r(1L).isEmpty) // null in, null out
+    assert(r(2L).contains("x"))
+    intercept[Exception] {
+      df.select(ExtractMainText(col("id"))).collect() // wrong input type
+    }
+  }
+}
