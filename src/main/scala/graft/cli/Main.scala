@@ -128,6 +128,42 @@ object Main {
       }
       spark.stop()
 
+    // D2 round-trip test command (reference `test`, round_trip_test at
+    // fabric_to_ttl.py:526-568): extract → export to triples → re-extract
+    // → semantic diff + P/R
+    case "test" :: in :: Nil =>
+      val spark = session()
+      val t = triplesOf(spark, in)
+      val cls = Extract.classesWithIds(t).localCheckpoint()
+      val assignment = Extract.propertyAssignment(t, cls).localCheckpoint()
+      val (rels, _) = Extract.relationships(t, cls)
+      val (entities, relsDf, _) = Extract.entityTypes(t)
+      val exported = TtlExport.toTriples(
+        entities.localCheckpoint(), relsDf.localCheckpoint()).localCheckpoint()
+      val cls2 = Extract.classesWithIds(exported).localCheckpoint()
+      val assignment2 = Extract.propertyAssignment(exported, cls2).localCheckpoint()
+      val (rels2, _) = Extract.relationships(exported, cls2)
+      def named(kind: String, df: org.apache.spark.sql.DataFrame) =
+        df.select(lit(kind).as("kind"), col("name")).distinct()
+      val a = named("class", cls).union(named("data_property", assignment))
+        .union(named("object_property", rels)).localCheckpoint()
+      val b = named("class", cls2).union(named("data_property", assignment2))
+        .union(named("object_property", rels2)).localCheckpoint()
+      var allMatch = true
+      Diff.compare(a, b).orderBy("kind").collect().foreach { r =>
+        val m = r.getBoolean(4)
+        allMatch &&= m
+        println(s"${r.getString(0)}: matching=${r.getLong(1)} " +
+          s"only_in_first=${r.getLong(2)} only_in_second=${r.getLong(3)} match=$m")
+      }
+      val inter = b.intersect(a).count().toDouble
+      val precision = if (b.count() == 0) 1.0 else inter / b.count()
+      val recall = if (a.count() == 0) 1.0 else inter / a.count()
+      println(f"precision=$precision%.4f recall=$recall%.4f")
+      println(if (allMatch) "round-trip: PASS" else "round-trip: FAIL")
+      spark.stop()
+      if (!allMatch) sys.exit(1)
+
     case "kg" :: sfDir :: outDir :: Nil =>
       val spark = session()
       val res = graft.pipeline.KgPipeline.run(spark, sfDir, outDir)
@@ -139,9 +175,9 @@ object Main {
     case other =>
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
-           |usage: convert <in.ttl> <out.json> | validate <in.ttl> |
+           |usage: convert <in.ttl> <out.json> | validate <in.{ttl,json,dtdl,cdm.json}> |
            |       export <in.json> <out.nt> | compare <a.ttl> <b.ttl> |
-           |       kg <sfDir> <outDir>""".stripMargin)
+           |       test <in.ttl> | kg <sfDir> <outDir>""".stripMargin)
       sys.exit(2)
   }
 }

@@ -34,3 +34,17 @@ class CliValidateSpec extends AnyFunSuite {
     assert(out.contains("valid: no"))
   }
 }
+
+/** D2 round-trip `test` command end-to-end. */
+class CliRoundTripSpec extends graft.SparkSpec {
+  test("test command: reference supply-chain sample round-trips PASS") {
+    val sample = "/root/reference/samples/rdf/sample_supply_chain_ontology.ttl"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(sample)))
+    val bos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bos))(
+      Main.main(Array("test", sample)))
+    val out = bos.toString("UTF-8")
+    assert(out.contains("round-trip: PASS"), out)
+    assert(out.contains("precision=1.0000 recall=1.0000"), out)
+  }
+}
