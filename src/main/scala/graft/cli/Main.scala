@@ -43,7 +43,16 @@ object Main {
       path.substring(path.lastIndexOf('.') + 1))).toDF().localCheckpoint()
   }
 
-  def main(args: Array[String]): Unit = args.toList match {
+  def main(args: Array[String]): Unit = {
+    // commands must not tear down a session they didn't create (tests and
+    // embedding callers share one via getOrCreate)
+    val hadSession = SparkSession.getDefaultSession.isDefined
+    def stopOwned(spark: SparkSession): Unit = if (!hadSession) spark.stop()
+    run(args.toList, stopOwned)
+  }
+
+  private def run(args: List[String],
+                  stopOwned: SparkSession => Unit): Unit = args match {
     case "convert" :: in :: out :: Nil =>
       val spark = session()
       val t = triplesOf(spark, in)
@@ -58,7 +67,7 @@ object Main {
       FabricParts.writeOutput(out, name, parts, stats)
       println(s"converted $in -> $out: ${stats.entityTypes} entities, " +
         s"${stats.relationshipTypes} relationships, ${stats.skippedItems} skipped")
-      spark.stop()
+      stopOwned(spark)
 
     case "validate" :: in :: Nil =>
       // format routing like the reference's validate command: CDM by the
@@ -90,7 +99,7 @@ object Main {
             r.getAs[String]("message"))
         }
         println(if (Preflight.isSeamless(issues)) "seamless: yes" else "seamless: no")
-        spark.stop()
+        stopOwned(spark)
       }
 
     case "export" :: in :: out :: Nil =>
@@ -107,7 +116,7 @@ object Main {
       val nt = TtlExport.toNTriples(TtlExport.toTriples(entities, rels).localCheckpoint())
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out), nt)
       println(s"exported $in -> $out (${nt.linesIterator.size} triples)")
-      spark.stop()
+      stopOwned(spark)
 
     case "compare" :: a :: b :: Nil =>
       val spark = session()
@@ -126,7 +135,7 @@ object Main {
           s"only_in_first=${r.getLong(2)} only_in_second=${r.getLong(3)} " +
           s"match=${r.getBoolean(4)}")
       }
-      spark.stop()
+      stopOwned(spark)
 
     // D2 round-trip test command (reference `test`, round_trip_test at
     // fabric_to_ttl.py:526-568): extract → export to triples → re-extract
@@ -161,7 +170,7 @@ object Main {
       val recall = if (a.count() == 0) 1.0 else inter / a.count()
       println(f"precision=$precision%.4f recall=$recall%.4f")
       println(if (allMatch) "round-trip: PASS" else "round-trip: FAIL")
-      spark.stop()
+      stopOwned(spark)
       if (!allMatch) sys.exit(1)
 
     case "kg" :: sfDir :: outDir :: Nil =>
@@ -170,7 +179,7 @@ object Main {
       println(s"kg pipeline: triples=${res.canonicalTriples.count()} " +
         s"invariantViolations=${res.invariantViolations} " +
         s"issues=${res.issues.count()}")
-      spark.stop()
+      stopOwned(spark)
 
     case other =>
       System.err.println(
