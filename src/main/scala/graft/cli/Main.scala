@@ -9,15 +9,16 @@ import graft.shape.Preflight
 import graft.sink.{Diff, FabricParts, TtlExport}
 import graft.pipeline.StatsAggregator
 
-/** spark-submit entry points (SURVEY §7.2: convert | validate | export |
-  * compare | kg), mirroring the reference CLI's command map
-  * (`src/main.py:58-103`) on the Spark engine:
+/** spark-submit entry points mirroring the reference CLI's in-scope
+  * command map (`src/main.py:58-103`; upload/list/get/delete are the
+  * network-bound Fabric REST commands, out of scope per the brief):
   *
-  *   convert  <in.ttl> <out.json>   TTL → Fabric definition JSON (O1/O3)
-  *   validate <in.ttl>              preflight report (2.11)
-  *   export   <in.json> <out.nt>    Fabric definition → N-Triples (S6/O2)
-  *   compare  <a.ttl> <b.ttl>       semantic diff (D1)
-  *   kg       <sfDir> <outDir>      checkpointed KG pipeline (north rule)
+  *   convert  <in.ttl> <out.json>     TTL → Fabric definition JSON (O1/O3)
+  *   validate <in.{ttl,json,dtdl,cdm.json}>  per-format validator (2.11)
+  *   export   <in.json> <out.nt>      Fabric definition → N-Triples (S6/O2)
+  *   compare  <a.ttl> <b.ttl>         semantic diff (D1)
+  *   test     <in.ttl>                D2 round-trip + P/R report
+  *   kg       <sfDir> <outDir>        checkpointed KG pipeline (north rule)
   */
 object Main {
 
