@@ -61,3 +61,50 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(cc == Map("a" -> "a", "b" -> "a"))
   }
 }
+
+/** Skew salting operators (north-star "salted joins ... for head entities"). */
+class SaltingSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  // 20k rows, 90% on one head key — the shape AQE aggregation can't split
+  private def skewed = spark.range(20000)
+    .select(
+      when(col("id") % 10 === 0, concat(lit("e"), col("id") % 50))
+        .otherwise(lit("HEAD")).as("entity"),
+      col("id"))
+    .localCheckpoint()
+
+  test("saltedJoin equals the plain join on a skewed probe side") {
+    val dim = Seq(("HEAD", "Head Entity"), ("e0", "E Zero"), ("e10", "E Ten"))
+      .toDF("entity", "label")
+    val plain = skewed.join(dim, Seq("entity"))
+      .groupBy("entity", "label").count()
+    val salted = Salting.saltedJoin(skewed, dim, "entity",
+        salts = 8, saltFrom = Seq("id"))
+      .groupBy("entity", "label").count()
+    assert(salted.collect().toSet.map((r: org.apache.spark.sql.Row) =>
+      (r.getString(0), r.getString(1), r.getLong(2))) ==
+      plain.collect().toSet.map((r: org.apache.spark.sql.Row) =>
+        (r.getString(0), r.getString(1), r.getLong(2))))
+    // and the hot key really is sharded: HEAD rows carry many distinct
+    // salts, i.e. many distinct shuffle keys (AQE may still coalesce tiny
+    // test-scale partitions physically — the key-space split is what
+    // matters at scale)
+    val saltsUsed = skewed.withColumn("__salt",
+        Salting.saltCol(8, col("id")))
+      .filter(col("entity") === "HEAD")
+      .agg(countDistinct("__salt")).head.getLong(0)
+    assert(saltsUsed == 8, s"HEAD used only $saltsUsed salts")
+  }
+
+  test("twoPhaseCount equals groupBy().count() incl. the head key") {
+    val expected = skewed.groupBy("entity").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val got = Salting.twoPhaseCount(skewed, "entity",
+        salts = 16, saltFrom = Seq("id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == expected)
+    assert(got("HEAD") == 18000L)
+  }
+}
