@@ -23,6 +23,47 @@ import graft.pages.PageGen
   * Prints one JSON line: docs, seconds, docs_per_sec, parallelism.
   */
 object ScalingBench {
+
+  /** One full front-end pass (html synth → extract → trie scan →
+    * TF-IDF count + fused co-occurrence) over a prepared corpus; the
+    * single scan is materialized once and feeds both sinks. Shared by
+    * this main and graft.Bench's headline measurement.
+    */
+  def frontEndOnce(replicated: org.apache.spark.sql.DataFrame,
+                   bc: org.apache.spark.broadcast.Broadcast[graft.extract.Gazetteer],
+                   bcIdx: org.apache.spark.broadcast.Broadcast[Map[String, Int]],
+                   entitiesSorted: Seq[String], nDocs: Long): Long = {
+    val spark = replicated.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pages = replicated.as[(Long, String, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text, lang, source) =>
+          val html = PageGen.template(id, lang, source, HtmlText.escape(text))
+            .getBytes(StandardCharsets.UTF_8)
+          (id, html)
+        }
+      }.toDF("doc_id", "html")
+    val extracted = pages.as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val trie = bc.value
+        val idx = bcIdx.value
+        it.map { case (id, html) =>
+          val text = HtmlText.extractMainFromBytes(html)
+          val counts = trie.countMatches(text)
+          (id, counts.toSeq.map { case (e, tf) => (idx(e), tf.toLong) }.sorted)
+        }
+      }.toDF("doc_id", "mentions")
+      .localCheckpoint()
+    val flat = extracted.select(col("doc_id"),
+      explode(col("mentions")).as("m"))
+      .select(col("doc_id"), col("m._1").as("entity"), col("m._2").as("tf"))
+    val sets = extracted.select(col("doc_id"), col("mentions._1").as("es"))
+    val scored = MentionScan.scored(flat, nDocs)
+    val co = MentionScan.coOccurrenceFusedIdx(sets, entitiesSorted)
+    scored.agg(count(lit(1))).head.getLong(0) + co.count()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -99,9 +140,7 @@ object ScalingBench {
         case "cooccur" =>
           MentionScan.coOccurrenceFusedIdx(sets, Gazetteer.DefaultEntities).count()
         case _ =>
-          val scored = MentionScan.scored(flat, nDocs)
-          val co = MentionScan.coOccurrenceFusedIdx(sets, Gazetteer.DefaultEntities)
-          scored.agg(count(lit(1))).head.getLong(0) + co.count()
+          frontEndOnce(replicated, bc, bcIdx, entitiesSorted, nDocs)
       }
     }
 
