@@ -52,7 +52,14 @@ object Bench {
     // TF-IDF + fused co-occurrence), REP-replicated to amortize overhead
     val (feDocs, feSecs) = {
       import org.apache.spark.sql.functions._
-      val rep = 256
+      // Replication amortizes fixed overhead at tiny SF but must shrink as
+      // the corpus grows or the localCheckpoint caches REP× the whole
+      // corpus (advisor: OOM hazard at large SF). Cap the replicated row
+      // count; SPARK_GRAFT_REP overrides the base factor.
+      val baseRep = sys.env.get("SPARK_GRAFT_REP").map(_.toInt).getOrElse(256)
+      val maxReplicatedRows = 2000000L
+      val rep = math.max(1L, math.min(baseRep.toLong,
+        maxReplicatedRows / math.max(1L, nDocs))).toInt
       val replicated = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("text"), col("lang"), col("source"))
         .crossJoin(spark.range(rep).toDF("rep"))

@@ -80,10 +80,9 @@ object Similarity {
     * memory-bandwidth speed.
     */
   def lshBucketsTyped(emb: DataFrame, nBits: Int, numTables: Int,
-                      seed: Long): DataFrame = {
+                      seed: Long, dim: Int = 64): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val dim = 64
     val tables: Array[Array[Array[Double]]] = (0 until numTables)
       .map(t => hyperplanes(dim, nBits, seed + 1000L * t)).toArray
     val bcT = spark.sparkContext.broadcast(tables)
@@ -100,7 +99,10 @@ object Similarity {
               val pl = planes(b)
               var acc = 0.0
               var i = 0
-              while (i < pl.length) { acc += arr(i).toDouble * pl(i); i += 1 }
+              // embeddings shorter than `dim` project onto the prefix
+              // (implicit zero-padding) instead of throwing AIOOBE
+              val n = math.min(arr.length, pl.length)
+              while (i < n) { acc += arr(i).toDouble * pl(i); i += 1 }
               if (acc >= 0) bucket |= (1 << b)
               b += 1
             }

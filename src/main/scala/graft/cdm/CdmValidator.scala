@@ -192,11 +192,17 @@ object CdmFolder {
   import java.nio.file.{Files, Path, Paths}
 
   def parse(manifestPath: String): CdmManifest =
-    parseRec(Paths.get(manifestPath).toAbsolutePath.normalize(), Set.empty)
+    parseRec(Paths.get(manifestPath).toAbsolutePath.normalize(), Set.empty)._1
 
-  private def parseRec(path: Path, visited: Set[Path]): CdmManifest = {
+  /** Returns the merged manifest AND the visited set grown by this whole
+    * subtree — threading it through the sibling fold means a manifest
+    * reachable via two siblings (diamond) is parsed exactly once, so its
+    * entities are not duplicated into the union (which would then trip
+    * spurious duplicate-name errors in [[CdmValidator]]).
+    */
+  private def parseRec(path: Path, visited: Set[Path]): (CdmManifest, Set[Path]) = {
     if (visited(path) || !Files.exists(path))
-      return CdmManifest(Nil, Nil)
+      return (CdmManifest(Nil, Nil), visited)
     val seen = visited + path
     val base = path.getParent
     val m = CdmParser.parse(Files.readString(path))
@@ -208,12 +214,16 @@ object CdmFolder {
       else e.sourcePath.flatMap(p => loadEntity(base, p, e.name)).getOrElse(e)
     }
 
-    val subs = m.subManifests
-      .map(sp => parseRec(base.resolve(sp).normalize(), seen))
-    CdmManifest(
+    val (subs, seenAfter) =
+      m.subManifests.foldLeft((Vector.empty[CdmManifest], seen)) {
+        case ((acc, vis), sp) =>
+          val (sub, vis2) = parseRec(base.resolve(sp).normalize(), vis)
+          (acc :+ sub, vis2)
+      }
+    (CdmManifest(
       entities ++ subs.flatMap(_.entities),
       m.relationships ++ subs.flatMap(_.relationships),
-      m.name, m.schemaVersion, Nil)
+      m.name, m.schemaVersion, Nil), seenAfter)
   }
 
   /** `cdm_parser.py:688-720`: split the corpus path at the `.cdm.json`

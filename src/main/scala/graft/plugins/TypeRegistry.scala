@@ -31,41 +31,49 @@ object TypeRegistry {
       s"Invalid Fabric type '$fabricType'")
   }
 
+  /** All access goes through `synchronized` — the extraction stages run on
+    * Futures and the shared `global` singleton would otherwise race plugin
+    * registration against lookups and corrupt the open-addressing maps.
+    * Registration is driver-side, rare, and tiny, so a monitor (not a
+    * concurrent map) is the right cost/complexity point.
+    */
   final class Registry(private var defaultType0: String = "String") {
     private val mappings =
       mutable.Map[String, mutable.Map[String, TypeMapping]]()
     private val aliases = mutable.Map[String, mutable.Map[String, String]]()
 
-    def defaultType: String = defaultType0
-    def defaultType_=(v: String): Unit = {
+    def defaultType: String = synchronized(defaultType0)
+    def defaultType_=(v: String): Unit = synchronized {
       require(FabricTypes.contains(v), s"Invalid default type: $v")
       defaultType0 = v
     }
 
-    def registerFormat(formatName: String): Unit = {
+    def registerFormat(formatName: String): Unit = synchronized {
       val key = formatName.toLowerCase
       mappings.getOrElseUpdate(key, mutable.Map())
       aliases.getOrElseUpdate(key, mutable.Map())
+      ()
     }
 
     def registerMapping(formatName: String, sourceType: String,
                         fabricType: String,
                         converter: Option[Any => Any] = None,
                         notes: String = "",
-                        precisionLoss: Boolean = false): Unit = {
+                        precisionLoss: Boolean = false): Unit = synchronized {
       registerFormat(formatName)
       mappings(formatName.toLowerCase)(sourceType) =
         TypeMapping(sourceType, fabricType, converter, notes, precisionLoss)
     }
 
     def registerMappings(formatName: String,
-                         entries: Map[String, String]): Unit =
+                         entries: Map[String, String]): Unit = synchronized {
       entries.foreach { case (s, f) => registerMapping(formatName, s, f) }
+    }
 
     /** alias → canonical source type within a format
       * (`type_registry.py:167-183`). */
     def registerAlias(formatName: String, alias: String,
-                      canonical: String): Unit = {
+                      canonical: String): Unit = synchronized {
       registerFormat(formatName)
       aliases(formatName.toLowerCase)(alias) = canonical
     }
@@ -79,31 +87,34 @@ object TypeRegistry {
     }
 
     def getFabricType(formatName: String, sourceType: String,
-                      default: Option[String] = None): String =
+                      default: Option[String] = None): String = synchronized {
       resolve(formatName, sourceType).map(_.fabricType)
         .orElse(default).getOrElse(defaultType0)
+    }
 
     def getMapping(formatName: String,
                    sourceType: String): Option[TypeMapping] =
-      resolve(formatName, sourceType)
+      synchronized(resolve(formatName, sourceType))
 
     /** `type_registry.py:237-260` — run the registered converter, or
       * return the value unchanged. */
     def convertValue(formatName: String, sourceType: String, value: Any): Any =
-      resolve(formatName, sourceType).flatMap(_.converter) match {
+      synchronized(resolve(formatName, sourceType).flatMap(_.converter)) match {
         case Some(f) => f(value)
         case None => value
       }
 
-    def listMappings(formatName: String): Map[String, String] =
+    def listMappings(formatName: String): Map[String, String] = synchronized {
       mappings.getOrElse(formatName.toLowerCase, mutable.Map())
         .map { case (s, m) => s -> m.fabricType }.toMap
+    }
 
-    def listFormats: Seq[String] = mappings.keys.toSeq.sorted
+    def listFormats: Seq[String] = synchronized(mappings.keys.toSeq.sorted)
 
-    def precisionLossTypes(formatName: String): Seq[String] =
+    def precisionLossTypes(formatName: String): Seq[String] = synchronized {
       mappings.getOrElse(formatName.toLowerCase, mutable.Map())
         .collect { case (s, m) if m.precisionLoss => s }.toSeq.sorted
+    }
   }
 
   /** Global singleton, pre-seeded like `_initialize_default_mappings`

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.extract.{Gazetteer, HtmlText, MentionScan}
+import graft.extract.{Gazetteer, MentionScan}
 import graft.pages.PageGen
 import graft.canon.ConnectedComponents
 import graft.shape.ShapeRules
@@ -27,12 +27,15 @@ object KgQueries {
     * html bytes, extract, return (doc_id, extracted). Oracle: the source
     * text itself.
     */
-  def kgExtractText(spark: SparkSession, dir: String): DataFrame = {
-    val extractText = udf((html: Array[Byte]) => HtmlText.extractMainFromBytes(html))
+  def kgExtractText(spark: SparkSession, dir: String): DataFrame =
+    // production path: the native codegen ExtractMainText expression (the
+    // same one KgPipeline and MentionStream run), not the legacy UDF — the
+    // UDF≡expression equivalence itself is property-tested in
+    // ExtractMainTextSpec (round-2 verdict #4)
     pagesDf(spark, dir)
-      .select(col("doc_id"), extractText(col("html")).as("extracted"))
+      .select(col("doc_id"),
+        graft.extract.ExtractMainText(col("html")).as("extracted"))
       .orderBy(col("doc_id"))
-  }
 
   /** Aho-Corasick mention scan; word-boundary counts == whitespace-token
     * counts for the single-word gazetteer (oracle recomputes via

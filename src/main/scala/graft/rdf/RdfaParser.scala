@@ -38,8 +38,15 @@ private[rdf] object HtmlDom {
 /** S1 — RDFa-lite parser (the `rdfa` serialization): the five-attribute
   * core of the W3C RDFa Lite profile — `vocab`, `prefix`, `typeof`,
   * `property`, `resource` (plus `about`, `content`, `href`/`src`
-  * object sources). Full RDFa chaining/datatype processing is out of
-  * scope; this covers the profile the format is normally authored in.
+  * object sources) — with resource chaining: `property`+`resource`
+  * re-roots nested elements at the object, `property`+`typeof`(+
+  * optional `resource`) creates and types the object node, and a bare
+  * `resource` re-roots the subject (RDFa Core 1.1 §7.5). Deviations
+  * from a full RDFa 1.1 processor, deliberately: no `rel`/`rev`
+  * (superseded by `property` in Lite), no `@inlist`, no xmlns:-style
+  * prefix declarations — rdflib's processor (reference
+  * `src/rdf/rdf_parser.py`, format `rdfa`) accepts those on
+  * adversarial HTML; generator-authored RDFa Lite does not use them.
   */
 object RdfaParser {
   import HtmlDom._
@@ -94,12 +101,18 @@ object RdfaParser {
           emitTypes(a)
           walkChildren(e, ctx.copy(subject = a, subjectKind = kindOf(a)))
         case (None, Some(props)) =>
-          if (typeof.isDefined && objIri.isEmpty) {
-            // property + typeof: the typed node is the OBJECT
-            val node = freshBnode()
+          if (typeof.isDefined) {
+            // property + typeof: the typed node is the OBJECT — named by
+            // resource/href/src when present (RDFa Core 1.1 §7.5 "typed
+            // resource"), a fresh bnode otherwise. Previously the
+            // resource-present case fell through to emitLiteralOrRef and
+            // the object's rdf:type triples were silently dropped (the
+            // common schema.org property+resource+typeof pattern).
+            val node = objIri.getOrElse(freshBnode())
+            val kind = kindOf(node)
             props.trim.split("\\s+").map(expand(_, ctx)).foreach(p =>
-              out += Triple(ctx.subject, p, node, "bnode"))
-            val nested = ctx.copy(subject = node, subjectKind = "bnode")
+              out += Triple(ctx.subject, p, node, kind))
+            val nested = ctx.copy(subject = node, subjectKind = kind)
             for (tv <- typeof.toSeq; t <- tv.trim.split("\\s+"))
               out += Triple(node, Vocab.RdfType, expand(t, nested), "uri")
             walkChildren(e, nested)
@@ -112,7 +125,14 @@ object RdfaParser {
             for (tv <- typeof.toSeq; t <- tv.trim.split("\\s+"))
               out += Triple(node, Vocab.RdfType, expand(t, nested), "uri")
             walkChildren(e, nested)
-          } else walkChildren(e, ctx)
+          } else attr(e, "resource") match {
+            // bare @resource (no property/typeof) re-roots the subject for
+            // nested elements (RDFa Core §7.5 step 5) — href/src do NOT,
+            // they only become objects in the presence of a predicate
+            case Some(r) =>
+              walkChildren(e, ctx.copy(subject = r, subjectKind = kindOf(r)))
+            case None => walkChildren(e, ctx)
+          }
       }
     }
 

@@ -188,6 +188,52 @@ class ReferenceSamplesSpec extends SparkSpec {
       t.p == "http://schema.org/name" && t.o == "Lab"))
   }
 
+  test("S1: RDFa chaining — property+resource+typeof types the object; " +
+       "bare resource re-roots; nested chains walk") {
+    // the common schema.org pattern the round-2 advisor flagged: an element
+    // carrying property + resource + typeof must (a) link subject→resource,
+    // (b) type the RESOURCE node, (c) re-root children at the resource
+    val html = """<html xmlns="http://www.w3.org/1999/xhtml">
+<body vocab="http://schema.org/">
+  <div about="http://e.org/book1" typeof="Book">
+    <div property="author" resource="http://e.org/alice" typeof="Person">
+      <span property="name">Alice</span>
+      <div property="worksFor" typeof="Organization">
+        <span property="name">Acme Press</span>
+      </div>
+    </div>
+    <div resource="http://e.org/ch1">
+      <span property="headline">Chapter One</span>
+    </div>
+  </div>
+</body></html>"""
+    val ts = TurtleParser.parse(html, "rdfa")
+    val S = "http://schema.org/"
+    val ty = graft.rdf.Vocab.RdfType
+    // (a) link
+    assert(ts.exists(t => t.s == "http://e.org/book1" && t.p == S + "author" &&
+      t.o == "http://e.org/alice" && t.oKind == "uri"))
+    // (b) typed resource — this triple was dropped before the fix
+    assert(ts.exists(t => t.s == "http://e.org/alice" && t.p == ty &&
+      t.o == S + "Person"))
+    // (c) chaining: the name literal hangs off the resource, not book1
+    assert(ts.exists(t => t.s == "http://e.org/alice" && t.p == S + "name" &&
+      t.o == "Alice"))
+    // deep chain: alice → bnode org, typed + named
+    val work = ts.find(t => t.s == "http://e.org/alice" &&
+      t.p == S + "worksFor").get
+    assert(work.oKind == "bnode")
+    assert(ts.exists(t => t.s == work.o && t.p == ty && t.o == S + "Organization"))
+    assert(ts.exists(t => t.s == work.o && t.p == S + "name" &&
+      t.o == "Acme Press"))
+    // bare @resource re-roots: headline belongs to ch1, and no
+    // book1→ch1 edge is invented (no predicate present)
+    assert(ts.exists(t => t.s == "http://e.org/ch1" && t.p == S + "headline" &&
+      t.o == "Chapter One"))
+    assert(!ts.exists(t => t.s == "http://e.org/book1" &&
+      t.o == "http://e.org/ch1"))
+  }
+
   test("S1: microdata XHTML parses — itemscope/itemtype/itemprop/itemid") {
     val html = """<html xmlns="http://www.w3.org/1999/xhtml"><body>
   <div itemscope="" itemtype="http://schema.org/Product"

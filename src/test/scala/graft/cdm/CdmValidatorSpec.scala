@@ -138,4 +138,41 @@ class CdmValidatorSpec extends AnyFunSuite {
     val res = CdmConverter.convert(merged)
     assert(res.entities.size == 2 && res.rels.size == 1)
   }
+
+  test("S5: diamond sub-manifests parse the shared manifest once") {
+    // root → {a, b} → shared: before threading the visited set through the
+    // sibling fold, `shared` was parsed under both a and b, duplicating
+    // Customer and tripping a spurious duplicate-entity-name error
+    val dir = Files.createTempDirectory("cdmdiamond")
+    Files.writeString(dir.resolve("Customer.cdm.json"), """{
+      "definitions": [{"entityName": "Customer", "hasAttributes": [
+        {"name": "customerId", "dataType": "integer"}
+      ]}]
+    }""")
+    Files.writeString(dir.resolve("shared.manifest.cdm.json"), """{
+      "manifestName": "shared",
+      "entities": [
+        {"type": "LocalEntity", "entityName": "Customer",
+         "entityPath": "Customer.cdm.json/Customer"}
+      ]
+    }""")
+    Files.writeString(dir.resolve("a.manifest.cdm.json"), """{
+      "manifestName": "a", "entities": [],
+      "subManifests": ["shared.manifest.cdm.json"]
+    }""")
+    Files.writeString(dir.resolve("b.manifest.cdm.json"), """{
+      "manifestName": "b", "entities": [],
+      "subManifests": ["shared.manifest.cdm.json"]
+    }""")
+    Files.writeString(dir.resolve("root.manifest.cdm.json"), """{
+      "manifestName": "root", "entities": [],
+      "subManifests": ["a.manifest.cdm.json", "b.manifest.cdm.json"]
+    }""")
+    val merged = CdmFolder.parse(dir.resolve("root.manifest.cdm.json").toString)
+    assert(merged.entities.map(_.name) == Seq("Customer"))
+    // no duplicate-entity-name error from the validator on the merged result
+    val issues = CdmValidator.validate(merged)
+    assert(!issues.exists(i =>
+      i.category == "name_conflict" && i.severity == "error"))
+  }
 }
