@@ -30,16 +30,56 @@ object Salting {
     * reducers: big rows get a deterministic salt from `saltFrom`, the
     * small side is replicated once per salt value. Result equals the
     * plain join (tested); the shuffle for any single key is spread over
-    * `salts` partitions.
+    * `salts` partitions. `joinType` "left" keeps unmatched big rows
+    * (each big row matches at most one salt copy, so no duplication).
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-                 salts: Int, saltFrom: Seq[String]): DataFrame = {
+                 salts: Int, saltFrom: Seq[String],
+                 joinType: String = "inner"): DataFrame = {
     val salted = big.withColumn("__salt",
       saltCol(salts, saltFrom.map(col): _*))
     val replicated = small.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
-    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Skew decision for `df`'s `key` distribution: salt when the hottest
+    * key exceeds BOTH an absolute floor (`spark.graft.skew.minHot`, below
+    * which one reducer handles it fine) and the statistical threshold
+    * mean + k·stddev of per-key counts (`spark.graft.skew.k`). The counts
+    * themselves come from [[twoPhaseCount]] — the skew-proof counter —
+    * so detection never recreates the hot reducer it is guarding against.
+    * Returns the salt count (`spark.graft.skew.salts`) when skewed.
+    */
+  def skewSalts(df: DataFrame, key: String, saltFrom: Seq[String]): Option[Int] = {
+    val conf = df.sparkSession.conf
+    def opt(k: String, d: String) = conf.getOption(k).getOrElse(d)
+    val salts = opt("spark.graft.skew.salts", "8").toInt
+    val minHot = opt("spark.graft.skew.minHot", "100000").toLong
+    val k = opt("spark.graft.skew.k", "3.0").toDouble
+    val row = twoPhaseCount(df, key, salts, saltFrom)
+      .agg(max(col("count")).as("mx"), avg(col("count")).as("mu"),
+        coalesce(stddev_pop(col("count")), lit(0.0)).as("sd"))
+      .collect().headOption.filter(!_.isNullAt(0))
+    row.flatMap { r =>
+      val mx = r.getAs[Long]("mx")
+      val mu = r.getAs[Double]("mu")
+      val sd = r.getAs[Double]("sd")
+      if (mx >= minHot && mx > mu + k * sd) Some(salts) else None
+    }
+  }
+
+  /** Left join that salts itself only when the probe side is actually
+    * skewed on `key` — the production guard the north rule names for
+    * head entities. Plain join (AQE-eligible, broadcast-eligible)
+    * otherwise.
+    */
+  def skewAwareLeftJoin(big: DataFrame, small: DataFrame, key: String,
+                        saltFrom: Seq[String]): DataFrame =
+    skewSalts(big, key, saltFrom) match {
+      case Some(n) => saltedJoin(big, small, key, n, saltFrom, "left")
+      case None => big.join(small, Seq(key), "left")
+    }
 
   /** Hot-key-proof count: partial count per (key, salt) then final sum
     * per key — two small shuffles instead of one with a single giant

@@ -111,9 +111,10 @@ object Main {
       import scala.jdk.CollectionConverters._
       val partsNode = if (root.has("definition")) root.get("definition").get("parts")
         else root.get("parts")
-      val parts = partsNode.elements().asScala.map(p =>
-        FabricParts.Part(p.get("path").asText, p.get("payload").asText)).toSeq
-      val (entities, rels) = FabricParts.toDataFrames(spark, parts)
+      // dialect-agnostic: handles API parts ({path, payload}) and the
+      // reference's simple format (direct objects with a `type` field)
+      val (entities, rels) =
+        FabricParts.toDataFramesMixed(spark, partsNode.elements().asScala.toSeq)
       val nt = TtlExport.toNTriples(TtlExport.toTriples(entities, rels).localCheckpoint())
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out), nt)
       println(s"exported $in -> $out (${nt.linesIterator.size} triples)")

@@ -122,11 +122,19 @@ object KgPipeline {
           .select(col("s").as("a"), col("o").as("b"))
         val comp = ConnectedComponents.run(edges)
         val canonMap = comp.select(col("node"), col("component"))
-        val rewritten = triples
-          .join(canonMap.withColumnRenamed("node", "s")
-            .withColumnRenamed("component", "sCanon"), Seq("s"), "left")
-          .join(canonMap.withColumnRenamed("node", "o")
-            .withColumnRenamed("component", "oCanon"), Seq("o"), "left")
+        // triples → canonical-map joins, skew-guarded: a head entity can
+        // appear in a huge fraction of triples (north rule: "salted
+        // broadcast joins ... for head entities"). When the canon map
+        // broadcasts there is no skew; when it is too large for broadcast
+        // (10^12-doc entity space) the sort-merge probe side is salted iff
+        // per-key stats say the hottest key dominates — detection and
+        // threshold in graft.canon.Salting.skewSalts.
+        def canonJoin(t: DataFrame, keyCol: String, outName: String) =
+          graft.canon.Salting.skewAwareLeftJoin(t,
+            canonMap.withColumnRenamed("node", keyCol)
+              .withColumnRenamed("component", outName),
+            keyCol, Seq("s", "p", "o"))
+        val rewritten = canonJoin(canonJoin(triples, "s", "sCanon"), "o", "oCanon")
           .select(
             coalesce(col("sCanon"), col("s")).as("s"), col("p"),
             coalesce(col("oCanon"), col("o")).as("o"))

@@ -153,6 +153,103 @@ object FabricParts {
       parts.filter(_.path.startsWith("RelationshipTypes/")).map(dec))
   }
 
+  private type JsonNode = com.fasterxml.jackson.databind.JsonNode
+
+  /** S6 complete — decode a heterogeneous parts array handling BOTH
+    * dialects of `fabric_to_ttl.py:121-170`:
+    *  - Fabric API format: `{path, payload}` with base64 JSON, routed by
+    *    `EntityTypes/` / `RelationshipTypes/` path membership;
+    *  - "simple format for testing": direct objects with a `type` field —
+    *    `EntityType` (id, displayName|name|id, baseEntityType),
+    *    `Property` (attached to the FIRST already-seen entity whose id or
+    *    name equals `parentEntity`; silently dropped when no parent
+    *    matches — reference line 150 comment and loop), and
+    *    `Relationship` (fromEntity/toEntity endpoints).
+    * Returns normalized (entityNodes, relNodes) in the API-format JSON
+    * shape, so downstream conversion is dialect-agnostic.
+    */
+  def decodeNodes(partNodes: Seq[JsonNode]): (Seq[JsonNode], Seq[JsonNode]) = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val entities =
+      scala.collection.mutable.ArrayBuffer[com.fasterxml.jackson.databind.node.ObjectNode]()
+    val rels = scala.collection.mutable.ArrayBuffer[JsonNode]()
+    def txt(n: JsonNode, f: String): Option[String] =
+      Option(n.get(f)).filter(!_.isNull).map(_.asText)
+    for (p <- partNodes) {
+      if (p.has("path") && p.has("payload")) {
+        val path = txt(p, "path").getOrElse("")
+        val payload = txt(p, "payload").getOrElse("")
+        if (payload.nonEmpty) {
+          val decoded = mapper.readTree(new String(
+            Base64.getDecoder.decode(payload), StandardCharsets.UTF_8))
+          // reference uses substring membership, not prefix (line 131-135)
+          if (path.contains("EntityTypes/"))
+            entities += decoded.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          else if (path.contains("RelationshipTypes/")) rels += decoded
+        }
+      } else if (p.has("type")) txt(p, "type").getOrElse("") match {
+        case "EntityType" =>
+          val e = mapper.createObjectNode()
+          val id = txt(p, "id").getOrElse("")
+          e.put("id", id)
+          e.put("name", txt(p, "displayName")
+            .orElse(txt(p, "name")).getOrElse(id))
+          txt(p, "baseEntityType") match {
+            case Some(b) => e.put("baseEntityTypeId", b)
+            case None => e.putNull("baseEntityTypeId")
+          }
+          e.set[JsonNode]("properties", mapper.createArrayNode())
+          entities += e
+        case "Property" =>
+          val parentId = txt(p, "parentEntity").getOrElse("")
+          val prop = mapper.createObjectNode()
+          prop.put("id", txt(p, "id").getOrElse(""))
+          prop.put("name", txt(p, "displayName")
+            .orElse(txt(p, "name")).getOrElse(""))
+          prop.put("valueType", txt(p, "dataType").getOrElse("String"))
+          entities.find(e => e.get("id").asText == parentId ||
+              e.get("name").asText == parentId)
+            .foreach(_.withArray("properties").add(prop))
+        case "Relationship" =>
+          val r = mapper.createObjectNode()
+          r.put("id", txt(p, "id").getOrElse(""))
+          r.put("name", txt(p, "displayName")
+            .orElse(txt(p, "name")).getOrElse(""))
+          r.set[JsonNode]("source", mapper.createObjectNode()
+            .put("entityTypeId", txt(p, "fromEntity").getOrElse("")))
+          r.set[JsonNode]("target", mapper.createObjectNode()
+            .put("entityTypeId", txt(p, "toEntity").getOrElse("")))
+          rels += r
+        case _ => () // unknown simple-format type: ignored, as the reference's if/elif chain does
+      }
+    }
+    (entities.toSeq, rels.toSeq)
+  }
+
+  private def entityFromNode(n: JsonNode): graft.model.EntityType = {
+    import scala.jdk.CollectionConverters._
+    import graft.model.{EntityType, Prop}
+    def props(field: String) =
+      Option(n.get(field)).map(_.elements().asScala.toSeq).getOrElse(Nil)
+        .map(p => Prop(p.get("id").asText, p.get("name").asText,
+          p.get("valueType").asText, isTimeseries = field == "timeseriesProperties"))
+    EntityType(
+      id = n.get("id").asText, name = n.get("name").asText,
+      uri = "", // not carried in the Fabric payload
+      baseEntityTypeId = Option(n.get("baseEntityTypeId"))
+        .filter(!_.isNull).map(_.asText),
+      entityIdParts = Option(n.get("entityIdParts"))
+        .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil),
+      displayNamePropertyId = Option(n.get("displayNamePropertyId")).map(_.asText),
+      properties = props("properties"),
+      timeseriesProperties = props("timeseriesProperties"))
+  }
+
+  private def relFromNode(n: JsonNode): graft.model.Rel =
+    graft.model.Rel(n.get("id").asText, n.get("name").asText, "",
+      n.get("source").get("entityTypeId").asText,
+      n.get("target").get("entityTypeId").asText, "", "")
+
   /** S6 continued — decoded parts → entity/rel DataFrames in the
     * `Extract.entityTypes` schema, closing the export loop
     * (definition → [[TtlExport.toTriples]] → TTL). JSON via Jackson
@@ -160,37 +257,26 @@ object FabricParts {
     */
   def toDataFrames(spark: org.apache.spark.sql.SparkSession,
                    parts: Seq[Part]): (DataFrame, DataFrame) = {
-    import spark.implicits._
-    import graft.model.{EntityType, Prop, Rel}
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val (es, rs) = decode(parts)
-    def props(n: com.fasterxml.jackson.databind.JsonNode, field: String) = {
-      import scala.jdk.CollectionConverters._
-      Option(n.get(field)).map(_.elements().asScala.toSeq).getOrElse(Nil)
-        .map(p => Prop(p.get("id").asText, p.get("name").asText,
-          p.get("valueType").asText, isTimeseries = field == "timeseriesProperties"))
-    }
-    val entities = es.map { j =>
-      val n = mapper.readTree(j)
-      import scala.jdk.CollectionConverters._
-      EntityType(
-        id = n.get("id").asText, name = n.get("name").asText,
-        uri = "", // not carried in the Fabric payload
-        baseEntityTypeId = Option(n.get("baseEntityTypeId"))
-          .filter(!_.isNull).map(_.asText),
-        entityIdParts = Option(n.get("entityIdParts"))
-          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil),
-        displayNamePropertyId = Option(n.get("displayNamePropertyId")).map(_.asText),
-        properties = props(n, "properties"),
-        timeseriesProperties = props(n, "timeseriesProperties"))
-    }
-    val rels = rs.map { j =>
-      val n = mapper.readTree(j)
-      Rel(n.get("id").asText, n.get("name").asText, "",
-        n.get("source").get("entityTypeId").asText,
-        n.get("target").get("entityTypeId").asText, "", "")
-    }
-    (spark.createDataset(entities).toDF(), spark.createDataset(rels).toDF())
+    nodesToDataFrames(spark, es.map(mapper.readTree), rs.map(mapper.readTree))
+  }
+
+  /** Dialect-agnostic entry (API parts and/or simple-format parts mixed in
+    * one array): the CLI export path reads definitions through this.
+    */
+  def toDataFramesMixed(spark: org.apache.spark.sql.SparkSession,
+                        partNodes: Seq[JsonNode]): (DataFrame, DataFrame) = {
+    val (es, rs) = decodeNodes(partNodes)
+    nodesToDataFrames(spark, es, rs)
+  }
+
+  private def nodesToDataFrames(spark: org.apache.spark.sql.SparkSession,
+                                es: Seq[JsonNode],
+                                rs: Seq[JsonNode]): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    (spark.createDataset(es.map(entityFromNode)).toDF(),
+      spark.createDataset(rs.map(relFromNode)).toDF())
   }
 
   /** O3 — JSON output file with conversion ledger (reference:

@@ -35,6 +35,52 @@ class CliValidateSpec extends AnyFunSuite {
   }
 }
 
+/** S6 simple-format dialect through the CLI export path. */
+class CliSimpleFormatSpec extends graft.SparkSpec {
+  test("export converts a simple-format definition; output matches the API twin") {
+    spark // force shared session so Main reuses it
+    val dir = Files.createTempDirectory("simplefmt")
+    val simpleIn = dir.resolve("simple.json")
+    Files.writeString(simpleIn, """{"definition": {"parts": [
+      {"type": "EntityType", "id": "e1", "displayName": "Customer"},
+      {"type": "EntityType", "id": "e2", "name": "Supplier",
+       "baseEntityType": "e1"},
+      {"type": "Property", "id": "p1", "parentEntity": "e1",
+       "displayName": "custId", "dataType": "BigInt"},
+      {"type": "Relationship", "id": "r1", "displayName": "suppliedBy",
+       "fromEntity": "e1", "toEntity": "e2"}
+    ]}}""")
+    val simpleOut = dir.resolve("simple.nt")
+    Main.main(Array("export", simpleIn.toString, simpleOut.toString))
+    val nt = Files.readString(simpleOut)
+    assert(nt.nonEmpty, "simple-format export must not be empty")
+
+    // API-format twin of the same definition exports identically
+    import graft.sink.FabricParts._
+    val twinParts = Seq(
+      Part("EntityTypes/e1/definition.json", b64(render(JObj(Seq(
+        "id" -> JStr("e1"), "name" -> JStr("Customer"),
+        "baseEntityTypeId" -> JNull,
+        "properties" -> JArr(Seq(JObj(Seq("id" -> JStr("p1"),
+          "name" -> JStr("custId"), "valueType" -> JStr("BigInt")))))))))),
+      Part("EntityTypes/e2/definition.json", b64(render(JObj(Seq(
+        "id" -> JStr("e2"), "name" -> JStr("Supplier"),
+        "baseEntityTypeId" -> JStr("e1")))))),
+      Part("RelationshipTypes/r1/definition.json", b64(render(JObj(Seq(
+        "id" -> JStr("r1"), "name" -> JStr("suppliedBy"),
+        "source" -> JObj(Seq("entityTypeId" -> JStr("e1"))),
+        "target" -> JObj(Seq("entityTypeId" -> JStr("e2")))))))))
+    val twinIn = dir.resolve("twin.json")
+    Files.writeString(twinIn, render(JObj(Seq("parts" -> JArr(twinParts.map(p =>
+      JObj(Seq("path" -> JStr(p.path), "payload" -> JStr(p.payload),
+        "payloadType" -> JStr(p.payloadType)))))))))
+    val twinOut = dir.resolve("twin.nt")
+    Main.main(Array("export", twinIn.toString, twinOut.toString))
+    assert(nt == Files.readString(twinOut),
+      "simple-format and API-format exports must be byte-identical")
+  }
+}
+
 /** D2 round-trip `test` command end-to-end. */
 class CliRoundTripSpec extends graft.SparkSpec {
   test("test command: reference supply-chain sample round-trips PASS") {

@@ -65,6 +65,68 @@ class KgPipelineSpec extends SparkSpec {
     } finally rm(out)
   }
 
+  test("skewed head entity: salted join equals plain join and bounds the " +
+       "hot key's reducer input") {
+    import org.apache.spark.sql.functions._
+    import graft.canon.Salting
+    // synthetic head-entity skew: one entity is the subject of 90% of rows
+    val n = 2000L
+    val big = spark.range(n).select(
+      when(col("id") % 10 =!= 0, lit("urn:ent:HEAD"))
+        .otherwise(concat(lit("urn:ent:e"), col("id"))).as("s"),
+      lit("urn:graft:mentions").as("p"),
+      concat(lit("urn:doc:"), col("id")).as("o"))
+      .localCheckpoint()
+    import spark.implicits._
+    val small = Seq(("urn:ent:HEAD", "urn:canon:1")).toDF("s", "sCanon")
+
+    spark.conf.set("spark.graft.skew.minHot", "10")
+    try {
+      val salts = Salting.skewSalts(big, "s", Seq("s", "p", "o"))
+      assert(salts.nonEmpty, "90%-hot key must trip the skew detector")
+      // identical output to the plain left join (incl. unmatched rows)
+      val salted = Salting.skewAwareLeftJoin(big, small, "s", Seq("s", "p", "o"))
+      val plain = big.join(small, Seq("s"), "left")
+      assert(salted.collect().toSet == plain.collect().toSet)
+      // bounded max-task input: the hot key's rows spread across salts, so
+      // the largest (key, salt) reducer group is a fraction of the
+      // unsalted hot key's single group
+      val perKeySalt = big
+        .withColumn("__salt", Salting.saltCol(salts.get,
+          col("s"), col("p"), col("o")))
+        .groupBy("s", "__salt").count()
+        .agg(max("count")).head.getLong(0)
+      val perKey = big.groupBy("s").count().agg(max("count")).head.getLong(0)
+      assert(perKeySalt <= perKey / 2,
+        s"salted reducer input $perKeySalt not bounded vs unsalted $perKey")
+      // a uniform distribution must NOT trip the detector
+      val uniform = spark.range(n)
+        .select(concat(lit("k"), col("id") % 50).as("s"),
+          lit("p").as("p"), col("id").cast("string").as("o"))
+      assert(Salting.skewSalts(uniform, "s", Seq("s", "p", "o")).isEmpty)
+    } finally spark.conf.unset("spark.graft.skew.minHot")
+  }
+
+  test("pipeline canonical phase through the forced-salted path is " +
+       "identical to the default path") {
+    val outA = freshDir(); val outB = freshDir()
+    try {
+      val resA = KgPipeline.run(spark, sfDir, outA)
+      // force the skew guard on: floor 1, statistical threshold disabled
+      spark.conf.set("spark.graft.skew.minHot", "1")
+      spark.conf.set("spark.graft.skew.k", "-1000")
+      val resB =
+        try KgPipeline.run(spark, sfDir, outB)
+        finally {
+          spark.conf.unset("spark.graft.skew.minHot")
+          spark.conf.unset("spark.graft.skew.k")
+        }
+      val a = resA.canonicalTriples.collect().map(_.toString).sorted
+      val b = resB.canonicalTriples.collect().map(_.toString).sorted
+      assert(a.sameElements(b), "salted canonicalization changed the output")
+    } finally { rm(outA); rm(outB) }
+  }
+
   test("canonicalization merges co-mentioned entities into one component") {
     val out = freshDir()
     try {

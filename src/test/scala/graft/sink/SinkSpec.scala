@@ -77,6 +77,58 @@ class FabricPartsSpec extends SparkSpec {
       .map(_.getAs[String]("name")).toSet
     assert(props == Set("acctBal", "custId", "mktSegment"))
   }
+
+  test("S6: simple-format dialect converts to the same DataFrames as its " +
+       "API-format twin (fabric_to_ttl.py:136-170)") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // simple format: direct objects with `type`, property attachment via
+    // parentEntity (by id for e1, by NAME for Supplier), endpoint refs via
+    // fromEntity/toEntity; one orphan property that must be silently dropped
+    val simple = mapper.readTree("""{"parts": [
+      {"type": "EntityType", "id": "e1", "displayName": "Customer"},
+      {"type": "EntityType", "id": "e2", "name": "Supplier",
+       "baseEntityType": "e1"},
+      {"type": "Property", "id": "p1", "parentEntity": "e1",
+       "displayName": "custId", "dataType": "BigInt"},
+      {"type": "Property", "id": "p2", "parentEntity": "Supplier",
+       "name": "acctBal"},
+      {"type": "Property", "id": "p9", "parentEntity": "nosuch",
+       "name": "orphan"},
+      {"type": "Relationship", "id": "r1", "displayName": "suppliedBy",
+       "fromEntity": "e1", "toEntity": "e2"}
+    ]}""")
+    import scala.jdk.CollectionConverters._
+    val (e, r) = toDataFrames2(spark, simple.get("parts").elements().asScala.toSeq)
+
+    // API-format twin of the same definition
+    val twin = Seq(
+      Part("EntityTypes/e1/definition.json", b64(render(JObj(Seq(
+        "id" -> JStr("e1"), "name" -> JStr("Customer"),
+        "baseEntityTypeId" -> JNull,
+        "properties" -> JArr(Seq(JObj(Seq("id" -> JStr("p1"),
+          "name" -> JStr("custId"), "valueType" -> JStr("BigInt")))))))))),
+      Part("EntityTypes/e2/definition.json", b64(render(JObj(Seq(
+        "id" -> JStr("e2"), "name" -> JStr("Supplier"),
+        "baseEntityTypeId" -> JStr("e1"),
+        "properties" -> JArr(Seq(JObj(Seq("id" -> JStr("p2"),
+          "name" -> JStr("acctBal"), "valueType" -> JStr("String")))))))))),
+      Part("RelationshipTypes/r1/definition.json", b64(render(JObj(Seq(
+        "id" -> JStr("r1"), "name" -> JStr("suppliedBy"),
+        "source" -> JObj(Seq("entityTypeId" -> JStr("e1"))),
+        "target" -> JObj(Seq("entityTypeId" -> JStr("e2")))))))))
+    val (eT, rT) = toDataFrames(spark, twin)
+    assert(e.collect().toSet == eT.collect().toSet)
+    assert(r.collect().toSet == rT.collect().toSet)
+    // orphan property really is dropped, not attached anywhere
+    val allProps = e.collect().flatMap(
+      _.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("properties"))
+      .map(_.getAs[String]("name"))
+    assert(!allProps.contains("orphan") && allProps.toSet == Set("custId", "acctBal"))
+  }
+
+  private def toDataFrames2(spark: org.apache.spark.sql.SparkSession,
+      nodes: Seq[com.fasterxml.jackson.databind.JsonNode]) =
+    FabricParts.toDataFramesMixed(spark, nodes)
 }
 
 class TtlExportSpec extends SparkSpec {
