@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import java.nio.ByteBuffer
+import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -9,14 +9,19 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, batch decode / feature-extract / resize /
   * frame-sample as per-partition batch transforms.
   *
-  * The Spark-side plumbing is real and tested — schema, partitioning,
-  * batch shape (mapPartitions processes a full Arrow-sized batch of rows
-  * per iterator pull, the Scala analogue of a Pandas-UDF batch). The
-  * codec itself is STUBBED (no image/audio libraries in this
-  * environment): media bytes use a deterministic synthetic container
-  * format ("GFT1" header + metadata + payload), and `decodeStub` parses
-  * that header in place of libjpeg/ffmpeg. Swap `decodeStub` for a real
-  * codec binding to productionize; nothing else changes.
+  * The Spark-side plumbing — schema, partitioning, batch shape
+  * (mapPartitions processes a full batch of rows per iterator pull, the
+  * Scala analogue of a Pandas-UDF `mapInPandas` batch) — is real and
+  * tested, and since round 3 so are the CODECS for every uncompressed
+  * container the sandbox can host without media libraries:
+  *  - image: Windows BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, 24bpp,
+  *    4-byte-padded bottom-up rows) — header-complete encode + decode;
+  *  - audio: RIFF/WAVE PCM (fmt + data chunks, 16-bit mono) — ditto;
+  *  - video: YUV4MPEG2 (ASCII stream header + FRAME-delimited planar
+  *    frames, C444) — ditto.
+  * Compressed codecs (JPEG/Opus/H.264) still need a native library and
+  * remain out of scope here; the legacy "GFT1" synthetic container is
+  * still accepted by [[decode]] for old fixtures.
   */
 object Multimodal {
 
@@ -25,9 +30,203 @@ object Multimodal {
   final case class Meta(kind: String, width: Int, height: Int,
                         channels: Int, nFrames: Int, sampleRate: Int)
 
-  /** Deterministic synthetic media container: header + zero payload whose
-    * length is derived from the metadata (so size checks are exact).
+  // ---------------------------------------------------------------- BMP
+
+  /** 24bpp bottom-up BMP. Pixel payload is a deterministic gradient
+    * (byte i of the row data = (x + y) mod 251) so files are bit-stable
+    * across runs and fully parseable by any standard viewer.
     */
+  def encodeBmp(width: Int, height: Int): Array[Byte] = {
+    val rowSize = ((3 * width + 3) / 4) * 4
+    val dataSize = rowSize * height
+    val buf = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + dataSize) // file size
+    buf.putInt(0)             // reserved
+    buf.putInt(54)            // pixel data offset
+    buf.putInt(40)            // BITMAPINFOHEADER size
+    buf.putInt(width)
+    buf.putInt(height)
+    buf.putShort(1)           // planes
+    buf.putShort(24)          // bpp
+    buf.putInt(0)             // BI_RGB (uncompressed)
+    buf.putInt(dataSize)
+    buf.putInt(2835)          // 72 dpi
+    buf.putInt(2835)
+    buf.putInt(0)             // palette colors
+    buf.putInt(0)             // important colors
+    // row y's byte x is (x+y) mod 251 — a sliding window over one
+    // periodic pattern buffer, so filling is arraycopy-speed, not a
+    // per-byte mod loop (the encoder is on the fixture hot path)
+    val out = buf.array()
+    val pattern = gradient(rowSize + height)
+    var y = 0
+    while (y < height) {
+      System.arraycopy(pattern, y, out, 54 + y * rowSize, rowSize)
+      y += 1
+    }
+    out
+  }
+
+  /** pattern(i) = i mod 251 — shared by the BMP and Y4M payload fills. */
+  private def gradient(n: Int): Array[Byte] = {
+    val p = new Array[Byte](n)
+    var i = 0
+    while (i < n) { p(i) = (i % 251).toByte; i += 1 }
+    p
+  }
+
+  def decodeBmp(bytes: Array[Byte]): Option[Meta] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val width = buf.getInt(18)
+    val height = buf.getInt(22)
+    val bpp = buf.getShort(28).toInt
+    if (width <= 0 || height == 0 || bpp % 8 != 0) None
+    // negative height = top-down DIB; dimensions are |height|
+    else Some(Meta("image", width, math.abs(height), bpp / 8, 1, 0))
+  }
+
+  // ---------------------------------------------------------------- WAV
+
+  /** RIFF/WAVE, PCM (format 1), 16-bit mono. Sample i = (i mod 4096) - 2048
+    * — a deterministic sawtooth, again bit-stable and player-valid.
+    */
+  def encodeWav(sampleRate: Int, nSamples: Int): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes(StandardCharsets.US_ASCII))
+    buf.putInt(36 + dataLen)
+    buf.put("WAVE".getBytes(StandardCharsets.US_ASCII))
+    buf.put("fmt ".getBytes(StandardCharsets.US_ASCII))
+    buf.putInt(16)            // fmt chunk size
+    buf.putShort(1)           // PCM
+    buf.putShort(1)           // mono
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * 2) // byte rate
+    buf.putShort(2)           // block align
+    buf.putShort(16)          // bits per sample
+    buf.put("data".getBytes(StandardCharsets.US_ASCII))
+    buf.putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      buf.putShort(((i % 4096) - 2048).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  def decodeWav(bytes: Array[Byte]): Option[Meta] = {
+    if (bytes.length < 44) return None
+    val asc = new String(bytes, 0, 12, StandardCharsets.US_ASCII)
+    if (!asc.startsWith("RIFF") || !asc.regionMatches(8, "WAVE", 0, 4)) return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    // walk chunks to find fmt (robust to extra chunks before it)
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val id = new String(bytes, off, 4, StandardCharsets.US_ASCII)
+      val size = buf.getInt(off + 4)
+      if (id == "fmt " && off + 8 + 16 <= bytes.length) {
+        val channels = buf.getShort(off + 10).toInt
+        val sampleRate = buf.getInt(off + 12)
+        return Some(Meta("audio", 0, 0, channels, 0, sampleRate))
+      }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  // ---------------------------------------------------------------- Y4M
+
+  private def y4mHeader(width: Int, height: Int): String =
+    s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C444\n"
+
+  /** YUV4MPEG2, C444 (three full planes per frame — frame payload is
+    * exactly w*h*3 bytes, like the RGB math downstream expects). Plane
+    * bytes are the same deterministic gradient as BMP rows.
+    */
+  def encodeY4m(width: Int, height: Int, nFrames: Int): Array[Byte] = {
+    val header = y4mHeader(width, height).getBytes(StandardCharsets.US_ASCII)
+    val frameHdr = "FRAME\n".getBytes(StandardCharsets.US_ASCII)
+    val frameLen = width * height * 3
+    val out = new Array[Byte](header.length + nFrames * (frameHdr.length + frameLen))
+    System.arraycopy(header, 0, out, 0, header.length)
+    val pattern = gradient(frameLen + nFrames) // frame f byte i = (i+f)%251
+    var pos = header.length
+    var f = 0
+    while (f < nFrames) {
+      System.arraycopy(frameHdr, 0, out, pos, frameHdr.length)
+      pos += frameHdr.length
+      System.arraycopy(pattern, f, out, pos, frameLen)
+      pos += frameLen
+      f += 1
+    }
+    out
+  }
+
+  def decodeY4m(bytes: Array[Byte]): Option[Meta] = {
+    if (bytes.length < 10) return None
+    val headEnd = bytes.indexOf('\n'.toByte)
+    if (headEnd < 0) return None
+    val head = new String(bytes, 0, headEnd, StandardCharsets.US_ASCII)
+    if (!head.startsWith("YUV4MPEG2")) return None
+    val params = head.split(' ').toSeq
+    def param(p: Char): Option[Int] =
+      params.collectFirst { case s if s.length > 1 && s.head == p =>
+        s.tail.toIntOption }.flatten
+    (param('W'), param('H')) match {
+      case (Some(w), Some(h)) if w > 0 && h > 0 =>
+        val colorspace = params.collectFirst {
+          case s if s.startsWith("C") => s.tail }.getOrElse("420")
+        val frameLen = colorspace match {
+          case "444" => w * h * 3
+          case "422" => w * h * 2
+          case _ => w * h * 3 / 2 // 420 family
+        }
+        val body = bytes.length - (headEnd + 1)
+        val nFrames = body / (6 + frameLen) // "FRAME\n" + planes
+        Some(Meta("video", w, h, 3, nFrames, 0))
+      case _ => None
+    }
+  }
+
+  // ------------------------------------------------------------ dispatch
+
+  /** Decode any supported container by magic: BMP / WAV / Y4M (real
+    * formats) plus the legacy GFT1 synthetic container.
+    */
+  def decode(bytes: Array[Byte]): Option[Meta] = {
+    if (bytes == null || bytes.length < 4) return None
+    if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+             bytes(3) == 'F') decodeWav(bytes)
+    else if (bytes(0) == 'Y' && bytes(1) == 'U' && bytes(2) == 'V') decodeY4m(bytes)
+    else decodeStub(bytes)
+  }
+
+  /** Legacy synthetic container (pre-round-3 fixtures): "GFT1|" header. */
+  def decodeStub(bytes: Array[Byte]): Option[Meta] = {
+    if (bytes == null || bytes.length < 5) return None
+    val head = new String(bytes, 0, math.min(bytes.length, 64),
+      StandardCharsets.US_ASCII)
+    if (!head.startsWith(Magic + "|")) return None
+    head.split('|') match {
+      case Array(_, kind, w, h, c, f, sr, _*) =>
+        try Some(Meta(kind, w.toInt, h.toInt, c.toInt, f.toInt, sr.toInt))
+        catch { case _: NumberFormatException => None }
+      case _ => None
+    }
+  }
+
+  /** Re-encode a Meta in its kind's real container (used by resize). */
+  def encodeFor(meta: Meta): Array[Byte] = meta.kind match {
+    case "image" => encodeBmp(meta.width, meta.height)
+    case "audio" => encodeWav(meta.sampleRate, meta.sampleRate) // keep 1s
+    case "video" => encodeY4m(meta.width, meta.height, meta.nFrames)
+    case _ => encode(meta)
+  }
+
+  /** Legacy synthetic encoder (GFT1), kept for the stub container tests. */
   def encode(meta: Meta): Array[Byte] = {
     val header = s"$Magic|${meta.kind}|${meta.width}|${meta.height}|" +
       s"${meta.channels}|${meta.nFrames}|${meta.sampleRate}|"
@@ -43,38 +242,24 @@ object Multimodal {
     out
   }
 
-  /** STUB decode — parses the synthetic header. Real implementation would
-    * call an image/audio codec here (the `???` of this pipeline); the
-    * signature and batch usage are what production code keeps.
-    */
-  def decodeStub(bytes: Array[Byte]): Option[Meta] = {
-    if (bytes == null || bytes.length < 5) return None
-    val head = new String(bytes, 0, math.min(bytes.length, 64),
-      StandardCharsets.US_ASCII)
-    if (!head.startsWith(Magic + "|")) return None
-    head.split('|') match {
-      case Array(_, kind, w, h, c, f, sr, _*) =>
-        try Some(Meta(kind, w.toInt, h.toInt, c.toInt, f.toInt, sr.toInt))
-        catch { case _: NumberFormatException => None }
-      case _ => None
-    }
-  }
-
   /** Synthesize a deterministic media table from documents: kind cycles
-    * image/audio/video by doc_id; dimensions derive from doc_id.
+    * image/audio/video by doc_id; dimensions derive from doc_id. Every
+    * row is a REAL container (BMP / WAV / Y4M) — the mm_meta oracle
+    * recomputes width/height/sample-rate/file-size from the container
+    * specs, so a decoder reading anything but the actual headers fails
+    * the hash check.
     */
   def mediaTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     docs.select(col("doc_id")).as[Long].map { id =>
-      val kind = (id % 3) match {
-        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      val w = (64 + id % 64).toInt
+      val h = (64 + (id / 2) % 64).toInt
+      (id % 3) match {
+        case 0 => (id, "image", encodeBmp(w, h))
+        case 1 => (id, "audio", encodeWav(16000, 16000))
+        case _ => (id, "video", encodeY4m(w, h, (1 + id % 30).toInt))
       }
-      val meta = Meta(kind,
-        width = (64 + id % 64).toInt, height = (64 + (id / 2) % 64).toInt,
-        channels = 3, nFrames = (1 + id % 30).toInt,
-        sampleRate = 16000)
-      (id, kind, encode(meta))
     }.toDF("doc_id", "kind", "media")
   }
 
@@ -88,7 +273,7 @@ object Multimodal {
     media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         batch.map { case (id, bytes) =>
-          decodeStub(bytes) match {
+          decode(bytes) match {
             case Some(m) => (id, m.kind, m.width, m.height, m.channels,
               m.nFrames, m.sampleRate, bytes.length.toLong, true)
             case None => (id, "unknown", 0, 0, 0, 0, 0,
@@ -101,7 +286,8 @@ object Multimodal {
   }
 
   /** Resize plumbing: recompute target dims preserving aspect ratio
-    * (integer floor math — deterministic), re-encode through the stub.
+    * (integer floor math — deterministic), re-encode in the same real
+    * container. Audio rows pass through unchanged (no spatial dims).
     */
   def resize(media: DataFrame, maxSide: Int): DataFrame = {
     val spark = media.sparkSession
@@ -109,14 +295,14 @@ object Multimodal {
     media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         batch.flatMap { case (id, bytes) =>
-          decodeStub(bytes).map { m =>
-            val scaleNumer = maxSide
+          decode(bytes).map { m =>
             val longest = math.max(m.width, m.height)
             val (w2, h2) =
               if (longest <= maxSide) (m.width, m.height)
-              else (m.width * scaleNumer / longest, m.height * scaleNumer / longest)
+              else (m.width * maxSide / longest, m.height * maxSide / longest)
             val resized = m.copy(width = w2, height = h2)
-            (id, w2, h2, encode(resized))
+            (id, w2, h2,
+              if ((w2, h2) == (m.width, m.height)) bytes else encodeFor(resized))
           }
         }
       }

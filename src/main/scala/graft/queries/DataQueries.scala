@@ -456,22 +456,32 @@ object DataQueries {
         |    w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE)
         |            / length(regexp_split_to_array(trim(text), '\s+')) END AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the oracle recomputes width/height/sample-rate/file-size from the
+    // CONTAINER SPECS — BMP's 54-byte headers + 4-byte-padded 24bpp rows,
+    // WAV's 44-byte RIFF/fmt/data framing + 16-bit mono payload, Y4M's
+    // ASCII stream header + FRAME-delimited C444 planes — while the Spark
+    // side parses the actual bytes, so any header-math drift breaks the hash
     "mm_meta" ->
       """WITH m AS (
         |  SELECT doc_id,
         |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |    CAST(64 + doc_id % 64 AS INTEGER) AS width,
-        |    CAST(64 + (doc_id // 2) % 64 AS INTEGER) AS height,
-        |    CAST(3 AS INTEGER) AS channels,
-        |    CAST(1 + doc_id % 30 AS INTEGER) AS n_frames,
-        |    CAST(16000 AS INTEGER) AS sample_rate
+        |    CAST(64 + doc_id % 64 AS INTEGER) AS w,
+        |    CAST(64 + (doc_id // 2) % 64 AS INTEGER) AS h,
+        |    CAST(1 + doc_id % 30 AS INTEGER) AS f
         |  FROM documents)
-        |SELECT doc_id, kind, width, height, channels, n_frames, sample_rate,
-        |  CAST(length('GFT1|' || kind || '|' || CAST(width AS VARCHAR) || '|' ||
-        |    CAST(height AS VARCHAR) || '|3|' || CAST(n_frames AS VARCHAR) || '|16000|') +
-        |    CASE kind WHEN 'image' THEN width * height * 3
-        |              WHEN 'video' THEN width * height * 3 * n_frames
-        |              ELSE 32000 END AS BIGINT) AS n_bytes,
+        |SELECT doc_id, kind,
+        |  CAST(CASE kind WHEN 'audio' THEN 0 ELSE w END AS INTEGER) AS width,
+        |  CAST(CASE kind WHEN 'audio' THEN 0 ELSE h END AS INTEGER) AS height,
+        |  CAST(CASE kind WHEN 'audio' THEN 1 ELSE 3 END AS INTEGER) AS channels,
+        |  CAST(CASE kind WHEN 'image' THEN 1 WHEN 'audio' THEN 0 ELSE f END AS INTEGER) AS n_frames,
+        |  CAST(CASE kind WHEN 'audio' THEN 16000 ELSE 0 END AS INTEGER) AS sample_rate,
+        |  CAST(CASE kind
+        |    WHEN 'image' THEN 54 + h * (((3 * w + 3) // 4) * 4)
+        |    WHEN 'audio' THEN 44 + 16000 * 2
+        |    ELSE length('YUV4MPEG2 W' || CAST(w AS VARCHAR) || ' H' ||
+        |         CAST(h AS VARCHAR) || ' F25:1 Ip A1:1 C444') + 1
+        |         + f * (6 + w * h * 3)
+        |  END AS BIGINT) AS n_bytes,
         |  TRUE AS decoded
         |FROM m ORDER BY doc_id""".stripMargin,
     "mm_frames" ->

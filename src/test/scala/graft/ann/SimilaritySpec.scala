@@ -100,23 +100,67 @@ class TextAnalysisSpec extends SparkSpec {
 class MultimodalSpec extends SparkSpec {
   import graft.multimodal.Multimodal
 
-  test("container encode/decode round-trips metadata") {
+  test("legacy GFT1 container encode/decode round-trips metadata") {
     val m = Multimodal.Meta("image", 128, 96, 3, 1, 16000)
     val decoded = Multimodal.decodeStub(Multimodal.encode(m))
     assert(decoded.contains(m))
-    assert(Multimodal.decodeStub("garbage".getBytes) == None)
-    assert(Multimodal.decodeStub(null) == None)
+    assert(Multimodal.decode("garbage".getBytes) == None)
+    assert(Multimodal.decode(null) == None)
   }
 
-  test("resize preserves aspect ratio with integer floor math") {
+  test("BMP: header fields parse back; row padding and 54-byte headers " +
+       "give the spec file size") {
+    val bytes = Multimodal.encodeBmp(33, 20) // odd width forces row padding
+    assert(bytes(0) == 'B' && bytes(1) == 'M')
+    val rowSize = ((3 * 33 + 3) / 4) * 4 // 100, padded from 99
+    assert(bytes.length == 54 + rowSize * 20)
+    assert(Multimodal.decode(bytes).contains(
+      Multimodal.Meta("image", 33, 20, 3, 1, 0)))
+    // file-size field in the header matches reality (LE u32 at offset 2)
+    val fs = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(2)
+    assert(fs == bytes.length)
+  }
+
+  test("WAV: RIFF/fmt/data framing parses back; chunk walk tolerates " +
+       "extra chunks") {
+    val bytes = Multimodal.encodeWav(16000, 16000)
+    assert(bytes.length == 44 + 32000)
+    assert(Multimodal.decode(bytes).contains(
+      Multimodal.Meta("audio", 0, 0, 1, 0, 16000)))
+    // insert a LIST chunk between WAVE and fmt — decoder must skip it
+    val list = "LIST".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes
+    val padded = bytes.take(12) ++ list ++ bytes.drop(12)
+    assert(Multimodal.decodeWav(padded).exists(_.sampleRate == 16000))
+  }
+
+  test("Y4M: stream header + FRAME framing parses back with frame count") {
+    val bytes = Multimodal.encodeY4m(16, 8, 5)
+    assert(new String(bytes.take(9)) == "YUV4MPEG2")
+    assert(Multimodal.decode(bytes).contains(
+      Multimodal.Meta("video", 16, 8, 3, 5, 0)))
+    // C420 frame-size math: frameLen = w*h*3/2
+    val c420 = "YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420\n".getBytes ++
+      Array.fill(2 * (6 + 24))(0.toByte).patch(0, "FRAME\n".getBytes, 6)
+        .patch(30, "FRAME\n".getBytes, 6)
+    assert(Multimodal.decodeY4m(c420).exists(_.nFrames == 2))
+  }
+
+  test("resize preserves aspect ratio with integer floor math and " +
+       "re-encodes real containers") {
     val media = Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
     val resized = Multimodal.resize(media, maxSide = 32).collect()
     assert(resized.nonEmpty)
     for (r <- resized) {
-      assert(r.getAs[Int]("width") <= 32 && r.getAs[Int]("height") <= 32)
-      val redecoded = Multimodal.decodeStub(r.getAs[Array[Byte]]("media")).get
-      assert(redecoded.width == r.getAs[Int]("width"))
+      val w = r.getAs[Int]("width"); val h = r.getAs[Int]("height")
+      assert(w <= 32 && h <= 32)
+      val redecoded = Multimodal.decode(r.getAs[Array[Byte]]("media")).get
+      assert(redecoded.width == w && redecoded.height == h)
     }
+    // images stay BMP through the resize (not GFT1)
+    val img = resized.find(r =>
+      Multimodal.decode(r.getAs[Array[Byte]]("media")).get.kind == "image").get
+    assert(img.getAs[Array[Byte]]("media")(0) == 'B')
   }
 }
 
