@@ -34,7 +34,13 @@ object ConnectedComponents {
   /** edges(a, b) undirected → (node, component). Includes isolated nodes
     * present in `edges` as their own component.
     */
-  def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 25): DataFrame =
+    runWithRounds(edges, maxIter)._1
+
+  /** [[run]] plus the number of large-star/small-star rounds to fixpoint —
+    * the O(log n) convergence evidence the scale-stress bench records.
+    */
+  def runWithRounds(edges: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
     val spark = edges.sparkSession
 
     def canon(df: DataFrame): DataFrame =
@@ -82,9 +88,10 @@ object ConnectedComponents {
     val nodes = edges.select(col("a").as("node"))
       .union(edges.select(col("b").as("node"))).distinct()
     val labels = current.groupBy(col("b").as("node")).agg(min(col("a")).as("comp"))
-    nodes
+    (nodes
       .join(labels, Seq("node"), "left")
-      .select(col("node"), coalesce(col("comp"), col("node")).as("component"))
+      .select(col("node"), coalesce(col("comp"), col("node")).as("component")),
+      iter)
   }
 
   private def digestOf(e: DataFrame): (Long, Long) = {

@@ -166,8 +166,12 @@ object Dedup {
     * signature computation runs in a typed map (one pass per doc); the
     * bucket join shuffles only (band, bucketHash) keys.
     */
-  def minHashCandidates(docs: DataFrame, n: Int, params: MinHashParams,
-                        verifyThreshold: Double): DataFrame = {
+  /** Pre-verify candidate pairs from LSH banding alone — exposed so the
+    * scale-stress bench can report candidate totals (∝ true dups, the
+    * never-quadratic property) separately from verified pairs.
+    */
+  def minHashCandidatePairs(docs: DataFrame, n: Int,
+                            params: MinHashParams): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val sigs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
@@ -181,9 +185,14 @@ object Dedup {
       .toDF("doc_id", "band", "bucket")
     val l = bands.select(col("band"), col("bucket"), col("doc_id").as("a"))
     val r = bands.select(col("band"), col("bucket"), col("doc_id").as("b"))
-    val cand = l.join(r, Seq("band", "bucket"))
+    l.join(r, Seq("band", "bucket"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
+  }
+
+  def minHashCandidates(docs: DataFrame, n: Int, params: MinHashParams,
+                        verifyThreshold: Double): DataFrame = {
+    val cand = minHashCandidatePairs(docs, n, params)
     // verify candidates with exact Jaccard (join texts back)
     val txt = docs.select(col("doc_id"), col("text"))
     val jac = udf((x: String, y: String) => ngramJaccard(x, y, n))

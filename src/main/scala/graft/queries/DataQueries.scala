@@ -39,7 +39,7 @@ object DataQueries {
     * replaces round 1's `doc_id < 100` slice: candidates are now ∝ true
     * near-dups, exactly the regime banding is built for.
     */
-  private def minhashCorpus(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def minhashCorpus(spark: SparkSession, dir: String): DataFrame = {
     val base = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text")
     val toks = split(col("text"), " ")
@@ -86,7 +86,7 @@ object DataQueries {
     * sit near 0). Both engines build the identical corpus: float
     * multiply is IEEE-identical cross-engine.
     */
-  private def embedCorpus(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def embedCorpus(spark: SparkSession, dir: String): DataFrame = {
     val base = spark.read.parquet(s"$dir/embeddings.parquet")
       .select("vec_id", "embedding")
     val planted = base.filter(col("vec_id") % 40 === 0)
