@@ -137,6 +137,87 @@ object Similarity {
       .select("a", "b", "cos")
   }
 
+  /** IVF-Flat approximate top-k — the third ANN tier next to brute force
+    * and hyperplane LSH. A coarse quantizer partitions the corpus into
+    * inverted lists (every vector assigned to its nearest centroid); a
+    * query probes its `nProbe` nearest centroids and exact-reranks only
+    * those lists, scanning ≈ nProbe/C of the corpus. Centroids are drawn
+    * by deterministic modular sampling (`centroidPred`) rather than
+    * k-means: sampled codebooks are a standard supported init (recall is
+    * a few points lower than trained ones at equal C), keep the operator
+    * fully deterministic for the cross-engine oracle, and exercise the
+    * identical list/probe plumbing a trained codebook would use. At scale
+    * C grows ~√n, centroids stay broadcast-sized, and assignment is a
+    * per-partition argmax loop — no n×C shuffle anywhere; the only
+    * shuffle is the candidate join keyed by cent_id (lists ~n/C rows,
+    * AQE splits stragglers).
+    *
+    * Float multiply + double accumulation in index order, matching
+    * [[cosine]] and the DuckDB `list_reduce` replay bit-for-bit.
+    */
+  def ivfTopK(emb: DataFrame, queryPred: Column, centroidPred: Column,
+              k: Int, nProbe: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // dictionary-sized collect (C ~ √n by construction), like hyperplanes
+    val cents: Array[(Long, Array[Float])] =
+      emb.filter(centroidPred).select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().map { case (id, v) => (id, v.toArray) }
+        .sortBy(_._1)
+    val bcC = spark.sparkContext.broadcast(cents)
+
+    /** cos(v, centroid) for every centroid, IEEE-identical to [[cosine]]:
+      * float·float products, sequential double accumulation. */
+    def centCos(arr: Array[Float], c: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      val n = math.min(arr.length, c.length)
+      var i = 0
+      while (i < n) {
+        dot += (arr(i) * c(i)).toDouble
+        na += (arr(i) * arr(i)).toDouble
+        nb += (c(i) * c(i)).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    /** Top-m centroid ids by (cos desc, cent_id asc) — the same order the
+      * oracle's ROW_NUMBER uses. */
+    def nearest(arr: Array[Float], m: Int): Array[Long] = {
+      val cs = bcC.value
+      cs.map { case (id, c) => (centCos(arr, c), id) }
+        .sortBy { case (cos, id) => (-cos, id) }
+        .take(m).map(_._2)
+    }
+
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions(_.map { case (id, v) => (nearest(v.toArray, 1)(0), id) })
+      .toDF("cent_id", "cand_id")
+    val probes = emb.filter(queryPred).select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions(_.flatMap { case (id, v) =>
+        nearest(v.toArray, nProbe).map(c => (id, c)) })
+      .toDF("query_id", "cent_id")
+
+    // assignment is unique per vector and probes are distinct per query,
+    // so (query_id, cand_id) needs no dedup
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    probes.join(assigned, Seq("cent_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id")
+      .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        Seq("query_id"))
+      .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("cv")),
+        Seq("cand_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "cand_id", "cos")
+  }
+
   /** Deterministic random hyperplanes (seeded), broadcast as literals. */
   def hyperplanes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

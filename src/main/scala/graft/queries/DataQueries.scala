@@ -141,6 +141,48 @@ object DataQueries {
         col("cand_id"), col("cos"))
       .orderBy("query_id", "rank")
 
+  /** IVF-Flat approximate top-5 (the third ANN tier): coarse quantizer
+    * by deterministic modular sampling (vec_id % 31 = 5 → C ≈ n/31),
+    * nProbe = 4 lists scanned per query. ORACLED: assignment, probing and
+    * rerank all use the sequential-fold cosine both engines compute
+    * bit-identically; the oracle replays the full quantizer.
+    */
+  def annIvfTopk(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(spark.read.parquet(s"$dir/embeddings.parquet"),
+        queryPred = col("vec_id") % 50 === 0,
+        centroidPred = col("vec_id") % 31 === 5,
+        k = 5, nProbe = 4)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), col("cos"))
+      .orderBy("query_id", "rank")
+
+  /** End-to-end curation funnel — the composition a training-data run
+    * executes: quality gate (n_tokens ≥ 20, stopword_ratio > 0.02) →
+    * exact dedup (keep smallest id per text) → near-dup removal (drop the
+    * larger id of every unigram-Jaccard ≥ 0.8 pair within
+    * (lang, source, length-bucket) blocks). One row per stage with doc
+    * and whitespace-token counts, so any drift in any stage breaks the
+    * hash.
+    */
+  def ddPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val q = TextAnalysis.quality(docs)
+    val qual = q.filter(col("n_tokens") >= 20 && col("stopword_ratio") > 0.02)
+    val exact = Dedup.exact(qual)
+    val nearIds = Dedup.jaccardPairs(exact, 0.8).select(col("b")).distinct()
+    val near = exact.join(nearIds, exact("doc_id") === nearIds("b"), "left_anti")
+    def stage(id: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("n_tokens"), lit(0L)).as("n_tokens"))
+        .select(lit(id).as("stage_id"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    stage(0, "raw", q)
+      .unionAll(stage(1, "quality", qual))
+      .unionAll(stage(2, "exact_dedup", exact))
+      .unionAll(stage(3, "near_dedup", near))
+      .orderBy("stage_id")
+  }
+
   /** Text-quality features (integer counts + exact single divisions). */
   def txtQuality(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.quality(spark.read.parquet(s"$dir/documents.parquet"))
@@ -181,6 +223,8 @@ object DataQueries {
     "ann_top1" -> annTop1,
     "ann_brute_topk" -> annBruteTopk,
     "ann_lsh_topk" -> annLshTopk,
+    "ann_ivf_topk" -> annIvfTopk,
+    "dd_pipeline" -> ddPipeline,
     "txt_quality" -> txtQuality,
     "txt_fingerprint" -> txtFingerprint,
     "mm_meta" -> mmMeta,
@@ -307,6 +351,79 @@ object DataQueries {
          |  FROM scored)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, cos
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // replays the full IVF quantizer: one shared cosine CTE feeds both
+    // the assignment argmax and the query probes (the Spark loop computes
+    // the identical folds), then exact rerank within probed lists
+    "ann_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM e
+         |  WHERE vec_id % 31 = 5),
+         |ac AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |    ${cosineFoldSql("e.embedding", "c.cv")} AS cos
+         |  FROM e CROSS JOIN cent c),
+         |assign AS (
+         |  SELECT vec_id AS cand_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+         |    FROM ac) t WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+         |    FROM ac WHERE vec_id % 50 = 0) t WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.query_id, a.cand_id
+         |  FROM probes p JOIN assign a ON a.cent_id = p.cent_id
+         |  WHERE a.cand_id <> p.query_id),
+         |scored AS (
+         |  SELECT cand.query_id, cand.cand_id,
+         |    ${cosineFoldSql("qe.embedding", "ce.embedding")} AS cos
+         |  FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+         |            JOIN e ce ON ce.vec_id = cand.cand_id),
+         |ranked AS (SELECT query_id, cand_id, cos,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, cos
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // the funnel replays each stage on the unblocked truth: the Spark
+    // side's length-bucket blocking is provably lossless at J >= 0.8
+    "dd_pipeline" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, source, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_tokens,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |         ELSE CAST(length(list_filter(string_split_regex(trim(text), '\s+'),
+        |      w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE)
+        |          / length(regexp_split_to_array(trim(text), '\s+')) END AS stopword_ratio
+        |  FROM documents),
+        |qual AS (SELECT * FROM q WHERE n_tokens >= 20 AND stopword_ratio > 0.02),
+        |exact AS (
+        |  SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM qual) t WHERE rn = 1),
+        |tok AS (SELECT DISTINCT doc_id, lang, source, unnest(string_split(text, ' ')) AS w
+        |  FROM exact),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+        |  FROM tok a JOIN tok b ON a.w = b.w AND a.lang = b.lang
+        |    AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dropped AS (
+        |  SELECT DISTINCT p.b FROM pairs p
+        |  JOIN sizes sa ON p.a = sa.doc_id JOIN sizes sb ON p.b = sb.doc_id
+        |  WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.8),
+        |near AS (SELECT * FROM exact WHERE doc_id NOT IN (SELECT b FROM dropped)),
+        |f AS (
+        |  SELECT 0 AS stage_id, 'raw' AS stage, COUNT(*) AS n_docs,
+        |    COALESCE(SUM(n_tokens), 0) AS n_tokens FROM q
+        |  UNION ALL SELECT 1, 'quality', COUNT(*), COALESCE(SUM(n_tokens), 0) FROM qual
+        |  UNION ALL SELECT 2, 'exact_dedup', COUNT(*), COALESCE(SUM(n_tokens), 0) FROM exact
+        |  UNION ALL SELECT 3, 'near_dedup', COUNT(*), COALESCE(SUM(n_tokens), 0) FROM near)
+        |SELECT CAST(stage_id AS INTEGER) AS stage_id, stage,
+        |  CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens
+        |FROM f ORDER BY stage_id""".stripMargin,
     "ann_brute_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |pairs AS (
