@@ -175,6 +175,69 @@ object MentionScan {
       .withColumn("score", col("tf") * log(lit(nDocs.toDouble) / col("df")))
   }
 
+  /** Context-window mention features (the north star's "context-window
+    * entity-link scoring" side): per (doc, entity), tf plus `ctx` = the
+    * number of OTHER gazetteer tokens within ±`window` token positions of
+    * each occurrence, summed over occurrences — a link-coherence signal
+    * (mentions surrounded by known entities are likelier true links).
+    * One per-partition pass (two-pointer over the sorted occurrence
+    * positions, O(tokens + mentions·density)), no shuffle; integer
+    * outputs so the DuckDB oracle replays it exactly.
+    *
+    * Token semantics mirror the oracle: split on single spaces keeping
+    * empties (`split(" ", -1)` ≡ DuckDB `string_split(text, ' ')`), which
+    * on this gazetteer equals the trie's word-boundary counts
+    * (asserted in MentionScanSpec).
+    */
+  def mentionContexts(pages: DataFrame, entities: Seq[String],
+                      window: Int): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(entities.toSet)
+    pages.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val gaz = bc.value
+        it.flatMap { case (docId, text) =>
+          val toks = text.split(" ", -1)
+          val idx = new collection.mutable.ArrayBuffer[Int]()
+          var i = 0
+          while (i < toks.length) { if (gaz(toks(i))) idx += i; i += 1 }
+          val perEnt = collection.mutable.HashMap.empty[String, (Long, Long)]
+          var a = 0
+          while (a < idx.length) {
+            val p = idx(a)
+            var c = 0L
+            var b = a - 1
+            while (b >= 0 && p - idx(b) <= window) { c += 1; b -= 1 }
+            b = a + 1
+            while (b < idx.length && idx(b) - p <= window) { c += 1; b += 1 }
+            val e = toks(p)
+            val (tf0, cx0) = perEnt.getOrElse(e, (0L, 0L))
+            perEnt.update(e, (tf0 + 1, cx0 + c))
+            a += 1
+          }
+          perEnt.iterator.map { case (e, (tf, cx)) => (docId, e, tf, cx) }
+        }
+      }.toDF("doc_id", "entity", "tf", "ctx")
+  }
+
+  /** Combined entity-link score: TF-IDF × a context-coherence boost,
+    * `tf·ln(N/df) · (1 + ctx/(2·window·tf))` — the boost is the mean
+    * fraction of the surrounding window occupied by other gazetteer
+    * entities (∈ [1, 2]). Float formula is ScalaTested (not DuckDB-
+    * oracled — cross-engine ln parity is not guaranteed); the integer
+    * (tf, ctx, df) core is what `kg_mentions_ctx` hash-checks.
+    */
+  def scoredWithContext(ctxDf: DataFrame, nDocs: Long,
+                        window: Int): DataFrame = {
+    val df = ctxDf.groupBy("entity").agg(count(lit(1)).as("df"))
+    ctxDf
+      .join(broadcast(df), Seq("entity"))
+      .withColumn("score",
+        col("tf") * log(lit(nDocs.toDouble) / col("df")) *
+          (lit(1.0) + col("ctx") / (lit(2.0 * window) * col("tf"))))
+  }
+
   /** Candidate triples from scored mentions:
     *  - (page url, mentions, entity) per mention,
     *  - (entity, coOccursWith, entity) for entity pairs co-mentioned in a

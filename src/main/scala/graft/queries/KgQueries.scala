@@ -59,6 +59,16 @@ object KgQueries {
       .orderBy(col("entity"))
   }
 
+  /** Context-window entity-link features (north star: "TF-IDF/context-
+    * window entity-link scoring"): per (doc, entity), tf plus the count
+    * of other gazetteer tokens within ±5 positions of each occurrence.
+    * Integer core of [[MentionScan.scoredWithContext]]; the float score
+    * itself is ScalaTested (ln parity across engines isn't guaranteed).
+    */
+  def kgMentionsCtx(spark: SparkSession, dir: String): DataFrame =
+    MentionScan.mentionContexts(pagesDf(spark, dir), gaz, window = 5)
+      .orderBy(col("doc_id"), col("entity"))
+
   /** Entity co-occurrence triples (s, p, o, n_docs). */
   def kgCooccur(spark: SparkSession, dir: String): DataFrame = {
     val m = MentionScan.mentions(pagesDf(spark, dir), Gazetteer(gaz))
@@ -132,6 +142,7 @@ object KgQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_extract_text" -> kgExtractText,
     "kg_mentions" -> kgMentions,
+    "kg_mentions_ctx" -> kgMentionsCtx,
     "kg_entity_stats" -> kgEntityStats,
     "kg_cooccur" -> kgCooccur,
     "kg_shape" -> kgShape,
@@ -151,6 +162,22 @@ object KgQueries {
       "SELECT doc_id, text AS extracted FROM documents ORDER BY doc_id",
     "kg_mentions" ->
       s"WITH $tokensCte SELECT doc_id, entity, tf FROM m ORDER BY doc_id, entity",
+    // positional replay: 1-based token index from string_split (keeps
+    // empties, matching split(" ", -1)); per-occurrence neighbor count
+    // within ±5, then summed per (doc, entity)
+    "kg_mentions_ctx" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |pos AS (SELECT doc_id, i, w[i] AS t
+         |  FROM toks, unnest(generate_series(1, len(w))) AS g(i)),
+         |gp AS (SELECT doc_id, i, t FROM pos WHERE t IN ${gazList}),
+         |occ AS (
+         |  SELECT a.doc_id, a.i, a.t, COUNT(b.i) AS c
+         |  FROM gp a LEFT JOIN gp b ON b.doc_id = a.doc_id AND b.i <> a.i
+         |    AND abs(b.i - a.i) <= 5
+         |  GROUP BY a.doc_id, a.i, a.t)
+         |SELECT doc_id, t AS entity, CAST(COUNT(*) AS BIGINT) AS tf,
+         |  CAST(SUM(c) AS BIGINT) AS ctx
+         |FROM occ GROUP BY doc_id, t ORDER BY doc_id, entity""".stripMargin,
     "kg_entity_stats" ->
       s"""WITH $tokensCte
          |SELECT entity, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
