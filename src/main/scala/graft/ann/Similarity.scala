@@ -40,35 +40,104 @@ object Similarity {
           round(y.cast("double") * 1000).cast("long")),
       lit(0L), (acc, x) => acc + x)
 
+  /** Partition-local bounded top-k buffers per query, merged by a final
+    * window over parts·k·|Q| rows — the scale shape for an exact scan:
+    * the |Q|×n pair set is never materialized and the only sort ranks
+    * k·parts rows per query. The query batch is broadcast (query batches
+    * are bounded by contract; corpus-scale "query sets" belong in
+    * [[lshTopK]]/[[ivfTopK]]). Per-pair arithmetic is the identical IEEE
+    * fold the Column [[cosine]] computes, so results are bit-equal to
+    * the former join+window formulation (and to the DuckDB oracle).
+    */
+  private def scanTopK(emb: DataFrame, queryPred: Column, k: Int,
+                       score: (Array[Float], Array[Float]) => Double)
+      : DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qs: Array[(Long, Array[Float])] =
+      emb.filter(queryPred).select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().map { case (id, v) => (id, v.toArray) }
+    val bcQ = spark.sparkContext.broadcast(qs)
+    val local = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val queries = bcQ.value
+        // per query: parallel arrays of the current top-k (cos desc,
+        // id asc), insertion-sorted — k and |Q| are small by contract
+        val ids = Array.fill(queries.length)(new Array[Long](k))
+        val cs = Array.fill(queries.length)(new Array[Double](k))
+        val ns = new Array[Int](queries.length)
+        it.foreach { case (cid, v) =>
+          val cv = v.toArray
+          var qi = 0
+          while (qi < queries.length) {
+            val (qid, qv) = queries(qi)
+            if (qid != cid) {
+              val c = score(qv, cv)
+              val n = ns(qi)
+              val better = n < k || c > cs(qi)(n - 1) ||
+                (c == cs(qi)(n - 1) && cid < ids(qi)(n - 1))
+              if (better) {
+                var pos = if (n < k) n else k - 1
+                while (pos > 0 && (c > cs(qi)(pos - 1) ||
+                    (c == cs(qi)(pos - 1) && cid < ids(qi)(pos - 1)))) {
+                  cs(qi)(pos) = cs(qi)(pos - 1); ids(qi)(pos) = ids(qi)(pos - 1)
+                  pos -= 1
+                }
+                cs(qi)(pos) = c; ids(qi)(pos) = cid
+                if (n < k) ns(qi) = n + 1
+              }
+            }
+            qi += 1
+          }
+        }
+        (0 until queries.length).iterator.flatMap { qi =>
+          (0 until ns(qi)).iterator.map { j =>
+            (queries(qi)._1, ids(qi)(j), cs(qi)(j))
+          }
+        }
+      }.toDF("query_id", "cand_id", "cos")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    local.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Brute-force cosine top-k: for each query vector (filtered by
     * `queryPred`), the k nearest corpus vectors (excluding itself).
     * Deterministic tiebreak on candidate id.
     */
-  def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val q = emb.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val c = emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("cand_id"))
-    q.join(c, col("query_id") =!= col("cand_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "cand_id", "cos")
-  }
+  def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame =
+    scanTopK(emb, queryPred, k, { (a, b) =>
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        d += (a(i) * b(i)).toDouble
+        na += (a(i) * a(i)).toDouble; nb += (b(i) * b(i)).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }).select("query_id", "rank", "cand_id", "cos")
 
-  /** Integer-exact top-1 by quantized dot product (oracle-checkable). */
+  /** Integer-exact top-1 by quantized dot product (oracle-checkable):
+    * round(x·1000) per component, associative Long sums.
+    */
   def quantizedTop1(emb: DataFrame, queryPred: Column): DataFrame = {
-    val q = emb.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val c = emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dp").desc, col("cand_id"))
-    q.join(c, col("query_id") =!= col("cand_id"))
-      .withColumn("dp", dotQuantized(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") === 1)
-      .select("query_id", "cand_id", "dp")
+    // HALF_UP (away from zero), matching Spark round() and DuckDB round()
+    // — math.rint's half-to-even would drift on exact .5 products
+    def q1000(x: Float): Long = {
+      val v = x.toDouble * 1000
+      (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+    }
+    scanTopK(emb, queryPred, 1, { (a, b) =>
+      var s = 0L
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) { s += q1000(a(i)) * q1000(b(i)); i += 1 }
+      // Long carried in the Double channel: |dp| ≪ 2^53, exact
+      s.toDouble
+    }).select(col("query_id"), col("cand_id"), col("cos").cast("long").as("dp"))
   }
 
   /** (table, bucket, vec_id) rows from a typed per-partition projection
