@@ -207,6 +207,19 @@ object DataQueries {
     Multimodal.decodeMeta(Multimodal.mediaTable(spark, dir))
       .orderBy("doc_id")
 
+  /** Multimodal: resize to a 96px longest side (integer floor scaling,
+    * aspect preserved) and RE-ENCODE in the real container — the oracle
+    * recomputes the resized dims AND the re-encoded byte size from the
+    * BMP/Y4M container specs, so both the scale math and the encoder
+    * round-trip are hash-checked. Audio rows (no spatial dims) pass
+    * through unchanged.
+    */
+  def mmResize(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resize(Multimodal.mediaTable(spark, dir), maxSide = 96)
+      .select(col("doc_id"), col("width"), col("height"),
+        length(col("media")).cast("long").as("n_bytes"))
+      .orderBy("doc_id")
+
   /** Multimodal: frame sampling plumbing (video rows, stride 7). */
   def mmFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.frameSample(Multimodal.mediaTable(spark, dir), stride = 7)
@@ -228,6 +241,7 @@ object DataQueries {
     "txt_quality" -> txtQuality,
     "txt_fingerprint" -> txtFingerprint,
     "mm_meta" -> mmMeta,
+    "mm_resize" -> mmResize,
     "mm_frames" -> mmFrames
   )
 
@@ -601,6 +615,35 @@ object DataQueries {
         |  END AS BIGINT) AS n_bytes,
         |  TRUE AS decoded
         |FROM m ORDER BY doc_id""".stripMargin,
+    // resized dims: integer floor scale to longest side 96, then the SAME
+    // container-size formulas as mm_meta evaluated at the new dims; audio
+    // (width/height 0 in its Meta) is never scaled
+    "mm_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    CAST(64 + doc_id % 64 AS INTEGER) AS w,
+        |    CAST(64 + (doc_id // 2) % 64 AS INTEGER) AS h,
+        |    CAST(1 + doc_id % 30 AS INTEGER) AS f
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, kind, f,
+        |    CASE WHEN kind = 'audio' THEN 0
+        |         WHEN greatest(w, h) <= 96 THEN w
+        |         ELSE w * 96 // greatest(w, h) END AS w2,
+        |    CASE WHEN kind = 'audio' THEN 0
+        |         WHEN greatest(w, h) <= 96 THEN h
+        |         ELSE h * 96 // greatest(w, h) END AS h2
+        |  FROM m)
+        |SELECT doc_id, CAST(w2 AS INTEGER) AS width, CAST(h2 AS INTEGER) AS height,
+        |  CAST(CASE kind
+        |    WHEN 'image' THEN 54 + h2 * (((3 * w2 + 3) // 4) * 4)
+        |    WHEN 'audio' THEN 44 + 16000 * 2
+        |    ELSE length('YUV4MPEG2 W' || CAST(w2 AS VARCHAR) || ' H' ||
+        |         CAST(h2 AS VARCHAR) || ' F25:1 Ip A1:1 C444') + 1
+        |         + f * (6 + w2 * h2 * 3)
+        |  END AS BIGINT) AS n_bytes
+        |FROM r ORDER BY doc_id""".stripMargin,
     "mm_frames" ->
       """WITH m AS (
         |  SELECT doc_id, CAST(1 + doc_id % 30 AS INTEGER) AS n_frames
