@@ -139,6 +139,22 @@ object KgQueries {
       .orderBy(col("s"), col("p"), col("o"))
   }
 
+  /** Incremental materialization: build the canonical graph from two
+    * doc_id-parity half-batches via [[IncrementalKg.merge]] — no raw-doc
+    * re-read on merge, CC over component star-edges only. ORACLED against
+    * the FULL-batch kg_canonical SQL: the incremental path must
+    * reproduce the batch result bit-for-bit.
+    */
+  def kgCanonicalInc(spark: SparkSession, dir: String): DataFrame = {
+    val pages = pagesDf(spark, dir)
+    val g = graft.pipeline.IncrementalKg.merge(
+      graft.pipeline.IncrementalKg.fromPages(
+        pages.filter(col("doc_id") % 2 === 0), Gazetteer(gaz)),
+      graft.pipeline.IncrementalKg.fromPages(
+        pages.filter(col("doc_id") % 2 === 1), Gazetteer(gaz)))
+    g.triples.orderBy(col("s"), col("p"), col("o"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_extract_text" -> kgExtractText,
     "kg_mentions" -> kgMentions,
@@ -147,7 +163,8 @@ object KgQueries {
     "kg_cooccur" -> kgCooccur,
     "kg_shape" -> kgShape,
     "kg_cc" -> kgCc,
-    "kg_canonical" -> kgCanonical
+    "kg_canonical" -> kgCanonical,
+    "kg_canonical_inc" -> kgCanonicalInc
   )
 
   private val tokensCte =
@@ -208,7 +225,12 @@ object KgQueries {
         |  UNION
         |  SELECT r.n, u.b FROM reach r JOIN und u ON r.x = u.a)
         |SELECT n AS node, MIN(x) AS component FROM reach GROUP BY n ORDER BY node""".stripMargin,
-    "kg_canonical" ->
+    "kg_canonical" -> canonicalSql,
+    // the incremental path must reproduce the full-batch result exactly
+    "kg_canonical_inc" -> canonicalSql
+  )
+
+  private lazy val canonicalSql: String =
       s"""WITH RECURSIVE $tokensCte,
          |co AS (
          |  SELECT 'urn:ent:' || a.entity AS s, 'urn:graft:coOccursWith' AS p,
@@ -232,5 +254,4 @@ object KgQueries {
          |LEFT JOIN comp cs ON t.s = cs.node
          |LEFT JOIN comp co2 ON t.o = co2.node
          |ORDER BY s, p, o""".stripMargin
-  )
 }
