@@ -183,12 +183,33 @@ object Main {
         s"issues=${res.issues.count()}")
       stopOwned(spark)
 
+    // training-data curation funnel over the documents table (round 3)
+    case "curate" :: sfDir :: Nil =>
+      val spark = session()
+      graft.queries.DataQueries.ddPipeline(spark, sfDir).collect().foreach { r =>
+        println(s"${r.getString(1)}: docs=${r.getLong(2)} tokens=${r.getLong(3)}")
+      }
+      stopOwned(spark)
+
+    // ANN search over the embeddings table: top-k neighbors of a vec_id
+    case "search" :: sfDir :: vecId :: k :: Nil =>
+      val spark = session()
+      import org.apache.spark.sql.functions.col
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      graft.ann.Similarity.bruteForceTopK(emb,
+          col("vec_id") === vecId.toLong, k.toInt)
+        .collect().foreach { r =>
+          println(f"rank=${r.getInt(1)} vec=${r.getLong(2)} cos=${r.getDouble(3)}%.6f")
+        }
+      stopOwned(spark)
+
     case other =>
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
            |usage: convert <in.ttl> <out.json> | validate <in.{ttl,json,dtdl,cdm.json}> |
            |       export <in.json> <out.nt> | compare <a.ttl> <b.ttl> |
-           |       test <in.ttl> | kg <sfDir> <outDir>""".stripMargin)
+           |       test <in.ttl> | kg <sfDir> <outDir> |
+           |       curate <sfDir> | search <sfDir> <vecId> <k>""".stripMargin)
       sys.exit(2)
   }
 }
