@@ -42,6 +42,10 @@ object ConnectedComponents {
     */
   def runWithRounds(edges: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
     val spark = edges.sparkSession
+    // materialize the input once: it feeds BOTH the iteration seed and the
+    // final node list — an unmaterialized DF would re-execute its whole
+    // upstream (e.g. the mention scan) a second time at the label join
+    val e0 = edges.localCheckpoint()
 
     def canon(df: DataFrame): DataFrame =
       df.filter(col("a") =!= col("b"))
@@ -69,7 +73,7 @@ object ConnectedComponents {
         .union(m.select(col("u").as("a"), col("m").as("b")))
     }
 
-    var current = canon(edges).localCheckpoint()
+    var current = canon(e0).localCheckpoint()
     var digest = digestOf(current)
     var iter = 0
     var converged = false
@@ -85,8 +89,8 @@ object ConnectedComponents {
     // Fixpoint is a star forest normalized (a=root/min, b=child): each
     // child node appears as `b` exactly once; roots and isolated nodes
     // label themselves. min() guards against a non-converged maxIter exit.
-    val nodes = edges.select(col("a").as("node"))
-      .union(edges.select(col("b").as("node"))).distinct()
+    val nodes = e0.select(col("a").as("node"))
+      .union(e0.select(col("b").as("node"))).distinct()
     val labels = current.groupBy(col("b").as("node")).agg(min(col("a")).as("comp"))
     (nodes
       .join(labels, Seq("node"), "left")

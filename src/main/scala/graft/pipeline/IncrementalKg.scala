@@ -35,7 +35,8 @@ object IncrementalKg {
   /** Build a canonical graph from a page batch (same semantics as
     * KgQueries.kgCanonical, returned with its component map). */
   def fromPages(pages: DataFrame, gaz: Gazetteer): KgGraph = {
-    val m = MentionScan.mentions(pages, gaz)
+    // scan feeds mention triples + co-occurrence: materialize once
+    val m = MentionScan.mentions(pages, gaz).localCheckpoint()
     val mentionT = MentionScan.mentionTriples(m)
     val co = MentionScan.coOccurrenceTriplesFused(m, gaz.entityList)
       .select("s", "p", "o")
