@@ -166,9 +166,12 @@ object DataQueries {
     */
   def ddPipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val q = TextAnalysis.quality(docs)
+    // the four stage aggregates union into one plan with NO cross-branch
+    // subtree reuse — materialize each funnel stage once or the quality
+    // scan executes per branch (4×) and the dedup window 3×
+    val q = TextAnalysis.quality(docs).localCheckpoint()
     val qual = q.filter(col("n_tokens") >= 20 && col("stopword_ratio") > 0.02)
-    val exact = Dedup.exact(qual)
+    val exact = Dedup.exact(qual).localCheckpoint()
     val nearIds = Dedup.jaccardPairs(exact, 0.8).select(col("b")).distinct()
     val near = exact.join(nearIds, exact("doc_id") === nearIds("b"), "left_anti")
     def stage(id: Int, name: String, df: DataFrame): DataFrame =
