@@ -71,6 +71,16 @@ object Dedup {
 
   /** Candidate pairs (pre-threshold) — exposed so tests can assert the
     * blocking bound directly.
+    *
+    * Formulation note (round-3 measured): an inverted-index variant
+    * (post tokens under the block key, count shared tokens with a
+    * token-equality join) was benchmarked and is ~40% SLOWER here —
+    * Σ df² narrow rows + a multi-key aggregation + an extra shuffle lose
+    * to one join with codegen'd in-row array intersects while the length
+    * bands keep block pairs bounded (147 k pairs at sf0.1). Either
+    * formulation is quadratic inside a stopword-dense block at corpus
+    * scale — that regime belongs to the MinHash+LSH tier; this tier is
+    * the exact within-block path.
     */
   def jaccardCandidates(docs: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold < 1, "threshold must be in (0,1)")
