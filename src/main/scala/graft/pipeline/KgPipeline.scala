@@ -32,7 +32,8 @@ object KgPipeline {
       triples: DataFrame,
       canonicalTriples: DataFrame,
       issues: DataFrame,
-      invariantViolations: Long)
+      invariantViolations: Long,
+      components: DataFrame)
 
   /** Shape catalog for the synthetic KG. */
   val DocCls = "urn:cls:Document"
@@ -114,14 +115,20 @@ object KgPipeline {
     failpoint(failAfterPhase, "triples")
 
     // Phase 4 — canonicalization + final graph -------------------------
-    val canonical =
-      if (done(outDir, "canonical")) load(spark, outDir, "canonical")
+    val (canonical, components) =
+      if (done(outDir, "canonical"))
+        (load(spark, outDir, "canonical"), load(spark, outDir, "components"))
       else {
         // co-mention graph over entities; components merge coreferent ids
         val edges = triples.filter(col("p") === MentionScan.CoOccursPred)
           .select(col("s").as("a"), col("o").as("b"))
         val comp = ConnectedComponents.run(edges)
-        val canonMap = comp.select(col("node"), col("component"))
+        // the component map is itself a snapshot: IncrementalKg.merge
+        // reconnects future batches through these star edges without
+        // re-reading this run's documents (components first — `done`
+        // keys on the canonical marker)
+        val canonMap = commit(comp.select(col("node"), col("component")),
+          outDir, "components")
         // triples → canonical-map joins, skew-guarded: a head entity can
         // appear in a huge fraction of triples (north rule: "salted
         // broadcast joins ... for head entities"). When the canon map
@@ -139,10 +146,41 @@ object KgPipeline {
             coalesce(col("sCanon"), col("s")).as("s"), col("p"),
             coalesce(col("oCanon"), col("o")).as("o"))
           .distinct()
-        commit(rewritten, outDir, "canonical")
+        (commit(rewritten, outDir, "canonical"), canonMap)
       }
 
-    Result(triples, canonical, issues, invariantViolations)
+    Result(triples, canonical, issues, invariantViolations, components)
+  }
+
+  /** Resumable incremental ingestion: merge a NEW batch of documents into
+    * a previous pipeline output. The new batch runs the standard 4-phase
+    * checkpointed pipeline under `outDir/batch`; the merge phase then
+    * reconnects the two component snapshots through their star edges
+    * ([[IncrementalKg.merge]]) and commits `components` + `canonical`
+    * snapshots at `outDir` — never re-reading the previous run's
+    * documents. Kill/resume safe at every phase boundary (same `_SUCCESS`
+    * contract as [[run]]); merge(prev, batch) ≡ a fresh full run over the
+    * union corpus (KgIncrementalPipelineSpec).
+    */
+  def merge(spark: SparkSession, prevOut: String, sfDir: String,
+            outDir: String,
+            gazetteer: Gazetteer = Gazetteer(Gazetteer.DefaultEntities),
+            failAfterPhase: Option[String] = None): Result = {
+    val batch = run(spark, sfDir, s"$outDir/batch", gazetteer, failAfterPhase)
+    failpoint(failAfterPhase, "batch")
+    val (canonical, components) =
+      if (done(outDir, "canonical"))
+        (load(spark, outDir, "canonical"), load(spark, outDir, "components"))
+      else {
+        val merged = IncrementalKg.merge(
+          KgGraph(load(spark, prevOut, "canonical"),
+            load(spark, prevOut, "components")),
+          KgGraph(batch.canonicalTriples, batch.components))
+        val comps = commit(merged.components, outDir, "components")
+        (commit(merged.triples, outDir, "canonical"), comps)
+      }
+    Result(batch.triples, canonical, batch.issues,
+      batch.invariantViolations, components)
   }
 
   private def failpoint(failAfter: Option[String], phase: String): Unit =
