@@ -183,6 +183,14 @@ object Main {
         s"issues=${res.issues.count()}")
       stopOwned(spark)
 
+    // incremental ingestion: merge a new batch into a previous kg output
+    case "kg-merge" :: prevOut :: sfDir :: outDir :: Nil =>
+      val spark = session()
+      val res = graft.pipeline.KgPipeline.merge(spark, prevOut, sfDir, outDir)
+      println(s"kg merge: triples=${res.canonicalTriples.count()} " +
+        s"components=${res.components.count()}")
+      stopOwned(spark)
+
     // training-data curation funnel over the documents table (round 3)
     case "curate" :: sfDir :: Nil =>
       val spark = session()
@@ -209,6 +217,7 @@ object Main {
            |usage: convert <in.ttl> <out.json> | validate <in.{ttl,json,dtdl,cdm.json}> |
            |       export <in.json> <out.nt> | compare <a.ttl> <b.ttl> |
            |       test <in.ttl> | kg <sfDir> <outDir> |
+           |       kg-merge <prevOut> <sfDir> <outDir> |
            |       curate <sfDir> | search <sfDir> <vecId> <k>""".stripMargin)
       sys.exit(2)
   }
