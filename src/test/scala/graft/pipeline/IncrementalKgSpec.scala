@@ -41,6 +41,24 @@ class IncrementalKgSpec extends SparkSpec {
     assert(compMap(folded.components) == compMap(full.components))
   }
 
+  test("seeded pseudo-random 3-way split folds to the full graph") {
+    // Knuth-hash split — batch boundaries uncorrelated with doc order
+    val part = pmod(col("doc_id") * 2654435761L, lit(3))
+    val batches = (0 until 3).map(k =>
+      IncrementalKg.fromPages(pages.filter(part === k), gaz))
+    val folded = batches.reduce(IncrementalKg.merge)
+    val full = IncrementalKg.fromPages(pages, gaz)
+    assert(tripleSet(folded.triples) == tripleSet(full.triples))
+    assert(compMap(folded.components) == compMap(full.components))
+  }
+
+  test("merging a graph with itself is idempotent") {
+    val full = IncrementalKg.fromPages(pages, gaz)
+    val merged = IncrementalKg.merge(full, full)
+    assert(tripleSet(merged.triples) == tripleSet(full.triples))
+    assert(compMap(merged.components) == compMap(full.components))
+  }
+
   test("merging a batch with no bridging entities leaves labels intact") {
     // batch2 with no mentions at all: empty components, empty triples
     val empty = IncrementalKg.fromPages(
