@@ -233,6 +233,9 @@ object Similarity {
       emb.filter(centroidPred).select(col("vec_id"), col("embedding"))
         .as[(Long, Seq[Float])].collect().map { case (id, v) => (id, v.toArray) }
         .sortBy(_._1)
+    require(cents.nonEmpty,
+      "ivfTopK: centroidPred selected no rows — an empty codebook would " +
+        "fail opaquely inside the assignment loop")
     val bcC = spark.sparkContext.broadcast(cents)
 
     /** cos(v, centroid) for every centroid, IEEE-identical to [[cosine]]:

@@ -45,9 +45,14 @@ object Salting {
 
   /** Skew decision for `df`'s `key` distribution: salt when the hottest
     * key exceeds BOTH an absolute floor (`spark.graft.skew.minHot`, below
-    * which one reducer handles it fine) and the statistical threshold
-    * mean + k·stddev of per-key counts (`spark.graft.skew.k`). The counts
-    * themselves come from [[twoPhaseCount]] — the skew-proof counter —
+    * which one reducer handles it fine) and `spark.graft.skew.factor` ×
+    * its FAIR SHARE of one reducer (total rows / shuffle partitions) —
+    * the same shape AQE's skewedPartitionFactor uses. A mean + k·σ test
+    * was used before, but the max z-score among m keys is bounded by
+    * √(m−1), so with k = 3 a single hot key among ≤ 10 distinct keys
+    * could NEVER trip it — exactly the head-entity case this guards
+    * (and a single-key distribution has z = 0 while being maximal skew).
+    * The counts come from [[twoPhaseCount]] — the skew-proof counter —
     * so detection never recreates the hot reducer it is guarding against.
     * Returns the salt count (`spark.graft.skew.salts`) when skewed.
     */
@@ -56,27 +61,33 @@ object Salting {
     def opt(k: String, d: String) = conf.getOption(k).getOrElse(d)
     val salts = opt("spark.graft.skew.salts", "8").toInt
     val minHot = opt("spark.graft.skew.minHot", "100000").toLong
-    val k = opt("spark.graft.skew.k", "3.0").toDouble
+    val factor = opt("spark.graft.skew.factor", "2.0").toDouble
+    val parts = conf.getOption("spark.sql.shuffle.partitions")
+      .flatMap(_.toIntOption).getOrElse(200)
     val row = twoPhaseCount(df, key, salts, saltFrom)
-      .agg(max(col("count")).as("mx"), avg(col("count")).as("mu"),
-        coalesce(stddev_pop(col("count")), lit(0.0)).as("sd"))
+      .agg(max(col("count")).as("mx"), sum(col("count")).as("total"))
       .collect().headOption.filter(!_.isNullAt(0))
     row.flatMap { r =>
       val mx = r.getAs[Long]("mx")
-      val mu = r.getAs[Double]("mu")
-      val sd = r.getAs[Double]("sd")
-      if (mx >= minHot && mx > mu + k * sd) Some(salts) else None
+      val total = r.getAs[Long]("total")
+      if (mx >= minHot && mx > factor * total.toDouble / parts) Some(salts)
+      else None
     }
   }
 
   /** Left join that salts itself only when the probe side is actually
     * skewed on `key` — the production guard the north rule names for
     * head entities. Plain join (AQE-eligible, broadcast-eligible)
-    * otherwise.
+    * otherwise. `statsSource` lets the caller point detection at an
+    * already-materialized DataFrame with the same `key` distribution
+    * (e.g. the committed snapshot a chain of joins derives from), so the
+    * detection aggregate never re-executes an expensive unmaterialized
+    * `big` plan.
     */
   def skewAwareLeftJoin(big: DataFrame, small: DataFrame, key: String,
-                        saltFrom: Seq[String]): DataFrame =
-    skewSalts(big, key, saltFrom) match {
+                        saltFrom: Seq[String],
+                        statsSource: Option[DataFrame] = None): DataFrame =
+    skewSalts(statsSource.getOrElse(big), key, saltFrom) match {
       case Some(n) => saltedJoin(big, small, key, n, saltFrom, "left")
       case None => big.join(small, Seq(key), "left")
     }

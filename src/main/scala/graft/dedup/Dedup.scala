@@ -171,14 +171,11 @@ object Dedup {
     h
   }
 
-  /** LSH banding: docs sharing any band bucket become candidate pairs;
-    * candidates are verified with exact n-gram Jaccard. The heavy
-    * signature computation runs in a typed map (one pass per doc); the
-    * bucket join shuffles only (band, bucketHash) keys.
-    */
   /** Pre-verify candidate pairs from LSH banding alone — exposed so the
     * scale-stress bench can report candidate totals (∝ true dups, the
-    * never-quadratic property) separately from verified pairs.
+    * never-quadratic property) separately from verified pairs. The heavy
+    * signature computation runs in a typed map (one pass per doc); the
+    * bucket join shuffles only (band, bucketHash) keys.
     */
   def minHashCandidatePairs(docs: DataFrame, n: Int,
                             params: MinHashParams): DataFrame = {

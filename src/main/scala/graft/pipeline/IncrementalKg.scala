@@ -60,11 +60,5 @@ object IncrementalKg {
   }
 
   private def rewrite(triples: DataFrame, canonMap: DataFrame): DataFrame =
-    triples
-      .join(canonMap.withColumnRenamed("node", "s")
-        .withColumnRenamed("component", "sCanon"), Seq("s"), "left")
-      .join(canonMap.withColumnRenamed("node", "o")
-        .withColumnRenamed("component", "oCanon"), Seq("o"), "left")
-      .select(coalesce(col("sCanon"), col("s")).as("s"), col("p"),
-        coalesce(col("oCanon"), col("o")).as("o"))
+    graft.canon.Canonicalize.rewriteTriples(triples, canonMap)
 }

@@ -26,7 +26,7 @@ import graft.shape.ShapeRules
   */
 object KgPipeline {
 
-  val Phases = Seq("pages", "mentions", "triples", "canonical")
+  val Phases = Seq("pages", "mentions", "triples", "components", "canonical")
 
   final case class Result(
       triples: DataFrame,
@@ -41,6 +41,13 @@ object KgPipeline {
   def shapeRules(spark: SparkSession): DataFrame = ShapeRules.rulesDf(spark, Seq(
     (MentionScan.MentionsPred, DocCls, EntCls),
     (MentionScan.CoOccursPred, EntCls, EntCls)))
+
+  /** CC over the co-occurrence edges of a (pre-canonical) triple set. */
+  private def componentsFromTriples(t: DataFrame): DataFrame =
+    ConnectedComponents.run(
+      t.filter(col("p") === MentionScan.CoOccursPred)
+        .select(col("s").as("a"), col("o").as("b")))
+      .select(col("node"), col("component"))
 
   private def phaseDir(out: String, phase: String) = s"$out/phase=$phase"
   private def done(out: String, phase: String): Boolean =
@@ -116,35 +123,32 @@ object KgPipeline {
 
     // Phase 4 — canonicalization + final graph -------------------------
     val (canonical, components) =
-      if (done(outDir, "canonical"))
-        (load(spark, outDir, "canonical"), load(spark, outDir, "components"))
-      else {
-        // co-mention graph over entities; components merge coreferent ids
-        val edges = triples.filter(col("p") === MentionScan.CoOccursPred)
-          .select(col("s").as("a"), col("o").as("b"))
-        val comp = ConnectedComponents.run(edges)
+      if (done(outDir, "canonical")) {
+        // back-compat: output dirs written before the components snapshot
+        // existed have only the canonical marker — rebuild the map from
+        // the committed triples snapshot instead of failing the resume
+        val comps =
+          if (done(outDir, "components")) load(spark, outDir, "components")
+          else commit(componentsFromTriples(triples), outDir, "components")
+        (load(spark, outDir, "canonical"), comps)
+      } else {
         // the component map is itself a snapshot: IncrementalKg.merge
         // reconnects future batches through these star edges without
         // re-reading this run's documents (components first — `done`
         // keys on the canonical marker)
-        val canonMap = commit(comp.select(col("node"), col("component")),
+        val canonMap = commit(componentsFromTriples(triples),
           outDir, "components")
         // triples → canonical-map joins, skew-guarded: a head entity can
         // appear in a huge fraction of triples (north rule: "salted
         // broadcast joins ... for head entities"). When the canon map
         // broadcasts there is no skew; when it is too large for broadcast
         // (10^12-doc entity space) the sort-merge probe side is salted iff
-        // per-key stats say the hottest key dominates — detection and
-        // threshold in graft.canon.Salting.skewSalts.
-        def canonJoin(t: DataFrame, keyCol: String, outName: String) =
-          graft.canon.Salting.skewAwareLeftJoin(t,
-            canonMap.withColumnRenamed("node", keyCol)
-              .withColumnRenamed("component", outName),
-            keyCol, Seq("s", "p", "o"))
-        val rewritten = canonJoin(canonJoin(triples, "s", "sCanon"), "o", "oCanon")
-          .select(
-            coalesce(col("sCanon"), col("s")).as("s"), col("p"),
-            coalesce(col("oCanon"), col("o")).as("o"))
+        // the hottest key exceeds its fair reducer share — detection and
+        // threshold in graft.canon.Salting.skewSalts. Stats run against
+        // the committed triples snapshot so the o-side detection does not
+        // re-execute the s-join.
+        val rewritten = graft.canon.Canonicalize
+          .rewriteTriples(triples, canonMap, statsSource = Some(triples))
           .distinct()
         (commit(rewritten, outDir, "canonical"), canonMap)
       }
@@ -172,9 +176,13 @@ object KgPipeline {
       if (done(outDir, "canonical"))
         (load(spark, outDir, "canonical"), load(spark, outDir, "components"))
       else {
+        // back-compat: a prev dir from before the components snapshot is
+        // rebuilt in-memory from its committed triples (never mutated)
+        val prevComps =
+          if (done(prevOut, "components")) load(spark, prevOut, "components")
+          else componentsFromTriples(load(spark, prevOut, "triples"))
         val merged = IncrementalKg.merge(
-          KgGraph(load(spark, prevOut, "canonical"),
-            load(spark, prevOut, "components")),
+          KgGraph(load(spark, prevOut, "canonical"), prevComps),
           KgGraph(batch.canonicalTriples, batch.components))
         val comps = commit(merged.components, outDir, "components")
         (commit(merged.triples, outDir, "canonical"), comps)

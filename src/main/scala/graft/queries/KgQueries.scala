@@ -133,13 +133,7 @@ object KgQueries {
     val edges = co.select(col("s").as("a"), col("o").as("b"))
     val comp = ConnectedComponents.run(edges)
     val canonMap = comp.select(col("node"), col("component"))
-    mentionT.union(co)
-      .join(canonMap.withColumnRenamed("node", "s")
-        .withColumnRenamed("component", "sCanon"), Seq("s"), "left")
-      .join(canonMap.withColumnRenamed("node", "o")
-        .withColumnRenamed("component", "oCanon"), Seq("o"), "left")
-      .select(coalesce(col("sCanon"), col("s")).as("s"), col("p"),
-        coalesce(col("oCanon"), col("o")).as("o"))
+    graft.canon.Canonicalize.rewriteTriples(mentionT.union(co), canonMap)
       .distinct()
       .orderBy(col("s"), col("p"), col("o"))
   }

@@ -139,6 +139,9 @@ object StressBench {
         val cand = Dedup.minHashCandidatePairs(corpus, 3, params)
           .localCheckpoint()
         val nCand = cand.count()
+        // `secs` is the honest END-TO-END wall (signatures + banding +
+        // verify); the candidate pre-count above is deliberately outside
+        // the timed region and duplicates that work only for reporting
         val (nVer, secs) = time {
           Dedup.minHashCandidates(corpus, 3, params, 0.8).count()
         }

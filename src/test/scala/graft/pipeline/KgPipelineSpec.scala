@@ -112,14 +112,15 @@ class KgPipelineSpec extends SparkSpec {
     val outA = freshDir(); val outB = freshDir()
     try {
       val resA = KgPipeline.run(spark, sfDir, outA)
-      // force the skew guard on: floor 1, statistical threshold disabled
+      // force the skew guard on: floor 1, fair-share factor negative so
+      // any key trips it
       spark.conf.set("spark.graft.skew.minHot", "1")
-      spark.conf.set("spark.graft.skew.k", "-1000")
+      spark.conf.set("spark.graft.skew.factor", "-1000")
       val resB =
         try KgPipeline.run(spark, sfDir, outB)
         finally {
           spark.conf.unset("spark.graft.skew.minHot")
-          spark.conf.unset("spark.graft.skew.k")
+          spark.conf.unset("spark.graft.skew.factor")
         }
       val a = resA.canonicalTriples.collect().map(_.toString).sorted
       val b = resB.canonicalTriples.collect().map(_.toString).sorted
