@@ -132,6 +132,11 @@ class MultimodalSpec extends SparkSpec {
     val list = "LIST".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes
     val padded = bytes.take(12) ++ list ++ bytes.drop(12)
     assert(Multimodal.decodeWav(padded).exists(_.sampleRate == 16000))
+    // a malformed NEGATIVE chunk size must return None, not spin the
+    // chunk walk forever (size -8 makes zero forward progress)
+    val evil = bytes.take(12) ++ "JUNK".getBytes ++
+      Array[Byte](-8, -1, -1, -1) ++ bytes.drop(20)
+    assert(Multimodal.decodeWav(evil).isEmpty)
   }
 
   test("Y4M: stream header + FRAME framing parses back with frame count") {

@@ -43,6 +43,30 @@ class KgIncrementalPipelineSpec extends SparkSpec {
     assert(comps(merged.components) == comps(full.components))
   }
 
+  test("pre-components output dirs (old layout) still resume and merge") {
+    import java.nio.file.{Files => JF, Paths}
+    import java.util.Comparator
+    val (a, b) = (halfDir(0), halfDir(1))
+    val outA = Files.createTempDirectory("outA3").toString
+    KgPipeline.run(spark, a, outA)
+    // simulate an output written before the components snapshot existed
+    val compDir = Paths.get(s"$outA/phase=components")
+    JF.walk(compDir).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => JF.delete(p))
+    // resume rebuilds + commits the snapshot instead of crashing
+    val resumed = KgPipeline.run(spark, a, outA)
+    assert(resumed.components.count() > 0)
+    assert(JF.exists(compDir.resolve("_SUCCESS")))
+    // merge against an old-layout prev dir works too
+    JF.walk(compDir).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => JF.delete(p))
+    val outM = Files.createTempDirectory("outM3").toString
+    val merged = KgPipeline.merge(spark, outA, b, outM)
+    val outFull = Files.createTempDirectory("outFull3").toString
+    val full = KgPipeline.run(spark, sfDir, outFull)
+    assert(tripleSet(merged.canonicalTriples) == tripleSet(full.canonicalTriples))
+  }
+
   test("a merge killed mid-batch resumes to the identical result") {
     val (a, b) = (halfDir(0), halfDir(1))
     val outA = Files.createTempDirectory("outA2").toString
