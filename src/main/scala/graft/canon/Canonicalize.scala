@@ -19,15 +19,21 @@ object Canonicalize {
     */
   def rewriteTriples(triples: DataFrame, canonMap: DataFrame,
                      statsSource: Option[DataFrame] = None): DataFrame = {
-    val stats = Some(statsSource.getOrElse(triples))
+    val stats = statsSource.getOrElse(triples)
+    // ONE detection job covers both endpoint columns
+    val salts = Salting.skewSaltsMulti(stats, Seq("s", "o"), Seq("s", "p", "o"))
     def mapAs(keyCol: String, outName: String) =
       canonMap.withColumnRenamed("node", keyCol)
         .withColumnRenamed("component", outName)
-    val r1 = Salting.skewAwareLeftJoin(triples, mapAs("s", "sCanon"),
-      "s", Seq("s", "p", "o"), stats)
-    val r2 = Salting.skewAwareLeftJoin(r1, mapAs("o", "oCanon"),
-      "o", Seq("s", "p", "o"), stats)
-    r2.select(coalesce(col("sCanon"), col("s")).as("s"), col("p"),
-      coalesce(col("oCanon"), col("o")).as("o"))
+    def join1(t: DataFrame, keyCol: String, outName: String) =
+      salts(keyCol) match {
+        case Some(n) =>
+          Salting.saltedJoin(t, mapAs(keyCol, outName), keyCol, n,
+            Seq("s", "p", "o"), "left")
+        case None => t.join(mapAs(keyCol, outName), Seq(keyCol), "left")
+      }
+    join1(join1(triples, "s", "sCanon"), "o", "oCanon")
+      .select(coalesce(col("sCanon"), col("s")).as("s"), col("p"),
+        coalesce(col("oCanon"), col("o")).as("o"))
   }
 }

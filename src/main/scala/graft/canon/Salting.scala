@@ -75,6 +75,44 @@ object Salting {
     }
   }
 
+  /** [[skewSalts]] for SEVERAL key columns of the same DataFrame in ONE
+    * aggregation job: endpoints explode to (endpoint, value) rows, the
+    * two-phase count runs per (endpoint, value), and one final aggregate
+    * yields each endpoint's hottest-key count. Callers that guard several
+    * joins against the same snapshot (e.g. the s/o triple rewrite) pay
+    * one detection job instead of one per key.
+    */
+  def skewSaltsMulti(df: DataFrame, keys: Seq[String],
+                     saltFrom: Seq[String]): Map[String, Option[Int]] = {
+    val conf = df.sparkSession.conf
+    def opt(k: String, d: String) = conf.getOption(k).getOrElse(d)
+    val salts = opt("spark.graft.skew.salts", "8").toInt
+    val minHot = opt("spark.graft.skew.minHot", "100000").toLong
+    val factor = opt("spark.graft.skew.factor", "2.0").toDouble
+    val parts = conf.getOption("spark.sql.shuffle.partitions")
+      .flatMap(_.toIntOption).getOrElse(200)
+    val kv = df.select(col("*"), explode(array(keys.map(k =>
+        struct(lit(k).as("__e"), col(k).cast("string").as("__k"))): _*))
+        .as("__x"))
+      .select(col("__x.__e").as("__e"), col("__x.__k").as("__k"),
+        saltCol(salts, saltFrom.map(col): _*).as("__salt"))
+    val perEndpoint = kv
+      .groupBy(col("__e"), col("__k"), col("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(col("__e"), col("__k"))
+      .agg(sum("__partial").as("count"))
+      .groupBy(col("__e"))
+      .agg(max(col("count")).as("mx"), sum(col("count")).as("total"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    keys.map { k =>
+      k -> perEndpoint.get(k).flatMap { case (mx, total) =>
+        if (mx >= minHot && mx > factor * total.toDouble / parts) Some(salts)
+        else None
+      }
+    }.toMap
+  }
+
   /** Left join that salts itself only when the probe side is actually
     * skewed on `key` — the production guard the north rule names for
     * head entities. Plain join (AQE-eligible, broadcast-eligible)

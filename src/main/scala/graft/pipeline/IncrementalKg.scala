@@ -43,7 +43,9 @@ object IncrementalKg {
     val edges = co.select(col("s").as("a"), col("o").as("b"))
     val canonMap = ConnectedComponents.run(edges)
       .select(col("node"), col("component"))
-    KgGraph(rewrite(mentionT.union(co), canonMap), canonMap)
+    // materialized: skew detection + both rewrite joins consume the union
+    val allT = mentionT.union(co).localCheckpoint()
+    KgGraph(rewrite(allT, canonMap), canonMap)
   }
 
   /** Merge a new batch graph into a previous graph. */
@@ -54,9 +56,10 @@ object IncrementalKg {
     val edges = all.select(col("node").as("a"), col("component").as("b"))
     val canonMap = ConnectedComponents.run(edges)
       .select(col("node"), col("component"))
-    KgGraph(
-      rewrite(prev.triples.union(batch.triples), canonMap).distinct(),
-      canonMap)
+    // materialized for the same multi-consumer reason as fromPages: the
+    // two sides may be arbitrary (possibly unmaterialized) join plans
+    val allT = prev.triples.union(batch.triples).localCheckpoint()
+    KgGraph(rewrite(allT, canonMap).distinct(), canonMap)
   }
 
   private def rewrite(triples: DataFrame, canonMap: DataFrame): DataFrame =

@@ -133,7 +133,10 @@ object KgQueries {
     val edges = co.select(col("s").as("a"), col("o").as("b"))
     val comp = ConnectedComponents.run(edges)
     val canonMap = comp.select(col("node"), col("component"))
-    graft.canon.Canonicalize.rewriteTriples(mentionT.union(co), canonMap)
+    // materialize the union: skew detection + both rewrite joins consume
+    // it — unmaterialized, each would re-run the co-occurrence aggregate
+    val allT = mentionT.union(co).localCheckpoint()
+    graft.canon.Canonicalize.rewriteTriples(allT, canonMap)
       .distinct()
       .orderBy(col("s"), col("p"), col("o"))
   }
