@@ -233,9 +233,15 @@ object Similarity {
       emb.filter(centroidPred).select(col("vec_id"), col("embedding"))
         .as[(Long, Seq[Float])].collect().map { case (id, v) => (id, v.toArray) }
         .sortBy(_._1)
-    require(cents.nonEmpty,
-      "ivfTopK: centroidPred selected no rows — an empty codebook would " +
-        "fail opaquely inside the assignment loop")
+    if (cents.isEmpty) {
+      // empty corpus → empty result (matches the join formulation);
+      // a non-empty corpus whose predicate selects nothing is a caller
+      // error that would otherwise fail opaquely inside the loop
+      require(emb.isEmpty,
+        "ivfTopK: centroidPred selected no rows from a non-empty corpus")
+      return Seq.empty[(Long, Int, Long, Double)]
+        .toDF("query_id", "rank", "cand_id", "cos")
+    }
     val bcC = spark.sparkContext.broadcast(cents)
 
     /** cos(v, centroid) for every centroid, IEEE-identical to [[cosine]]:

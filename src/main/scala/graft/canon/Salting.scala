@@ -55,25 +55,12 @@ object Salting {
     * The counts come from [[twoPhaseCount]] — the skew-proof counter —
     * so detection never recreates the hot reducer it is guarding against.
     * Returns the salt count (`spark.graft.skew.salts`) when skewed.
+    * Delegates to [[skewSaltsMulti]] (one shared threshold formula);
+    * keys compare via their string form, which is exact for the string
+    * entity keys every caller uses.
     */
-  def skewSalts(df: DataFrame, key: String, saltFrom: Seq[String]): Option[Int] = {
-    val conf = df.sparkSession.conf
-    def opt(k: String, d: String) = conf.getOption(k).getOrElse(d)
-    val salts = opt("spark.graft.skew.salts", "8").toInt
-    val minHot = opt("spark.graft.skew.minHot", "100000").toLong
-    val factor = opt("spark.graft.skew.factor", "2.0").toDouble
-    val parts = conf.getOption("spark.sql.shuffle.partitions")
-      .flatMap(_.toIntOption).getOrElse(200)
-    val row = twoPhaseCount(df, key, salts, saltFrom)
-      .agg(max(col("count")).as("mx"), sum(col("count")).as("total"))
-      .collect().headOption.filter(!_.isNullAt(0))
-    row.flatMap { r =>
-      val mx = r.getAs[Long]("mx")
-      val total = r.getAs[Long]("total")
-      if (mx >= minHot && mx > factor * total.toDouble / parts) Some(salts)
-      else None
-    }
-  }
+  def skewSalts(df: DataFrame, key: String, saltFrom: Seq[String]): Option[Int] =
+    skewSaltsMulti(df, Seq(key), saltFrom)(key)
 
   /** [[skewSalts]] for SEVERAL key columns of the same DataFrame in ONE
     * aggregation job: endpoints explode to (endpoint, value) rows, the

@@ -131,10 +131,10 @@ object Multimodal {
         val sampleRate = buf.getInt(off + 12)
         return Some(Meta("audio", 0, 0, channels, 0, sampleRate))
       }
-      // malformed (negative) chunk sizes would make zero or backward
-      // progress and spin this loop forever on adversarial bytes —
-      // treat as undecodable instead
-      if (size < 0) return None
+      // malformed chunk sizes: negative makes zero/backward progress
+      // (infinite loop); huge positive overflows `off` past the bound
+      // check into a SIOOBE — both are undecodable, not crashes
+      if (size < 0 || size > bytes.length - off - 8) return None
       off += 8 + size + (size & 1) // chunks are word-aligned
     }
     None

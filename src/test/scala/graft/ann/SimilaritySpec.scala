@@ -137,6 +137,10 @@ class MultimodalSpec extends SparkSpec {
     val evil = bytes.take(12) ++ "JUNK".getBytes ++
       Array[Byte](-8, -1, -1, -1) ++ bytes.drop(20)
     assert(Multimodal.decodeWav(evil).isEmpty)
+    // a HUGE positive size must not overflow `off` into a SIOOBE
+    val huge = bytes.take(12) ++ "JUNK".getBytes ++
+      Array[Byte](-12, -1, -1, 0x7f) ++ bytes.drop(20) // 0x7FFFFFF4
+    assert(Multimodal.decodeWav(huge).isEmpty)
   }
 
   test("Y4M: stream header + FRAME framing parses back with frame count") {
