@@ -202,12 +202,20 @@ object DataQueries {
       .filter(col("n") > 1)
       .orderBy("fingerprint")
 
+  /** Media table shared by the three mm_* queries — encoding ~n real
+    * BMP/WAV/Y4M containers is the dominant cost, so synthesize once per
+    * dir (size-1 LRU, same pattern as the ontology extraction cache).
+    */
+  private val mediaCache = new DirCache[DataFrame]
+  private def media(spark: SparkSession, dir: String): DataFrame =
+    mediaCache.get(dir)(Multimodal.mediaTable(spark, dir).localCheckpoint())
+
   /** Multimodal: synthesize container bytes, batch-decode metadata —
     * oracle recomputes every field (incl. byte size) from doc_id alone,
     * proving the encode → binary column → mapPartitions decode loop.
     */
   def mmMeta(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.decodeMeta(Multimodal.mediaTable(spark, dir))
+    Multimodal.decodeMeta(media(spark, dir))
       .orderBy("doc_id")
 
   /** Multimodal: resize to a 96px longest side (integer floor scaling,
@@ -218,14 +226,14 @@ object DataQueries {
     * through unchanged.
     */
   def mmResize(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.resize(Multimodal.mediaTable(spark, dir), maxSide = 96)
+    Multimodal.resize(media(spark, dir), maxSide = 96)
       .select(col("doc_id"), col("width"), col("height"),
         length(col("media")).cast("long").as("n_bytes"))
       .orderBy("doc_id")
 
   /** Multimodal: frame sampling plumbing (video rows, stride 7). */
   def mmFrames(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.frameSample(Multimodal.mediaTable(spark, dir), stride = 7)
+    Multimodal.frameSample(media(spark, dir), stride = 7)
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
       .orderBy("doc_id", "frame_idx")
 
