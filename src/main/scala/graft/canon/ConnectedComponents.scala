@@ -46,6 +46,17 @@ object ConnectedComponents {
     // final node list — an unmaterialized DF would re-execute its whole
     // upstream (e.g. the mention scan) a second time at the label join
     val e0 = edges.localCheckpoint()
+    // adaptive path choice: a dictionary-scale graph (the co-mention
+    // graph over a bounded gazetteer stays dictionary-sized at any
+    // corpus scale) pays ~5 rounds of distributed job latency for work a
+    // driver union-find finishes in microseconds; open-vocabulary entity
+    // graphs above the threshold take the O(log n) star iteration.
+    // Identical labeling (component = lexicographic min member) — path
+    // equality is ScalaTested and every CC oracle covers whichever path
+    // the threshold selects.
+    val localThreshold = spark.conf.getOption("spark.graft.cc.localThreshold")
+      .map(_.toLong).getOrElse(100000L)
+    if (e0.count() <= localThreshold) return (localUnionFind(e0), 0)
 
     def canon(df: DataFrame): DataFrame =
       df.filter(col("a") =!= col("b"))
@@ -96,6 +107,37 @@ object ConnectedComponents {
       .join(labels, Seq("node"), "left")
       .select(col("node"), coalesce(col("comp"), col("node")).as("component")),
       iter)
+  }
+
+  /** Driver-side union-find with min-as-root unions and path compression:
+    * the root invariant makes every find return the component's
+    * lexicographic min, matching the star iteration's labels exactly.
+    */
+  private def localUnionFind(e0: DataFrame): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    val pairs = e0.select(col("a").cast("string"), col("b").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val nx = parent(c); parent(c) = r; c = nx
+      }
+      r
+    }
+    for ((a, b) <- pairs) {
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keys.toSeq.sorted.map(n => (n, find(n)))
+      .toDF("node", "component")
   }
 
   private def digestOf(e: DataFrame): (Long, Long) = {

@@ -27,6 +27,21 @@ class ConnectedComponentsSpec extends SparkSpec {
     ConnectedComponents.run(edges.toDF("a", "b"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
 
+  test("local union-find fast path equals the distributed star iteration") {
+    // seeded random graph with chains, triangles and isolated self-loops
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 500).map { _ =>
+      (f"v${rnd.nextInt(120)}%03d", f"v${rnd.nextInt(120)}%03d")
+    } ++ Seq(("iso1", "iso1"), ("iso2", "iso2"))
+    val local = runCc(edges) // default threshold → driver union-find
+    spark.conf.set("spark.graft.cc.localThreshold", "0")
+    val dist =
+      try runCc(edges) // forced star iteration
+      finally spark.conf.unset("spark.graft.cc.localThreshold")
+    assert(local == dist)
+    assert(local == bruteForce(edges))
+  }
+
   test("two components with chain and triangle") {
     val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "x" -> "y", "y" -> "z")
     assert(runCc(edges) == bruteForce(edges))
