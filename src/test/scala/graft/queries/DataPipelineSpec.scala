@@ -77,6 +77,37 @@ class DataPipelineSpec extends SparkSpec {
       s"twin recall ${recalled.toDouble / twins.length}")
   }
 
+  test("bounded top-k buffer equals a naive full sort on seeded random data") {
+    // many ties + tiny k stress the insertion-buffer's tiebreak ordering
+    val rnd = new scala.util.Random(5)
+    // last component fixed at 1: nonzero norms (no NaN cosines), while
+    // the {-1,0,1} components still produce heavy score ties
+    val data = (0L until 300L).map { i =>
+      (i, Seq.fill(7)((rnd.nextInt(3) - 1).toFloat) :+ 1.0f)
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(df, col("vec_id") % 37 === 0, k = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += (a(i) * b(i)).toDouble
+        na += (a(i) * a(i)).toDouble; nb += (b(i) * b(i)).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = data.filter(_._1 % 37 == 0).flatMap { case (q, qv) =>
+      data.filter(_._1 != q)
+        .map { case (c, cv) => (c, cos(qv, cv)) }
+        .sortBy { case (c, s) => (-s, c) }(
+          Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+        .take(4).zipWithIndex
+        .map { case ((c, _), i) => (q, i + 1, c) }
+    }.toSet
+    assert(got.nonEmpty && got == expected)
+  }
+
   test("curation funnel is monotone and stages are labeled in order") {
     val f = DataQueries.ddPipeline(spark, sfDir).collect()
     assert(f.map(_.getString(1)).toSeq ==
