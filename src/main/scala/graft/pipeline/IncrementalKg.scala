@@ -7,10 +7,23 @@ import graft.canon.ConnectedComponents
 import graft.extract.{Gazetteer, MentionScan}
 
 /** Canonical graph + its component map, the unit of incremental
-  * materialization. `triples` are already rewritten through `components`
-  * (node → canonical label = component min).
+  * materialization. Invariants: `triples` are already rewritten through
+  * `components` (node → canonical label = component min) AND are
+  * distinct; `components` has one row per node.
   */
 final case class KgGraph(triples: DataFrame, components: DataFrame)
+
+/** The intermediate relations of a delta merge, exposed so StressBench
+  * can count them (rewritten rows must be ∝ batch, not corpus). All are
+  * lazy DataFrames; `graph` is the merged result.
+  */
+final case class MergeParts(
+    graph: KgGraph,
+    untouchedTriples: DataFrame,   // prev triples passed through UNREWRITTEN
+    rewrittenPrev: DataFrame,      // prev triples whose s/o label changed
+    delta: DataFrame,              // new rows added next to untouched prev
+    changedPrev: DataFrame,        // prev labels whose merged label differs
+    touchedPrevLabels: DataFrame)  // prev components sharing a node w/ batch
 
 /** Incremental graph materialization — MERGE semantics over plain
   * parquet (the north star names Iceberg MERGE INTO; the jars aren't in
@@ -18,19 +31,45 @@ final case class KgGraph(triples: DataFrame, components: DataFrame)
   * snapshot/commit layer stays the checkpointed-phase protocol of
   * [[KgPipeline]]).
   *
-  * The merge never re-reads old raw documents: a previous graph is
-  * represented by its component STAR EDGES (node → label), which span
-  * exactly the same partition of the entity space, so running CC over
-  * `starEdges(prev) ∪ starEdges(batch)` reconnects only where the new
-  * batch actually bridges components. Cost ∝ |new batch| + |affected
-  * component maps|, not corpus size — the 100 TB shape for continuous
-  * ingestion. Old triples re-labeled through the merged map are correct
-  * because every old label is itself a member (and map key) of its
-  * merged component; `merge(A, B) ≡ fromPages(A ∪ B)` exactly
+  * DELTA-SHAPED (round-4): every shuffle and every rewrite in
+  * [[merge]] is proportional to the BATCH (plus the components it
+  * touches), never to the accumulated corpus:
+  *
+  *  1. components of prev that share a node with the batch are found by
+  *     one broadcast semi-join scan of `prev.components` (no shuffle);
+  *  2. connected components re-runs ONLY on the star edges of those
+  *     touched components plus the batch's star edges — untouched
+  *     component-map rows pass through without entering CC;
+  *  3. the changed-label maps (oldLabel → newLabel, one for each side)
+  *     are ∝ batch and broadcast; prev triples flow through a
+  *     broadcast left join + filter — rows with no changed endpoint are
+  *     passed through byte-identical (at real scale, Iceberg MERGE INTO
+  *     copy-on-write would not even rewrite their files; here they flow
+  *     through a no-shuffle scan);
+  *  4. dedup is confined to the delta: candidates = rewritten-prev ∪
+  *     batch triples, distinct'd (∝ batch); duplicates already present
+  *     in the untouched remainder are removed via one more broadcast
+  *     semi-join scan. The corpus-scale `distinct()` of rounds ≤3 is
+  *     gone.
+  *
+  * Correctness: a prev component's label can change only if its merged
+  * component contains a batch node (two prev components merge only
+  * through batch edges), so the touched-subgraph CC returns exactly the
+  * full star-edge CC's labels on touched components and untouched
+  * components keep theirs — `merge(A, B) ≡ fromPages(A ∪ B)` exactly
   * (IncrementalKgSpec, and the `kg_canonical_inc` driver query shares
   * the full-batch kg_canonical oracle).
   */
 object IncrementalKg {
+
+  /** Sides at or under this many rows get an explicit broadcast hint;
+    * larger ones fall back to a plain join and let AQE decide (the
+    * honest fallback when a batch touches a huge component).
+    */
+  private val BroadcastRowLimit = 4000000L
+
+  private def bcastIfSmall(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= BroadcastRowLimit) broadcast(df) else df
 
   /** Build a canonical graph from a page batch (same semantics as
     * KgQueries.kgCanonical, returned with its component map). */
@@ -45,21 +84,105 @@ object IncrementalKg {
       .select(col("node"), col("component"))
     // materialized: skew detection + both rewrite joins consume the union
     val allT = mentionT.union(co).localCheckpoint()
-    KgGraph(rewrite(allT, canonMap), canonMap)
+    // distinct: establishes the KgGraph invariant (rewriting can fuse
+    // two mentions of coreferent entities into the same triple); ∝ batch
+    KgGraph(rewrite(allT, canonMap).distinct(), canonMap)
   }
 
-  /** Merge a new batch graph into a previous graph. */
-  def merge(prev: KgGraph, batch: KgGraph): KgGraph = {
-    val all = prev.components.union(batch.components)
-    // star edges reconnect each old component; self-edges keep singleton
-    // (label == node) components present as CC nodes
-    val edges = all.select(col("node").as("a"), col("component").as("b"))
-    val canonMap = ConnectedComponents.run(edges)
+  /** Merge a new batch graph into a previous graph. Cost ∝ batch. */
+  def merge(prev: KgGraph, batch: KgGraph): KgGraph =
+    mergeParts(prev, batch).graph
+
+  /** [[merge]] with its intermediates exposed for scale accounting. */
+  def mergeParts(prev: KgGraph, batch: KgGraph): MergeParts = {
+    // -- 1. which prev components does the batch touch? ∝ batch --------
+    val batchComps = batch.components.localCheckpoint()
+    val batchRows = batchComps.count()
+    val batchNodes = batchComps.select("node")
+    val touchedPrevLabels = prev.components
+      .join(bcastIfSmall(batchNodes, batchRows), Seq("node"), "left_semi")
+      .select(col("component")).distinct()
+      .localCheckpoint()
+    val nTouched = touchedPrevLabels.count()
+
+    // -- 2. CC over the touched subgraph only --------------------------
+    // star edges of touched prev components (ALL their members — the
+    // component map has one row per node) + the batch's star edges
+    val touchedPrevComps = prev.components
+      .join(bcastIfSmall(touchedPrevLabels, nTouched),
+        Seq("component"), "left_semi")
+    val subEdges = touchedPrevComps.select(col("node").as("a"),
+        col("component").as("b"))
+      .union(batchComps.select(col("node").as("a"), col("component").as("b")))
+    val subMap = ConnectedComponents.run(subEdges)
+      .select(col("node"), col("component")).localCheckpoint()
+
+    // -- 3. changed-label maps (oldLabel → newLabel), both ∝ batch -----
+    def changedOf(labels: DataFrame, n: Long): DataFrame =
+      subMap.join(bcastIfSmall(labels.withColumnRenamed("component", "node"), n),
+          Seq("node"), "left_semi")
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as("oldLabel"), col("component").as("newLabel"))
+        .localCheckpoint()
+    val changedPrev = changedOf(touchedPrevLabels, nTouched)
+    val batchLabels = batchComps.select("component").distinct().localCheckpoint()
+    val changedBatch = changedOf(batchLabels, batchLabels.count())
+    val nChangedPrev = changedPrev.count()
+    val nChangedBatch = changedBatch.count()
+
+    // -- 4. rewrite ONLY what changed ----------------------------------
+    // prev triples: broadcast left joins against the ∝-batch changed
+    // map; zero shuffle on the corpus side. Two consumers of the joined
+    // scan (touched / untouched) = two no-shuffle passes — the price of
+    // not materializing the corpus; Iceberg MERGE INTO makes it one.
+    def splitRewrite(t: DataFrame, changed: DataFrame, n: Long)
+        : (DataFrame, DataFrame) = {
+      val cs = bcastIfSmall(changed.select(col("oldLabel").as("s"),
+        col("newLabel").as("sNew")), n)
+      val co = bcastIfSmall(changed.select(col("oldLabel").as("o"),
+        col("newLabel").as("oNew")), n)
+      val joined = t.join(cs, Seq("s"), "left").join(co, Seq("o"), "left")
+      val touched = joined
+        .filter(col("sNew").isNotNull || col("oNew").isNotNull)
+        .select(coalesce(col("sNew"), col("s")).as("s"), col("p"),
+          coalesce(col("oNew"), col("o")).as("o"))
+      val untouched = joined
+        .filter(col("sNew").isNull && col("oNew").isNull)
+        .select(col("s"), col("p"), col("o"))
+      (touched, untouched)
+    }
+    val (rewrittenPrev, untouchedPrev) =
+      splitRewrite(prev.triples, changedPrev, nChangedPrev)
+    // batch triples are ∝ batch: rewrite changed, keep the rest — no
+    // split needed, all of them enter the delta dedup anyway
+    val (batchTouched, batchUntouched) =
+      splitRewrite(batch.triples, changedBatch, nChangedBatch)
+    val batchFinal = batchTouched.union(batchUntouched)
+
+    // -- 5. dedup confined to the delta --------------------------------
+    // any post-merge duplicate pair involves ≥1 rewritten-or-batch row
+    // (untouched prev rows are distinct among themselves: distinct
+    // before, endpoints unchanged)
+    val candidates = rewrittenPrev.union(batchFinal).distinct()
+      .localCheckpoint()
+    val nCand = candidates.count()
+    // rows of the untouched remainder that already carry a candidate
+    // triple: one broadcast semi-join scan, small output
+    val dupsInU = untouchedPrev
+      .join(bcastIfSmall(candidates, nCand), Seq("s", "p", "o"), "left_semi")
+    // dupsInU has at most nCand rows (untouched rows are spo-distinct)
+    val delta = candidates.join(bcastIfSmall(dupsInU, nCand),
+      Seq("s", "p", "o"), "left_anti")
+
+    // -- 6. assemble ---------------------------------------------------
+    val untouchedComps = prev.components
+      .join(bcastIfSmall(touchedPrevLabels, nTouched),
+        Seq("component"), "left_anti")
       .select(col("node"), col("component"))
-    // materialized for the same multi-consumer reason as fromPages: the
-    // two sides may be arbitrary (possibly unmaterialized) join plans
-    val allT = prev.triples.union(batch.triples).localCheckpoint()
-    KgGraph(rewrite(allT, canonMap).distinct(), canonMap)
+    val components = untouchedComps.union(subMap)
+    val triples = untouchedPrev.union(delta)
+    MergeParts(KgGraph(triples, components), untouchedPrev, rewrittenPrev,
+      delta, changedPrev, touchedPrevLabels)
   }
 
   private def rewrite(triples: DataFrame, canonMap: DataFrame): DataFrame =

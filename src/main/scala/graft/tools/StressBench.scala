@@ -195,7 +195,23 @@ object StressBench {
           s"$out/inc/batch_docs", s"$out/inc/merged"))
       val fullCount = spark.read.parquet(s"$out/inc/full/phase=canonical").count()
       val mergedCount = mergedRes.canonicalTriples.count()
-      frags += s""""inc_merge":{"full_Nx_sec":$fullSec,"prev_N1x_sec":$prevSec,"merge_1x_sec":$mergeSec,"full_triples":$fullCount,"merged_triples":$mergedCount,"equal":${fullCount == mergedCount}}"""
+      // delta accounting (round-4): rewritten prev rows must track the
+      // BATCH, not the corpus — re-run mergeParts on the committed
+      // snapshots (outside the timed region) and count its intermediates
+      val parts = graft.pipeline.IncrementalKg.mergeParts(
+        graft.pipeline.KgGraph(
+          spark.read.parquet(s"$out/inc/prev/phase=canonical"),
+          spark.read.parquet(s"$out/inc/prev/phase=components")),
+        graft.pipeline.KgGraph(
+          spark.read.parquet(s"$out/inc/merged/batch/phase=canonical"),
+          spark.read.parquet(s"$out/inc/merged/batch/phase=components")))
+      val prevTriples = spark.read.parquet(s"$out/inc/prev/phase=canonical").count()
+      val batchTriples =
+        spark.read.parquet(s"$out/inc/merged/batch/phase=canonical").count()
+      val nRewritten = parts.rewrittenPrev.count()
+      val nDelta = parts.delta.count()
+      val nChanged = parts.changedPrev.count()
+      frags += s""""inc_merge":{"full_Nx_sec":$fullSec,"prev_N1x_sec":$prevSec,"merge_1x_sec":$mergeSec,"full_triples":$fullCount,"merged_triples":$mergedCount,"equal":${fullCount == mergedCount},"prev_triples":$prevTriples,"batch_triples":$batchTriples,"rewritten_prev":$nRewritten,"delta_rows":$nDelta,"changed_labels":$nChanged}"""
     }
 
     println(frags.mkString("{", ",", "}"))

@@ -59,6 +59,42 @@ class IncrementalKgSpec extends SparkSpec {
     assert(compMap(merged.components) == compMap(full.components))
   }
 
+  test("merged triples and components carry no duplicate rows") {
+    // set-equality above can't see dups; the driver's hash oracle can
+    val merged = IncrementalKg.merge(
+      IncrementalKg.fromPages(pages.filter(col("doc_id") % 2 === 0), gaz),
+      IncrementalKg.fromPages(pages.filter(col("doc_id") % 2 === 1), gaz))
+    assert(merged.triples.count() == merged.triples.distinct().count())
+    assert(merged.components.count() ==
+      merged.components.select("node").distinct().count())
+  }
+
+  test("delta accounting: disjoint-entity batch rewrites zero prev rows") {
+    val gazA = Gazetteer(Gazetteer.DefaultEntities.take(4))
+    val gazB = Gazetteer(Gazetteer.DefaultEntities.drop(4))
+    val prev = IncrementalKg.fromPages(pages.filter(col("doc_id") % 2 === 0), gazA)
+    val batch = IncrementalKg.fromPages(pages.filter(col("doc_id") % 2 === 1), gazB)
+    val parts = IncrementalKg.mergeParts(prev, batch)
+    // no shared entities → no touched components, no rewrites
+    assert(parts.touchedPrevLabels.count() == 0)
+    assert(parts.changedPrev.count() == 0)
+    assert(parts.rewrittenPrev.count() == 0)
+    // prev passes through untouched; the delta is exactly the batch
+    assert(tripleSet(parts.untouchedTriples) == tripleSet(prev.triples))
+    assert(tripleSet(parts.delta) == tripleSet(batch.triples))
+    assert(tripleSet(parts.graph.triples) ==
+      tripleSet(prev.triples) ++ tripleSet(batch.triples))
+  }
+
+  test("delta accounting: self-merge rewrites nothing and adds nothing") {
+    val full = IncrementalKg.fromPages(pages, gaz)
+    val parts = IncrementalKg.mergeParts(full, full)
+    assert(parts.changedPrev.count() == 0)
+    assert(parts.rewrittenPrev.count() == 0)
+    assert(parts.delta.count() == 0)
+    assert(tripleSet(parts.graph.triples) == tripleSet(full.triples))
+  }
+
   test("merging a batch with no bridging entities leaves labels intact") {
     // batch2 with no mentions at all: empty components, empty triples
     val empty = IncrementalKg.fromPages(
