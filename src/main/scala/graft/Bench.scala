@@ -32,6 +32,17 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // host-load evidence: the artifact of record must be able to defend
+    // its own numbers against external load on a shared host (round-3
+    // verdict: a front-end headline with no load context read as a 3x
+    // regression). 1-minute loadavg sampled at start / before the
+    // front-end headline / end.
+    def loadAvg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadAvg()
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to 2).map { _ =>
         try time(fn(spark, sfDir).count())
@@ -50,7 +61,8 @@ object Bench {
     // headline 2: steady-state front-end rate — the SAME job ScalingBench
     // times at two parallelism levels (html synth → extract → trie scan →
     // TF-IDF + fused co-occurrence), REP-replicated to amortize overhead
-    val (feDocs, feSecs) = {
+    val loadMid = loadAvg()
+    val (feDocs, feReps) = {
       import org.apache.spark.sql.functions._
       // Replication amortizes fixed overhead at tiny SF but must shrink as
       // the corpus grows or the localCheckpoint caches REP× the whole
@@ -75,14 +87,18 @@ object Bench {
       def runOnce(): Unit =
         ScalingBench.frontEndOnce(replicated, bc, bcIdx, entitiesSorted, n)
       runOnce() // warm
-      (n, (1 to 2).map(_ => time(runOnce())).min)
+      val nReps = sys.env.get("SPARK_GRAFT_FE_REPS").map(_.toInt).getOrElse(3)
+      (n, (1 to nReps).map(_ => time(runOnce())))
     }
+    val feSecs = feReps.min  // steady-state headline: min of warm reps
     val feDocsPerSec = feDocs / feSecs
+    val loadEnd = loadAvg()
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","parallelism":$cpus,"n_queries":${results.size},"kg_docs_per_sec":$docsPerSec,"kg_pipeline_sec":$kgSecs,"n_docs":$nDocs,"front_end_docs_per_sec":$feDocsPerSec,"front_end_docs":$feDocs,"front_end_sec":$feSecs}""")
+    val feRepsJson = feReps.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","parallelism":$cpus,"n_queries":${results.size},"kg_docs_per_sec":$docsPerSec,"kg_pipeline_sec":$kgSecs,"n_docs":$nDocs,"front_end_docs_per_sec":$feDocsPerSec,"front_end_docs":$feDocs,"front_end_sec":$feSecs,"front_end_reps":$feRepsJson,"front_end_n_reps":${feReps.size},"load_avg":{"start":$loadStart,"pre_front_end":$loadMid,"end":$loadEnd}}""")
     spark.stop()
   }
 }

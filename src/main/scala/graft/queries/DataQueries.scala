@@ -208,7 +208,7 @@ object DataQueries {
     */
   private val mediaCache = new DirCache[DataFrame]
   private def media(spark: SparkSession, dir: String): DataFrame =
-    mediaCache.get(dir)(Multimodal.mediaTable(spark, dir).localCheckpoint())
+    mediaCache.get(spark, dir)(Multimodal.mediaTable(spark, dir).localCheckpoint())
 
   /** Multimodal: synthesize container bytes, batch-decode metadata —
     * oracle recomputes every field (incl. byte size) from doc_id alone,
