@@ -84,8 +84,17 @@ object Dedup {
     */
   def jaccardCandidates(docs: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold < 1, "threshold must be in (0,1)")
+    // Tokens ship through the block-join shuffle TWICE (round-3 verdict
+    // #6): hash each token to int64 first (xxhash64 — codegen'd builtin),
+    // so the exchange carries 8-byte elements instead of full strings
+    // (~2.6x fewer shuffle bytes, BENCH.md §plan-audit). Intersection /
+    // union sizes over the hashed sets equal the string-set sizes except
+    // under a 64-bit collision INSIDE one pair's union (P ≈ |union|²/2^64
+    // ≈ 1e-11 per pair at 10k-token pages) — the same dispensation the
+    // MinHash tier's FNV base hash already carries.
     val toks = docs.select(col("doc_id"), col("lang"), col("source"),
-        array_sort(array_distinct(split(col("text"), " "))).as("tokens"))
+        array_sort(array_distinct(transform(split(col("text"), " "),
+          t => xxhash64(t)))).as("tokens"))
       .withColumn("bkt", lengthBucket(size(col("tokens")), threshold))
     // each side emits {bkt, bkt+1}: buckets intersect ⟺ |Δbkt| ≤ 1
     val emitted = toks.select(col("doc_id"), col("lang"), col("source"),
@@ -234,24 +243,82 @@ object Dedup {
     * pigeonhole bucketing on 16-bit chunks (maxDist ≤ 3 ⇒ some chunk
     * equal) — no quadratic join.
     */
-  def simHashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simHashPairs(docs: DataFrame, maxDist: Int = 3,
+                   hotBucketCap: Int = 4096): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val sh = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, t) => (id, simHash(t)) }
       .toDF("doc_id", "sim")
+    simHashPairsFromSims(sh, maxDist, hotBucketCap)
+  }
+
+  /** [[simHashPairs]] over precomputed fingerprints `(doc_id, sim)` —
+    * split out so the hot-bucket guard can be tested with planted
+    * fingerprints (forcing a 16-bit chunk collision through real text
+    * would take ~65 k tries per doc).
+    */
+  def simHashPairsFromSims(sh: DataFrame, maxDist: Int = 3,
+                           hotBucketCap: Int = 4096): DataFrame =
+    simHashCandidates(sh, hotBucketCap)
+      .withColumn("dist", bit_count(col("simA").bitwiseXOR(col("simB"))))
+      .filter(col("dist") <= maxDist)
+      .select("a", "b", "dist").distinct()
+
+  /** Candidate pairs before the hamming filter, with the hot-bucket
+    * guard (round-3 verdict #4: a degenerate chunk value — boilerplate
+    * or near-empty docs — made the within-bucket join quadratic, the one
+    * unbounded-bucket join left in the dedup family).
+    *
+    * Buckets over `hotBucketCap` members are sub-split by a SECOND
+    * pigeonhole that stays recall-exact for hamming ≤ 3: the remaining
+    * 48 bits (the three other chunks) are cut into four 12-bit
+    * sub-chunks; a pair at distance ≤ 3 has ≤ 3 differing bits there, so
+    * at least one sub-chunk is equal. Within a hot 16-bit bucket a
+    * random non-dup pair now needs a further 12-bit collision
+    * (2^-16 → 2^-28 pair mass); docs collapsing even there share 28+
+    * fingerprint bits and are near-dups by construction, keeping the
+    * tier's contract: candidates ∝ true near-dups.
+    */
+  private[dedup] def simHashCandidates(sh: DataFrame,
+                                       hotBucketCap: Int): DataFrame = {
     val chunks = sh.select(col("doc_id"), col("sim"), posexplode(array(
       (0 until 4).map(i =>
         shiftrightunsigned(col("sim"), i * 16).bitwiseAND(lit(0xffffL)).cast("int")): _*)))
       .toDF("doc_id", "sim", "chunk", "value")
-    val l = chunks.select(col("chunk"), col("value"), col("doc_id").as("a"),
-      col("sim").as("simA"))
-    val r = chunks.select(col("chunk"), col("value"), col("doc_id").as("b"),
-      col("sim").as("simB"))
-    l.join(r, Seq("chunk", "value"))
-      .filter(col("a") < col("b"))
-      .withColumn("dist", bit_count(col("simA").bitwiseXOR(col("simB"))))
-      .filter(col("dist") <= maxDist)
-      .select("a", "b", "dist").distinct()
+    // per-bucket sizes (map-side combined); materialized once — four
+    // downstream branches (cold l/r, hot l/r) otherwise re-run the
+    // fingerprint map per branch
+    val counts = chunks.groupBy("chunk", "value").agg(count(lit(1)).as("n"))
+    val tagged = chunks.join(counts, Seq("chunk", "value")).localCheckpoint()
+
+    def pairsOn(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val l = df.select((keys.map(col) :+ col("doc_id").as("a")
+        :+ col("sim").as("simA")): _*)
+      val r = df.select((keys.map(col) :+ col("doc_id").as("b")
+        :+ col("sim").as("simB")): _*)
+      l.join(r, keys).filter(col("a") < col("b"))
+        .select("a", "b", "simA", "simB")
+    }
+
+    val cold = pairsOn(tagged.filter(col("n") <= hotBucketCap),
+      Seq("chunk", "value"))
+
+    // hot rows: 48 remaining bits (sim minus the bucket's own chunk),
+    // then four 12-bit sub-chunks. chunk=3 guard: a Java shift of 64 is
+    // a shift of 0, so the high part must be forced to zero there.
+    val hot = tagged.filter(col("n") > hotBucketCap)
+      .withColumn("rest", expr(
+        """(CASE WHEN chunk = 3 THEN 0L
+          |      ELSE shiftleft(shiftrightunsigned(sim, (chunk + 1) * 16), chunk * 16) END)
+          | | (sim & (shiftleft(1L, chunk * 16) - 1))""".stripMargin))
+      .select(col("doc_id"), col("sim"), col("chunk"), col("value"),
+        posexplode(array((0 until 4).map(j =>
+          shiftrightunsigned(col("rest"), j * 12)
+            .bitwiseAND(lit(0xfffL)).cast("int")): _*)))
+      .toDF("doc_id", "sim", "chunk", "value", "sub", "subValue")
+    val hotPairs = pairsOn(hot, Seq("chunk", "value", "sub", "subValue"))
+
+    cold.union(hotPairs).distinct()
   }
 }

@@ -34,20 +34,20 @@ object SchemaExtract {
                           assignment: DataFrame, entities: DataFrame,
                           rels: DataFrame, skipped: DataFrame)
 
-  private final case class ClsRow(classUri: String, id: String, name: String)
-  private final case class ParentRow(classUri: String, parentUri: String)
-  private final case class AssignRow(classUri: String, propUri: String,
+  final case class ClsRow(classUri: String, id: String, name: String)
+  final case class ParentRow(classUri: String, parentUri: String)
+  final case class AssignRow(classUri: String, propUri: String,
       propId: String, name: String, valueType: String, isTimeseries: Boolean)
-  private final case class PropRow(id: String, name: String,
+  final case class PropRow(id: String, name: String,
       valueType: String, isTimeseries: Boolean)
-  private final case class EntityRow(id: String, name: String, uri: String,
+  final case class EntityRow(id: String, name: String, uri: String,
       baseEntityTypeId: Option[String], entityIdParts: Seq[String],
       displayNamePropertyId: Option[String], properties: Seq[PropRow],
       timeseriesProperties: Seq[PropRow])
-  private final case class RelRow(id: String, name: String, uri: String,
+  final case class RelRow(id: String, name: String, uri: String,
       srcEntityTypeId: String, dstEntityTypeId: String,
       srcUri: String, dstUri: String)
-  private final case class SkipRow(itemType: String, name: String,
+  final case class SkipRow(itemType: String, name: String,
       reason: String, uri: String)
 
   /** Schema rows above this bound abort the fused path (a web-scale

@@ -142,3 +142,64 @@ class DedupScaleSpec extends graft.SparkSpec {
     assert(brute.contains((100L, 500L))) // the planted pair survives
   }
 }
+
+/** Round-3 verdict #4: the SimHash chunk join must stay bounded when a
+  * degenerate 16-bit chunk value collapses many non-dup docs into one
+  * bucket (boilerplate/near-empty pages at corpus scale).
+  */
+class SimHashHotBucketSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private val rnd = new scala.util.Random(7)
+
+  // 10k fingerprints sharing chunk0 = 0x1234 but otherwise random: a
+  // degenerate hot bucket whose members are NOT near-dups...
+  private lazy val planted: Seq[(Long, Long)] = {
+    val base = (0 until 10000).map { i =>
+      (i.toLong, (rnd.nextLong() << 16) | 0x1234L)
+    }
+    // ...plus 5 true near-dup pairs (flip ≤ 3 bits of a twin)
+    val twins = (0 until 5).map { k =>
+      val (id, sim) = base(k * 1000)
+      (100000L + k, sim ^ (1L << (20 + k)) ^ (1L << 40))
+    }
+    base ++ twins
+  }
+
+  private def bruteForce(maxDist: Int): Set[(Long, Long)] = {
+    val arr = planted.toArray
+    val out = Set.newBuilder[(Long, Long)]
+    for (i <- arr.indices; j <- (i + 1) until arr.length) {
+      val d = java.lang.Long.bitCount(arr(i)._2 ^ arr(j)._2)
+      if (d <= maxDist) {
+        val (a, b) = (arr(i)._1, arr(j)._1)
+        out += (if (a < b) (a, b) else (b, a))
+      }
+    }
+    out.result()
+  }
+
+  test("hot-bucket sub-split: candidates bounded, recall exact") {
+    import spark.implicits._
+    val sh = planted.toDF("doc_id", "sim")
+    // guard ON (cap 1000 << 10k bucket): candidate volume collapses from
+    // ~50M (quadratic bucket) to the 12-bit-collision mass
+    val nCand = Dedup.simHashCandidates(sh, hotBucketCap = 1000).count()
+    assert(nCand < 2000000L, s"candidates not bounded: $nCand")
+    // recall is exact vs brute force — the sub-split loses no pair
+    val got = Dedup.simHashPairsFromSims(sh, maxDist = 3, hotBucketCap = 1000)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = bruteForce(3)
+    assert(want.nonEmpty, "test must plant at least one true pair")
+    assert(got == want)
+  }
+
+  test("guarded and unguarded paths agree on an unskewed corpus") {
+    import spark.implicits._
+    val sh = planted.take(500).toDF("doc_id", "sim")
+    def run(cap: Int) =
+      Dedup.simHashPairsFromSims(sh, maxDist = 3, hotBucketCap = cap)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(1) == run(Int.MaxValue)) // every bucket hot vs none hot
+  }
+}
