@@ -64,6 +64,41 @@ object ScalingBench {
     scored.agg(count(lit(1))).head.getLong(0) + co.count()
   }
 
+  /** The round-3 front end (string entities off the trie, fused string
+    * histogram) — kept measurable so the dictionary-encoded path can be
+    * compared under a matched window (round-3 verdict #5's acceptance).
+    */
+  def frontEndOnceString(replicated: org.apache.spark.sql.DataFrame,
+                         bc: org.apache.spark.broadcast.Broadcast[graft.extract.Gazetteer],
+                         entities: Seq[String], nDocs: Long): Long = {
+    val spark = replicated.sparkSession
+    import spark.implicits._
+    val pages = replicated.as[(Long, String, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text, lang, source) =>
+          val html = PageGen.template(id, lang, source, HtmlText.escape(text))
+            .getBytes(StandardCharsets.UTF_8)
+          (id, html)
+        }
+      }.toDF("doc_id", "html")
+    val extracted = pages.as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val trie = bc.value
+        it.map { case (id, html) =>
+          val text = HtmlText.extractMainFromBytes(html)
+          (id, trie.countMatches(text).toSeq.map { case (e, tf) => (e, tf.toLong) }.sorted)
+        }
+      }.toDF("doc_id", "mentions")
+      .localCheckpoint()
+    val flat = extracted.select(col("doc_id"),
+      explode(col("mentions")).as("m"))
+      .select(col("doc_id"), col("m._1").as("entity"), col("m._2").as("tf"))
+    val sets = extracted.select(col("doc_id"), col("mentions._1").as("es"))
+    val scored = MentionScan.scored(flat, nDocs)
+    val co = MentionScan.coOccurrenceFused(sets, entities)
+    scored.agg(count(lit(1))).head.getLong(0) + co.count()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -139,6 +174,8 @@ object ScalingBench {
           MentionScan.coOccurrenceFromSets(sets).count()
         case "cooccur" =>
           MentionScan.coOccurrenceFusedIdx(sets, Gazetteer.DefaultEntities).count()
+        case "full_string" => // round-3 front end, for matched comparison
+          frontEndOnceString(replicated, bc, entitiesSorted, nDocs)
         case _ =>
           frontEndOnce(replicated, bc, bcIdx, entitiesSorted, nDocs)
       }

@@ -56,7 +56,8 @@ object ConnectedComponents {
     // the threshold selects.
     val localThreshold = spark.conf.getOption("spark.graft.cc.localThreshold")
       .map(_.toLong).getOrElse(100000L)
-    if (e0.count() <= localThreshold) return (localUnionFind(e0), 0)
+    if (e0.count() <= localThreshold)
+      localUnionFind(e0).foreach(df => return (df, 0))
 
     def canon(df: DataFrame): DataFrame =
       df.filter(col("a") =!= col("b"))
@@ -110,16 +111,27 @@ object ConnectedComponents {
   }
 
   /** Driver-side union-find with min-as-root unions and path compression:
-    * the root invariant makes every find return the component's
-    * lexicographic min, matching the star iteration's labels exactly.
+    * the root invariant makes every find return the component's minimum
+    * member UNDER THE INPUT TYPE'S OWN ORDERING (round-3 advice: the
+    * former unconditional string cast silently changed both schema and
+    * labels for numeric edge ids at the threshold). String / int / long
+    * ids keep their native type and Spark-`min`-compatible ordering;
+    * any other type returns None and takes the distributed path.
     */
-  private def localUnionFind(e0: DataFrame): DataFrame = {
+  private def localUnionFind(e0: DataFrame): Option[DataFrame] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
     val spark = e0.sparkSession
-    import spark.implicits._
-    val pairs = e0.select(col("a").cast("string"), col("b").cast("string"))
-      .collect().map(r => (r.getString(0), r.getString(1)))
-    val parent = scala.collection.mutable.HashMap.empty[String, String]
-    def find(x: String): String = {
+    val dt = e0.schema.fields(0).dataType
+    val ord: Ordering[Any] = dt match {
+      case StringType => Ordering.String.on[Any](_.asInstanceOf[String])
+      case IntegerType => Ordering.Int.on[Any](_.asInstanceOf[Int])
+      case LongType => Ordering.Long.on[Any](_.asInstanceOf[Long])
+      case _ => return None
+    }
+    val pairs = e0.collect().map(r => (r.get(0), r.get(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
       var r = x
       while (parent.getOrElse(r, r) != r) r = parent(r)
       var c = x
@@ -133,11 +145,14 @@ object ConnectedComponents {
       parent.getOrElseUpdate(b, b)
       val ra = find(a); val rb = find(b)
       if (ra != rb) {
-        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
       }
     }
-    parent.keys.toSeq.sorted.map(n => (n, find(n)))
-      .toDF("node", "component")
+    val rows = parent.keys.toSeq.sorted(ord).map(n => Row(n, find(n)))
+    val schema = StructType(Seq(
+      StructField("node", dt), StructField("component", dt)))
+    Some(spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema))
   }
 
   private def digestOf(e: DataFrame): (Long, Long) = {

@@ -131,10 +131,21 @@ object MentionScan {
     * lexicographic entity order): no per-doc string lookups, int pair
     * keys end-to-end. */
   def coOccurrenceFusedIdx(setsIdx: DataFrame, entities: Seq[String]): DataFrame = {
+    val sorted = entities.sorted
+    restoreCoOccurStrings(coOccurrencePairsIdx(setsIdx, sorted.length), sorted)
+  }
+
+  /** Fused pair histogram kept in the index domain: `(e1, e2, n_docs)`
+    * with e1 < e2 as Int dictionary positions — the form the canonical
+    * pipeline feeds to connected components so the CC shuffles carry
+    * 4-byte keys instead of `urn:ent:` strings (round-3 verdict #5).
+    * Indices are assigned in lexicographic entity order, so numeric
+    * min/ordering over indices ≡ string ordering over entity URIs — CC
+    * labels restore to exactly the string-path labels.
+    */
+  def coOccurrencePairsIdx(setsIdx: DataFrame, k: Int): DataFrame = {
     val spark = setsIdx.sparkSession
     import spark.implicits._
-    val sorted = entities.sorted.toArray
-    val k = sorted.length
     val partials = setsIdx.select(col("es")).as[Seq[Int]]
       .mapPartitions { it =>
         val counts = new scala.collection.mutable.LongMap[Long]()
@@ -154,15 +165,45 @@ object MentionScan {
         counts.iterator
       }
       .toDF("key", "cnt")
-    val dict = typedLit(sorted.toSeq)
     partials.groupBy("key").agg(sum("cnt").as("n_docs"))
-      .select(
-        concat(lit("urn:ent:"),
-          element_at(dict, (col("key") / k).cast("int") + 1)).as("s"),
-        lit(CoOccursPred).as("p"),
-        concat(lit("urn:ent:"),
-          element_at(dict, (col("key") % k).cast("int") + 1)).as("o"),
-        col("n_docs"))
+      .select((col("key") / k).cast("int").as("e1"),
+        (col("key") % k).cast("int").as("e2"), col("n_docs"))
+  }
+
+  /** Dictionary restore for [[coOccurrencePairsIdx]] output → the
+    * (s, p, o, n_docs) triple form. */
+  def restoreCoOccurStrings(pairsIdx: DataFrame,
+                            sortedEntities: Seq[String]): DataFrame = {
+    val dict = typedLit(sortedEntities)
+    pairsIdx.select(
+      concat(lit("urn:ent:"), element_at(dict, col("e1") + 1)).as("s"),
+      lit(CoOccursPred).as("p"),
+      concat(lit("urn:ent:"), element_at(dict, col("e2") + 1)).as("o"),
+      col("n_docs"))
+  }
+
+  /** Dictionary-encoded mention scan: `(doc_id, e, tf)` with `e` the
+    * entity's position in the lexicographically-sorted gazetteer — the
+    * production form of [[mentions]] (round-3 verdict #5): everything
+    * between the scan and the final string restore (co-occurrence
+    * histogram, CC edges, stats joins) runs on ints.
+    */
+  def mentionsIdx(pages: DataFrame, gazetteer: Gazetteer): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(gazetteer)
+    val bcIdx = spark.sparkContext.broadcast(
+      gazetteer.entityList.sorted.zipWithIndex.toMap)
+    pages.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val trie = bc.value
+        val idx = bcIdx.value
+        it.flatMap { case (docId, text) =>
+          trie.countMatches(text).map { case (ent, tf) =>
+            (docId, idx(ent), tf.toLong) }
+        }
+      }
+      .toDF("doc_id", "e", "tf")
   }
 
   /** TF-IDF link score per mention: `tf * ln(nDocs / df)`. The df side is

@@ -37,25 +37,37 @@ object KgQueries {
         graft.extract.ExtractMainText(col("html")).as("extracted"))
       .orderBy(col("doc_id"))
 
+  private lazy val gazSorted = gaz.sorted
+  private def entCol(c: org.apache.spark.sql.Column) =
+    concat(lit("urn:ent:"), element_at(typedLit(gazSorted), c + 1))
+
   /** Aho-Corasick mention scan; word-boundary counts == whitespace-token
     * counts for the single-word gazetteer (oracle recomputes via
-    * string_split + unnest).
+    * string_split + unnest). Production path is the dictionary-encoded
+    * scan (ints off the trie); the entity string is restored in the
+    * final select.
     */
   def kgMentions(spark: SparkSession, dir: String): DataFrame = {
     val pages = pagesDf(spark, dir)
-    MentionScan.mentions(pages, Gazetteer(gaz))
+    MentionScan.mentionsIdx(pages, Gazetteer(gaz))
+      .select(col("doc_id"),
+        element_at(typedLit(gazSorted), col("e") + 1).as("entity"), col("tf"))
       .orderBy(col("doc_id"), col("entity"))
   }
 
   /** Document frequency + integer mention stats per entity (the exact
     * integer core of the TF-IDF scorer; the float score itself is covered
-    * by a ScalaTest oracle to avoid cross-engine libm drift).
+    * by a ScalaTest oracle to avoid cross-engine libm drift). The
+    * aggregation shuffles 4-byte dictionary indices; strings restore
+    * after the agg (sorted dict ⇒ index order ≡ entity order).
     */
   def kgEntityStats(spark: SparkSession, dir: String): DataFrame = {
-    val m = MentionScan.mentions(pagesDf(spark, dir), Gazetteer(gaz))
-    m.groupBy("entity")
+    val m = MentionScan.mentionsIdx(pagesDf(spark, dir), Gazetteer(gaz))
+    m.groupBy("e")
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
         max(col("tf")).as("max_tf"))
+      .select(element_at(typedLit(gazSorted), col("e") + 1).as("entity"),
+        col("df"), col("total_tf"), col("max_tf"))
       .orderBy(col("entity"))
   }
 
@@ -69,10 +81,15 @@ object KgQueries {
     MentionScan.mentionContexts(pagesDf(spark, dir), gaz, window = 5)
       .orderBy(col("doc_id"), col("entity"))
 
-  /** Entity co-occurrence triples (s, p, o, n_docs). */
+  /** Entity co-occurrence triples (s, p, o, n_docs) via the int-domain
+    * pair histogram, strings restored at the end. */
   def kgCooccur(spark: SparkSession, dir: String): DataFrame = {
-    val m = MentionScan.mentions(pagesDf(spark, dir), Gazetteer(gaz))
-    MentionScan.coOccurrenceTriplesFused(m, gaz).orderBy(col("s"), col("o"))
+    val m = MentionScan.mentionsIdx(pagesDf(spark, dir), Gazetteer(gaz))
+    val sets = m.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("e"))).as("es"))
+    MentionScan.restoreCoOccurStrings(
+        MentionScan.coOccurrencePairsIdx(sets, gazSorted.length), gazSorted)
+      .orderBy(col("s"), col("o"))
   }
 
   /** Shape validation over candidate triples plus a deterministic batch of
@@ -122,24 +139,13 @@ object KgQueries {
 
   /** Full pipeline, pure form: canonical triples after CC merge of
     * coreferent entities (components of the co-occurrence graph).
+    * Delegates to [[graft.pipeline.IncrementalKg.fromPages]] — the same
+    * dictionary-encoded build the incremental path uses (one
+    * implementation, one oracle).
     */
-  def kgCanonical(spark: SparkSession, dir: String): DataFrame = {
-    // the scan feeds mention triples AND the co-occurrence graph —
-    // materialize once or each consumer re-runs page synth + extraction
-    val m = MentionScan.mentions(pagesDf(spark, dir), Gazetteer(gaz))
-      .localCheckpoint()
-    val mentionT = MentionScan.mentionTriples(m)
-    val co = MentionScan.coOccurrenceTriplesFused(m, gaz).select("s", "p", "o")
-    val edges = co.select(col("s").as("a"), col("o").as("b"))
-    val comp = ConnectedComponents.run(edges)
-    val canonMap = comp.select(col("node"), col("component"))
-    // materialize the union: skew detection + both rewrite joins consume
-    // it — unmaterialized, each would re-run the co-occurrence aggregate
-    val allT = mentionT.union(co).localCheckpoint()
-    graft.canon.Canonicalize.rewriteTriples(allT, canonMap)
-      .distinct()
-      .orderBy(col("s"), col("p"), col("o"))
-  }
+  def kgCanonical(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.IncrementalKg.fromPages(pagesDf(spark, dir), Gazetteer(gaz))
+      .triples.orderBy(col("s"), col("p"), col("o"))
 
   /** Incremental materialization: build the canonical graph from two
     * doc_id-parity half-batches via [[IncrementalKg.merge]] — no raw-doc

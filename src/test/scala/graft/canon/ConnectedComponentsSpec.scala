@@ -42,6 +42,35 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(local == bruteForce(edges))
   }
 
+  test("numeric edge ids keep their type and numeric min labels on both paths") {
+    // round-3 advice: the local path used to cast to string, so {9,10}
+    // would label "10" (string min) instead of 9 — and the path taken
+    // depended on data size. Both paths must now agree with numeric min.
+    val edges = Seq((10, 9), (10, 11), (2, 1), (100, 2)).toDF("a", "b")
+    val local = ConnectedComponents.run(edges)
+    assert(local.schema("node").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val localMap = local.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    spark.conf.set("spark.graft.cc.localThreshold", "0")
+    val distMap =
+      try ConnectedComponents.run(edges)
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      finally spark.conf.unset("spark.graft.cc.localThreshold")
+    assert(localMap == distMap)
+    assert(localMap == Map(9 -> 9, 10 -> 9, 11 -> 9, 1 -> 1, 2 -> 1, 100 -> 1))
+  }
+
+  test("unsupported edge-id types fall through to the distributed path") {
+    // dates have no local-path ordering wired; result must still be the
+    // distributed star iteration's (no crash, no silent cast)
+    val edges = Seq(("2024-01-02", "2024-01-01"), ("2024-01-02", "2024-01-03"))
+      .toDF("a", "b").selectExpr("cast(a as date) a", "cast(b as date) b")
+    val out = ConnectedComponents.run(edges).collect()
+      .map(r => (r.getDate(0).toString, r.getDate(1).toString)).toMap
+    assert(out == Map("2024-01-01" -> "2024-01-01",
+      "2024-01-02" -> "2024-01-01", "2024-01-03" -> "2024-01-01"))
+  }
+
   test("two components with chain and triangle") {
     val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "x" -> "y", "y" -> "z")
     assert(runCc(edges) == bruteForce(edges))
