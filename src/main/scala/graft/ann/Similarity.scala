@@ -242,28 +242,103 @@ object Similarity {
       return Seq.empty[(Long, Int, Long, Double)]
         .toDF("query_id", "rank", "cand_id", "cos")
     }
-    val bcC = spark.sparkContext.broadcast(cents)
+    ivfTopKWithCodebook(emb, queryPred, cents, k, nProbe)
+  }
 
-    /** cos(v, centroid) for every centroid, IEEE-identical to [[cosine]]:
-      * float·float products, sequential double accumulation. */
-    def centCos(arr: Array[Float], c: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      val n = math.min(arr.length, c.length)
-      var i = 0
-      while (i < n) {
-        dot += (arr(i) * c(i)).toDouble
-        na += (arr(i) * arr(i)).toDouble
-        nb += (c(i) * c(i)).toDouble
-        i += 1
+  /** IVF-Flat with a TRAINED codebook: deterministic Lloyd's k-means over
+    * the sampled init, then the identical list/probe plumbing (round-3
+    * verdict #7 — `ivfTopK`'s scaladoc names the trained codebook as the
+    * production knob). Same signature family as [[ivfTopK]] with the
+    * sampled centroids as iteration 0, so `iters = 0` degenerates to the
+    * sampled path exactly (modulo centroid ids, which become 0..C-1).
+    */
+  def ivfTopKTrained(emb: DataFrame, queryPred: Column, initPred: Column,
+                     k: Int, nProbe: Int = 4, iters: Int = 5): DataFrame = {
+    val cents = trainCodebook(emb, initPred, iters)
+    ivfTopKWithCodebook(emb, queryPred, cents, k, nProbe)
+  }
+
+  /** Deterministic Lloyd's k-means codebook (cosine assignment, per-list
+    * component means). Determinism without sacrificing parallelism:
+    *  - init = the `initPred` sample sorted by vec_id (seeded, like the
+    *    sampled tier);
+    *  - assignment = per-partition argmax against broadcast centroids
+    *    (ties → lower centroid id), the same kernel the probe path uses;
+    *  - update = per-partition PARTIAL component sums QUANTIZED to
+    *    1/2^20 (integer partials are associative, so the reduced mean is
+    *    identical under any partitioning/order — float partial sums
+    *    would make the codebook depend on scheduling); partials are
+    *    C×partitions rows, collected and combined on the driver.
+    * Empty lists keep their previous centroid (standard Lloyd's).
+    */
+  def trainCodebook(emb: DataFrame, initPred: Column,
+                    iters: Int): Array[(Long, Array[Float])] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val Q = 1 << 20
+    var cents: Array[Array[Float]] =
+      emb.filter(initPred).select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().sortBy(_._1).map(_._2.toArray)
+    if (cents.isEmpty) return Array.empty
+    val data = emb.select(col("embedding")).as[Seq[Float]]
+    for (_ <- 0 until iters) {
+      val bcC = spark.sparkContext.broadcast(cents)
+      val partials = data.mapPartitions { it =>
+        val cs = bcC.value
+        val dim = cs.map(_.length).max
+        val sums = Array.fill(cs.length)(new Array[Long](dim))
+        val counts = new Array[Long](cs.length)
+        it.foreach { v =>
+          val arr = v.toArray
+          var best = 0; var bestCos = Double.NegativeInfinity
+          var ci = 0
+          while (ci < cs.length) {
+            val c = centCosStatic(arr, cs(ci))
+            if (c > bestCos) { bestCos = c; best = ci }
+            ci += 1
+          }
+          counts(best) += 1
+          val s = sums(best)
+          var i = 0
+          val n = math.min(arr.length, dim)
+          while (i < n) { s(i) += math.round(arr(i).toDouble * Q); i += 1 }
+        }
+        Iterator.tabulate(cs.length)(ci => (ci, sums(ci), counts(ci)))
+      }.collect()
+      val dim = cents.map(_.length).max
+      val sums = Array.fill(cents.length)(new Array[Long](dim))
+      val counts = new Array[Long](cents.length)
+      for ((ci, s, n) <- partials) {
+        counts(ci) += n
+        var i = 0
+        while (i < s.length) { sums(ci)(i) += s(i); i += 1 }
       }
-      dot / (math.sqrt(na) * math.sqrt(nb))
+      cents = Array.tabulate(cents.length) { ci =>
+        if (counts(ci) == 0) cents(ci)
+        else Array.tabulate(dim)(i =>
+          (sums(ci)(i).toDouble / counts(ci) / Q).toFloat)
+      }
     }
+    cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+  }
+
+  /** [[ivfTopK]]'s list/probe plumbing over an explicit codebook —
+    * shared by the sampled and trained tiers. Centroid ids only key the
+    * inverted lists; candidates are always real corpus vectors.
+    */
+  def ivfTopKWithCodebook(emb: DataFrame, queryPred: Column,
+                          cents: Array[(Long, Array[Float])],
+                          k: Int, nProbe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(cents.nonEmpty, "ivfTopKWithCodebook: empty codebook")
+    val bcC = spark.sparkContext.broadcast(cents)
 
     /** Top-m centroid ids by (cos desc, cent_id asc) — the same order the
       * oracle's ROW_NUMBER uses. */
     def nearest(arr: Array[Float], m: Int): Array[Long] = {
       val cs = bcC.value
-      cs.map { case (id, c) => (centCos(arr, c), id) }
+      cs.map { case (id, c) => (centCosStatic(arr, c), id) }
         .sortBy { case (cos, id) => (-cos, id) }
         .take(m).map(_._2)
     }
@@ -294,6 +369,23 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "cand_id", "cos")
+  }
+
+  /** cos(v, centroid), IEEE-identical to [[cosine]]: float·float
+    * products, sequential double accumulation. Shared by assignment,
+    * probing and k-means training so all three agree exactly.
+    */
+  private def centCosStatic(arr: Array[Float], c: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    val n = math.min(arr.length, c.length)
+    var i = 0
+    while (i < n) {
+      dot += (arr(i) * c(i)).toDouble
+      na += (arr(i) * arr(i)).toDouble
+      nb += (c(i) * c(i)).toDouble
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Deterministic random hyperplanes (seeded), broadcast as literals. */

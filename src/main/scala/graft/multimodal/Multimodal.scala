@@ -82,9 +82,175 @@ object Multimodal {
     val width = buf.getInt(18)
     val height = buf.getInt(22)
     val bpp = buf.getShort(28).toInt
-    if (width <= 0 || height == 0 || bpp % 8 != 0) None
-    // negative height = top-down DIB; dimensions are |height|
-    else Some(Meta("image", width, math.abs(height), bpp / 8, 1, 0))
+    // round-3 advice: bpp must be a real BMP depth (bpp=0 passed the old
+    // `% 8` check and decoded as channels=0), and the pixel array the
+    // header promises must actually fit in the file — otherwise a
+    // malformed header "successfully" decodes wild dimensions
+    val validDepth = bpp == 8 || bpp == 16 || bpp == 24 || bpp == 32
+    if (width <= 0 || height == 0 || !validDepth) None
+    else {
+      val rowSize = (((bpp / 8) * width + 3) / 4) * 4
+      val absH = math.abs(height)
+      if (rowSize.toLong * absH > bytes.length.toLong - 54) None
+      // negative height = top-down DIB; dimensions are |height|
+      else Some(Meta("image", width, absH, bpp / 8, 1, 0))
+    }
+  }
+
+  // ---------------------------------------------------------------- PNG
+
+  /** Truecolor 8-bit PNG (colour type 2), all-None row filters, zlib
+    * STORED deflate blocks. Stored blocks make the byte size a closed
+    * formula over (w, h) — 8 sig + 25 IHDR + 12 IEND + IDAT of
+    * 2 (zlib hdr) + raw + 5·ceil(raw/65535) + 4 (adler), raw =
+    * h·(1+3w) — so the DuckDB oracle can recompute the file size from
+    * the PNG spec without running DEFLATE. Row y's pixel bytes are the
+    * same (x+y) mod 251 gradient as BMP rows.
+    */
+  def encodePng(width: Int, height: Int): Array[Byte] = {
+    val rowLen = 3 * width
+    val raw = new Array[Byte](height * (1 + rowLen))
+    val pattern = gradient(rowLen + height)
+    var y = 0; var pos = 0
+    while (y < height) {
+      raw(pos) = 0 // filter: None
+      System.arraycopy(pattern, y, raw, pos + 1, rowLen)
+      pos += 1 + rowLen; y += 1
+    }
+    val nBlocks = math.max(1, (raw.length + 65534) / 65535)
+    val zlib = new Array[Byte](2 + raw.length + 5 * nBlocks + 4)
+    zlib(0) = 0x78; zlib(1) = 0x01 // CMF/FLG, (0x7801 % 31 == 0)
+    var in = 0; var outp = 2
+    while (in < raw.length || (raw.length == 0 && in == 0)) {
+      val len = math.min(65535, raw.length - in)
+      val last = in + len >= raw.length
+      zlib(outp) = if (last) 1 else 0
+      zlib(outp + 1) = (len & 0xff).toByte
+      zlib(outp + 2) = ((len >> 8) & 0xff).toByte
+      zlib(outp + 3) = (~len & 0xff).toByte
+      zlib(outp + 4) = ((~len >> 8) & 0xff).toByte
+      System.arraycopy(raw, in, zlib, outp + 5, len)
+      in += len; outp += 5 + len
+      if (last) in = raw.length + 1 // exit also for raw.length == 0
+    }
+    val adler = new java.util.zip.Adler32
+    adler.update(raw)
+    val av = adler.getValue
+    zlib(outp) = ((av >> 24) & 0xff).toByte
+    zlib(outp + 1) = ((av >> 16) & 0xff).toByte
+    zlib(outp + 2) = ((av >> 8) & 0xff).toByte
+    zlib(outp + 3) = (av & 0xff).toByte
+
+    val out = ByteBuffer.allocate(8 + 25 + 12 + zlib.length + 12)
+    out.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.putInt(data.length)
+      val tb = typ.getBytes(StandardCharsets.US_ASCII)
+      out.put(tb).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(tb); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+    }
+    val ihdr = ByteBuffer.allocate(13)
+    ihdr.putInt(width).putInt(height)
+    ihdr.put(8.toByte)  // bit depth
+    ihdr.put(2.toByte)  // colour type: truecolor RGB
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", zlib)
+    chunk("IEND", Array.emptyByteArray)
+    out.array()
+  }
+
+  private val PngSig =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** PNG metadata from the IHDR chunk (any bit depth / colour type). */
+  def decodePng(bytes: Array[Byte]): Option[Meta] = {
+    if (bytes == null || bytes.length < 33) return None
+    var i = 0
+    while (i < 8) { if (bytes(i) != PngSig(i)) return None; i += 1 }
+    val buf = ByteBuffer.wrap(bytes) // PNG ints are big-endian (default)
+    if (buf.getInt(8) != 13) return None // IHDR data length
+    val typ = new String(bytes, 12, 4, StandardCharsets.US_ASCII)
+    if (typ != "IHDR") return None
+    val w = buf.getInt(16)
+    val h = buf.getInt(20)
+    val colourType = bytes(25) & 0xff
+    val channels = colourType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => return None
+    }
+    if (w <= 0 || h <= 0) None
+    else Some(Meta("image", w, h, channels, 1, 0))
+  }
+
+  /** Full pixel decode for 8-bit truecolor PNGs: concatenate IDAT
+    * chunks, inflate (java.util.zip.Inflater — handles any zlib stream,
+    * not just our stored blocks), and undo all five scanline filters
+    * (None/Sub/Up/Average/Paeth). Returns rows of 3·w samples.
+    */
+  def decodePngPixels(bytes: Array[Byte]): Option[Array[Array[Byte]]] = {
+    val meta = decodePng(bytes).getOrElse(return None)
+    if ((bytes(24) & 0xff) != 8 || (bytes(25) & 0xff) != 2) return None
+    // walk chunks, gather IDAT payloads
+    val idat = new java.io.ByteArrayOutputStream()
+    var off = 8
+    while (off + 8 <= bytes.length) {
+      val len = ByteBuffer.wrap(bytes).getInt(off)
+      if (len < 0 || off + 12 + len > bytes.length) return None
+      val typ = new String(bytes, off + 4, 4, StandardCharsets.US_ASCII)
+      if (typ == "IDAT") idat.write(bytes, off + 8, len)
+      off += 12 + len
+      if (typ == "IEND") off = bytes.length
+    }
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val rowLen = 3 * meta.width
+    val raw = new Array[Byte](meta.height * (1 + rowLen))
+    try {
+      var done = 0
+      while (done < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, done, raw.length - done)
+        if (n == 0 && inflater.needsInput()) return None // truncated
+        done += n
+      }
+      if (done < raw.length) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inflater.end()
+    // unfilter
+    val bpp = 3
+    val rows = Array.ofDim[Byte](meta.height, rowLen)
+    var y = 0
+    while (y < meta.height) {
+      val filter = raw(y * (1 + rowLen)) & 0xff
+      val src = y * (1 + rowLen) + 1
+      val cur = rows(y)
+      val prev = if (y > 0) rows(y - 1) else null
+      def left(x: Int) = if (x >= bpp) cur(x - bpp) & 0xff else 0
+      def up(x: Int) = if (prev != null) prev(x) & 0xff else 0
+      def upLeft(x: Int) = if (prev != null && x >= bpp) prev(x - bpp) & 0xff else 0
+      var x = 0
+      while (x < rowLen) {
+        val v = raw(src + x) & 0xff
+        val out = filter match {
+          case 0 => v
+          case 1 => v + left(x)
+          case 2 => v + up(x)
+          case 3 => v + (left(x) + up(x)) / 2
+          case 4 =>
+            val (a, b, c) = (left(x), up(x), upLeft(x))
+            val p = a + b - c
+            val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+            v + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case _ => return None
+        }
+        cur(x) = (out & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(rows)
   }
 
   // ---------------------------------------------------------------- WAV
@@ -187,8 +353,22 @@ object Multimodal {
           case "422" => w * h * 2
           case _ => w * h * 3 / 2 // 420 family
         }
-        val body = bytes.length - (headEnd + 1)
-        val nFrames = body / (6 + frameLen) // "FRAME\n" + planes
+        // round-3 advice: the spec allows per-frame parameters
+        // ("FRAME <params>\n"), so frames are counted by walking the
+        // actual frame headers (scan to each newline), not by dividing
+        // the body by a fixed 6-byte header
+        var pos = headEnd + 1
+        var nFrames = 0
+        var ok = true
+        while (ok && pos + 5 <= bytes.length &&
+            bytes(pos) == 'F' && bytes(pos + 1) == 'R' &&
+            bytes(pos + 2) == 'A' && bytes(pos + 3) == 'M' &&
+            bytes(pos + 4) == 'E') {
+          var nl = pos + 5
+          while (nl < bytes.length && bytes(nl) != '\n') nl += 1
+          if (nl >= bytes.length || nl + 1 + frameLen > bytes.length) ok = false
+          else { nFrames += 1; pos = nl + 1 + frameLen }
+        }
         Some(Meta("video", w, h, 3, nFrames, 0))
       case _ => None
     }
@@ -202,6 +382,8 @@ object Multimodal {
   def decode(bytes: Array[Byte]): Option[Meta] = {
     if (bytes == null || bytes.length < 4) return None
     if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else if (bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' &&
+             bytes(3) == 'G') decodePng(bytes)
     else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
              bytes(3) == 'F') decodeWav(bytes)
     else if (bytes(0) == 'Y' && bytes(1) == 'U' && bytes(2) == 'V') decodeY4m(bytes)
@@ -229,6 +411,16 @@ object Multimodal {
     case "video" => encodeY4m(meta.width, meta.height, meta.nFrames)
     case _ => encode(meta)
   }
+
+  /** [[encodeFor]] that preserves the source container: an image that
+    * arrived as PNG re-encodes as PNG, not BMP (resize must not swap
+    * formats under the caller).
+    */
+  def encodeSameContainer(orig: Array[Byte], meta: Meta): Array[Byte] =
+    if (meta.kind == "image" && orig.length >= 4 &&
+        orig(0) == 0x89.toByte && orig(1) == 'P')
+      encodePng(meta.width, meta.height)
+    else encodeFor(meta)
 
   /** Legacy synthetic encoder (GFT1), kept for the stub container tests. */
   def encode(meta: Meta): Array[Byte] = {
@@ -260,7 +452,10 @@ object Multimodal {
       val w = (64 + id % 64).toInt
       val h = (64 + (id / 2) % 64).toInt
       (id % 3) match {
-        case 0 => (id, "image", encodeBmp(w, h))
+        // image rows alternate containers: PNG (id % 6 == 0) exercises
+        // the compressed-container decode path, BMP the uncompressed one
+        case 0 => (id, "image",
+          if (id % 6 == 0) encodePng(w, h) else encodeBmp(w, h))
         case 1 => (id, "audio", encodeWav(16000, 16000))
         case _ => (id, "video", encodeY4m(w, h, (1 + id % 30).toInt))
       }
@@ -306,7 +501,8 @@ object Multimodal {
               else (m.width * maxSide / longest, m.height * maxSide / longest)
             val resized = m.copy(width = w2, height = h2)
             (id, w2, h2,
-              if ((w2, h2) == (m.width, m.height)) bytes else encodeFor(resized))
+              if ((w2, h2) == (m.width, m.height)) bytes
+              else encodeSameContainer(bytes, resized))
           }
         }
       }

@@ -617,9 +617,13 @@ object DataQueries {
         |  CAST(CASE kind WHEN 'audio' THEN 1 ELSE 3 END AS INTEGER) AS channels,
         |  CAST(CASE kind WHEN 'image' THEN 1 WHEN 'audio' THEN 0 ELSE f END AS INTEGER) AS n_frames,
         |  CAST(CASE kind WHEN 'audio' THEN 16000 ELSE 0 END AS INTEGER) AS sample_rate,
-        |  CAST(CASE kind
-        |    WHEN 'image' THEN 54 + h * (((3 * w + 3) // 4) * 4)
-        |    WHEN 'audio' THEN 44 + 16000 * 2
+        |  CAST(CASE
+        |    -- PNG (every 6th doc): sig 8 + IHDR 25 + IEND 12 + IDAT chunk of
+        |    -- zlib-STORED blocks: raw = h*(1+3w), total 63 + raw + 5*ceil(raw/65535)
+        |    WHEN kind = 'image' AND doc_id % 6 = 0
+        |      THEN 63 + h * (1 + 3 * w) + 5 * ((h * (1 + 3 * w) + 65534) // 65535)
+        |    WHEN kind = 'image' THEN 54 + h * (((3 * w + 3) // 4) * 4)
+        |    WHEN kind = 'audio' THEN 44 + 16000 * 2
         |    ELSE length('YUV4MPEG2 W' || CAST(w AS VARCHAR) || ' H' ||
         |         CAST(h AS VARCHAR) || ' F25:1 Ip A1:1 C444') + 1
         |         + f * (6 + w * h * 3)
@@ -647,9 +651,11 @@ object DataQueries {
         |         ELSE h * 96 // greatest(w, h) END AS h2
         |  FROM m)
         |SELECT doc_id, CAST(w2 AS INTEGER) AS width, CAST(h2 AS INTEGER) AS height,
-        |  CAST(CASE kind
-        |    WHEN 'image' THEN 54 + h2 * (((3 * w2 + 3) // 4) * 4)
-        |    WHEN 'audio' THEN 44 + 16000 * 2
+        |  CAST(CASE
+        |    WHEN kind = 'image' AND doc_id % 6 = 0
+        |      THEN 63 + h2 * (1 + 3 * w2) + 5 * ((h2 * (1 + 3 * w2) + 65534) // 65535)
+        |    WHEN kind = 'image' THEN 54 + h2 * (((3 * w2 + 3) // 4) * 4)
+        |    WHEN kind = 'audio' THEN 44 + 16000 * 2
         |    ELSE length('YUV4MPEG2 W' || CAST(w2 AS VARCHAR) || ' H' ||
         |         CAST(h2 AS VARCHAR) || ' F25:1 Ip A1:1 C444') + 1
         |         + f * (6 + w2 * h2 * 3)

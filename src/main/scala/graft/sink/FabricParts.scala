@@ -180,12 +180,21 @@ object FabricParts {
         val path = txt(p, "path").getOrElse("")
         val payload = txt(p, "payload").getOrElse("")
         if (payload.nonEmpty) {
-          val decoded = mapper.readTree(new String(
-            Base64.getDecoder.decode(payload), StandardCharsets.UTF_8))
-          // reference uses substring membership, not prefix (line 131-135)
-          if (path.contains("EntityTypes/"))
-            entities += decoded.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-          else if (path.contains("RelationshipTypes/")) rels += decoded
+          // malformed base64 / JSON / non-object payloads are SKIPPED
+          // (round-3 advice: an array or scalar payload used to throw
+          // ClassCastException), mirroring the reference's
+          // no-structural-validation-but-no-crash handling
+          val decoded: Option[JsonNode] =
+            try Some(mapper.readTree(new String(
+              Base64.getDecoder.decode(payload), StandardCharsets.UTF_8)))
+            catch { case _: IllegalArgumentException |
+                         _: com.fasterxml.jackson.core.JacksonException => None }
+          decoded.filter(_.isObject).foreach { d =>
+            // reference uses substring membership, not prefix (line 131-135)
+            if (path.contains("EntityTypes/"))
+              entities += d.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            else if (path.contains("RelationshipTypes/")) rels += d
+          }
         }
       } else if (p.has("type")) txt(p, "type").getOrElse("") match {
         case "EntityType" =>

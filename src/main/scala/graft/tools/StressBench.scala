@@ -51,7 +51,7 @@ object StressBench {
     val out = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT", "/tmp/graft_stress")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sections = sys.env.getOrElse("SPARK_GRAFT_STRESS_SECTIONS",
-      "cc,dd,kg,inc").split(",").map(_.trim).toSet
+      "cc,dd,kg,inc,ivf").split(",").map(_.trim).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -171,6 +171,27 @@ object StressBench {
       val (kgNN, kgSecN) = kgStats(s"$out/kg")
       frags += s""""kg_1x":{"docs":$kgN1,"sec":$kgSec1,"docs_per_sec":${kgN1 / kgSec1}}"""
       frags += s""""kg_Nx":{"docs":$kgNN,"sec":$kgSecN,"docs_per_sec":${kgNN / kgSecN}}"""
+    }
+
+    // ---- IVF recall: sampled vs trained codebook at equal C -------------
+    if (sections("ivf")) {
+      import graft.ann.Similarity
+      val emb = spark.read.parquet(s"$base/embeddings.parquet").localCheckpoint()
+      val qPred = col("vec_id") % 101 === 0
+      val cPred = col("vec_id") % 31 === 5
+      val c = emb.filter(cPred).count()
+      val truth = Similarity.bruteForceTopK(emb, qPred, 5)
+        .select("query_id", "cand_id").localCheckpoint()
+      val nTruth = truth.count()
+      def recallOf(df: DataFrame): Double =
+        truth.join(df.select("query_id", "cand_id"),
+          Seq("query_id", "cand_id"), "left_semi").count().toDouble / nTruth
+      val (sampledRecall, sampledSec) = time(
+        recallOf(Similarity.ivfTopK(emb, qPred, cPred, 5, nProbe = 4)))
+      val (trainedRecall, trainedSec) = time(
+        recallOf(Similarity.ivfTopKTrained(emb, qPred, cPred, 5,
+          nProbe = 4, iters = 5)))
+      frags += s""""ivf":{"C":$c,"nProbe":4,"k":5,"sampled_recall":$sampledRecall,"trained_recall":$trainedRecall,"sampled_sec":$sampledSec,"trained_plus_train_sec":$trainedSec}"""
     }
 
     // ---- incremental merge: wall ∝ batch, not corpus --------------------

@@ -52,6 +52,38 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.6, s"mean top-5 recall $mean too low")
   }
 
+  test("trained IVF codebook: deterministic, recall >= sampled at equal C") {
+    val queryIds = (0L until 500L by 25L).toSet
+    val qPred = col("vec_id").isin(queryIds.toSeq: _*)
+    val initPred = col("vec_id") % 31 === 5 // same C as the sampled tier
+    // determinism: identical codebook under different partitioning
+    val cb1 = Similarity.trainCodebook(emb, initPred, iters = 3)
+    val cb2 = Similarity.trainCodebook(emb.repartition(7), initPred, iters = 3)
+    assert(cb1.length == cb2.length && cb1.nonEmpty)
+    assert(cb1.zip(cb2).forall { case ((i1, v1), (i2, v2)) =>
+      i1 == i2 && v1.sameElements(v2) })
+
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val brute = scalaBruteTopK(5, queryIds)
+      val got = df.collect().groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rows) => q -> rows.map(_.getAs[Long]("cand_id")).toSet }
+      val rs = queryIds.toSeq.map(q =>
+        brute(q).count(got.getOrElse(q, Set.empty)).toDouble / 5)
+      rs.sum / rs.size
+    }
+    val sampled = recallOf(Similarity.ivfTopK(emb, qPred, initPred, 5, nProbe = 4))
+    val trained = recallOf(
+      Similarity.ivfTopKTrained(emb, qPred, initPred, 5, nProbe = 4, iters = 3))
+    // Lloyd's tightens the lists: trained must not be worse (small slack
+    // for boundary flips). Absolute recall is modest by design here —
+    // these are random-ish embeddings (no cluster structure) on a tiny
+    // corpus with nProbe/C = 1/8 of the lists scanned; the StressBench
+    // `ivf` section records both tiers at sf0.1.
+    assert(trained >= sampled - 0.02,
+      s"trained recall $trained < sampled $sampled")
+    assert(trained >= 0.5, s"trained recall $trained below floor")
+  }
+
   test("quantized top-1 is deterministic and integer-exact") {
     val a = Similarity.quantizedTop1(emb, col("vec_id") < 10).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
@@ -166,10 +198,114 @@ class MultimodalSpec extends SparkSpec {
       val redecoded = Multimodal.decode(r.getAs[Array[Byte]]("media")).get
       assert(redecoded.width == w && redecoded.height == h)
     }
-    // images stay BMP through the resize (not GFT1)
-    val img = resized.find(r =>
-      Multimodal.decode(r.getAs[Array[Byte]]("media")).get.kind == "image").get
-    assert(img.getAs[Array[Byte]]("media")(0) == 'B')
+    // images keep their source container through the resize: BMP rows
+    // stay BMP, PNG rows stay PNG (and neither falls back to GFT1)
+    val imgs = resized.filter(r =>
+      Multimodal.decode(r.getAs[Array[Byte]]("media")).get.kind == "image")
+    assert(imgs.exists(_.getAs[Array[Byte]]("media")(0) == 'B'))
+    assert(imgs.exists(_.getAs[Array[Byte]]("media")(0) == 0x89.toByte))
+  }
+
+  test("PNG: stored-block encode matches the closed size formula and " +
+       "round-trips pixels through Inflater") {
+    val (w, h) = (33, 20)
+    val bytes = Multimodal.encodePng(w, h)
+    val raw = h * (1 + 3 * w)
+    val nBlocks = (raw + 65534) / 65535
+    assert(bytes.length == 63 + raw + 5 * nBlocks)
+    assert(Multimodal.decode(bytes).contains(
+      Multimodal.Meta("image", w, h, 3, 1, 0)))
+    // pixel round trip: row y byte x = (x+y) mod 251
+    val rows = Multimodal.decodePngPixels(bytes).get
+    assert(rows.length == h && rows(0).length == 3 * w)
+    for (y <- 0 until h; x <- 0 until 3 * w)
+      assert((rows(y)(x) & 0xff) == (x + y) % 251)
+    // a >65535-byte raw stream needs multiple stored blocks
+    val big = Multimodal.encodePng(200, 120) // raw = 72120 > 65535
+    val bigRaw = 120 * (1 + 600)
+    assert(big.length == 63 + bigRaw + 5 * 2)
+    assert(Multimodal.decodePngPixels(big).isDefined)
+  }
+
+  test("PNG: foreign Deflater-compressed stream with Sub/Up/Paeth filters " +
+       "decodes (the Inflater path is not stored-block-specific)") {
+    val (w, h) = (8, 4)
+    val rowLen = 3 * w
+    // target pixels: (x*7 + y*13) mod 256
+    val px = Array.tabulate(h, rowLen)((y, x) => ((x * 7 + y * 13) % 256).toByte)
+    // filter rows: y0 Sub, y1 Up, y2 Paeth, y3 None
+    val raw = new java.io.ByteArrayOutputStream()
+    def u(b: Byte) = b & 0xff
+    for (y <- 0 until h) {
+      val filter = y match { case 0 => 1; case 1 => 2; case 2 => 4; case _ => 0 }
+      raw.write(filter)
+      for (x <- 0 until rowLen) {
+        val cur = u(px(y)(x))
+        val left = if (x >= 3) u(px(y)(x - 3)) else 0
+        val up = if (y > 0) u(px(y - 1)(x)) else 0
+        val ul = if (y > 0 && x >= 3) u(px(y - 1)(x - 3)) else 0
+        val pred = filter match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 4 =>
+            val p = left + up - ul
+            val (pa, pb, pc) =
+              (math.abs(p - left), math.abs(p - up), math.abs(p - ul))
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        raw.write((cur - pred) & 0xff)
+      }
+    }
+    val deflater = new java.util.zip.Deflater(9)
+    deflater.setInput(raw.toByteArray); deflater.finish()
+    val zbuf = new Array[Byte](raw.size() + 64)
+    val zlen = deflater.deflate(zbuf)
+    deflater.end()
+    // assemble: sig + IHDR + IDAT(compressed) + IEND
+    val out = java.nio.ByteBuffer.allocate(8 + 25 + 12 + zlen + 12)
+    out.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.putInt(data.length); val tb = typ.getBytes("US-ASCII")
+      out.put(tb).put(data)
+      val crc = new java.util.zip.CRC32; crc.update(tb); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array()); chunk("IDAT", zbuf.take(zlen))
+    chunk("IEND", Array.emptyByteArray)
+    val rows = Multimodal.decodePngPixels(out.array()).get
+    for (y <- 0 until h; x <- 0 until rowLen)
+      assert(u(rows(y)(x)) == u(px(y)(x)), s"pixel ($y,$x)")
+  }
+
+  test("BMP guard: bogus depths and header-promised overruns are rejected") {
+    val good = Multimodal.encodeBmp(16, 16)
+    def patched(off: Int, v: Byte): Array[Byte] = {
+      val b = good.clone(); b(off) = v; b
+    }
+    assert(Multimodal.decodeBmp(patched(28, 0)).isEmpty)  // bpp = 0
+    assert(Multimodal.decodeBmp(patched(28, 7)).isEmpty)  // bpp = 7
+    // width inflated to 2^24: promised pixel array exceeds the file
+    val wide = good.clone(); wide(21) = 1
+    assert(Multimodal.decodeBmp(wide).isEmpty)
+    assert(Multimodal.decodeBmp(good).isDefined)
+  }
+
+  test("Y4M: per-frame parameters are counted correctly") {
+    // FRAME headers with params ("FRAME Xsomething\n") — the old
+    // body/(6+frameLen) division undercounts these
+    val frameLen = 4 * 4 * 3
+    val head = "YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C444\n".getBytes
+    val f1 = "FRAME Xtag\n".getBytes ++ Array.fill(frameLen)(1.toByte)
+    val f2 = "FRAME\n".getBytes ++ Array.fill(frameLen)(2.toByte)
+    val f3 = "FRAME Xanother Ylonger\n".getBytes ++ Array.fill(frameLen)(3.toByte)
+    val bytes = head ++ f1 ++ f2 ++ f3
+    assert(Multimodal.decodeY4m(bytes).exists(_.nFrames == 3))
+    // a truncated final frame is not counted
+    assert(Multimodal.decodeY4m(bytes.dropRight(1)).exists(_.nFrames == 2))
   }
 }
 

@@ -78,6 +78,25 @@ class FabricPartsSpec extends SparkSpec {
     assert(props == Set("acctBal", "custId", "mktSegment"))
   }
 
+  test("S6: malformed part payloads are skipped, not crashed on " +
+       "(array/scalar JSON, bad base64)") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def part(path: String, payloadB64: String) =
+      mapper.createObjectNode().put("path", path).put("payload", payloadB64)
+    def b64of(s: String) =
+      java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    val good = part("EntityTypes/e1/definition.json",
+      b64of("""{"id":"e1","name":"A","baseEntityTypeId":null,"properties":[]}"""))
+    val arrayPayload = part("EntityTypes/e2/definition.json", b64of("[1,2]"))
+    val scalarPayload = part("EntityTypes/e3/definition.json", b64of("42"))
+    val badJson = part("EntityTypes/e4/definition.json", b64of("{nope"))
+    val badB64 = part("EntityTypes/e5/definition.json", "!!!not-base64!!!")
+    val (es, rs) = graft.sink.FabricParts.decodeNodes(
+      Seq(good, arrayPayload, scalarPayload, badJson, badB64))
+    assert(es.map(_.get("id").asText) == Seq("e1"))
+    assert(rs.isEmpty)
+  }
+
   test("S6: simple-format dialect converts to the same DataFrames as its " +
        "API-format twin (fabric_to_ttl.py:136-170)") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
