@@ -233,16 +233,22 @@ object Similarity {
       emb.filter(centroidPred).select(col("vec_id"), col("embedding"))
         .as[(Long, Seq[Float])].collect().map { case (id, v) => (id, v.toArray) }
         .sortBy(_._1)
-    if (cents.isEmpty) {
-      // empty corpus → empty result (matches the join formulation);
-      // a non-empty corpus whose predicate selects nothing is a caller
-      // error that would otherwise fail opaquely inside the loop
-      require(emb.isEmpty,
-        "ivfTopK: centroidPred selected no rows from a non-empty corpus")
-      return Seq.empty[(Long, Int, Long, Double)]
-        .toDF("query_id", "rank", "cand_id", "cos")
-    }
+    if (cents.isEmpty) return emptyTopK(emb, "ivfTopK: centroidPred")
     ivfTopKWithCodebook(emb, queryPred, cents, k, nProbe)
+  }
+
+  /** Empty-codebook contract shared by both IVF tiers: empty corpus →
+    * empty result (matches the join formulation); an empty selection on
+    * a NON-empty corpus is a caller error that would otherwise fail
+    * opaquely inside the assignment loop.
+    */
+  private def emptyTopK(emb: DataFrame, caller: String): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(emb.isEmpty,
+      s"$caller selected no rows from a non-empty corpus")
+    Seq.empty[(Long, Int, Long, Double)]
+      .toDF("query_id", "rank", "cand_id", "cos")
   }
 
   /** IVF-Flat with a TRAINED codebook: deterministic Lloyd's k-means over
@@ -255,6 +261,7 @@ object Similarity {
   def ivfTopKTrained(emb: DataFrame, queryPred: Column, initPred: Column,
                      k: Int, nProbe: Int = 4, iters: Int = 5): DataFrame = {
     val cents = trainCodebook(emb, initPred, iters)
+    if (cents.isEmpty) return emptyTopK(emb, "ivfTopKTrained: initPred")
     ivfTopKWithCodebook(emb, queryPred, cents, k, nProbe)
   }
 

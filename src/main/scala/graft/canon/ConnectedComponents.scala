@@ -123,8 +123,24 @@ object ConnectedComponents {
     import org.apache.spark.sql.types._
     val spark = e0.sparkSession
     val dt = e0.schema.fields(0).dataType
+    // Strings compare by CODE POINT (≡ UTF-8 binary order, what Spark's
+    // min uses) — Java compareTo orders by UTF-16 unit, which ranks
+    // supplementary-plane characters below U+E000..U+FFFF and would let
+    // labels depend on which side of the size threshold the data lands
+    // (round-4 review).
+    def cmpCodePoints(a: String, b: String): Int = {
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+        if (ca != cb) return Integer.compare(ca, cb)
+        i += Character.charCount(ca); j += Character.charCount(cb)
+      }
+      Integer.compare(a.length - i, b.length - j)
+    }
     val ord: Ordering[Any] = dt match {
-      case StringType => Ordering.String.on[Any](_.asInstanceOf[String])
+      case StringType =>
+        ((x: Any, y: Any) =>
+          cmpCodePoints(x.asInstanceOf[String], y.asInstanceOf[String])): Ordering[Any]
       case IntegerType => Ordering.Int.on[Any](_.asInstanceOf[Int])
       case LongType => Ordering.Long.on[Any](_.asInstanceOf[Long])
       case _ => return None

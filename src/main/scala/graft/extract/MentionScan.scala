@@ -286,6 +286,8 @@ object MentionScan {
     * Predicates use the synthetic namespace `urn:graft:`.
     */
   val MentionsPred = "urn:graft:mentions"
+  /** Subject prefix of document nodes in mention triples. */
+  val DocUriPrefix = "urn:doc:"
   val CoOccursPred = "urn:graft:coOccursWith"
 
   /** [[coOccurrenceTriples]] computed through the fused histogram — same

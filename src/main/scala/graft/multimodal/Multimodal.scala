@@ -89,11 +89,17 @@ object Multimodal {
     val validDepth = bpp == 8 || bpp == 16 || bpp == 24 || bpp == 32
     if (width <= 0 || height == 0 || !validDepth) None
     else {
-      val rowSize = (((bpp / 8) * width + 3) / 4) * 4
-      val absH = math.abs(height)
-      if (rowSize.toLong * absH > bytes.length.toLong - 54) None
+      // Long math throughout: (bpp/8)*width can overflow Int for a
+      // crafted header, and math.abs(Int.MinValue) is negative — either
+      // would defeat the fit check below (round-4 review)
+      val rowSize = (((bpp / 8).toLong * width + 3) / 4) * 4
+      val absH = math.abs(height.toLong)
+      // division form: rowSize * absH itself can wrap 64 bits for
+      // near-max width AND height (second-pass review)
+      if (absH > Int.MaxValue || rowSize > (bytes.length.toLong - 54) / absH)
+        None
       // negative height = top-down DIB; dimensions are |height|
-      else Some(Meta("image", width, absH, bpp / 8, 1, 0))
+      else Some(Meta("image", width, absH.toInt, bpp / 8, 1, 0))
     }
   }
 
@@ -193,6 +199,15 @@ object Multimodal {
   def decodePngPixels(bytes: Array[Byte]): Option[Array[Array[Byte]]] = {
     val meta = decodePng(bytes).getOrElse(return None)
     if ((bytes(24) & 0xff) != 8 || (bytes(25) & 0xff) != 2) return None
+    // crafted IHDR dims: h*(1+3w) can wrap Int (NegativeArraySize) or
+    // demand absurd allocations — bound by what the file could plausibly
+    // inflate to (round-4 review). DEFLATE caps expansion at ~1032:1.
+    // rawLen ≤ 2^31·(3·2^31+1) < 2^64, so a wrap lands NEGATIVE — the
+    // <= 0 test closes the residual 64-bit wrap (second-pass review)
+    val rawLen = meta.height.toLong * (1L + 3L * meta.width)
+    if (rawLen <= 0 || rawLen > Int.MaxValue ||
+        rawLen > bytes.length.toLong * 1032L)
+      return None
     // walk chunks, gather IDAT payloads
     val idat = new java.io.ByteArrayOutputStream()
     var off = 8
@@ -348,23 +363,28 @@ object Multimodal {
       case (Some(w), Some(h)) if w > 0 && h > 0 =>
         val colorspace = params.collectFirst {
           case s if s.startsWith("C") => s.tail }.getOrElse("420")
-        val frameLen = colorspace match {
-          case "444" => w * h * 3
-          case "422" => w * h * 2
-          case _ => w * h * 3 / 2 // 420 family
+        // Long: w*h*3 overflows Int for foreign headers (round-4 review —
+        // a negative frameLen either crashed the walk or spun it forever)
+        val frameLen: Long = colorspace match {
+          case "444" => w.toLong * h * 3
+          case "422" => w.toLong * h * 2
+          case _ => w.toLong * h * 3 / 2 // 420 family
         }
         // round-3 advice: the spec allows per-frame parameters
         // ("FRAME <params>\n"), so frames are counted by walking the
         // actual frame headers (scan to each newline), not by dividing
         // the body by a fixed 6-byte header
-        var pos = headEnd + 1
+        var pos: Long = headEnd + 1
         var nFrames = 0
-        var ok = true
+        // 3·w·h < 1.5·2^63 so a 64-bit wrap is always negative; a
+        // wrapped (or absurd) frameLen means zero decodable frames
+        // (second-pass review: the wrap crashed the walk)
+        var ok = frameLen > 0
         while (ok && pos + 5 <= bytes.length &&
-            bytes(pos) == 'F' && bytes(pos + 1) == 'R' &&
-            bytes(pos + 2) == 'A' && bytes(pos + 3) == 'M' &&
-            bytes(pos + 4) == 'E') {
-          var nl = pos + 5
+            bytes(pos.toInt) == 'F' && bytes(pos.toInt + 1) == 'R' &&
+            bytes(pos.toInt + 2) == 'A' && bytes(pos.toInt + 3) == 'M' &&
+            bytes(pos.toInt + 4) == 'E') {
+          var nl = pos.toInt + 5
           while (nl < bytes.length && bytes(nl) != '\n') nl += 1
           if (nl >= bytes.length || nl + 1 + frameLen > bytes.length) ok = false
           else { nFrames += 1; pos = nl + 1 + frameLen }

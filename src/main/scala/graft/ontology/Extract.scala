@@ -24,6 +24,19 @@ import graft.rdf.Vocab._
   */
 object Extract {
 
+  /** Graph reachability with a GLOBAL visited set (round-4 review: the
+    * former path-local `seen` re-explored shared branches — exponential
+    * on multiple-inheritance DAGs, run once per edge). Shared by the
+    * distributed and fused (SchemaExtract) cycle checks.
+    */
+  private[ontology] def reaches(adj: Map[String, Seq[String]],
+                                from: String, to: String): Boolean = {
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    def dfs(n: String): Boolean =
+      n == to || (seen.add(n) && adj.getOrElse(n, Nil).exists(dfs))
+    dfs(from)
+  }
+
   /** P1 — class discovery (`property_extractor.py:69-89`): subjects of
     * `rdf:type owl:Class` ∪ `rdf:type rdfs:Class` ∪ subjects of
     * `rdfs:subClassOf`; URI subjects only.
@@ -66,10 +79,7 @@ object Extract {
     // following subClassOf from parent can reach child.
     val edgeList = edges.collect().map(r => (r.getString(0), r.getString(1)))
     val adj = edgeList.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toList }
-    def reaches(from: String, to: String, seen: Set[String]): Boolean =
-      from == to || (!seen(from) &&
-        adj.getOrElse(from, Nil).exists(reaches(_, to, seen + from)))
-    val cyclic = edgeList.filter { case (c, p) => reaches(p, c, Set.empty) }
+    val cyclic = edgeList.filter { case (c, p) => reaches(adj, p, c) }
 
     val spark = triples.sparkSession
     import spark.implicits._

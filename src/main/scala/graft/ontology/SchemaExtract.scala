@@ -103,11 +103,8 @@ object SchemaExtract {
         classes(r.s) && classes(r.o))
       .map(r => (r.s, r.o)).toSeq.distinct
     val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
-    def reaches(from: String, to: String, seen: Set[String]): Boolean =
-      from == to || (!seen(from) &&
-        adj.getOrElse(from, Nil).exists(reaches(_, to, seen + from)))
     val parents: Map[String, String] = edges
-      .filterNot { case (c, p) => reaches(p, c, Set.empty) }
+      .filterNot { case (c, p) => Extract.reaches(adj, p, c) }
       .groupBy(_._1).map { case (c, ps) => c -> ps.map(_._2).min }
 
     // ---- resolver + first-range helpers -----------------------------
@@ -148,7 +145,7 @@ object SchemaExtract {
       .filter(r => r.p == RdfsComment && r.oKind == "literal")
       .groupBy(_.s).map { case (s, rs) => s -> rs.map(_.o).min }
     def isTs(p: String): Boolean =
-      comments.get(p).exists(_.toLowerCase.contains("(timeseries)"))
+      comments.get(p).exists(_.toLowerCase(java.util.Locale.ROOT).contains("(timeseries)"))
 
     // ---- J2 property assignment -------------------------------------
     val assignRows: Seq[AssignRow] = (for {
@@ -217,9 +214,9 @@ object SchemaExtract {
       def valid(a: AssignRow) =
         a.valueType == TypeLattice.StringT || a.valueType == TypeLattice.BigIntT
       val key = (a: AssignRow) => (a.name, a.propId)
-      val idProp = props.filter(a => a.name.toLowerCase.contains("id") &&
+      val idProp = props.filter(a => a.name.toLowerCase(java.util.Locale.ROOT).contains("id") &&
         valid(a)).sortBy(key).lastOption
-      val nameProp = props.filter(a => a.name.toLowerCase.contains("name") &&
+      val nameProp = props.filter(a => a.name.toLowerCase(java.util.Locale.ROOT).contains("name") &&
         a.valueType == TypeLattice.StringT).sortBy(key).lastOption
       val firstValid = props.filter(valid).sortBy(key).headOption
       val entityIdPart = idProp.orElse(firstValid).map(_.propId)

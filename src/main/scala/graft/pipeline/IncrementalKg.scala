@@ -22,7 +22,10 @@ final case class MergeParts(
     untouchedTriples: DataFrame,   // prev triples passed through UNREWRITTEN
     rewrittenPrev: DataFrame,      // prev triples whose s/o label changed
     delta: DataFrame,              // new rows added next to untouched prev
-    changedPrev: DataFrame,        // prev labels whose merged label differs
+    changedPrev: DataFrame,        // rename map applied to prev triples
+                                   // (subgraph nodes whose label differs;
+                                   // ∝ touched components, most entries
+                                   // match no prev endpoint)
     touchedPrevLabels: DataFrame)  // prev components sharing a node w/ batch
 
 /** Incremental graph materialization — MERGE semantics over plain
@@ -138,16 +141,35 @@ object IncrementalKg {
       .select(col("node"), col("component")).localCheckpoint()
 
     // -- 3. changed-label maps (oldLabel → newLabel), both ∝ batch -----
-    def changedOf(labels: DataFrame, n: Long): DataFrame =
-      subMap.join(bcastIfSmall(labels.withColumnRenamed("component", "node"), n),
-          Seq("node"), "left_semi")
-        .filter(col("node") =!= col("component"))
-        .select(col("node").as("oldLabel"), col("component").as("newLabel"))
-        .localCheckpoint()
-    val changedPrev = changedOf(touchedPrevLabels, nTouched)
-    val batchLabels = batchComps.select("component").distinct().localCheckpoint()
-    val changedBatch = changedOf(batchLabels, batchLabels.count())
+    // PREV side: every subgraph node whose merged label differs. This
+    // covers (a) changed prev labels and (b) previously-LONE entities
+    // (mentioned but never co-occurring in prev, so absent from
+    // prev.components and present in prev triples under their raw URI)
+    // that the batch newly connects. Entries for non-label members of
+    // touched components match no prev endpoint and are harmless.
+    val changedPrev = subMap
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("oldLabel"), col("component").as("newLabel"))
+      .localCheckpoint()
     val nChangedPrev = changedPrev.count()
+    // BATCH side: batch triples may carry endpoints that are lone IN THE
+    // BATCH but already canonicalized in an UNTOUCHED prev component —
+    // those need the prev label map on top of the subgraph map (one more
+    // broadcast semi-join scan of prev.components, output ∝ batch).
+    val batchEnds = batch.triples
+      .select(explode(array(col("s"), col("o"))).as("node"))
+      // doc-URI subjects can never appear in a component map — keep the
+      // broadcast strictly ∝ batch ENTITIES (second-pass review)
+      .filter(!col("node").startsWith(MentionScan.DocUriPrefix))
+      .distinct()
+      .localCheckpoint()
+    val prevMapForBatch = prev.components
+      .join(bcastIfSmall(batchEnds, batchEnds.count()), Seq("node"), "left_semi")
+      .join(bcastIfSmall(touchedPrevLabels, nTouched),
+        Seq("component"), "left_anti") // touched comps: subMap is current
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("oldLabel"), col("component").as("newLabel"))
+    val changedBatch = changedPrev.union(prevMapForBatch).localCheckpoint()
     val nChangedBatch = changedBatch.count()
 
     // -- 4. rewrite ONLY what changed ----------------------------------

@@ -231,8 +231,14 @@ object StressBench {
         spark.read.parquet(s"$out/inc/merged/batch/phase=canonical").count()
       val nRewritten = parts.rewrittenPrev.count()
       val nDelta = parts.delta.count()
-      val nChanged = parts.changedPrev.count()
-      frags += s""""inc_merge":{"full_Nx_sec":$fullSec,"prev_N1x_sec":$prevSec,"merge_1x_sec":$mergeSec,"full_triples":$fullCount,"merged_triples":$mergedCount,"equal":${fullCount == mergedCount},"prev_triples":$prevTriples,"batch_triples":$batchTriples,"rewritten_prev":$nRewritten,"delta_rows":$nDelta,"changed_labels":$nChanged}"""
+      // changed LABELS = rename-map entries that are prev component
+      // labels (the rename map also carries harmless member entries);
+      // report both so the metric semantics are explicit
+      val nRenameMap = parts.changedPrev.count()
+      val nChanged = parts.changedPrev.join(
+        parts.touchedPrevLabels.withColumnRenamed("component", "oldLabel"),
+        Seq("oldLabel"), "left_semi").count()
+      frags += s""""inc_merge":{"full_Nx_sec":$fullSec,"prev_N1x_sec":$prevSec,"merge_1x_sec":$mergeSec,"full_triples":$fullCount,"merged_triples":$mergedCount,"equal":${fullCount == mergedCount},"prev_triples":$prevTriples,"batch_triples":$batchTriples,"rewritten_prev":$nRewritten,"delta_rows":$nDelta,"changed_labels":$nChanged,"rename_map_rows":$nRenameMap}"""
     }
 
     println(frags.mkString("{", ",", "}"))

@@ -84,6 +84,12 @@ class SimilaritySpec extends SparkSpec {
     assert(trained >= 0.5, s"trained recall $trained below floor")
   }
 
+  test("trained IVF on an empty corpus returns empty like the sampled tier") {
+    val empty = emb.filter(col("vec_id") < 0)
+    assert(Similarity.ivfTopKTrained(empty, col("vec_id") >= 0,
+      col("vec_id") % 31 === 5, 5).isEmpty)
+  }
+
   test("quantized top-1 is deterministic and integer-exact") {
     val a = Similarity.quantizedTop1(emb, col("vec_id") < 10).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
@@ -292,6 +298,49 @@ class MultimodalSpec extends SparkSpec {
     val wide = good.clone(); wide(21) = 1
     assert(Multimodal.decodeBmp(wide).isEmpty)
     assert(Multimodal.decodeBmp(good).isDefined)
+  }
+
+  test("malformed headers with overflowing dimensions are rejected, " +
+       "not crashed on (round-4 review)") {
+    // Y4M: 30000x30000 C444 frameLen overflows Int; walk must not AIOOBE
+    val y4m = "YUV4MPEG2 W30000 H30000 F25:1 Ip A1:1 C444\n".getBytes ++
+      "FRAME\n".getBytes ++ Array.fill(64)(0.toByte)
+    assert(Multimodal.decodeY4m(y4m).exists(_.nFrames == 0))
+    // Y4M C422 negative-wrap frameLen: must not loop forever
+    val y4m2 = ("YUV4MPEG2 W5 H429496729 F25:1 Ip A1:1 C422\n").getBytes ++
+      "FRAME\n".getBytes ++ Array.fill(64)(0.toByte)
+    assert(Multimodal.decodeY4m(y4m2).exists(_.nFrames == 0))
+    // PNG: IHDR declaring 65535x65535 passes meta decode but pixel
+    // decode must refuse (raw length wraps Int) instead of throwing
+    val png = Multimodal.encodePng(4, 4)
+    val evil = png.clone()
+    val bb = java.nio.ByteBuffer.wrap(evil)
+    bb.putInt(16, 65535); bb.putInt(20, 65535)
+    assert(Multimodal.decodePng(evil).exists(_.width == 65535))
+    assert(Multimodal.decodePngPixels(evil).isEmpty)
+    // BMP: bpp=32 with width 2^29 (rowSize wraps Int) and
+    // height=Int.MinValue (abs is negative) must both be rejected
+    val bmp = Multimodal.encodeBmp(16, 16)
+    val wide = bmp.clone()
+    val wb = java.nio.ByteBuffer.wrap(wide).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    wb.putShort(28, 32); wb.putInt(18, 1 << 29)
+    assert(Multimodal.decodeBmp(wide).isEmpty)
+    val minH = bmp.clone()
+    java.nio.ByteBuffer.wrap(minH).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, Int.MinValue)
+    assert(Multimodal.decodeBmp(minH).isEmpty)
+    // second-pass corners: products that wrap 64 bits too
+    val maxBoth = bmp.clone()
+    val mb = java.nio.ByteBuffer.wrap(maxBoth).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    mb.putShort(28, 32); mb.putInt(18, Int.MaxValue); mb.putInt(22, Int.MaxValue)
+    assert(Multimodal.decodeBmp(maxBoth).isEmpty)
+    val pngMax = Multimodal.encodePng(4, 4).clone()
+    val pb = java.nio.ByteBuffer.wrap(pngMax)
+    pb.putInt(16, Int.MaxValue); pb.putInt(20, Int.MaxValue)
+    assert(Multimodal.decodePngPixels(pngMax).isEmpty)
+    val y4mWrap = ("YUV4MPEG2 W2147483647 H1431655767 F25:1 Ip A1:1 C444\n")
+      .getBytes ++ "FRAME\n".getBytes ++ Array.fill(64)(0.toByte)
+    assert(Multimodal.decodeY4m(y4mWrap).exists(_.nFrames == 0))
   }
 
   test("Y4M: per-frame parameters are counted correctly") {

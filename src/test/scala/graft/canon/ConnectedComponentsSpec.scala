@@ -60,6 +60,23 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(localMap == Map(9 -> 9, 10 -> 9, 11 -> 9, 1 -> 1, 2 -> 1, 100 -> 1))
   }
 
+  test("supplementary-plane strings label identically on both paths") {
+    // U+10000 (surrogate pair) vs U+FFFD: Java compareTo ranks the
+    // surrogate lower; code-point/UTF-8 order (Spark min) ranks U+FFFD
+    // lower — both paths must agree on the Spark ordering
+    val hi = new String(Character.toChars(0x10000))
+    val lo = "�"
+    val edges = Seq((hi, lo)).toDF("a", "b")
+    val local = runCc(Seq((hi, lo)))
+    spark.conf.set("spark.graft.cc.localThreshold", "0")
+    val dist =
+      try ConnectedComponents.run(edges)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      finally spark.conf.unset("spark.graft.cc.localThreshold")
+    assert(local == dist)
+    assert(local(hi) == lo && local(lo) == lo)
+  }
+
   test("unsupported edge-id types fall through to the distributed path") {
     // dates have no local-path ordering wired; result must still be the
     // distributed star iteration's (no crash, no silent cast)

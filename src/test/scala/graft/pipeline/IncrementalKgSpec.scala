@@ -75,9 +75,9 @@ class IncrementalKgSpec extends SparkSpec {
     val prev = IncrementalKg.fromPages(pages.filter(col("doc_id") % 2 === 0), gazA)
     val batch = IncrementalKg.fromPages(pages.filter(col("doc_id") % 2 === 1), gazB)
     val parts = IncrementalKg.mergeParts(prev, batch)
-    // no shared entities → no touched components, no rewrites
+    // no shared entities → no touched components, no rewritten rows
+    // (the rename map may hold harmless member entries matching nothing)
     assert(parts.touchedPrevLabels.count() == 0)
-    assert(parts.changedPrev.count() == 0)
     assert(parts.rewrittenPrev.count() == 0)
     // prev passes through untouched; the delta is exactly the batch
     assert(tripleSet(parts.untouchedTriples) == tripleSet(prev.triples))
@@ -89,10 +89,64 @@ class IncrementalKgSpec extends SparkSpec {
   test("delta accounting: self-merge rewrites nothing and adds nothing") {
     val full = IncrementalKg.fromPages(pages, gaz)
     val parts = IncrementalKg.mergeParts(full, full)
-    assert(parts.changedPrev.count() == 0)
     assert(parts.rewrittenPrev.count() == 0)
     assert(parts.delta.count() == 0)
     assert(tripleSet(parts.graph.triples) == tripleSet(full.triples))
+  }
+
+  // -- round-4 review finding: LONE mentions (entities with no
+  // co-occurrence edge on their side) are absent from that side's
+  // component map but present in its triples under the raw URI; the
+  // delta rewrite maps must still canonicalize them.
+
+  private def pagesOf(rows: (Long, String)*) = {
+    val spark2 = spark
+    import spark2.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("lone mention in the BATCH of an entity canonicalized in prev") {
+    val Seq(e1, e2) = Gazetteer.DefaultEntities.sorted.take(2)
+    val prev = IncrementalKg.fromPages(pagesOf(1L -> s"$e1 $e2"), gaz)
+    val batch = IncrementalKg.fromPages(pagesOf(2L -> e2), gaz)
+    val merged = IncrementalKg.merge(prev, batch)
+    val full = IncrementalKg.fromPages(
+      pagesOf(1L -> s"$e1 $e2", 2L -> e2), gaz)
+    // batch's (doc2, mentions, e2) must rewrite to prev's label e1
+    assert(tripleSet(merged.triples) == tripleSet(full.triples))
+    assert(tripleSet(merged.triples)
+      .contains(("urn:doc:2", "urn:graft:mentions", s"urn:ent:$e1")))
+  }
+
+  test("lone mention in PREV newly connected by the batch") {
+    val Seq(e1, e2) = Gazetteer.DefaultEntities.sorted.take(2)
+    val prev = IncrementalKg.fromPages(pagesOf(1L -> e2), gaz)
+    val batch = IncrementalKg.fromPages(pagesOf(2L -> s"$e1 $e2"), gaz)
+    val merged = IncrementalKg.merge(prev, batch)
+    val full = IncrementalKg.fromPages(
+      pagesOf(1L -> e2, 2L -> s"$e1 $e2"), gaz)
+    // prev's (doc1, mentions, e2) must rewrite to the new label e1
+    assert(tripleSet(merged.triples) == tripleSet(full.triples))
+    assert(tripleSet(merged.triples)
+      .contains(("urn:doc:1", "urn:graft:mentions", s"urn:ent:$e1")))
+  }
+
+  test("lone batch mention whose prev component is untouched") {
+    // prev: {e1,e2} co-occur (label e1) and separately {e3,e4} (label e3);
+    // batch: doc mentioning ONLY e4 (lone in batch) plus a doc bridging
+    // nothing — e4's prev component is untouched by batch COMPONENT
+    // nodes, yet (doc, mentions, e4) must still map to e3
+    val es = Gazetteer.DefaultEntities.sorted.take(4)
+    val Seq(e1, e2, e3, e4) = es
+    val prev = IncrementalKg.fromPages(
+      pagesOf(1L -> s"$e1 $e2", 2L -> s"$e3 $e4"), gaz)
+    val batch = IncrementalKg.fromPages(pagesOf(3L -> e4), gaz)
+    val merged = IncrementalKg.merge(prev, batch)
+    val full = IncrementalKg.fromPages(
+      pagesOf(1L -> s"$e1 $e2", 2L -> s"$e3 $e4", 3L -> e4), gaz)
+    assert(tripleSet(merged.triples) == tripleSet(full.triples))
+    assert(tripleSet(merged.triples)
+      .contains(("urn:doc:3", "urn:graft:mentions", s"urn:ent:$e3")))
   }
 
   test("merging a batch with no bridging entities leaves labels intact") {
