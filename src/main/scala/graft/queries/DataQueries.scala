@@ -193,6 +193,17 @@ object DataQueries {
         col("n_stopwords"), col("mean_token_len"), col("stopword_ratio"))
       .orderBy("doc_id")
 
+  /** Repetition quality signals (Gopher/C4 rules): distinct-token and
+    * duplicate-bigram counts plus top-token share — the standard
+    * boilerplate/spam drop signals for web-text curation.
+    */
+  def txtRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetition(spark.read.parquet(s"$dir/documents.parquet"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("top_token_n"), col("dup_bigram_n"),
+        col("top_token_share"), col("dup_bigram_frac"))
+      .orderBy("doc_id")
+
   /** Rolling-hash fingerprints: shared-window containment groups. */
   def txtFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprints(
@@ -250,6 +261,7 @@ object DataQueries {
     "ann_ivf_topk" -> annIvfTopk,
     "dd_pipeline" -> ddPipeline,
     "txt_quality" -> txtQuality,
+    "txt_repetition" -> txtRepetition,
     "txt_fingerprint" -> txtFingerprint,
     "mm_meta" -> mmMeta,
     "mm_resize" -> mmResize,
@@ -583,6 +595,36 @@ object DataQueries {
         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dp DESC, cand_id) AS rn
         |  FROM dots)
         |SELECT query_id, cand_id, dp FROM ranked WHERE rn = 1 ORDER BY query_id""".stripMargin,
+    "txt_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+        |    CAST(greatest(len(w) - 1, 0) AS BIGINT) AS n_bigrams,
+        |    CAST(CASE WHEN len(w) < 2 THEN 0
+        |      ELSE len(list_distinct(list_transform(
+        |        generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1])))
+        |    END AS BIGINT) AS n_distinct_bigrams
+        |  FROM toks),
+        |top AS (
+        |  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_token_n FROM (
+        |    SELECT doc_id, t, COUNT(*) AS c
+        |    FROM (SELECT doc_id, unnest(w) AS t FROM toks)
+        |    GROUP BY doc_id, t)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens, b.n_distinct,
+        |  COALESCE(top.top_token_n, 0) AS top_token_n,
+        |  b.n_bigrams - b.n_distinct_bigrams AS dup_bigram_n,
+        |  CASE WHEN b.n_tokens > 0
+        |    THEN CAST(COALESCE(top.top_token_n, 0) AS DOUBLE) / b.n_tokens
+        |    ELSE 0.0 END AS top_token_share,
+        |  CASE WHEN b.n_bigrams > 0
+        |    THEN CAST(b.n_bigrams - b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams
+        |    ELSE 0.0 END AS dup_bigram_frac
+        |FROM base b LEFT JOIN top ON b.doc_id = top.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     "txt_quality" ->
       """SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0

@@ -27,6 +27,52 @@ object TextAnalysis {
   val Stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of",
     "to", "in", "is", "it")
 
+  /** Repetition signals per document (Gopher/C4-style quality rules:
+    * Rae et al. 2021 §A1.1 use duplicate n-gram fractions and
+    * most-common-word share to drop boilerplate/spam): token counts,
+    * distinct-token count, the top token's multiplicity, duplicate
+    * bigram count, and their single-division ratios (cross-engine
+    * IEEE-exact).
+    *
+    * Scale shape: in-row Column kernels for everything except the top
+    * token, which is a (doc_id, token) hash-aggregate — map-side
+    * combined, shuffling one row per distinct (doc, token), the same
+    * shape as the mention scan; no per-row O(tokens²) expression.
+    */
+  def repetition(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = filter(split(t, " "), w => w =!= "")
+    val base = docs
+      .withColumn("__toks", toks)
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("n_distinct",
+        size(array_distinct(col("__toks"))).cast("long"))
+      .withColumn("n_bigrams",
+        greatest(col("n_tokens") - 1, lit(0L)))
+      .withColumn("n_distinct_bigrams", when(col("n_tokens") < 2, lit(0L))
+        .otherwise(size(array_distinct(transform(
+          sequence(lit(0), col("n_tokens") - 2),
+          i => concat(element_at(col("__toks"), (i + 1).cast("int")), lit(" "),
+            element_at(col("__toks"), (i + 2).cast("int")))))).cast("long")))
+    val top = base
+      .select(col("doc_id"), explode(col("__toks")).as("__tok"))
+      .groupBy("doc_id", "__tok").agg(count(lit(1)).as("__c"))
+      .groupBy("doc_id").agg(max(col("__c")).as("top_token_n"))
+    base
+      .join(top, Seq("doc_id"), "left")
+      .withColumn("top_token_n", coalesce(col("top_token_n"), lit(0L)))
+      .withColumn("dup_bigram_n", col("n_bigrams") - col("n_distinct_bigrams"))
+      .withColumn("top_token_share",
+        when(col("n_tokens") > 0,
+          col("top_token_n").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .withColumn("dup_bigram_frac",
+        when(col("n_bigrams") > 0,
+          col("dup_bigram_n").cast("double") / col("n_bigrams"))
+          .otherwise(lit(0.0)))
+      .drop("__toks")
+  }
+
   /** Quality features per document: lengths, ratios, stopword share —
     * integer counts + single final divisions (cross-engine exact).
     */

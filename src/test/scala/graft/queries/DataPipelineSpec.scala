@@ -147,3 +147,29 @@ private object DataQueriesTestAccess {
     df.select("query_id", "rank", "cand_id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
 }
+
+/** txt_repetition: Gopher/C4 repetition signals, hand-checked. */
+class RepetitionSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+  test("token/bigram repetition counts match hand computation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"),     // 5 toks, 2 distinct, top=3; bigrams: ab,ba,ab,ba → 4, 2 distinct, dup 2
+      (2L, "x y z"),          // no repetition
+      (3L, ""),               // empty
+      (4L, "w")               // single token, no bigrams
+    ).toDF("doc_id", "text")
+    val r = graft.text.TextAnalysis.repetition(docs)
+      .select("doc_id", "n_tokens", "n_distinct", "top_token_n",
+        "dup_bigram_n", "top_token_share", "dup_bigram_frac")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) == 5 && r(1L).getLong(2) == 2 &&
+      r(1L).getLong(3) == 3 && r(1L).getLong(4) == 2)
+    assert(r(1L).getDouble(5) == 3.0 / 5 && r(1L).getDouble(6) == 2.0 / 4)
+    assert(r(2L).getLong(3) == 1 && r(2L).getLong(4) == 0)
+    assert(r(3L).getLong(1) == 0 && r(3L).getLong(3) == 0 &&
+      r(3L).getDouble(5) == 0.0)
+    assert(r(4L).getLong(1) == 1 && r(4L).getLong(4) == 0 &&
+      r(4L).getDouble(6) == 0.0)
+  }
+}
