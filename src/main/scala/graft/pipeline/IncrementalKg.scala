@@ -21,12 +21,20 @@ final case class MergeParts(
     graph: KgGraph,
     untouchedTriples: DataFrame,   // prev triples passed through UNREWRITTEN
     rewrittenPrev: DataFrame,      // prev triples whose s/o label changed
+    rewrittenSource: DataFrame,    // the SAME rows pre-rewrite — the
+                                   // remove-set of a delta materialization
+                                   // ((prev \ rewrittenSource) ∪ delta ≡
+                                   // merged triples)
     delta: DataFrame,              // new rows added next to untouched prev
     changedPrev: DataFrame,        // rename map applied to prev triples
                                    // (subgraph nodes whose label differs;
                                    // ∝ touched components, most entries
                                    // match no prev endpoint)
-    touchedPrevLabels: DataFrame)  // prev components sharing a node w/ batch
+    touchedPrevLabels: DataFrame,  // prev components sharing a node w/ batch
+    subMap: DataFrame)             // re-labeled component rows — the ADD
+                                   // set of a component-map delta (its
+                                   // remove-set = component ∈
+                                   // touchedPrevLabels)
 
 /** Incremental graph materialization — MERGE semantics over plain
   * parquet (the north star names Iceberg MERGE INTO; the jars aren't in
@@ -178,26 +186,28 @@ object IncrementalKg {
     // scan (touched / untouched) = two no-shuffle passes — the price of
     // not materializing the corpus; Iceberg MERGE INTO makes it one.
     def splitRewrite(t: DataFrame, changed: DataFrame, n: Long)
-        : (DataFrame, DataFrame) = {
+        : (DataFrame, DataFrame, DataFrame) = {
       val cs = bcastIfSmall(changed.select(col("oldLabel").as("s"),
         col("newLabel").as("sNew")), n)
       val co = bcastIfSmall(changed.select(col("oldLabel").as("o"),
         col("newLabel").as("oNew")), n)
       val joined = t.join(cs, Seq("s"), "left").join(co, Seq("o"), "left")
-      val touched = joined
-        .filter(col("sNew").isNotNull || col("oNew").isNotNull)
+      val touchedPred = col("sNew").isNotNull || col("oNew").isNotNull
+      val touched = joined.filter(touchedPred)
         .select(coalesce(col("sNew"), col("s")).as("s"), col("p"),
           coalesce(col("oNew"), col("o")).as("o"))
+      val touchedSource = joined.filter(touchedPred)
+        .select(col("s"), col("p"), col("o"))
       val untouched = joined
         .filter(col("sNew").isNull && col("oNew").isNull)
         .select(col("s"), col("p"), col("o"))
-      (touched, untouched)
+      (touched, untouched, touchedSource)
     }
-    val (rewrittenPrev, untouchedPrev) =
+    val (rewrittenPrev, untouchedPrev, rewrittenSource) =
       splitRewrite(prev.triples, changedPrev, nChangedPrev)
     // batch triples are ∝ batch: rewrite changed, keep the rest — no
     // split needed, all of them enter the delta dedup anyway
-    val (batchTouched, batchUntouched) =
+    val (batchTouched, batchUntouched, _) =
       splitRewrite(batch.triples, changedBatch, nChangedBatch)
     val batchFinal = batchTouched.union(batchUntouched)
 
@@ -224,7 +234,7 @@ object IncrementalKg {
     val components = untouchedComps.union(subMap)
     val triples = untouchedPrev.union(delta)
     MergeParts(KgGraph(triples, components), untouchedPrev, rewrittenPrev,
-      delta, changedPrev, touchedPrevLabels)
+      rewrittenSource, delta, changedPrev, touchedPrevLabels, subMap)
   }
 
   private def rewrite(triples: DataFrame, canonMap: DataFrame): DataFrame =

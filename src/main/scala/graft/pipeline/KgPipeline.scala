@@ -68,6 +68,58 @@ object KgPipeline {
   private def load(spark: SparkSession, out: String, phase: String): DataFrame =
     spark.read.parquet(phaseDir(out, phase))
 
+  // ---- delta snapshots (Iceberg MERGE INTO shape) --------------------
+  // A merge output can materialize as (adds, removes, manifest→prev)
+  // instead of a full corpus rewrite: the adds/removes are ∝ batch, and
+  // readers resolve the chain lazily. `compactEvery` bounds chain depth
+  // (the Iceberg compaction analogue): when reached, the merge commits a
+  // full snapshot instead.
+
+  private def manifestPath(out: String) =
+    Paths.get(out, "merge_manifest.json")
+
+  private def readManifest(out: String): Option[(String, Int)] =
+    if (!Files.exists(manifestPath(out))) None
+    else {
+      val s = new String(Files.readAllBytes(manifestPath(out)), "UTF-8")
+      val prev = "\"prev\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(s)
+        .map(_.group(1))
+      val depth = "\"depth\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+        .map(_.group(1).toInt)
+      prev.map(p => (p, depth.getOrElse(1)))
+    }
+
+  private def chainDepth(out: String): Int =
+    readManifest(out).map(_._2).getOrElse(0)
+
+  /** Resolve a canonical-triples snapshot: full parquet, or a delta
+    * chain ((prev \ removes) ∪ adds, recursively). */
+  def loadCanonical(spark: SparkSession, out: String): DataFrame =
+    readManifest(out) match {
+      case Some((prev, _)) =>
+        loadCanonical(spark, prev)
+          .join(load(spark, out, "canonical_removes"),
+            Seq("s", "p", "o"), "left_anti")
+          .union(load(spark, out, "canonical_adds"))
+      case None => load(spark, out, "canonical")
+    }
+
+  /** Resolve a component-map snapshot (delta removes are BY LABEL:
+    * every prev row of a touched component is superseded by the adds). */
+  def loadComponents(spark: SparkSession, out: String): DataFrame =
+    readManifest(out) match {
+      case Some((prev, _)) =>
+        loadComponents(spark, prev)
+          .join(load(spark, out, "components_removed_labels")
+            .withColumnRenamed("label", "component"),
+            Seq("component"), "left_anti")
+          .select("node", "component")
+          .union(load(spark, out, "components_adds"))
+      case None =>
+        if (done(out, "components")) load(spark, out, "components")
+        else componentsFromTriples(loadCanonical(spark, out))
+    }
+
   /** Run (or resume) the pipeline. Each completed phase is skipped on
     * rerun — the kill/resume test asserts byte-identical final output.
     */
@@ -159,12 +211,25 @@ object KgPipeline {
   /** Resumable incremental ingestion: merge a NEW batch of documents into
     * a previous pipeline output. The new batch runs the standard 4-phase
     * checkpointed pipeline under `outDir/batch`; the merge phase then
-    * reconnects the two component snapshots through their star edges
-    * ([[IncrementalKg.merge]]) and commits `components` + `canonical`
-    * snapshots at `outDir` — never re-reading the previous run's
-    * documents. Kill/resume safe at every phase boundary (same `_SUCCESS`
-    * contract as [[run]]); merge(prev, batch) ≡ a fresh full run over the
-    * union corpus (KgIncrementalPipelineSpec).
+    * runs the delta-shaped [[IncrementalKg.mergeParts]] against the
+    * previous snapshot — never re-reading the previous run's documents.
+    *
+    * MATERIALIZATION is delta-shaped too (round-4): by default the merge
+    * commits only `canonical_adds` / `canonical_removes` /
+    * `components_adds` / `components_removed_labels` (all ∝ batch) plus
+    * a manifest pointing at the previous snapshot — the Iceberg
+    * MERGE INTO copy-on-write shape, where the untouched corpus is never
+    * rewritten to storage. Readers resolve the chain lazily
+    * ([[loadCanonical]]/[[loadComponents]]); chain depth is bounded by
+    * `spark.graft.merge.compactEvery` (default 8) — at the bound the
+    * merge commits a full snapshot instead (compaction), resetting the
+    * chain. `spark.graft.merge.delta=false` forces full snapshots.
+    *
+    * Kill/resume safe: the manifest is written LAST (the commit point;
+    * a kill before it leaves the merge uncommitted and it recomputes
+    * idempotently — same `_SUCCESS` contract as [[run]]).
+    * merge(prev, batch) ≡ a fresh full run over the union corpus,
+    * including across chained merges (KgIncrementalPipelineSpec).
     */
   def merge(spark: SparkSession, prevOut: String, sfDir: String,
             outDir: String,
@@ -173,19 +238,44 @@ object KgPipeline {
     val batch = run(spark, sfDir, s"$outDir/batch", gazetteer, failAfterPhase)
     failpoint(failAfterPhase, "batch")
     val (canonical, components) =
-      if (done(outDir, "canonical"))
+      if (readManifest(outDir).isDefined)
+        (loadCanonical(spark, outDir), loadComponents(spark, outDir))
+      else if (done(outDir, "canonical"))
         (load(spark, outDir, "canonical"), load(spark, outDir, "components"))
       else {
-        // back-compat: a prev dir from before the components snapshot is
-        // rebuilt in-memory from its committed triples (never mutated)
+        // back-compat chains through loadComponents: manifest chain,
+        // committed snapshot, or in-memory rebuild from triples for
+        // pre-components layouts (never mutates prev)
         val prevComps =
-          if (done(prevOut, "components")) load(spark, prevOut, "components")
+          if (done(prevOut, "components") ||
+              readManifest(prevOut).isDefined) loadComponents(spark, prevOut)
           else componentsFromTriples(load(spark, prevOut, "triples"))
-        val merged = IncrementalKg.merge(
-          KgGraph(load(spark, prevOut, "canonical"), prevComps),
+        val parts = IncrementalKg.mergeParts(
+          KgGraph(loadCanonical(spark, prevOut), prevComps),
           KgGraph(batch.canonicalTriples, batch.components))
-        val comps = commit(merged.components, outDir, "components")
-        (commit(merged.triples, outDir, "canonical"), comps)
+        val conf = spark.conf
+        val useDelta = conf.getOption("spark.graft.merge.delta")
+          .forall(_.toBoolean)
+        val compactEvery = conf.getOption("spark.graft.merge.compactEvery")
+          .map(_.toInt).getOrElse(8)
+        if (useDelta && chainDepth(prevOut) + 1 < compactEvery) {
+          // delta commit: every write is ∝ batch. Manifest LAST = the
+          // commit point; a kill before it leaves `done` false and the
+          // merge recomputes idempotently.
+          commit(parts.delta, outDir, "canonical_adds")
+          commit(parts.rewrittenSource, outDir, "canonical_removes")
+          commit(parts.subMap, outDir, "components_adds")
+          commit(parts.touchedPrevLabels.withColumnRenamed("component",
+            "label"), outDir, "components_removed_labels")
+          Files.write(manifestPath(outDir),
+            s"""{"prev": "$prevOut", "depth": ${chainDepth(prevOut) + 1}}"""
+              .getBytes("UTF-8"))
+          (loadCanonical(spark, outDir), loadComponents(spark, outDir))
+        } else {
+          // compaction (or delta disabled): full snapshot, chain reset
+          val comps = commit(parts.graph.components, outDir, "components")
+          (commit(parts.graph.triples, outDir, "canonical"), comps)
+        }
       }
     Result(batch.triples, canonical, batch.issues,
       batch.invariantViolations, components)

@@ -67,6 +67,60 @@ class KgIncrementalPipelineSpec extends SparkSpec {
     assert(tripleSet(merged.canonicalTriples) == tripleSet(full.canonicalTriples))
   }
 
+  test("delta materialization: adds/removes are batch-sized and chained " +
+       "merges resolve to the full-corpus result") {
+    import java.nio.file.{Files => JF, Paths}
+    // three thirds, folded through two merges
+    def thirdDir(k: Int): String = {
+      val dir = Files.createTempDirectory(s"third$k").toString
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % 3 === k)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val (d0, d1, d2) = (thirdDir(0), thirdDir(1), thirdDir(2))
+    val out0 = Files.createTempDirectory("dm0").toString
+    val out1 = Files.createTempDirectory("dm1").toString
+    val out2 = Files.createTempDirectory("dm2").toString
+    KgPipeline.run(spark, d0, out0)
+    val m1 = KgPipeline.merge(spark, out0, d1, out1)
+    val m2 = KgPipeline.merge(spark, out1, d2, out2) // chains through m1
+    // both merges materialized as deltas (manifest present, adds dir
+    // committed, NO full canonical rewrite)
+    for (o <- Seq(out1, out2)) {
+      assert(JF.exists(Paths.get(o, "merge_manifest.json")))
+      assert(JF.exists(Paths.get(o, "phase=canonical_adds", "_SUCCESS")))
+      assert(!JF.exists(Paths.get(o, "phase=canonical", "_SUCCESS")))
+    }
+    // adds/removes are batch-sized, not corpus-sized
+    val batchTriples = m2.triples.count()
+    val adds = spark.read.parquet(s"$out2/phase=canonical_adds").count()
+    val removes = spark.read.parquet(s"$out2/phase=canonical_removes").count()
+    assert(adds <= batchTriples + removes,
+      s"adds $adds not batch-shaped (batch $batchTriples, removes $removes)")
+    // resolved chain == full-corpus run
+    val outFull = Files.createTempDirectory("dmFull").toString
+    val full = KgPipeline.run(spark, sfDir, outFull)
+    assert(tripleSet(m2.canonicalTriples) == tripleSet(full.canonicalTriples))
+    def comps(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comps(m2.components) == comps(full.components))
+    // a third merge with compaction forced writes a full snapshot and
+    // still resolves identically
+    val d3 = Files.createTempDirectory("third3").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 3 === 0) // re-merge slice 0 (idempotent set)
+      .write.mode("overwrite").parquet(s"$d3/documents.parquet")
+    val out3 = Files.createTempDirectory("dm3").toString
+    spark.conf.set("spark.graft.merge.compactEvery", "1")
+    val m3 =
+      try KgPipeline.merge(spark, out2, d3, out3)
+      finally spark.conf.unset("spark.graft.merge.compactEvery")
+    assert(JF.exists(Paths.get(out3, "phase=canonical", "_SUCCESS")))
+    assert(!JF.exists(Paths.get(out3, "merge_manifest.json")))
+    assert(tripleSet(m3.canonicalTriples) == tripleSet(full.canonicalTriples))
+  }
+
   test("a merge killed mid-batch resumes to the identical result") {
     val (a, b) = (halfDir(0), halfDir(1))
     val outA = Files.createTempDirectory("outA2").toString
