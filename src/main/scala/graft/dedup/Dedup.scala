@@ -195,9 +195,14 @@ object Dedup {
         (id, minHashSignature(shingles(text, n), params))
       }
       .toDF("doc_id", "sig")
+    // bucket key = the band's signature SLICE itself (exact equality
+    // classes): a 32-bit hash(slice) key saves shuffle bytes but admits
+    // Murmur3 collisions — false candidates that inflate the candidate
+    // metric and diverge from the streaming tier, which keys exactly
+    // (round-4 pass-3 review). rowsPerBand longs per key is still small.
     val bands = sigs.select(col("doc_id"), posexplode(
         expr(s"transform(sequence(0, ${params.bands - 1}), " +
-          s"b -> hash(slice(sig, b * ${params.rowsPerBand} + 1, ${params.rowsPerBand})))")))
+          s"b -> slice(sig, b * ${params.rowsPerBand} + 1, ${params.rowsPerBand}))")))
       .toDF("doc_id", "band", "bucket")
     val l = bands.select(col("band"), col("bucket"), col("doc_id").as("a"))
     val r = bands.select(col("band"), col("bucket"), col("doc_id").as("b"))

@@ -86,8 +86,23 @@ object KgPipeline {
         .map(_.group(1))
       val depth = "\"depth\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
         .map(_.group(1).toInt)
-      prev.map(p => (p, depth.getOrElse(1)))
+      // BOTH fields required: a torn manifest must read as uncommitted
+      // (the merge then recomputes idempotently), never as depth-1
+      for (p <- prev; d <- depth) yield (p, d)
     }
+
+  /** Atomic manifest commit: temp file + rename, so a kill can never
+    * leave a half-written commit point. */
+  private def writeManifest(out: String, prev: String, depth: Int): Unit = {
+    require(!prev.contains("\""), s"prev path not manifest-safe: $prev")
+    val abs = Paths.get(prev).toAbsolutePath.toString
+    val tmp = Paths.get(out, ".merge_manifest.tmp")
+    Files.write(tmp,
+      s"""{"prev": "$abs", "depth": $depth}""".getBytes("UTF-8"))
+    Files.move(tmp, manifestPath(out),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   private def chainDepth(out: String): Int =
     readManifest(out).map(_._2).getOrElse(0)
@@ -117,7 +132,11 @@ object KgPipeline {
           .union(load(spark, out, "components_adds"))
       case None =>
         if (done(out, "components")) load(spark, out, "components")
-        else componentsFromTriples(loadCanonical(spark, out))
+        // legacy layout: rebuild from the RAW candidate triples — the
+        // canonical phase is useless here (its co-occur edges are
+        // self-loops after rewriting, so CC over it loses every non-min
+        // member; round-4 pass-3 review)
+        else componentsFromTriples(load(spark, out, "triples"))
     }
 
   /** Run (or resume) the pipeline. Each completed phase is skipped on
@@ -246,14 +265,28 @@ object KgPipeline {
         // back-compat chains through loadComponents: manifest chain,
         // committed snapshot, or in-memory rebuild from triples for
         // pre-components layouts (never mutates prev)
-        val prevComps =
+        val conf = spark.conf
+        val prevComps0 =
           if (done(prevOut, "components") ||
               readManifest(prevOut).isDefined) loadComponents(spark, prevOut)
           else componentsFromTriples(load(spark, prevOut, "triples"))
+        // mergeParts consumes prev triples/components in several passes;
+        // over a manifest CHAIN each pass would re-execute the d-level
+        // anti-join/union resolution (the multi-consumer plan-blowup
+        // class). Materialize the resolved views once. On a real cluster
+        // with snapshot storage this is the snapshot read itself; a
+        // deployment that cannot cache the corpus disables it and pays
+        // plain storage re-scans (cacheResolvedPrev=false).
+        val cachePrev = conf.getOption("spark.graft.merge.cacheResolvedPrev")
+          .forall(_.toBoolean) && readManifest(prevOut).isDefined
+        val prevTriples0 = loadCanonical(spark, prevOut)
+        val (prevTriples, prevComps) =
+          if (cachePrev) (prevTriples0.localCheckpoint(),
+            prevComps0.localCheckpoint())
+          else (prevTriples0, prevComps0)
         val parts = IncrementalKg.mergeParts(
-          KgGraph(loadCanonical(spark, prevOut), prevComps),
+          KgGraph(prevTriples, prevComps),
           KgGraph(batch.canonicalTriples, batch.components))
-        val conf = spark.conf
         val useDelta = conf.getOption("spark.graft.merge.delta")
           .forall(_.toBoolean)
         val compactEvery = conf.getOption("spark.graft.merge.compactEvery")
@@ -267,9 +300,7 @@ object KgPipeline {
           commit(parts.subMap, outDir, "components_adds")
           commit(parts.touchedPrevLabels.withColumnRenamed("component",
             "label"), outDir, "components_removed_labels")
-          Files.write(manifestPath(outDir),
-            s"""{"prev": "$prevOut", "depth": ${chainDepth(prevOut) + 1}}"""
-              .getBytes("UTF-8"))
+          writeManifest(outDir, prevOut, chainDepth(prevOut) + 1)
           (loadCanonical(spark, outDir), loadComponents(spark, outDir))
         } else {
           // compaction (or delta disabled): full snapshot, chain reset

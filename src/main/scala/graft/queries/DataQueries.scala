@@ -597,7 +597,7 @@ object DataQueries {
         |SELECT query_id, cand_id, dp FROM ranked WHERE rn = 1 ORDER BY query_id""".stripMargin,
     "txt_repetition" ->
       """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS w
         |  FROM documents),
         |base AS (
         |  SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens,

@@ -14,14 +14,16 @@ import graft.dedup.Dedup
   * emitted as a candidate pair.
   *
   * Scale shape: state is keyed by the band's SIGNATURE SLICE itself
-  * (exact equality classes — no bucket-hash collisions), holding only
-  * doc ids, capped at `maxBucket` per bucket (the streaming analogue of
-  * the SimHash hot-bucket guard: a degenerate bucket stops accumulating
-  * quadratic candidates and state). Texts never enter state; exact
-  * Jaccard verification is a downstream batch join, exactly like the
-  * batch tier's verify stage. Pairs can repeat across bands/batches —
-  * candidate streams are Append-mode and deduplicated downstream, as
-  * the batch tier's `.distinct()` does.
+  * (exact equality classes, matching the batch tier's slice keys),
+  * holding only doc ids, capped at `maxBucket` per bucket (the
+  * streaming analogue of the SimHash hot-bucket guard: a degenerate
+  * bucket stops accumulating quadratic candidates and state — the
+  * batch tier has no such cap, so a bucket past the cap is the one
+  * place the two tiers intentionally diverge). Texts never enter
+  * state; exact Jaccard verification is a downstream batch join,
+  * exactly like the batch tier's verify stage. Pairs can repeat across
+  * bands/batches — candidate streams are Append-mode and deduplicated
+  * downstream, as the batch tier's `.distinct()` does.
   */
 object NearDupStream {
 

@@ -41,7 +41,9 @@ object TextAnalysis {
     */
   def repetition(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val toks = filter(split(t, " "), w => w =!= "")
+    // same tokenizer as [[quality]] (trim + \s+): the two signal tables
+    // must agree on what n_tokens means (round-4 pass-3 review)
+    val toks = filter(split(trim(t), "\\s+"), w => w =!= "")
     val base = docs
       .withColumn("__toks", toks)
       .withColumn("n_tokens", size(col("__toks")).cast("long"))

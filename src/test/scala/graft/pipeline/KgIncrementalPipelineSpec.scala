@@ -65,6 +65,15 @@ class KgIncrementalPipelineSpec extends SparkSpec {
     val outFull = Files.createTempDirectory("outFull3").toString
     val full = KgPipeline.run(spark, sfDir, outFull)
     assert(tripleSet(merged.canonicalTriples) == tripleSet(full.canonicalTriples))
+    // the delta chain resolves COMPONENTS through the legacy base too —
+    // rebuilt from the raw triples phase, never from canonical triples
+    // (whose co-occur edges are self-loops; round-4 pass-3 review)
+    val mc = merged.components.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val fc = full.components.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(mc == fc)
+    assert(merged.components.count() == full.components.count())
   }
 
   test("delta materialization: adds/removes are batch-sized and chained " +
@@ -105,6 +114,9 @@ class KgIncrementalPipelineSpec extends SparkSpec {
     def comps(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(comps(m2.components) == comps(full.components))
+    // row-count equality too: the Map collapse above cannot see a
+    // duplicate-node row with a conflicting label in the resolved chain
+    assert(m2.components.count() == full.components.count())
     // a third merge with compaction forced writes a full snapshot and
     // still resolves identically
     val d3 = Files.createTempDirectory("third3").toString
