@@ -15,8 +15,19 @@ object TestSpark {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .config("spark.sql.warehouse.dir", {
+        // temp warehouse for bucketed-table specs, removed on JVM exit
+        // (one per test JVM; without the hook every run leaves litter)
+        val dir = java.nio.file.Files.createTempDirectory("graft-warehouse")
+        sys.addShutdownHook {
+          import java.nio.file.{Files => JF}
+          import java.util.Comparator
+          if (JF.exists(dir))
+            JF.walk(dir).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(p => JF.deleteIfExists(p))
+        }
+        dir.toString
+      })
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
