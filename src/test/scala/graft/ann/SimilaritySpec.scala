@@ -84,6 +84,53 @@ class SimilaritySpec extends SparkSpec {
     assert(trained >= 0.5, s"trained recall $trained below floor")
   }
 
+  test("trained IVF codebook beats sampled centroids on CLUSTERED data") {
+    // the sf corpora are ~uniform on the sphere (no structure to learn);
+    // real embedding spaces are clustered — plant 20 Gaussian clusters
+    // and show Lloyd's aligns the inverted lists with them
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val dim = 32
+    val centers = Array.fill(20)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val vecs: Seq[(Long, Seq[Float])] = (0 until 2000).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.toSeq.map(x => x + 0.15f * rnd.nextGaussian().toFloat))
+    }
+    val cemb = vecs.toDF("vec_id", "embedding")
+    val queryIds = (0L until 2000L by 97L).toSet
+    val qPred = col("vec_id").isin(queryIds.toSeq: _*)
+    val initPred = col("vec_id") % 100 === 7 // C = 20 = true cluster count
+
+    // driver-side exact truth
+    val all = vecs.map { case (id, v) => (id, v.map(_.toDouble).toArray) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth = queryIds.map { q =>
+      val qv = all.find(_._1 == q).get._2
+      q -> all.filter(_._1 != q).map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }(
+          Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+        .take(5).map(_._1).toSet
+    }.toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rows) => q -> rows.map(_.getAs[Long]("cand_id")).toSet }
+      val rs = queryIds.toSeq.map(q =>
+        truth(q).count(got.getOrElse(q, Set.empty)).toDouble / 5)
+      rs.sum / rs.size
+    }
+    val sampled = recallOf(
+      Similarity.ivfTopK(cemb, qPred, initPred, 5, nProbe = 2))
+    val trained = recallOf(
+      Similarity.ivfTopKTrained(cemb, qPred, initPred, 5, nProbe = 2, iters = 5))
+    assert(trained > sampled,
+      s"trained $trained must beat sampled $sampled on clustered data")
+    assert(trained >= 0.8, s"trained recall $trained below clustered floor")
+  }
+
   test("trained IVF on an empty corpus returns empty like the sampled tier") {
     val empty = emb.filter(col("vec_id") < 0)
     assert(Similarity.ivfTopKTrained(empty, col("vec_id") >= 0,
