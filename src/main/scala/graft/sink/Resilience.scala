@@ -9,7 +9,8 @@ package graft.sink
   *
   * Parity contract (reference files):
   *  - token bucket: rate/per with burst capacity, fractional refill
-  *    over elapsed time, blocking and non-blocking acquire
+  *    over elapsed time; non-blocking acquire plus an exact
+  *    delay-until-available so callers own the sleep
   *    (`src/core/platform/resilience/rate_limiter.py:43-200`; defaults
   *    rate 100/min, burst 10 — `src/constants.py:87-93`);
   *  - circuit breaker: CLOSED → OPEN after `failureThreshold`
@@ -40,16 +41,27 @@ object Resilience {
       last = now
     }
 
-    /** Non-blocking: take `n` tokens if available. */
+    /** Non-blocking: take `n` tokens if available. `n` must fit in the
+      * bucket — a request above `burst` can NEVER succeed (refill caps
+      * there), so it fails fast instead of letting the documented
+      * sleep-then-retry wire-up spin forever. */
     def tryAcquire(n: Double = 1.0): Boolean = synchronized {
+      require(n <= burst, s"requested $n tokens > burst capacity $burst")
       refill()
       if (tokens >= n) { tokens -= n; true } else false
     }
 
-    /** Seconds until `n` tokens will be available (0 if now). */
+    /** Seconds until `n` tokens will be available (0 if now), padded by
+      * one nanosecond — the clock's own resolution — so sleeping exactly
+      * this long always satisfies the next tryAcquire (the raw boundary
+      * is float-exact, and a nano-truncating sleep would land just
+      * under `n`). Callers sleeping on a coarser clock must round UP to
+      * their granularity. */
     def delayFor(n: Double = 1.0): Double = synchronized {
+      require(n <= burst, s"requested $n tokens > burst capacity $burst")
       refill()
-      if (tokens >= n) 0.0 else (n - tokens) * perSeconds / rate
+      if (tokens >= n) 0.0
+      else (n - tokens) * perSeconds / rate + 1e-9
     }
 
     def available: Double = synchronized { refill(); tokens }
@@ -75,6 +87,7 @@ object Resilience {
     private[this] var st: CircuitState = Closed
     private[this] var failures = 0
     private[this] var halfOpenSuccesses = 0
+    private[this] var halfOpenInFlight = 0
     private[this] var openedAt = 0L
 
     private def remaining(now: Long): Double =
@@ -82,24 +95,43 @@ object Resilience {
 
     def state: CircuitState = synchronized {
       if (st == Open && remaining(clock()) <= 0) { // lazily half-open
-        st = HalfOpen; halfOpenSuccesses = 0
+        st = HalfOpen; halfOpenSuccesses = 0; halfOpenInFlight = 0
       }
       st
     }
 
     /** Run `f` through the breaker. Open circuit → CircuitOpenException
-      * without invoking `f`; `f`'s own failure is counted and rethrown.
+      * without invoking `f`; `f`'s own SERVICE failure (NonFatal) is
+      * counted and rethrown; fatal/cancellation throwables propagate
+      * WITHOUT tripping the breaker (an interrupted sink thread is not
+      * evidence the remote service is down). HALF_OPEN admits at most
+      * `successThreshold` concurrent probes — a microbatch fanning many
+      * writers into a recovering service must not stampede it; excess
+      * callers get CircuitOpenException(0) and retry shortly.
       */
     def call[A](f: => A): A = {
-      synchronized {
-        if (state == Open)
-          throw new CircuitOpenException(remaining(clock()))
+      val probing = synchronized {
+        state match {
+          case Open => throw new CircuitOpenException(remaining(clock()))
+          case HalfOpen =>
+            if (halfOpenInFlight >= successThreshold)
+              throw new CircuitOpenException(0)
+            halfOpenInFlight += 1
+            true
+          case Closed => false
+        }
       }
-      val result =
-        try f
-        catch { case e: Throwable => onFailure(); throw e }
-      onSuccess()
-      result
+      try {
+        val result =
+          try f
+          catch {
+            case scala.util.control.NonFatal(e) => onFailure(); throw e
+          }
+        onSuccess()
+        result
+      } finally if (probing) synchronized {
+        if (halfOpenInFlight > 0) halfOpenInFlight -= 1
+      }
     }
 
     def onSuccess(): Unit = synchronized {
@@ -121,12 +153,15 @@ object Resilience {
       }
     }
 
-    private def trip(): Unit = { st = Open; openedAt = clock(); failures = 0 }
+    private def trip(): Unit = {
+      st = Open; openedAt = clock(); failures = 0; halfOpenInFlight = 0
+    }
   }
 
-  /** Exponential backoff schedule with deterministic jitter (seeded by
-    * attempt index — rerun-stable, per the pipeline checkpoint
-    * contract): delay(k) = min(cap, base·2^k)·(1 + 0.25·frac(sin-hash)).
+  /** Exponential backoff schedule with deterministic jitter (Knuth
+    * multiplicative hash of the attempt index — rerun-stable, per the
+    * pipeline checkpoint contract):
+    * delay(k) = min(cap, base·2^k) · (1 + jitter(k)), jitter ∈ [0, 0.25).
     */
   def backoffSeconds(attempt: Int, baseSeconds: Double = 1.0,
                      capSeconds: Double = 30.0): Double = {
@@ -137,8 +172,10 @@ object Resilience {
   }
 
   /** Retry `f` up to `maxAttempts` through an optional breaker,
-    * sleeping via `sleep` (injected for tests). Retries only failures
-    * `isRetryable` accepts; the last failure propagates.
+    * sleeping via `sleep` (injected for tests). Retries only NonFatal
+    * failures `isRetryable` accepts — interrupts/OOM/linkage errors
+    * propagate immediately (retrying a cancelled or broken JVM blocks
+    * shutdown for nothing); the last failure propagates.
     */
   def withRetries[A](maxAttempts: Int,
                      breaker: Option[CircuitBreaker] = None,
@@ -152,7 +189,7 @@ object Resilience {
         return breaker.map(_.call(f)).getOrElse(f)
       } catch {
         case e: CircuitOpenException => throw e // not a service failure
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           attempt += 1
           if (attempt >= maxAttempts || !isRetryable(e)) throw e
           sleep(backoffSeconds(attempt - 1))

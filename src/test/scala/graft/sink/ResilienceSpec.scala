@@ -70,6 +70,63 @@ class ResilienceSpec extends AnyFunSuite {
     assert(cb.state == Closed) // never reached 5 in a row
   }
 
+  test("fatal throwables are not retried and do not trip the breaker") {
+    // InterruptedException during a streaming shutdown must propagate
+    // on the FIRST attempt and must not count as a service failure
+    var calls = 0
+    intercept[InterruptedException] {
+      withRetries(maxAttempts = 5, sleep = _ => ()) {
+        calls += 1; throw new InterruptedException("stop")
+      }
+    }
+    assert(calls == 1)
+    val c = new FakeClock
+    val cb = new CircuitBreaker(failureThreshold = 1, clock = c.apply _)
+    intercept[InterruptedException] {
+      cb.call(throw new InterruptedException("stop"))
+    }
+    assert(cb.state == Closed) // not evidence of a service outage
+  }
+
+  test("half-open admits at most successThreshold concurrent probes") {
+    val c = new FakeClock
+    val cb = new CircuitBreaker(failureThreshold = 1,
+      recoveryTimeoutSeconds = 60, successThreshold = 2, clock = c.apply _)
+    intercept[RuntimeException] { cb.call(throw new RuntimeException("x")) }
+    c.tick(61)
+    assert(cb.state == HalfOpen)
+    // simulate two in-flight probes by entering call() on blocked fns
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val started = new java.util.concurrent.CountDownLatch(2)
+    val probes = (1 to 2).map(_ => new Thread(() =>
+      cb.call { started.countDown(); gate.await(); () }))
+    probes.foreach(_.start())
+    started.await()
+    // a third caller is rejected instead of stampeding the service
+    var invoked = false
+    intercept[CircuitOpenException] { cb.call { invoked = true } }
+    assert(!invoked)
+    gate.countDown()
+    probes.foreach(_.join())
+    assert(cb.state == Closed) // the two probes' successes closed it
+  }
+
+  test("token requests above burst fail fast; exact-sleep boundary holds") {
+    val c = new FakeClock
+    val tb = new TokenBucket(rate = 7, perSeconds = 13, burst = 10,
+      clock = c.apply _)
+    intercept[IllegalArgumentException] { tb.tryAcquire(15) }
+    intercept[IllegalArgumentException] { tb.delayFor(15) }
+    // drain, then sleep EXACTLY delayFor(): acquisition must succeed
+    // for awkward rate/per ratios (ulp padding)
+    (1 to 10).foreach(_ => tb.tryAcquire())
+    for (_ <- 1 to 50) {
+      val d = tb.delayFor(1.0)
+      c.tick(d)
+      assert(tb.tryAcquire(), s"exact-sleep acquire failed after $d")
+    }
+  }
+
   test("backoff: exponential with cap, deterministic jitter in [0, 25%)") {
     val d = (0 to 6).map(backoffSeconds(_))
     assert(d(0) >= 1.0 && d(0) < 1.25)
