@@ -20,16 +20,26 @@ import org.apache.spark.sql.expressions.Window
   */
 object Dedup {
 
-  /** Exact dedup: keep the smallest id per identical text. One shuffle
-    * keyed on sha2(text) — the hash, not the text, so wide rows don't
-    * inflate the exchange.
+  /** Exact dedup: keep the smallest id per identical text.
+    *
+    * Scale shape (round-4 verdict #1): the winner-per-hash decision is an
+    * AGGREGATE over `(sha2(text), id)` — sha2 is computed map-side and the
+    * partial min combines before the exchange, so the dedup shuffle
+    * carries ~40-byte (hash, id) rows, never the text. Survivors are then
+    * kept with a left-semi join on the id: at sandbox scale the survivor
+    * id set broadcasts (corpus side shuffles nothing); at 100 TB the doc
+    * table's bucketed-by-doc_id layout makes the semi join co-located
+    * (BucketingSpec / DedupPlanSpec: 0 exchanges on the corpus side).
+    * The previous window formulation shuffled every full row — text
+    * included — through the sha2-keyed exchange.
     */
   def exact(docs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
-    docs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+    val keep = docs
+      .groupBy(sha2(col(textCol), 256).as("__h"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
   }
 
   /** Duplicate-cluster table: (doc_id, keep_id) for every doc whose text
@@ -42,11 +52,23 @@ object Dedup {
       .filter(col(idCol) =!= col("keep_id"))
   }
 
-  /** Distinct-token set per doc (unigram shingles) as a sorted array. */
+  private def isCjkCol(t: Column): Column =
+    graft.text.TextAnalysis.isCjkCol(t)
+
+  /** Distinct-token set per doc as a sorted array — whitespace unigrams
+    * for space-delimited text, single characters for CJK/Thai rows
+    * (content-routed; see the CJK routing note above).
+    */
   def tokenSets(docs: DataFrame, idCol: String = "doc_id",
-                textCol: String = "text"): DataFrame =
+                textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val words = split(t, " ")
+    val chars = filter(split(regexp_replace(t, "\\s+", ""), ""),
+      c => length(c) > 0)
     docs.select(col(idCol),
-      array_sort(array_distinct(split(col(textCol), " "))).as("tokens"))
+      array_sort(array_distinct(when(isCjkCol(t), chars).otherwise(words)))
+        .as("tokens"))
+  }
 
   /** Length bucket for Jaccard blocking: floor(ln n / ln(1/t)). Two docs
     * with J ≥ t satisfy min(n)/max(n) ≥ t (inter ≤ min, union ≥ max), so
@@ -92,9 +114,21 @@ object Dedup {
     // under a 64-bit collision INSIDE one pair's union (P ≈ |union|²/2^64
     // ≈ 1e-11 per pair at 10k-token pages) — the same dispensation the
     // MinHash tier's FNV base hash already carries.
+    // CJK routing (content-based, see note above): unspaced rows tokenize
+    // to character BIGRAMS (unigram chars over a small alphabet make
+    // unrelated docs look similar); spaced rows keep word unigrams, so
+    // existing corpora/oracles are untouched.
+    val t = col("text")
+    val wordHashes = transform(split(t, " "), w => xxhash64(w))
+    val squeezed = regexp_replace(t, "\\s+", "")
+    val charBigramHashes = when(length(squeezed) < 2,
+        array(xxhash64(squeezed)))
+      .otherwise(transform(sequence(lit(1), length(squeezed) - 1),
+        i => xxhash64(squeezed.substr(i, lit(2)))))
     val toks = docs.select(col("doc_id"), col("lang"), col("source"),
-        array_sort(array_distinct(transform(split(col("text"), " "),
-          t => xxhash64(t)))).as("tokens"))
+        array_sort(array_distinct(
+          when(isCjkCol(t), charBigramHashes).otherwise(wordHashes)))
+          .as("tokens"))
       .withColumn("bkt", lengthBucket(size(col("tokens")), threshold))
     // each side emits {bkt, bkt+1}: buckets intersect ⟺ |Δbkt| ≤ 1
     val emitted = toks.select(col("doc_id"), col("lang"), col("source"),
@@ -119,13 +153,62 @@ object Dedup {
     else toks.sliding(n).map(_.mkString(" ")).toSet
   }
 
+  // ---- CJK routing (round-4 verdict #5) ------------------------------
+  // Whitespace tokenization yields ONE token for unspaced scripts
+  // (zh/ja/th/ko), silently collapsing near-dup recall there. Texts whose
+  // non-space codepoints are ≥30% CJK/Thai route to character n-gram
+  // shingles instead. Routing is content-based (not the lang column), so
+  // space-delimited corpora — including every oracle row — take the word
+  // path unchanged.
+
+  /** ≥30% of non-space codepoints in CJK/Thai blocks (shared predicate:
+    * [[graft.text.TextAnalysis.isCjkText]]).
+    */
+  def isCjkText(s: String): Boolean = graft.text.TextAnalysis.isCjkText(s)
+
+  /** Character n-gram shingles over the whitespace-squeezed text (the CJK
+    * route: characters are the token unit for unspaced scripts).
+    */
+  def charShingles(text: String, n: Int): Set[String] = {
+    val s = text.replaceAll("\\s+", "")
+    if (s.length < n) Set(s) else s.sliding(n).toSet
+  }
+
+  /** Shingle set with content-based routing: word n-grams for
+    * space-delimited text, character n-grams for CJK/Thai.
+    */
+  def shinglesAuto(text: String, n: Int): Set[String] =
+    if (isCjkText(text)) charShingles(text, n) else shingles(text, n)
+
   /** Exact n-gram Jaccard of two texts (the brute-force oracle used by
-    * tests and the verify stage of MinHash candidates).
+    * tests; routing-aware so the CJK tier verifies like it bands).
     */
   def ngramJaccard(a: String, b: String, n: Int): Double = {
-    val (sa, sb) = (shingles(a, n), shingles(b, n))
+    val (sa, sb) = (shinglesAuto(a, n), shinglesAuto(b, n))
     if (sa.isEmpty && sb.isEmpty) 1.0
     else (sa & sb).size.toDouble / (sa | sb).size
+  }
+
+  /** Per-doc shingle hashes: sorted distinct FNV-1a of each shingle —
+    * 8-byte elements, computed in ONE pass per document, feeding BOTH the
+    * MinHash signature and the candidate-verify stage (round-4 verdict
+    * #2: the verify previously re-shingled full texts per candidate
+    * PAIR through a two-text UDF).
+    */
+  def shingleHashes(text: String, n: Int): Array[Long] = {
+    val sh = shinglesAuto(text, n)
+    val out = new Array[Long](sh.size)
+    var i = 0
+    for (s <- sh) { out(i) = fnv1a(s); i += 1 }
+    java.util.Arrays.sort(out)
+    // distinct in place (fnv collisions inside one doc just merge)
+    var w = 0
+    var r = 0
+    while (r < out.length) {
+      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    if (w == out.length) out else java.util.Arrays.copyOf(out, w)
   }
 
   // ---- MinHash + LSH -------------------------------------------------
@@ -150,12 +233,19 @@ object Dedup {
   /** MinHash signature of a shingle set (base hash: 64-bit FNV-1a of the
     * shingle string — deterministic, platform-independent).
     */
-  def minHashSignature(sh: Set[String], params: MinHashParams): Array[Long] = {
+  def minHashSignature(sh: Set[String], params: MinHashParams): Array[Long] =
+    minHashSignatureFromHashes(sh.iterator.map(fnv1a).toArray, params)
+
+  /** [[minHashSignature]] over precomputed base hashes (the one-pass
+    * [[shingleHashes]] output), so shingling never runs twice per doc.
+    */
+  def minHashSignatureFromHashes(hs: Array[Long],
+                                 params: MinHashParams): Array[Long] = {
     val cs = params.coeffs
     val p = params.prime
     val sig = Array.fill(params.numHashes)(Long.MaxValue)
-    for (s <- sh) {
-      val x = fnv1a(s) & Long.MaxValue
+    for (h <- hs) {
+      val x = h & Long.MaxValue
       var i = 0
       while (i < cs.length) {
         // (a*x + b) mod p without overflow: Math.multiplyHigh-free route —
@@ -180,26 +270,30 @@ object Dedup {
     h
   }
 
-  /** Pre-verify candidate pairs from LSH banding alone — exposed so the
-    * scale-stress bench can report candidate totals (∝ true dups, the
-    * never-quadratic property) separately from verified pairs. The heavy
-    * signature computation runs in a typed map (one pass per doc); the
-    * bucket join shuffles only (band, bucketHash) keys.
+  /** `(doc_id, sh, sig)` — per-doc shingle hash array + MinHash signature
+    * in ONE typed pass per document (the shingle scan is the dominant
+    * cost; signature derives from the same hashes).
     */
-  def minHashCandidatePairs(docs: DataFrame, n: Int,
-                            params: MinHashParams): DataFrame = {
+  private[dedup] def shingleSigTable(docs: DataFrame, n: Int,
+                                     params: MinHashParams): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sigs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        (id, minHashSignature(shingles(text, n), params))
+        val hs = shingleHashes(text, n)
+        (id, hs, minHashSignatureFromHashes(hs, params))
       }
-      .toDF("doc_id", "sig")
-    // bucket key = the band's signature SLICE itself (exact equality
-    // classes): a 32-bit hash(slice) key saves shuffle bytes but admits
-    // Murmur3 collisions — false candidates that inflate the candidate
-    // metric and diverge from the streaming tier, which keys exactly
-    // (round-4 pass-3 review). rowsPerBand longs per key is still small.
+      .toDF("doc_id", "sh", "sig")
+  }
+
+  /** Banding join over a [[shingleSigTable]]: bucket key = the band's
+    * signature SLICE itself (exact equality classes): a 32-bit
+    * hash(slice) key saves shuffle bytes but admits Murmur3 collisions —
+    * false candidates that inflate the candidate metric and diverge from
+    * the streaming tier, which keys exactly (round-4 pass-3 review).
+    * rowsPerBand longs per key is still small.
+    */
+  private def bandPairs(sigs: DataFrame, params: MinHashParams): DataFrame = {
     val bands = sigs.select(col("doc_id"), posexplode(
         expr(s"transform(sequence(0, ${params.bands - 1}), " +
           s"b -> slice(sig, b * ${params.rowsPerBand} + 1, ${params.rowsPerBand}))")))
@@ -211,16 +305,38 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
+  /** Pre-verify candidate pairs from LSH banding alone — exposed so the
+    * scale-stress bench can report candidate totals (∝ true dups, the
+    * never-quadratic property) separately from verified pairs. The heavy
+    * signature computation runs in a typed map (one pass per doc); the
+    * bucket join shuffles only (band, bucketHash) keys.
+    */
+  def minHashCandidatePairs(docs: DataFrame, n: Int,
+                            params: MinHashParams): DataFrame =
+    bandPairs(shingleSigTable(docs, n, params), params)
+
+  /** Banded candidates verified at exact shingle Jaccard. The verify is
+    * ARRAY-based (round-4 verdict #2): each doc's shingle-hash array is
+    * computed once (same pass as its signature, materialized via
+    * localCheckpoint so banding and verify share it), candidates join the
+    * two 8-byte-element arrays and score with codegen'd
+    * `array_intersect`/`array_union` sizes — no texts re-shuffled per
+    * pair, no per-pair re-shingling, no UDF. Intersection/union sizes
+    * over the hashed sets equal string-set sizes except under a 64-bit
+    * FNV collision inside one pair's union (P ≈ |union|²/2^64) — the
+    * dispensation the signature's base hash already carries.
+    */
   def minHashCandidates(docs: DataFrame, n: Int, params: MinHashParams,
                         verifyThreshold: Double): DataFrame = {
-    val cand = minHashCandidatePairs(docs, n, params)
-    // verify candidates with exact Jaccard (join texts back)
-    val txt = docs.select(col("doc_id"), col("text"))
-    val jac = udf((x: String, y: String) => ngramJaccard(x, y, n))
+    val tbl = shingleSigTable(docs, n, params).localCheckpoint()
+    val cand = bandPairs(tbl, params)
+    val sh = tbl.select(col("doc_id"), col("sh"))
     cand
-      .join(txt.withColumnRenamed("doc_id", "a").withColumnRenamed("text", "textA"), Seq("a"))
-      .join(txt.withColumnRenamed("doc_id", "b").withColumnRenamed("text", "textB"), Seq("b"))
-      .withColumn("jaccard", jac(col("textA"), col("textB")))
+      .join(sh.toDF("a", "sha"), Seq("a"))
+      .join(sh.toDF("b", "shb"), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("uni", size(array_union(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= verifyThreshold)
       .select("a", "b", "jaccard")
   }

@@ -27,6 +27,48 @@ object TextAnalysis {
   val Stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of",
     "to", "in", "is", "it")
 
+  // ---- CJK routing ----------------------------------------------------
+  // Whitespace tokenization yields ONE token for unspaced scripts
+  // (zh/ja/th/ko), collapsing repetition signals and near-dup recall.
+  // Texts whose non-space codepoints are ≥30% CJK/Thai route to
+  // character tokens. Content-based (not the lang column), so
+  // space-delimited rows — including every oracle row — are untouched.
+
+  private def isCjkCodepoint(cp: Int): Boolean =
+    (cp >= 0x1100 && cp <= 0x11FF) || // Hangul Jamo
+    (cp >= 0x3040 && cp <= 0x30FF) || // Hiragana + Katakana
+    (cp >= 0x3400 && cp <= 0x4DBF) || // CJK ext A
+    (cp >= 0x4E00 && cp <= 0x9FFF) || // CJK unified
+    (cp >= 0xAC00 && cp <= 0xD7AF) || // Hangul syllables
+    (cp >= 0xF900 && cp <= 0xFAFF) || // CJK compat
+    (cp >= 0x0E00 && cp <= 0x0E7F)    // Thai
+
+  /** ≥30% of non-space codepoints in CJK/Thai blocks. */
+  def isCjkText(s: String): Boolean = {
+    var cjk = 0; var nonSpace = 0; var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (!Character.isWhitespace(cp)) {
+        nonSpace += 1
+        if (isCjkCodepoint(cp)) cjk += 1
+      }
+      i += Character.charCount(cp)
+    }
+    nonSpace > 0 && cjk * 10 >= nonSpace * 3
+  }
+
+  /** Column mirror of [[isCjkText]] via two codegen'd regexp_replace
+    * lengths (Spark `length` counts codepoints, matching the Scala side).
+    */
+  def isCjkCol(t: Column): Column = {
+    val CjkClass = "[\\x{1100}-\\x{11FF}\\x{3040}-\\x{30FF}" +
+      "\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}\\x{AC00}-\\x{D7AF}" +
+      "\\x{F900}-\\x{FAFF}\\x{0E00}-\\x{0E7F}]"
+    val nonSpace = length(regexp_replace(t, "\\s", ""))
+    val cjk = length(t) - length(regexp_replace(t, CjkClass, ""))
+    nonSpace > 0 && cjk * 10 >= nonSpace * 3
+  }
+
   /** Repetition signals per document (Gopher/C4-style quality rules:
     * Rae et al. 2021 §A1.1 use duplicate n-gram fractions and
     * most-common-word share to drop boilerplate/spam): token counts,
@@ -41,9 +83,15 @@ object TextAnalysis {
     */
   def repetition(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    // same tokenizer as [[quality]] (trim + \s+): the two signal tables
-    // must agree on what n_tokens means (round-4 pass-3 review)
-    val toks = filter(split(trim(t), "\\s+"), w => w =!= "")
+    // same tokenizer as [[quality]] (trim + \s+) for spaced text: the two
+    // signal tables must agree on what n_tokens means (round-4 pass-3
+    // review). CJK/Thai rows route to character tokens (whitespace
+    // splitting would report n_tokens = 1, dup_bigram_n = 0 for every
+    // unspaced doc); content-routed, so spaced rows are byte-identical.
+    val wordToks = filter(split(trim(t), "\\s+"), w => w =!= "")
+    val charToks = filter(split(regexp_replace(t, "\\s+", ""), ""),
+      c => length(c) > 0)
+    val toks = when(isCjkCol(t), charToks).otherwise(wordToks)
     val base = docs
       .withColumn("__toks", toks)
       .withColumn("n_tokens", size(col("__toks")).cast("long"))
