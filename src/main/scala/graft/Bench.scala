@@ -82,7 +82,7 @@ object Bench {
       val n = replicated.count()
       val gaz = graft.extract.Gazetteer(graft.extract.Gazetteer.DefaultEntities)
       val bc = spark.sparkContext.broadcast(gaz)
-      val entitiesSorted = graft.extract.Gazetteer.DefaultEntities.sorted
+      val entitiesSorted = graft.model.CodePoint.sorted(graft.extract.Gazetteer.DefaultEntities)
       val bcIdx = spark.sparkContext.broadcast(entitiesSorted.zipWithIndex.toMap)
       def runOnce(): Unit =
         ScalingBench.frontEndOnce(replicated, bc, bcIdx, entitiesSorted, n)

@@ -130,7 +130,7 @@ object ScalingBench {
     // dictionary-encode entities at the scan boundary: the checkpoint,
     // explode and every aggregation downstream run on ints; names are
     // restored only in the final dictionary-sized selects
-    val entitiesSorted = Gazetteer.DefaultEntities.sorted
+    val entitiesSorted = graft.model.CodePoint.sorted(Gazetteer.DefaultEntities)
     val bcIdx = spark.sparkContext.broadcast(
       entitiesSorted.zipWithIndex.toMap)
 

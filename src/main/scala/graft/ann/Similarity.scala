@@ -378,6 +378,244 @@ object Similarity {
       .select("query_id", "rank", "cand_id", "cos")
   }
 
+  // ---- IVF-PQ (round-5 verdict #7) -----------------------------------
+  // At 10^9+ vectors the corpus floats dominate executor memory and scan
+  // bandwidth: product quantization stores each vector as m sub-space
+  // code bytes (m ≪ 4·dim), the probe scan scores candidates against
+  // per-query ADC lookup tables over those codes, and only the top
+  // `rerank` survivors read their full vectors for exact cosine.
+  // Training reuses the integer-quantized Lloyd's discipline of
+  // [[trainCodebook]] (associative Long partials → the codebook is
+  // partitioning-invariant), with L2 assignment per sub-space (the PQ
+  // standard: codes minimize reconstruction error, not angle).
+
+  /** m sub-space codebooks, each ksub × dsub floats. */
+  final case class PqCodebook(m: Int, dsub: Int,
+                              books: Array[Array[Array[Float]]]) {
+    def ksub: Int = books(0).length
+    /** floats-per-vector / codes-per-vector storage ratio (4-byte floats
+      * vs 1 code ≤ 1 byte when ksub ≤ 256). */
+    def compressionRatio: Double = (m * dsub * 4.0) / m
+  }
+
+  /** Deterministic PQ training: init = the `initPred` sample's sub-slices
+    * (sorted by vec_id, capped at `ksub`), then `iters` Lloyd's rounds
+    * over ALL sub-spaces in one corpus pass per round. L2 assignment,
+    * ties → lower code id; update via 1/2^20-quantized Long partials.
+    */
+  def trainPq(emb: DataFrame, initPred: Column, m: Int, ksub: Int = 256,
+              iters: Int = 5): PqCodebook = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val Q = 1 << 20
+    val init: Array[Array[Float]] =
+      emb.filter(initPred).select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().sortBy(_._1)
+        .take(ksub).map(_._2.toArray)
+    require(init.nonEmpty, "trainPq: initPred selected no rows")
+    val dim = init.map(_.length).max
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    var books: Array[Array[Array[Float]]] = Array.tabulate(m) { s =>
+      init.map(v => java.util.Arrays.copyOfRange(
+        java.util.Arrays.copyOf(v, dim), s * dsub, (s + 1) * dsub))
+    }
+    val data = emb.select(col("embedding")).as[Seq[Float]]
+    for (_ <- 0 until iters) {
+      val bcB = spark.sparkContext.broadcast(books)
+      val partials = data.mapPartitions { it =>
+        val bs = bcB.value
+        val k = bs(0).length
+        val sums = Array.fill(m, k)(new Array[Long](dsub))
+        val counts = Array.fill(m)(new Array[Long](k))
+        it.foreach { v =>
+          val arr = java.util.Arrays.copyOf(v.toArray, dim)
+          var s = 0
+          while (s < m) {
+            val best = pqNearestStatic(arr, s * dsub, bs(s))
+            counts(s)(best) += 1
+            val acc = sums(s)(best)
+            var i = 0
+            while (i < dsub) {
+              acc(i) += math.round(arr(s * dsub + i).toDouble * Q); i += 1
+            }
+            s += 1
+          }
+        }
+        Iterator.tabulate(m)(s => (s, sums(s), counts(s)))
+      }.collect()
+      val k = books(0).length
+      val sums = Array.fill(m, k)(new Array[Long](dsub))
+      val counts = Array.fill(m)(new Array[Long](k))
+      for ((s, ss, cc) <- partials; j <- 0 until k) {
+        counts(s)(j) += cc(j)
+        var i = 0
+        while (i < dsub) { sums(s)(j)(i) += ss(j)(i); i += 1 }
+      }
+      books = Array.tabulate(m, k) { (s, j) =>
+        if (counts(s)(j) == 0) books(s)(j)
+        else Array.tabulate(dsub)(i =>
+          (sums(s)(j)(i).toDouble / counts(s)(j) / Q).toFloat)
+      }
+    }
+    PqCodebook(m, dsub, books)
+  }
+
+  /** Squared-L2 nearest code in one sub-space (ties → lower id). */
+  private def pqNearestStatic(arr: Array[Float], off: Int,
+                              book: Array[Array[Float]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var j = 0
+    while (j < book.length) {
+      val c = book(j)
+      var d = 0.0; var i = 0
+      while (i < c.length) {
+        val diff = (arr(off + i) - c(i)).toDouble; d += diff * diff; i += 1
+      }
+      if (d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** `(vec_id, codes)` — each corpus vector as m code ids (int array in
+    * the relational form; 1 byte each at ksub ≤ 256 in storage terms).
+    */
+  def pqCodes(emb: DataFrame, pq: PqCodebook): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bcB = spark.sparkContext.broadcast(pq.books)
+    val dim = pq.m * pq.dsub
+    emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val bs = bcB.value
+        it.map { case (id, v) =>
+          val arr = java.util.Arrays.copyOf(v.toArray, dim)
+          (id, Array.tabulate(bs.length)(s =>
+            pqNearestStatic(arr, s * bs(s)(0).length, bs(s))))
+        }
+      }.toDF("vec_id", "codes")
+  }
+
+  /** IVF-PQ top-k: IVF lists from `cents` (the coarse quantizer), PQ
+    * codes for the in-list scan (ADC: per-query dot tables + the global
+    * reconstruction-norm table approximate cos(q, recon(c))), exact
+    * cosine rerank of the top `rerank` survivors from full vectors. The
+    * probe scan touches only (cent_id, cand_id, m codes) rows — the
+    * corpus float payload is read for |Q|·rerank rows, not per candidate.
+    */
+  def ivfPqTopK(emb: DataFrame, queryPred: Column,
+                cents: Array[(Long, Array[Float])], pq: PqCodebook,
+                k: Int, nProbe: Int = 4, rerank: Int = 32): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(cents.nonEmpty, "ivfPqTopK: empty codebook")
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcB = spark.sparkContext.broadcast(pq.books)
+    val dim = pq.m * pq.dsub
+
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val cs = bcC.value; val bs = bcB.value
+        it.map { case (id, v) =>
+          val arr = v.toArray
+          var best = 0L; var bestCos = Double.NegativeInfinity
+          cs.foreach { case (cid, c) =>
+            val cc = centCosStatic(arr, c)
+            if (cc > bestCos || (cc == bestCos && cid < best)) {
+              bestCos = cc; best = cid
+            }
+          }
+          val padded = java.util.Arrays.copyOf(arr, dim)
+          (best, id, Array.tabulate(bs.length)(s =>
+            pqNearestStatic(padded, s * bs(s)(0).length, bs(s))))
+        }
+      }.toDF("cent_id", "cand_id", "codes")
+
+    // per-query ADC tables: dot[s][j] = q_s · book[s][j] (double fold),
+    // plus the query's norm; the global norm table ||book[s][j]||² is
+    // query-independent
+    val queries: Array[(Long, Array[Float])] =
+      emb.filter(queryPred).select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().map { case (id, v) => (id, v.toArray) }
+    val probeRows = queries.flatMap { case (qid, qv) =>
+      val cs = bcC.value
+      cs.map { case (cid, c) => (centCosStatic(qv, c), cid) }
+        .sortBy { case (cos, id) => (-cos, id) }
+        .take(nProbe).map { case (_, cid) => (qid, cid) }
+    }.toSeq
+    val probes = spark.createDataFrame(
+      spark.sparkContext.parallelize(probeRows.map(p =>
+        org.apache.spark.sql.Row(p._1, p._2)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cent_id",
+          org.apache.spark.sql.types.LongType))))
+    val bcQ = spark.sparkContext.broadcast(queries.toMap)
+
+    val approx = broadcast(probes).join(assigned, Seq("cent_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("codes"))
+      .as[(Long, Long, Seq[Int])]
+      .mapPartitions { it =>
+        val bs = bcB.value
+        val qs = bcQ.value
+        // ADC tables built lazily once per (partition, query)
+        val tables = scala.collection.mutable.HashMap
+          .empty[Long, (Array[Array[Double]], Double)]
+        val normTab: Array[Array[Double]] = bs.map(_.map { c =>
+          var s = 0.0; var i = 0
+          while (i < c.length) { s += c(i).toDouble * c(i); i += 1 }
+          s
+        })
+        it.map { case (qid, cid, codes) =>
+          val (dotTab, qNorm) = tables.getOrElseUpdate(qid, {
+            val qv = java.util.Arrays.copyOf(qs(qid), bs.length * bs(0)(0).length)
+            val dt = Array.tabulate(bs.length) { s =>
+              bs(s).map { c =>
+                var acc = 0.0; var i = 0
+                while (i < c.length) {
+                  acc += qv(s * c.length + i).toDouble * c(i); i += 1
+                }
+                acc
+              }
+            }
+            var nq = 0.0; var i = 0
+            while (i < qs(qid).length) {
+              nq += qs(qid)(i).toDouble * qs(qid)(i); i += 1
+            }
+            (dt, math.sqrt(nq))
+          })
+          var dot = 0.0; var rn = 0.0
+          var s = 0
+          while (s < codes.length) {
+            dot += dotTab(s)(codes(s)); rn += normTab(s)(codes(s)); s += 1
+          }
+          (qid, cid, dot / (qNorm * math.sqrt(rn)))
+        }
+      }.toDF("query_id", "cand_id", "approx")
+
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("cand_id"))
+    val survivors = approx.withColumn("r", row_number().over(wA))
+      .filter(col("r") <= rerank).select("query_id", "cand_id")
+
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    survivors
+      .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        Seq("query_id"))
+      .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("cv")),
+        Seq("cand_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "cand_id", "cos")
+  }
+
   /** cos(v, centroid), IEEE-identical to [[cosine]]: float·float
     * products, sequential double accumulation. Shared by assignment,
     * probing and k-means training so all three agree exactly.

@@ -127,20 +127,11 @@ object ConnectedComponents {
     // min uses) — Java compareTo orders by UTF-16 unit, which ranks
     // supplementary-plane characters below U+E000..U+FFFF and would let
     // labels depend on which side of the size threshold the data lands
-    // (round-4 review).
-    def cmpCodePoints(a: String, b: String): Int = {
-      var i = 0; var j = 0
-      while (i < a.length && j < b.length) {
-        val ca = a.codePointAt(i); val cb = b.codePointAt(j)
-        if (ca != cb) return Integer.compare(ca, cb)
-        i += Character.charCount(ca); j += Character.charCount(cb)
-      }
-      Integer.compare(a.length - i, b.length - j)
-    }
+    // (round-4 review). Shared impl: [[graft.model.CodePoint]].
     val ord: Ordering[Any] = dt match {
       case StringType =>
-        ((x: Any, y: Any) =>
-          cmpCodePoints(x.asInstanceOf[String], y.asInstanceOf[String])): Ordering[Any]
+        ((x: Any, y: Any) => graft.model.CodePoint.compare(
+          x.asInstanceOf[String], y.asInstanceOf[String])): Ordering[Any]
       case IntegerType => Ordering.Int.on[Any](_.asInstanceOf[Int])
       case LongType => Ordering.Long.on[Any](_.asInstanceOf[Long])
       case _ => return None

@@ -341,6 +341,51 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  // ---- Line-level exact dedup (C4/RefinedWeb boilerplate removal) ----
+
+  /** Drop every line whose content appears in ≥ `minDocs` DISTINCT
+    * documents (navigation chrome, cookie banners, license footers — the
+    * standard C4/RefinedWeb curation tier between document-exact and
+    * near-dup), then reassemble the surviving lines in order. Documents
+    * whose lines are all boilerplate survive with empty text (the
+    * downstream quality gate drops them — stage separation kept).
+    *
+    * Scale shape: the hot-line table is found from narrow
+    * `(xxhash64(line), doc_id)` rows — map-side combined count-distinct,
+    * never the line text — and is ∝ REPEATED lines (boilerplate), a tiny
+    * fraction of the corpus, so the anti-join broadcasts. Reassembly
+    * shuffles the surviving lines once keyed by doc_id; over the
+    * bucketed-by-doc_id layout (BucketingSpec) even that is co-located.
+    * Line identity is the 64-bit xxhash (the Jaccard tier's
+    * dispensation: a cross-doc collision needs P ≈ n²/2^64).
+    */
+  def dedupLines(docs: DataFrame, minDocs: Int = 2,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(minDocs >= 2, "minDocs < 2 would drop every line")
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .toDF(idCol, "pos", "line")
+      .withColumn("h", xxhash64(col("line")))
+    val hot = lines.groupBy("h")
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    val kept = lines.join(broadcast(hot), Seq("h"), "left_anti")
+    val reassembled = kept.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"),
+          col("line")))), x => x.getField("line")), "\n").as("text"))
+    docs.select(col(idCol),
+        (size(split(col(textCol), "\n"))).cast("long").as("n_lines"))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("text"), lit("")).as(textCol))
+  }
+
   // ---- SimHash -------------------------------------------------------
 
   /** 64-bit SimHash over token FNV hashes. */

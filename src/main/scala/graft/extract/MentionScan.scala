@@ -47,7 +47,8 @@ object MentionScan {
       .mapPartitions { it =>
         val trie = bc.value
         it.map { case (docId, text) =>
-          (docId, trie.countMatches(text).keys.toSeq.sorted)
+          (docId, trie.countMatches(text).keys.toSeq
+            .sorted(graft.model.CodePoint.ordering))
         }
       }
       .toDF("doc_id", "es")
@@ -86,7 +87,7 @@ object MentionScan {
   def coOccurrenceFused(sets: DataFrame, entities: Seq[String]): DataFrame = {
     val spark = sets.sparkSession
     import spark.implicits._
-    val sorted = entities.sorted.toArray
+    val sorted = entities.sorted(graft.model.CodePoint.ordering).toArray
     val k = sorted.length
     val bcIdx = spark.sparkContext.broadcast(sorted.zipWithIndex.toMap)
     val partials = sets.select(col("es")).as[Seq[String]]
@@ -131,7 +132,7 @@ object MentionScan {
     * lexicographic entity order): no per-doc string lookups, int pair
     * keys end-to-end. */
   def coOccurrenceFusedIdx(setsIdx: DataFrame, entities: Seq[String]): DataFrame = {
-    val sorted = entities.sorted
+    val sorted = entities.sorted(graft.model.CodePoint.ordering)
     restoreCoOccurStrings(coOccurrencePairsIdx(setsIdx, sorted.length), sorted)
   }
 
@@ -193,7 +194,8 @@ object MentionScan {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(gazetteer)
     val bcIdx = spark.sparkContext.broadcast(
-      gazetteer.entityList.sorted.zipWithIndex.toMap)
+      gazetteer.entityList.sorted(graft.model.CodePoint.ordering)
+        .zipWithIndex.toMap)
     pages.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val trie = bc.value

@@ -268,6 +268,201 @@ object Multimodal {
     Some(rows)
   }
 
+  // ------------------------------------------------- pixels + perceptual
+
+  /** Pixel rows (visual top-down, 3·w bytes each) for 24bpp BMPs. BMP
+    * stores rows BOTTOM-UP (positive height), so visual row y is stored
+    * row h-1-y.
+    */
+  def decodeBmpPixels(bytes: Array[Byte]): Option[Array[Array[Byte]]] = {
+    val meta = decodeBmp(bytes).getOrElse(return None)
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    if (buf.getShort(28).toInt != 24) return None
+    val storedHeight = buf.getInt(22) // sign = row order
+    val rowSize = ((3 * meta.width + 3) / 4) * 4
+    val rows = Array.ofDim[Byte](meta.height, 3 * meta.width)
+    var y = 0
+    while (y < meta.height) {
+      val stored = if (storedHeight > 0) meta.height - 1 - y else y
+      System.arraycopy(bytes, 54 + stored * rowSize, rows(y), 0, 3 * meta.width)
+      y += 1
+    }
+    Some(rows)
+  }
+
+  /** Pixel decode dispatch: BMP or truecolor PNG → visual top-down rows. */
+  def decodePixels(bytes: Array[Byte]): Option[Array[Array[Byte]]] = {
+    if (bytes == null || bytes.length < 4) return None
+    if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmpPixels(bytes)
+    else if (bytes(0) == 0x89.toByte && bytes(1) == 'P') decodePngPixels(bytes)
+    else None
+  }
+
+  /** Encode visual top-down pixel rows as a 24bpp bottom-up BMP. */
+  def encodeBmpFromPixels(rows: Array[Array[Byte]]): Array[Byte] = {
+    val height = rows.length
+    val width = rows(0).length / 3
+    val out = encodeBmp(width, height) // header + (overwritten) payload
+    val rowSize = ((3 * width + 3) / 4) * 4
+    var y = 0
+    while (y < height) {
+      val stored = height - 1 - y
+      System.arraycopy(rows(y), 0, out, 54 + stored * rowSize, 3 * width)
+      var pad = 3 * width
+      while (pad < rowSize) { out(54 + stored * rowSize + pad) = 0; pad += 1 }
+      y += 1
+    }
+    out
+  }
+
+  /** Encode visual top-down pixel rows as the stored-block truecolor PNG
+    * (same container structure as [[encodePng]], arbitrary content).
+    */
+  def encodePngFromPixels(rows: Array[Array[Byte]]): Array[Byte] = {
+    val height = rows.length
+    val width = rows(0).length / 3
+    val out = encodePng(width, height) // structure + gradient payload
+    // overwrite the stored-block payload in place: raw scanlines sit at
+    // fixed offsets inside the zlib stream (filter byte + row), split
+    // across 65535-byte stored blocks — recompute adler + IDAT crc after
+    val rowLen = 3 * width
+    val raw = new Array[Byte](height * (1 + rowLen))
+    var y = 0; var pos = 0
+    while (y < height) {
+      raw(pos) = 0
+      System.arraycopy(rows(y), 0, raw, pos + 1, rowLen)
+      pos += 1 + rowLen; y += 1
+    }
+    val idatStart = 8 + 25 // after sig + IHDR chunk
+    val zlibStart = idatStart + 8
+    var in = 0; var outp = zlibStart + 2
+    while (in < raw.length) {
+      val len = math.min(65535, raw.length - in)
+      System.arraycopy(raw, in, out, outp + 5, len)
+      in += len; outp += 5 + len
+    }
+    val adler = new java.util.zip.Adler32
+    adler.update(raw)
+    val av = adler.getValue
+    out(outp) = ((av >> 24) & 0xff).toByte
+    out(outp + 1) = ((av >> 16) & 0xff).toByte
+    out(outp + 2) = ((av >> 8) & 0xff).toByte
+    out(outp + 3) = (av & 0xff).toByte
+    // recompute IDAT CRC (type + data)
+    val idatLen = ByteBuffer.wrap(out).getInt(idatStart)
+    val crc = new java.util.zip.CRC32
+    crc.update(out, idatStart + 4, 4 + idatLen)
+    ByteBuffer.wrap(out).putInt(idatStart + 8 + idatLen, crc.getValue.toInt)
+    out
+  }
+
+  /** Nearest-neighbor resample of visual pixel rows to (w2, h2) —
+    * source pixel of target (x, y) is (x·w/w2, y·h/h2), integer floor,
+    * so an exact-factor downscale preserves the sample grid (and with it
+    * the perceptual hash — the planted-twin recall property).
+    */
+  def resamplePixels(rows: Array[Array[Byte]], w2: Int, h2: Int): Array[Array[Byte]] = {
+    val h = rows.length
+    val w = rows(0).length / 3
+    val out = Array.ofDim[Byte](h2, 3 * w2)
+    var y = 0
+    while (y < h2) {
+      val sy = y * h / h2
+      var x = 0
+      while (x < w2) {
+        val sx = x * w / w2
+        out(y)(3 * x) = rows(sy)(3 * sx)
+        out(y)(3 * x + 1) = rows(sy)(3 * sx + 1)
+        out(y)(3 * x + 2) = rows(sy)(3 * sx + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Grayscale at grid column gx ∈ [0, 9), row gy ∈ [0, 8): the
+    * nearest-neighbor sample (gx·w/9, gy·h/8), gray = (r+g+b)/3 —
+    * integer math end-to-end so the hash replays exactly in SQL.
+    */
+  private def gridGray(rows: Array[Array[Byte]], w: Int, h: Int,
+                       gx: Int, gy: Int): Int = {
+    val xi = gx * w / 9
+    val yi = gy * h / 8
+    val r = rows(yi)(3 * xi) & 0xff
+    val g = rows(yi)(3 * xi + 1) & 0xff
+    val b = rows(yi)(3 * xi + 2) & 0xff
+    (r + g + b) / 3
+  }
+
+  /** Difference hash over a 9×8 nearest-neighbor gray grid: bit y·8+x is
+    * set iff gray(x+1, y) > gray(x, y) — the standard dHash (row-wise
+    * gradient signs), robust to scaling/re-encode, integer-exact.
+    */
+  def dHash(rows: Array[Array[Byte]]): Long = {
+    val h = rows.length
+    val w = rows(0).length / 3
+    var hash = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (gridGray(rows, w, h, gx + 1, gy) > gridGray(rows, w, h, gx, gy))
+          hash |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** Average hash over the same grid's 8×8 sub-block: bit y·8+x is set
+    * iff gray(x, y) > the integer mean of the 64 grays. (Variant note:
+    * classic aHash resamples to its own 8×8 grid; sharing the dHash grid
+    * keeps one sampling pass and one SQL-replayable definition.)
+    */
+  def aHash(rows: Array[Array[Byte]]): Long = {
+    val h = rows.length
+    val w = rows(0).length / 3
+    val g = new Array[Int](64)
+    var sum = 0
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        val v = gridGray(rows, w, h, gx, gy)
+        g(gy * 8 + gx) = v; sum += v
+        gx += 1
+      }
+      gy += 1
+    }
+    val mean = sum / 64
+    var hash = 0L
+    var i = 0
+    while (i < 64) { if (g(i) > mean) hash |= 1L << i; i += 1 }
+    hash
+  }
+
+  /** Perceptual hashes for the image rows of a media table:
+    * `(doc_id, dhash, ahash)`. Batch shape: one decode + two 72-sample
+    * grid passes per image inside mapPartitions; non-image / undecodable
+    * rows are dropped. Downstream near-dup mining hamming-buckets these
+    * 64-bit fingerprints with the SimHash pigeonhole plumbing
+    * (`Dedup.simHashPairsFromSims`) — candidates ∝ true visual twins,
+    * never quadratic.
+    */
+  def perceptualHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, bytes) =>
+          decodePixels(bytes).map(rows => (id, dHash(rows), aHash(rows)))
+        }
+      }
+      .toDF("doc_id", "dhash", "ahash")
+  }
+
   // ---------------------------------------------------------------- WAV
 
   /** RIFF/WAVE, PCM (format 1), 16-bit mono. Sample i = (i mod 4096) - 2048
@@ -504,9 +699,12 @@ object Multimodal {
         "sample_rate", "n_bytes", "decoded")
   }
 
-  /** Resize plumbing: recompute target dims preserving aspect ratio
-    * (integer floor math — deterministic), re-encode in the same real
-    * container. Audio rows pass through unchanged (no spatial dims).
+  /** Resize: recompute target dims preserving aspect ratio (integer
+    * floor math — deterministic), then re-encode in the same real
+    * container. Image rows are ACTUALLY RESAMPLED (nearest-neighbor over
+    * the decoded pixels — round 5; previously a same-dims synthetic
+    * payload); video re-encodes its frame geometry; audio rows pass
+    * through unchanged (no spatial dims).
     */
   def resize(media: DataFrame, maxSide: Int): DataFrame = {
     val spark = media.sparkSession
@@ -520,9 +718,19 @@ object Multimodal {
               if (longest <= maxSide) (m.width, m.height)
               else (m.width * maxSide / longest, m.height * maxSide / longest)
             val resized = m.copy(width = w2, height = h2)
-            (id, w2, h2,
+            val out =
               if ((w2, h2) == (m.width, m.height)) bytes
-              else encodeSameContainer(bytes, resized))
+              else if (m.kind == "image") {
+                val px = decodePixels(bytes)
+                  .map(resamplePixels(_, w2, h2))
+                px match {
+                  case Some(rows) if bytes(0) == 0x89.toByte =>
+                    encodePngFromPixels(rows)
+                  case Some(rows) => encodeBmpFromPixels(rows)
+                  case None => encodeSameContainer(bytes, resized)
+                }
+              } else encodeSameContainer(bytes, resized)
+            (id, w2, h2, out)
           }
         }
       }

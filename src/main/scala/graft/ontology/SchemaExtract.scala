@@ -53,6 +53,14 @@ object SchemaExtract {
   /** Schema rows above this bound abort the fused path (a web-scale
     * triple table whose "schema-shaped" rows are really data — e.g.
     * per-instance comments); the caller then runs the distributed DAG.
+    *
+    * Sizing: the Fabric caps admit 500 entity types × 200 properties =
+    * up to ~100 k property declarations, each carrying type + domain +
+    * range + comment rows, so a legitimate near-cap ontology can have a
+    * few 100 k schema rows — the cap bounds DRIVER MEMORY (tens of MB of
+    * short URIs), not Catalyst work: no plan expression scales with the
+    * collected set (J3 membership is broadcast-joined, not inlined as
+    * `isin` literals — round-5 advisor).
     */
   val CollectLimit = 100000
 
@@ -92,7 +100,7 @@ object SchemaExtract {
       case r if r.oKind != "literal" && nonB(r.s) &&
         ((r.p == RdfType && (r.o == OwlClass || r.o == RdfsClass)) ||
           r.p == RdfsSubClassOf) => r.s
-    }.toSeq.distinct.sorted
+    }.toSeq.distinct.sorted(graft.model.CodePoint.ordering)
     val classIds: Map[String, String] =
       classSet.map(c => c -> Ids.entityId(c)).toMap
     val classes: String => Boolean = classSet.toSet
@@ -105,7 +113,9 @@ object SchemaExtract {
     val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
     val parents: Map[String, String] = edges
       .filterNot { case (c, p) => Extract.reaches(adj, p, c) }
-      .groupBy(_._1).map { case (c, ps) => c -> ps.map(_._2).min }
+      // code-point min ≡ the Spark min() the distributed DAG computes
+      .groupBy(_._1).map { case (c, ps) =>
+        c -> graft.model.CodePoint.min(ps.map(_._2)) }
 
     // ---- resolver + first-range helpers -----------------------------
     val resolver = ClassExprResolver.fromTriples(rows)
@@ -113,7 +123,8 @@ object SchemaExtract {
       .filter(r => r.p == RdfsRange && r.oKind != "literal")
       .groupBy(_.s)
       .map { case (s, rs) =>
-        val best = rs.minBy(r => (if (r.oKind == "uri") 0 else 1, r.o))
+        val best = rs.minBy(r => (if (r.oKind == "uri") 0 else 1, r.o))(
+          Ordering.Tuple2(Ordering.Int, graft.model.CodePoint.ordering))
         s -> (best.o, best.oKind)
       }
     def resolvedTargets(pred: String): Map[String, Seq[String]] = rows
@@ -133,7 +144,8 @@ object SchemaExtract {
     val rdfProps = typeSubjects(RdfProperty)
     val dataProps: Seq[String] = (owlData ++ rdfProps.filter(p =>
       firstRange.get(p).exists { case (o, k) =>
-        k == "uri" && TypeLattice.isXsd(o) })).distinct.sorted
+        k == "uri" && TypeLattice.isXsd(o) }))
+      .distinct.sorted(graft.model.CodePoint.ordering)
 
     // ---- value types + timeseries flags -----------------------------
     def valueTypeOf(p: String): String = firstRange.get(p) match {
@@ -143,7 +155,8 @@ object SchemaExtract {
     }
     val comments: Map[String, String] = rows
       .filter(r => r.p == RdfsComment && r.oKind == "literal")
-      .groupBy(_.s).map { case (s, rs) => s -> rs.map(_.o).min }
+      .groupBy(_.s).map { case (s, rs) =>
+        s -> graft.model.CodePoint.min(rs.map(_.o)) }
     def isTs(p: String): Boolean =
       comments.get(p).exists(_.toLowerCase(java.util.Locale.ROOT).contains("(timeseries)"))
 
@@ -164,16 +177,26 @@ object SchemaExtract {
         firstRange.get(p).exists { case (o, k) =>
           k == "uri" && !TypeLattice.isXsd(o) })
       .filterNot(assignedData.toSet)
-    val objProps: Seq[String] = (owlObj ++ entityRange).distinct.sorted
+    val objProps: Seq[String] = (owlObj ++ entityRange)
+      .distinct.sorted(graft.model.CodePoint.ordering)
 
     // ---- J3 usage inference — the one distributed stage -------------
+    // Membership against the (potentially tens-of-thousands-string)
+    // class/property sets goes through broadcast semi-joins, NOT
+    // `isin(...)`: an In expression with O(|schema|) literals makes
+    // Catalyst planning/codegen cost scale with the schema — near the
+    // CollectLimit cap that planning alone exceeds the distributed DAG
+    // this fused path replaces (round-5 advisor).
     val inferred: Map[(String, String), String] =
       if (objProps.isEmpty || classSet.isEmpty) Map.empty
       else {
-        val typeOf = t.filter(col("p") === RdfType &&
-            col("o").isin(classSet: _*))
+        val classDf = broadcast(classSet.toDF("k"))
+        val objPropsDf = broadcast(objProps.toDF("k"))
+        val typeOf = t.filter(col("p") === RdfType)
+          .join(classDf, col("o") === col("k"), "left_semi")
           .select(col("s").as("node"), col("o").as("cls"))
-        val usage = t.filter(col("p").isin(objProps: _*))
+        val usage = t
+          .join(objPropsDf, col("p") === col("k"), "left_semi")
           .select(col("p").as("propUri"), col("s"), col("o"), col("oKind"))
         val subj = usage.join(typeOf, col("s") === col("node"))
           .groupBy("propUri").agg(min(col("cls")).as("v"))

@@ -94,7 +94,10 @@ object IncrementalKg {
     * (`min` over indices ≡ `min` over `urn:ent:` URIs).
     */
   def fromPages(pages: DataFrame, gaz: Gazetteer): KgGraph = {
-    val sorted = gaz.entityList.sorted
+    // code-point sort (≡ Spark string order): index assignment must make
+    // `min over indices ≡ min over urn:ent: URIs` hold even for
+    // supplementary-plane entity names (round-5 advisor)
+    val sorted = gaz.entityList.sorted(graft.model.CodePoint.ordering)
     val dict = typedLit(sorted)
     def ent(c: org.apache.spark.sql.Column) =
       concat(lit("urn:ent:"), element_at(dict, c + 1))

@@ -53,20 +53,80 @@ object KgPipeline {
   private def done(out: String, phase: String): Boolean =
     Files.exists(Paths.get(phaseDir(out, phase), "_SUCCESS"))
 
-  /** Write a phase snapshot + lineage (per-partition counts). */
+  // ---- bucketed snapshot layout (round-4 verdict #6) -----------------
+  // The graph snapshots are the PROBE side of every future merge:
+  // components joins on `node`, canonical on `s`. Committing them
+  // bucketed by those keys makes the fallback sort-merge joins (batches
+  // too big for the broadcast guards) co-located on the corpus side — 0
+  // exchanges over the snapshot, only the ∝-batch side shuffles to the
+  // bucket layout (KgBucketedSnapshotSpec). Bucketed writes go through
+  // saveAsTable with an external LOCATION (Spark's bucket metadata lives
+  // in the catalog, not the files), and a resume in a fresh session
+  // re-registers the table from the on-disk schema.
+
+  private val BucketedPhases = Map("components" -> "node", "canonical" -> "s")
+
+  private def bucketedEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.bucketedSnapshots").forall(_.toBoolean)
+
+  private def snapshotBuckets(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.snapshotBuckets").map(_.toInt).getOrElse(8)
+
+  private def tableName(out: String, phase: String): String = {
+    val abs = Paths.get(out).toAbsolutePath.toString
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    s"graft_snap_${h}_$phase"
+  }
+
+  /** Read a phase, preferring the bucketed-table view when the phase has
+    * one (re-registering it if this session never wrote it — the resume
+    * path). Falls back to the plain parquet dir for pre-bucketing runs
+    * (their files lack bucket-id names, so claiming bucketing would be
+    * wrong — detected via the catalog, which only this writer populates).
+    */
+  private def load(spark: SparkSession, out: String, phase: String): DataFrame =
+    BucketedPhases.get(phase) match {
+      case Some(key) if bucketedEnabled(spark) =>
+        val name = tableName(out, phase)
+        val dir = phaseDir(out, phase)
+        if (!spark.catalog.tableExists(name) &&
+            Files.exists(Paths.get(dir, "_BUCKETED"))) {
+          val ddl = spark.read.parquet(dir).schema.toDDL
+          spark.sql(s"CREATE TABLE IF NOT EXISTS $name ($ddl) USING PARQUET " +
+            s"CLUSTERED BY ($key) SORTED BY ($key) " +
+            s"INTO ${snapshotBuckets(spark)} BUCKETS LOCATION '$dir'")
+        }
+        if (spark.catalog.tableExists(name)) spark.table(name)
+        else spark.read.parquet(dir)
+      case _ => spark.read.parquet(phaseDir(out, phase))
+    }
+
+  /** Write a phase snapshot + lineage (per-partition counts). Graph
+    * phases commit bucketed (see above).
+    */
   private def commit(df: DataFrame, out: String, phase: String): DataFrame = {
     val spark = df.sparkSession
     val dir = phaseDir(out, phase)
-    df.write.mode("overwrite").parquet(dir)
+    BucketedPhases.get(phase) match {
+      case Some(key) if bucketedEnabled(spark) =>
+        val name = tableName(out, phase)
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        df.write.bucketBy(snapshotBuckets(spark), key).sortBy(key)
+          .option("path", dir).mode("overwrite").saveAsTable(name)
+        // marker: files in this dir carry bucket-id names, so a fresh
+        // session may re-register the table (plain-parquet dirs must not)
+        Files.write(Paths.get(dir, "_BUCKETED"),
+          s"$key:${snapshotBuckets(spark)}".getBytes("UTF-8"))
+      case _ =>
+        df.write.mode("overwrite").parquet(dir)
+    }
     val lineage = spark.read.parquet(dir)
       .groupBy(spark_partition_id().as("partition"))
       .agg(count(lit(1)).as("rows"))
     lineage.coalesce(1).write.mode("overwrite").parquet(s"$out/lineage/phase=$phase")
-    spark.read.parquet(dir)
+    load(spark, out, phase)
   }
-
-  private def load(spark: SparkSession, out: String, phase: String): DataFrame =
-    spark.read.parquet(phaseDir(out, phase))
 
   // ---- delta snapshots (Iceberg MERGE INTO shape) --------------------
   // A merge output can materialize as (adds, removes, manifest→prev)
@@ -256,60 +316,75 @@ object KgPipeline {
             failAfterPhase: Option[String] = None): Result = {
     val batch = run(spark, sfDir, s"$outDir/batch", gazetteer, failAfterPhase)
     failpoint(failAfterPhase, "batch")
-    val (canonical, components) =
-      if (readManifest(outDir).isDefined)
-        (loadCanonical(spark, outDir), loadComponents(spark, outDir))
-      else if (done(outDir, "canonical"))
-        (load(spark, outDir, "canonical"), load(spark, outDir, "components"))
-      else {
-        // back-compat chains through loadComponents: manifest chain,
-        // committed snapshot, or in-memory rebuild from triples for
-        // pre-components layouts (never mutates prev)
-        val conf = spark.conf
-        val prevComps0 =
-          if (done(prevOut, "components") ||
-              readManifest(prevOut).isDefined) loadComponents(spark, prevOut)
-          else componentsFromTriples(load(spark, prevOut, "triples"))
-        // mergeParts consumes prev triples/components in several passes;
-        // over a manifest CHAIN each pass would re-execute the d-level
-        // anti-join/union resolution (the multi-consumer plan-blowup
-        // class). Materialize the resolved views once. On a real cluster
-        // with snapshot storage this is the snapshot read itself; a
-        // deployment that cannot cache the corpus disables it and pays
-        // plain storage re-scans (cacheResolvedPrev=false).
-        val cachePrev = conf.getOption("spark.graft.merge.cacheResolvedPrev")
-          .forall(_.toBoolean) && readManifest(prevOut).isDefined
-        val prevTriples0 = loadCanonical(spark, prevOut)
-        val (prevTriples, prevComps) =
-          if (cachePrev) (prevTriples0.localCheckpoint(),
-            prevComps0.localCheckpoint())
-          else (prevTriples0, prevComps0)
-        val parts = IncrementalKg.mergeParts(
-          KgGraph(prevTriples, prevComps),
-          KgGraph(batch.canonicalTriples, batch.components))
-        val useDelta = conf.getOption("spark.graft.merge.delta")
-          .forall(_.toBoolean)
-        val compactEvery = conf.getOption("spark.graft.merge.compactEvery")
-          .map(_.toInt).getOrElse(8)
-        if (useDelta && chainDepth(prevOut) + 1 < compactEvery) {
-          // delta commit: every write is ∝ batch. Manifest LAST = the
-          // commit point; a kill before it leaves `done` false and the
-          // merge recomputes idempotently.
-          commit(parts.delta, outDir, "canonical_adds")
-          commit(parts.rewrittenSource, outDir, "canonical_removes")
-          commit(parts.subMap, outDir, "components_adds")
-          commit(parts.touchedPrevLabels.withColumnRenamed("component",
-            "label"), outDir, "components_removed_labels")
-          writeManifest(outDir, prevOut, chainDepth(prevOut) + 1)
-          (loadCanonical(spark, outDir), loadComponents(spark, outDir))
-        } else {
-          // compaction (or delta disabled): full snapshot, chain reset
-          val comps = commit(parts.graph.components, outDir, "components")
-          (commit(parts.graph.triples, outDir, "canonical"), comps)
-        }
-      }
-    Result(batch.triples, canonical, batch.issues,
-      batch.invariantViolations, components)
+    commitMerge(spark, prevOut,
+      KgGraph(batch.canonicalTriples, batch.components), outDir)
+    Result(batch.triples, loadCanonical(spark, outDir), batch.issues,
+      batch.invariantViolations, loadComponents(spark, outDir))
+  }
+
+  /** Commit a full graph snapshot (components + canonical, bucketed) at
+    * `outDir` — the chain head for a first batch. Idempotent.
+    */
+  def commitGraph(graph: KgGraph, outDir: String): Unit =
+    if (!done(outDir, "canonical")) {
+      commit(graph.components, outDir, "components")
+      commit(graph.triples, outDir, "canonical")
+    }
+
+  /** Merge a batch GRAPH into the snapshot at `prevOut`, committing at
+    * `outDir` (delta writes + manifest, or a full compaction snapshot at
+    * the chain bound) — the commit protocol shared by [[merge]] and the
+    * per-micro-batch streaming ingestion
+    * ([[graft.streaming.KgStream]]). Idempotent: an already-committed
+    * `outDir` is left untouched, so a replayed micro-batch or resumed
+    * run cannot double-apply.
+    */
+  def commitMerge(spark: SparkSession, prevOut: String, batchGraph: KgGraph,
+                  outDir: String): Unit = {
+    if (readManifest(outDir).isDefined || done(outDir, "canonical")) return
+    // back-compat chains through loadComponents: manifest chain,
+    // committed snapshot, or in-memory rebuild from triples for
+    // pre-components layouts (never mutates prev)
+    val conf = spark.conf
+    val prevComps0 =
+      if (done(prevOut, "components") ||
+          readManifest(prevOut).isDefined) loadComponents(spark, prevOut)
+      else componentsFromTriples(load(spark, prevOut, "triples"))
+    // mergeParts consumes prev triples/components in several passes;
+    // over a manifest CHAIN each pass would re-execute the d-level
+    // anti-join/union resolution (the multi-consumer plan-blowup
+    // class). Materialize the resolved views once. On a real cluster
+    // with snapshot storage this is the snapshot read itself; a
+    // deployment that cannot cache the corpus disables it and pays
+    // plain storage re-scans (cacheResolvedPrev=false).
+    val cachePrev = conf.getOption("spark.graft.merge.cacheResolvedPrev")
+      .forall(_.toBoolean) && readManifest(prevOut).isDefined
+    val prevTriples0 = loadCanonical(spark, prevOut)
+    val (prevTriples, prevComps) =
+      if (cachePrev) (prevTriples0.localCheckpoint(),
+        prevComps0.localCheckpoint())
+      else (prevTriples0, prevComps0)
+    val parts = IncrementalKg.mergeParts(
+      KgGraph(prevTriples, prevComps), batchGraph)
+    val useDelta = conf.getOption("spark.graft.merge.delta")
+      .forall(_.toBoolean)
+    val compactEvery = conf.getOption("spark.graft.merge.compactEvery")
+      .map(_.toInt).getOrElse(8)
+    if (useDelta && chainDepth(prevOut) + 1 < compactEvery) {
+      // delta commit: every write is ∝ batch. Manifest LAST = the
+      // commit point; a kill before it leaves `done` false and the
+      // merge recomputes idempotently.
+      commit(parts.delta, outDir, "canonical_adds")
+      commit(parts.rewrittenSource, outDir, "canonical_removes")
+      commit(parts.subMap, outDir, "components_adds")
+      commit(parts.touchedPrevLabels.withColumnRenamed("component",
+        "label"), outDir, "components_removed_labels")
+      writeManifest(outDir, prevOut, chainDepth(prevOut) + 1)
+    } else {
+      // compaction (or delta disabled): full snapshot, chain reset
+      commit(parts.graph.components, outDir, "components")
+      commit(parts.graph.triples, outDir, "canonical")
+    }
   }
 
   private def failpoint(failAfter: Option[String], phase: String): Unit =

@@ -65,6 +65,34 @@ object DataQueries {
       .select(col("a"), col("b"), col("jaccard"))
       .orderBy("a", "b")
 
+  /** Line-bearing corpus for the C4-style line dedup tier: the flat
+    * synthetic texts are re-wrapped into 10-token lines, and every 7th
+    * doc gets a boilerplate first line — the cross-document repeated-line
+    * structure (nav chrome / banners) the tier exists to remove. Both
+    * engines build the identical corpus.
+    */
+  private val BoilerplateLine = "subscribe to our newsletter for updates"
+  private[graft] def linesCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val nChunks = ceil(size(toks) / lit(10.0)).cast("int")
+    val body = array_join(transform(sequence(lit(0), nChunks - 1),
+      j => array_join(slice(toks, j * 10 + 1, lit(10)), " ")), "\n")
+    val withBp = when(col("doc_id") % 7 === 0,
+      concat(lit(BoilerplateLine + "\n"), body)).otherwise(body)
+    docs.select(col("doc_id"), withBp.as("text"))
+  }
+
+  /** Line-level exact dedup (drop lines in ≥2 distinct docs, reassemble).
+    * ORACLED: DuckDB replays the corpus construction, groups lines by
+    * their TEXT (the engine keys on xxhash64 — identical result modulo a
+    * 64-bit collision), and reassembles with string_agg ORDER BY pos.
+    */
+  def ddLines(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupLines(linesCorpus(spark, dir), minDocs = 2)
+      .orderBy("doc_id")
+
   /** SimHash fingerprints + per-lang collision stats (hamming-0 pairs are
     * exact-text or near-exact duplicates).
     */
@@ -242,6 +270,19 @@ object DataQueries {
         length(col("media")).cast("long").as("n_bytes"))
       .orderBy("doc_id")
 
+  /** Perceptual image hashes (dHash + aHash over decoded pixels) for the
+    * media table's BMP/PNG rows. ORACLED: the pixel payloads are the
+    * deterministic (x+y) mod 251 gradient, so DuckDB recomputes both
+    * 64-bit hashes from doc_id alone via the container specs (BMP rows
+    * are stored bottom-up — visual row y reads gradient offset h-1-y;
+    * PNG rows are top-down), proving the decode → grid-sample → hash
+    * path end-to-end. Near-dup mining over these hashes reuses the
+    * SimHash hamming pigeonhole (MultimodalSpec plants resized twins).
+    */
+  def mmPhash(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.perceptualHashes(media(spark, dir))
+      .orderBy("doc_id")
+
   /** Multimodal: frame sampling plumbing (video rows, stride 7). */
   def mmFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.frameSample(media(spark, dir), stride = 7)
@@ -252,6 +293,7 @@ object DataQueries {
     "dd_exact" -> ddExact,
     "dd_exact_clusters" -> ddExactClusters,
     "dd_jaccard" -> ddJaccard,
+    "dd_lines" -> ddLines,
     "dd_minhash" -> ddMinhash,
     "dd_simhash" -> ddSimhash,
     "dd_embed" -> ddEmbed,
@@ -265,7 +307,8 @@ object DataQueries {
     "txt_fingerprint" -> txtFingerprint,
     "mm_meta" -> mmMeta,
     "mm_resize" -> mmResize,
-    "mm_frames" -> mmFrames
+    "mm_frames" -> mmFrames,
+    "mm_phash" -> mmPhash
   )
 
   // ---- FNV-1a in DuckDB SQL -------------------------------------------
@@ -552,6 +595,38 @@ object DataQueries {
         |JOIN sizes sb ON p.b = sb.doc_id
         |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.8
         |ORDER BY a, b""".stripMargin,
+    "dd_lines" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |body AS (
+         |  SELECT doc_id, array_to_string(list_transform(
+         |    generate_series(0, CAST(ceil(len(w) / 10.0) AS INTEGER) - 1),
+         |    j -> array_to_string(list_slice(w, j * 10 + 1, j * 10 + 10), ' ')),
+         |    chr(10)) AS t
+         |  FROM toks),
+         |corpus AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+         |    THEN '$BoilerplateLine' || chr(10) || t ELSE t END AS text
+         |  FROM body),
+         |ls AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM corpus),
+         |lines AS (
+         |  SELECT doc_id, a[i] AS line, i AS pos
+         |  FROM ls, unnest(generate_series(1, len(a))) t(i)),
+         |hot AS (
+         |  SELECT line FROM lines GROUP BY line
+         |  HAVING COUNT(DISTINCT doc_id) >= 2),
+         |kept AS (
+         |  SELECT * FROM lines WHERE line NOT IN (SELECT line FROM hot)),
+         |agg AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |    string_agg(line, chr(10) ORDER BY pos) AS text
+         |  FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id, CAST(len(a) AS BIGINT) AS n_lines FROM ls)
+         |SELECT t.doc_id, COALESCE(a.n_kept, 0) AS n_kept,
+         |  t.n_lines - COALESCE(a.n_kept, 0) AS n_dropped,
+         |  COALESCE(a.text, '') AS text
+         |FROM tot t LEFT JOIN agg a USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
     "dd_minhash" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
@@ -703,6 +778,53 @@ object DataQueries {
         |         + f * (6 + w2 * h2 * 3)
         |  END AS BIGINT) AS n_bytes
         |FROM r ORDER BY doc_id""".stripMargin,
+    // dHash/aHash replayed from the gradient payload: BMP rows store
+    // bottom-up (visual row y = gradient offset h-1-y), PNG top-down;
+    // gray = ((b)%251+(b+1)%251+(b+2)%251)//3 at grid sample points,
+    // signed-64 reassembly as in dd_simhash
+    "mm_phash" ->
+      """WITH RECURSIVE pow2(i, v) AS (
+        |  SELECT 0, CAST(1 AS HUGEINT)
+        |  UNION ALL SELECT i + 1, v * 2 FROM pow2 WHERE i < 63),
+        |m AS (
+        |  SELECT doc_id, CAST(64 + doc_id % 64 AS INTEGER) AS w,
+        |    CAST(64 + (doc_id // 2) % 64 AS INTEGER) AS h,
+        |    (doc_id % 6 = 0) AS is_png
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |grid AS (SELECT gy, gx FROM unnest(generate_series(0, 7)) t1(gy),
+        |                            unnest(generate_series(0, 8)) t2(gx)),
+        |gp AS (
+        |  SELECT m.doc_id, grid.gy, grid.gx,
+        |    3 * (grid.gx * m.w // 9) AS bx,
+        |    CASE WHEN m.is_png THEN grid.gy * m.h // 8
+        |         ELSE m.h - 1 - (grid.gy * m.h // 8) END AS py
+        |  FROM m CROSS JOIN grid),
+        |g AS (
+        |  SELECT doc_id, gy, gx,
+        |    (((bx + py) % 251 + (bx + py + 1) % 251 + (bx + py + 2) % 251) // 3) AS gray
+        |  FROM gp),
+        |d AS (
+        |  SELECT a.doc_id, a.gy * 8 + a.gx AS bit, (b.gray > a.gray) AS flag
+        |  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.gy = a.gy
+        |    AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |mu AS (SELECT doc_id, SUM(gray) // 64 AS mu FROM g WHERE gx < 8 GROUP BY doc_id),
+        |ab AS (
+        |  SELECT g.doc_id, g.gy * 8 + g.gx AS bit, (g.gray > mu.mu) AS flag
+        |  FROM g JOIN mu USING (doc_id) WHERE g.gx < 8),
+        |dh AS (
+        |  SELECT d.doc_id, CAST(SUM(CASE WHEN flag THEN
+        |      CASE WHEN bit = 63 THEN CAST('-9223372036854775808' AS BIGINT)
+        |           ELSE CAST(p.v AS BIGINT) END ELSE 0 END) AS BIGINT) AS dhash
+        |  FROM d JOIN pow2 p ON p.i = d.bit GROUP BY d.doc_id),
+        |ah AS (
+        |  SELECT ab.doc_id, CAST(SUM(CASE WHEN flag THEN
+        |      CASE WHEN bit = 63 THEN CAST('-9223372036854775808' AS BIGINT)
+        |           ELSE CAST(p.v AS BIGINT) END ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM ab JOIN pow2 p ON p.i = ab.bit GROUP BY ab.doc_id)
+        |SELECT m.doc_id, dh.dhash, ah.ahash
+        |FROM m JOIN dh ON dh.doc_id = m.doc_id JOIN ah ON ah.doc_id = m.doc_id
+        |ORDER BY m.doc_id""".stripMargin,
     "mm_frames" ->
       """WITH m AS (
         |  SELECT doc_id, CAST(1 + doc_id % 30 AS INTEGER) AS n_frames

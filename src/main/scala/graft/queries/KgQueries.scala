@@ -37,7 +37,7 @@ object KgQueries {
         graft.extract.ExtractMainText(col("html")).as("extracted"))
       .orderBy(col("doc_id"))
 
-  private lazy val gazSorted = gaz.sorted
+  private lazy val gazSorted = gaz.sorted(graft.model.CodePoint.ordering)
   private def entCol(c: org.apache.spark.sql.Column) =
     concat(lit("urn:ent:"), element_at(typedLit(gazSorted), c + 1))
 

@@ -162,12 +162,21 @@ object Resilience {
     * multiplicative hash of the attempt index — rerun-stable, per the
     * pipeline checkpoint contract):
     * delay(k) = min(cap, base·2^k) · (1 + jitter(k)), jitter ∈ [0, 0.25).
+    *
+    * `jitterSeed` decorrelates CONCURRENT writers (round-5 advisor: a
+    * pure function of the attempt index puts every executor's retries in
+    * lockstep — zero thundering-herd protection, jitter's whole job).
+    * Callers pass a per-writer identity (partition id, task attempt id);
+    * the schedule stays deterministic PER WRITER for rerun-stability,
+    * and seed 0 reproduces the historical schedule exactly.
     */
   def backoffSeconds(attempt: Int, baseSeconds: Double = 1.0,
-                     capSeconds: Double = 30.0): Double = {
+                     capSeconds: Double = 30.0, jitterSeed: Long = 0L): Double = {
     require(attempt >= 0)
     val raw = math.min(capSeconds, baseSeconds * math.pow(2.0, attempt))
-    val jitter = ((attempt * 2654435761L) % 1000) / 4000.0 // [0, 0.25)
+    val decorrelate = jitterSeed * 0x9E3779B97F4A7C15L // 0 for seed 0
+    val jitter =
+      Math.floorMod((attempt * 2654435761L) ^ decorrelate, 1000L) / 4000.0
     raw * (1.0 + jitter)
   }
 
@@ -181,7 +190,8 @@ object Resilience {
                      breaker: Option[CircuitBreaker] = None,
                      isRetryable: Throwable => Boolean = _ => true,
                      sleep: Double => Unit = s =>
-                       Thread.sleep((s * 1000).toLong))(f: => A): A = {
+                       Thread.sleep((s * 1000).toLong),
+                     jitterSeed: Long = 0L)(f: => A): A = {
     require(maxAttempts >= 1)
     var attempt = 0
     while (true) {
@@ -192,7 +202,7 @@ object Resilience {
         case scala.util.control.NonFatal(e) =>
           attempt += 1
           if (attempt >= maxAttempts || !isRetryable(e)) throw e
-          sleep(backoffSeconds(attempt - 1))
+          sleep(backoffSeconds(attempt - 1, jitterSeed = jitterSeed))
       }
     }
     throw new IllegalStateException("unreachable")

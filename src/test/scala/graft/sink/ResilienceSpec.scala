@@ -136,6 +136,23 @@ class ResilienceSpec extends AnyFunSuite {
     assert(d == (0 to 6).map(backoffSeconds(_))) // rerun-stable
   }
 
+  test("backoff: per-writer seeds decorrelate schedules, stay deterministic") {
+    def schedule(seed: Long) = (0 to 6).map(backoffSeconds(_, jitterSeed = seed))
+    // deterministic per writer (rerun-stable for checkpoint replay)
+    assert(schedule(7L) == schedule(7L))
+    // distinct writers must NOT retry in lockstep (the thundering-herd
+    // decorrelation jitter exists for) — schedules differ pairwise
+    val seeds = (0L until 16L).map(schedule)
+    assert(seeds.distinct.size == seeds.size,
+      "concurrent writers computed identical delay schedules")
+    // jitter bounds hold for every seed
+    for (s <- 0L until 16L; k <- 0 to 6) {
+      val raw = math.min(30.0, math.pow(2.0, k))
+      val v = backoffSeconds(k, jitterSeed = s)
+      assert(v >= raw && v < raw * 1.25)
+    }
+  }
+
   test("withRetries: retries retryable failures, honors breaker, propagates") {
     var calls = 0
     var slept = List.empty[Double]
