@@ -51,7 +51,7 @@ object StressBench {
     val out = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT", "/tmp/graft_stress")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sections = sys.env.getOrElse("SPARK_GRAFT_STRESS_SECTIONS",
-      "cc,dd,kg,inc,ivf").split(",").map(_.trim).toSet
+      "cc,dd,kg,inc,ivf,ivfpq,skew,lines").split(",").map(_.trim).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -192,6 +192,109 @@ object StressBench {
         recallOf(Similarity.ivfTopKTrained(emb, qPred, cPred, 5,
           nProbe = 4, iters = 5)))
       frags += s""""ivf":{"C":$c,"nProbe":4,"k":5,"sampled_recall":$sampledRecall,"trained_recall":$trainedRecall,"sampled_sec":$sampledSec,"trained_plus_train_sec":$trainedSec}"""
+    }
+
+    // ---- IVF-PQ vs IVF-Flat at equal probes (round-5 #7) ----------------
+    if (sections("ivfpq")) {
+      import graft.ann.Similarity
+      val emb = spark.read.parquet(s"$base/embeddings.parquet").localCheckpoint()
+      val dim = emb.select(size(col("embedding"))).head.getInt(0)
+      val qPred = col("vec_id") % 101 === 0
+      val cPred = col("vec_id") % 31 === 5
+      val truth = Similarity.bruteForceTopK(emb, qPred, 5)
+        .select("query_id", "cand_id").localCheckpoint()
+      val nTruth = truth.count()
+      def recallOf(df: DataFrame): Double =
+        truth.join(df.select("query_id", "cand_id"),
+          Seq("query_id", "cand_id"), "left_semi").count().toDouble / nTruth
+      val spark2 = spark
+      import spark2.implicits._
+      val cents = emb.filter(cPred).select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect()
+        .map { case (id, v) => (id, v.toArray) }.sortBy(_._1)
+      val (flatRecall, flatSec) = time(
+        recallOf(Similarity.ivfTopKWithCodebook(emb, qPred, cents, 5, 4)))
+      val (pq, trainSec) = time(Similarity.trainPq(emb,
+        col("vec_id") % 197 === 0, m = 8, ksub = 256, iters = 3))
+      val (pqRecall, pqSec) = time(recallOf(
+        Similarity.ivfPqTopK(emb, qPred, cents, pq, 5, nProbe = 4,
+          rerank = 32)))
+      // bytes per corpus vector in the probe scan: m one-byte codes vs
+      // dim 4-byte floats
+      frags += s""""ivfpq":{"C":${cents.length},"nProbe":4,"k":5,"m":${pq.m},"ksub":${pq.ksub},"flat_recall":$flatRecall,"pq_recall":$pqRecall,"flat_sec":$flatSec,"pq_sec":$pqSec,"pq_train_sec":$trainSec,"scan_bytes_per_vec_flat":${dim * 4},"scan_bytes_per_vec_pq":${pq.m},"compression":${dim * 4.0 / pq.m}}"""
+    }
+
+    // ---- power-law CC skew: hub entity in 50% of edges (round-5 #10) ----
+    if (sections("skew")) {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+      val maxRead = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            maxRead.accumulateAndGet(
+              t.taskMetrics.shuffleReadMetrics.totalBytesRead, Math.max)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val K = 500000L
+      def ent(c: org.apache.spark.sql.Column) =
+        concat(lit("e"), lpad(c.cast("string"), 7, "0"))
+      val ids = spark.range(1000000).toDF("id")
+      // half the edges touch the hub e0000000 (an entity co-mentioned in
+      // 50% of documents); the rest follow a scattered tail
+      val edges = ids.filter(col("id") % 2 === 0)
+          .select(lit("e0000000").as("a"),
+            ent((col("id") / 2).cast("long") % (K - 1) + 1).as("b"))
+        .union(ids.filter(col("id") % 2 === 1)
+          .select(ent(col("id") % (K - 1) + 1).as("a"),
+            ent((col("id") * 7919) % (K - 1) + 1).as("b")))
+        .localCheckpoint()
+      val nEdges = edges.count()
+      val hubDeg = edges.filter(col("a") === "e0000000" ||
+        col("b") === "e0000000").count()
+      def runCc(guard: Boolean): (Int, Long, Long, Double) = {
+        val keys = Seq("spark.sql.adaptive.enabled",
+          "spark.sql.adaptive.skewJoin.enabled",
+          "spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold")
+        val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+        if (!guard) keys.foreach { k =>
+          spark.conf.set(k, if (k.contains("Threshold")) "-1" else "false")
+        }
+        try {
+          maxRead.set(0)
+          val ((comp, rounds), secs) = time {
+            val (c, r) = ConnectedComponents.runWithRounds(edges)
+            (c.localCheckpoint(), r)
+          }
+          (rounds, comp.count(), maxRead.get(), secs)
+        } finally saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+      }
+      val (rG, nG, mG, sG) = runCc(guard = true)
+      val (rU, nU, mU, sU) = runCc(guard = false)
+      spark.sparkContext.removeSparkListener(listener)
+      frags += s""""skew_cc":{"edges":$nEdges,"hub_degree":$hubDeg,"nodes":$nG,"guarded":{"rounds":$rG,"max_task_shuffle_read":$mG,"sec":$sG},"unguarded":{"rounds":$rU,"nodes":$nU,"max_task_shuffle_read":$mU,"sec":$sU}}"""
+    }
+
+    // ---- line dedup: removed lines ∝ corpus (round-5 #3) ----------------
+    if (sections("lines")) {
+      def lineStats(dir: String): (Long, Long, Double) = {
+        val ((kept, dropped), secs) = time {
+          val r = graft.queries.DataQueries.ddLines(spark, dir)
+            .agg(sum("n_kept"), sum("n_dropped")).head
+          (r.getLong(0), r.getLong(1))
+        }
+        (kept, dropped, secs)
+      }
+      val (k1, d1, s1) = lineStats(base)
+      if (sections("dd")) {
+        val (kN, dN, sN) = lineStats(s"$out/dd")
+        frags += s""""lines_1x":{"kept":$k1,"dropped":$d1,"sec":$s1}"""
+        frags += s""""lines_Nx":{"kept":$kN,"dropped":$dN,"sec":$sN}"""
+      } else
+        frags += s""""lines_1x":{"kept":$k1,"dropped":$d1,"sec":$s1}"""
     }
 
     // ---- incremental merge: wall ∝ batch, not corpus --------------------
