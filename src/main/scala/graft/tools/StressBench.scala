@@ -215,7 +215,7 @@ object StressBench {
       val (flatRecall, flatSec) = time(
         recallOf(Similarity.ivfTopKWithCodebook(emb, qPred, cents, 5, 4)))
       val (pq, trainSec) = time(Similarity.trainPq(emb,
-        col("vec_id") % 197 === 0, m = 8, ksub = 256, iters = 3))
+        col("vec_id") % 8 === 1, m = 8, ksub = 256, iters = 3))
       val (pqRecall, pqSec) = time(recallOf(
         Similarity.ivfPqTopK(emb, qPred, cents, pq, 5, nProbe = 4,
           rerank = 32)))
