@@ -211,6 +211,44 @@ object Main {
         }
       stopOwned(spark)
 
+    // streaming incremental KG over a directory of page-batch parquet
+    // files: each file becomes a micro-batch delta merge (manifest chain
+    // + HEAD commit log; re-running with the same checkpoint resumes)
+    case "kg-stream" :: srcDir :: outDir :: ckptDir :: Nil =>
+      val spark = session()
+      val schema = spark.read.parquet(srcDir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.KgStream.start(stream,
+        graft.extract.Gazetteer(graft.extract.Gazetteer.DefaultEntities),
+        outDir, ckptDir)
+      q.processAllAvailable(); q.stop()
+      val n = graft.streaming.KgStream.canonical(spark, outDir).count()
+      println(s"kg stream: head=${graft.streaming.KgStream.readHead(outDir)
+        .getOrElse("none")} triples=$n")
+      stopOwned(spark)
+
+    // line-level dedup report over the documents table (round 5)
+    case "lines" :: sfDir :: Nil =>
+      val spark = session()
+      val s = graft.queries.DataQueries.ddLines(spark, sfDir)
+        .agg(org.apache.spark.sql.functions.sum("n_kept"),
+          org.apache.spark.sql.functions.sum("n_dropped")).head
+      println(s"line dedup: kept=${s.getLong(0)} dropped=${s.getLong(1)}")
+      stopOwned(spark)
+
+    // perceptual image near-dup pairs over the media table (round 5)
+    case "phash" :: sfDir :: maxDist :: Nil =>
+      val spark = session()
+      import org.apache.spark.sql.functions.col
+      val hashes = graft.multimodal.Multimodal.perceptualHashes(
+        graft.multimodal.Multimodal.mediaTable(spark, sfDir))
+      val pairs = graft.dedup.Dedup.simHashPairsFromSims(
+        hashes.select(col("doc_id"), col("dhash").as("sim")),
+        maxDist = maxDist.toInt)
+      println(s"phash near-dup pairs (hamming<=$maxDist): ${pairs.count()}")
+      stopOwned(spark)
+
     case other =>
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
@@ -218,7 +256,9 @@ object Main {
            |       export <in.json> <out.nt> | compare <a.ttl> <b.ttl> |
            |       test <in.ttl> | kg <sfDir> <outDir> |
            |       kg-merge <prevOut> <sfDir> <outDir> |
-           |       curate <sfDir> | search <sfDir> <vecId> <k>""".stripMargin)
+           |       kg-stream <srcDir> <outDir> <ckptDir> |
+           |       curate <sfDir> | lines <sfDir> | phash <sfDir> <maxDist> |
+           |       search <sfDir> <vecId> <k>""".stripMargin)
       sys.exit(2)
   }
 }

@@ -90,12 +90,18 @@ object KgPipeline {
       case Some(key) if bucketedEnabled(spark) =>
         val name = tableName(out, phase)
         val dir = phaseDir(out, phase)
-        if (!spark.catalog.tableExists(name) &&
-            Files.exists(Paths.get(dir, "_BUCKETED"))) {
+        val marker = Paths.get(dir, "_BUCKETED")
+        if (!spark.catalog.tableExists(name) && Files.exists(marker)) {
+          // the marker records the layout the files were WRITTEN with —
+          // registration must use it, not the current session conf (a
+          // changed bucket-count conf would otherwise claim a layout the
+          // file names don't have, silently mis-joining)
+          val Array(writtenKey, writtenBuckets) =
+            new String(Files.readAllBytes(marker), "UTF-8").trim.split(":")
           val ddl = spark.read.parquet(dir).schema.toDDL
           spark.sql(s"CREATE TABLE IF NOT EXISTS $name ($ddl) USING PARQUET " +
-            s"CLUSTERED BY ($key) SORTED BY ($key) " +
-            s"INTO ${snapshotBuckets(spark)} BUCKETS LOCATION '$dir'")
+            s"CLUSTERED BY ($writtenKey) SORTED BY ($writtenKey) " +
+            s"INTO ${writtenBuckets.toInt} BUCKETS LOCATION '$dir'")
         }
         if (spark.catalog.tableExists(name)) spark.table(name)
         else spark.read.parquet(dir)

@@ -73,6 +73,37 @@ class KgBucketedSnapshotSpec extends SparkSpec {
     }
   }
 
+  test("re-registration uses the WRITTEN bucket layout, not the session conf") {
+    val out = Files.createTempDirectory("kgbucketconf").toString
+    KgPipeline.run(spark, "/root/testdata/sf0.001", out)
+    val full = KgPipeline.loadCanonical(spark, out)
+      .collect().map(_.toString).sorted.toSeq
+    // drop the tables, then change the bucket-count conf: the marker
+    // (written layout) must win at re-registration — claiming the new
+    // conf's layout over old file names would silently mis-join
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_snap_"))
+      .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+    val saved = spark.conf.getOption("spark.graft.snapshotBuckets")
+    spark.conf.set("spark.graft.snapshotBuckets", "3")
+    try {
+      val again = KgPipeline.loadCanonical(spark, out)
+      assert(again.collect().map(_.toString).sorted.toSeq == full.toSeq)
+      val reg = spark.catalog.listTables().collect()
+        .filter(_.name.startsWith("graft_snap_")).map(_.name)
+        .find(_.endsWith("_canonical")).get
+      val buckets = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(reg))
+        .bucketSpec.get.numBuckets
+      assert(buckets == 8, s"must register the written layout, got $buckets")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.graft.snapshotBuckets", v)
+        case None => spark.conf.unset("spark.graft.snapshotBuckets")
+      }
+    }
+  }
+
   test("bucketed snapshots resume in a catalog-less state (re-registration)") {
     val out = Files.createTempDirectory("kgbucketedresume").toString
     KgPipeline.run(spark, "/root/testdata/sf0.001", out)
