@@ -367,11 +367,18 @@ object Dedup {
       .select(col(idCol), posexplode(split(col(textCol), "\n")))
       .toDF(idCol, "pos", "line")
       .withColumn("h", xxhash64(col("line")))
+    // hot set is ∝ repeated lines — usually tiny, but a boilerplate-heavy
+    // corpus can make it arbitrarily large: broadcast only under a row
+    // guard (an unconditional broadcast hint would OOM the driver at
+    // 100 TB), else fall back to a shuffled anti-join and let AQE plan it
     val hot = lines.groupBy("h")
       .agg(countDistinct(col(idCol)).as("nd"))
       .filter(col("nd") >= minDocs)
       .select("h")
-    val kept = lines.join(broadcast(hot), Seq("h"), "left_anti")
+      .localCheckpoint()
+    val hotSide =
+      if (hot.count() <= 4000000L) broadcast(hot) else hot
+    val kept = lines.join(hotSide, Seq("h"), "left_anti")
     val reassembled = kept.groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_kept"),

@@ -55,7 +55,13 @@ object KgStream {
     val spark = pages.sparkSession
     val dir = s"$outDir/m$batchId"
     val head = readHead(outDir)
-    if (head.contains(dir)) return // replayed tail batch: committed
+    // HEAD is monotone: a batch at or below the committed head is a
+    // replay (Structured Streaming re-delivers the last unsealed batch)
+    // OR a rerun against a stale checkpoint — either way committing it
+    // again must not rewind the chain past already-merged batches
+    val headBatch = head.flatMap(h =>
+      "m(\\d+)$".r.findFirstMatchIn(h).map(_.group(1).toLong))
+    if (headBatch.exists(_ >= batchId)) return
     val docs = pages.select(col("doc_id"),
       graft.extract.ExtractMainText(col("html")).as("text"))
     if (docs.isEmpty) return

@@ -36,6 +36,10 @@ class KgStreamSpec extends SparkSpec {
     val headBefore = KgStream.readHead(out)
     KgStream.mergeBatch(pages.filter(col("doc_id") % 3 === 2), gaz, out, 2L)
     assert(KgStream.readHead(out) == headBefore)
+    // HEAD is monotone: re-delivering an OLDER batch (stale checkpoint /
+    // manual rerun) must not rewind the chain either
+    KgStream.mergeBatch(pages.filter(col("doc_id") % 3 === 0), gaz, out, 0L)
+    assert(KgStream.readHead(out) == headBefore)
     assert(KgStream.canonical(spark, out)
       .collect().map(_.toString).sorted.toSeq == streamed)
   }
