@@ -503,6 +503,12 @@ object Similarity {
     * cosine rerank of the top `rerank` survivors from full vectors. The
     * probe scan touches only (cent_id, cand_id, m codes) rows — the
     * corpus float payload is read for |Q|·rerank rows, not per candidate.
+    *
+    * Query-batch contract: like [[bruteForceTopK]]'s scan, the QUERY set
+    * is collected and broadcast (ADC tables are per-query lookup arrays
+    * built on the executors), so `queryPred` must select a bounded batch
+    * — the CORPUS side is what scales to 10^9+. A corpus-scale
+    * "all-pairs" workload belongs to [[embeddingNearDupPairs]].
     */
   def ivfPqTopK(emb: DataFrame, queryPred: Column,
                 cents: Array[(Long, Array[Float])], pq: PqCodebook,

@@ -239,6 +239,13 @@ object Main {
 
     // perceptual image near-dup pairs over the media table (round 5)
     case "phash" :: sfDir :: maxDist :: Nil =>
+      // the 16-bit-chunk pigeonhole guarantees recall only for hamming
+      // <= 3 (4 chunks); a larger bound would silently under-report
+      if (maxDist.toInt > 3) {
+        System.err.println(
+          s"phash: maxDist ${maxDist} exceeds the pigeonhole recall bound (3)")
+        sys.exit(2)
+      }
       val spark = session()
       import org.apache.spark.sql.functions.col
       val hashes = graft.multimodal.Multimodal.perceptualHashes(

@@ -63,7 +63,8 @@ object Dedup {
                 textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val words = split(t, " ")
-    val chars = filter(split(regexp_replace(t, "\\s+", ""), ""),
+    val chars = filter(split(regexp_replace(t,
+        graft.text.TextAnalysis.WhitespaceClass + "+", ""), ""),
       c => length(c) > 0)
     docs.select(col(idCol),
       array_sort(array_distinct(when(isCjkCol(t), chars).otherwise(words)))
@@ -120,7 +121,8 @@ object Dedup {
     // existing corpora/oracles are untouched.
     val t = col("text")
     val wordHashes = transform(split(t, " "), w => xxhash64(w))
-    val squeezed = regexp_replace(t, "\\s+", "")
+    val squeezed = regexp_replace(t,
+      graft.text.TextAnalysis.WhitespaceClass + "+", "")
     val charBigramHashes = when(length(squeezed) < 2,
         array(xxhash64(squeezed)))
       .otherwise(transform(sequence(lit(1), length(squeezed) - 1),
@@ -168,10 +170,25 @@ object Dedup {
 
   /** Character n-gram shingles over the whitespace-squeezed text (the CJK
     * route: characters are the token unit for unspaced scripts).
+    * Windows are CODE POINTS, matching the Column tier's substr/length
+    * semantics — UTF-16-unit sliding would split supplementary-plane
+    * surrogate pairs and diverge from the relational path (round-5
+    * review). Squeeze uses the shared Unicode White_Space class.
     */
   def charShingles(text: String, n: Int): Set[String] = {
-    val s = text.replaceAll("\\s+", "")
-    if (s.length < n) Set(s) else s.sliding(n).toSet
+    val cps = {
+      val b = Array.newBuilder[Int]
+      var i = 0
+      while (i < text.length) {
+        val cp = text.codePointAt(i)
+        if (!graft.text.TextAnalysis.isWhitespaceCp(cp)) b += cp
+        i += Character.charCount(cp)
+      }
+      b.result()
+    }
+    if (cps.length < n) Set(new String(cps, 0, cps.length))
+    else (0 to cps.length - n).iterator
+      .map(i => new String(cps, i, n)).toSet
   }
 
   /** Shingle set with content-based routing: word n-grams for
@@ -350,6 +367,11 @@ object Dedup {
     * whose lines are all boilerplate survive with empty text (the
     * downstream quality gate drops them — stage separation kept).
     *
+    * BLANK lines are exempt: a paragraph separator shared by two docs is
+    * structure, not boilerplate — dropping it would strip every
+    * paragraph break in the corpus (C4/RefinedWeb exclude trivial lines
+    * for the same reason; round-5 review).
+    *
     * Scale shape: the hot-line table is found from narrow
     * `(xxhash64(line), doc_id)` rows — map-side combined count-distinct,
     * never the line text — and is ∝ REPEATED lines (boilerplate), a tiny
@@ -371,7 +393,8 @@ object Dedup {
     // corpus can make it arbitrarily large: broadcast only under a row
     // guard (an unconditional broadcast hint would OOM the driver at
     // 100 TB), else fall back to a shuffled anti-join and let AQE plan it
-    val hot = lines.groupBy("h")
+    val hot = lines.filter(trim(col("line")) =!= "")
+      .groupBy("h")
       .agg(countDistinct(col(idCol)).as("nd"))
       .filter(col("nd") >= minDocs)
       .select("h")

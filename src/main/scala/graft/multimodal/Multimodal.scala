@@ -714,9 +714,13 @@ object Multimodal {
         batch.flatMap { case (id, bytes) =>
           decode(bytes).map { m =>
             val longest = math.max(m.width, m.height)
+            // clamp to >=1: extreme aspect ratios (200x1 at maxSide 100)
+            // floor the short side to 0, which no raster container can
+            // encode (round-5 review — the resample path crashed there)
             val (w2, h2) =
               if (longest <= maxSide) (m.width, m.height)
-              else (m.width * maxSide / longest, m.height * maxSide / longest)
+              else (math.max(1, m.width * maxSide / longest),
+                math.max(1, m.height * maxSide / longest))
             val resized = m.copy(width = w2, height = h2)
             val out =
               if ((w2, h2) == (m.width, m.height)) bytes

@@ -72,6 +72,18 @@ object KgPipeline {
   private def snapshotBuckets(spark: SparkSession): Int =
     spark.conf.getOption("spark.graft.snapshotBuckets").map(_.toInt).getOrElse(8)
 
+  /** Parse a `_BUCKETED` marker ("key:count") defensively: None for a
+    * missing, torn or malformed marker. */
+  private def readBucketMarker(dir: String): Option[(String, Int)] = {
+    val marker = Paths.get(dir, "_BUCKETED")
+    if (!Files.exists(marker)) None
+    else new String(Files.readAllBytes(marker), "UTF-8").trim.split(":") match {
+      case Array(k, n) if k.nonEmpty && n.forall(_.isDigit) && n.nonEmpty =>
+        Some((k, n.toInt))
+      case _ => None
+    }
+  }
+
   private def tableName(out: String, phase: String): String = {
     val abs = Paths.get(out).toAbsolutePath.toString
     val h = java.security.MessageDigest.getInstance("MD5")
@@ -90,18 +102,20 @@ object KgPipeline {
       case Some(key) if bucketedEnabled(spark) =>
         val name = tableName(out, phase)
         val dir = phaseDir(out, phase)
-        val marker = Paths.get(dir, "_BUCKETED")
-        if (!spark.catalog.tableExists(name) && Files.exists(marker)) {
-          // the marker records the layout the files were WRITTEN with —
-          // registration must use it, not the current session conf (a
-          // changed bucket-count conf would otherwise claim a layout the
-          // file names don't have, silently mis-joining)
-          val Array(writtenKey, writtenBuckets) =
-            new String(Files.readAllBytes(marker), "UTF-8").trim.split(":")
+        // the marker records the layout the files were WRITTEN with —
+        // registration must use it, not the current session conf (a
+        // changed bucket-count conf would otherwise claim a layout the
+        // file names don't have, silently mis-joining). A torn/garbled
+        // marker (it is written atomically, but defend anyway) reads as
+        // "not bucketed": the plain parquet read below is always correct,
+        // just un-co-located — never an error on the resume path.
+        val layout = readBucketMarker(dir).filter(_._1 == key)
+        if (!spark.catalog.tableExists(name) && layout.isDefined) {
+          val (writtenKey, writtenBuckets) = layout.get
           val ddl = spark.read.parquet(dir).schema.toDDL
           spark.sql(s"CREATE TABLE IF NOT EXISTS $name ($ddl) USING PARQUET " +
             s"CLUSTERED BY ($writtenKey) SORTED BY ($writtenKey) " +
-            s"INTO ${writtenBuckets.toInt} BUCKETS LOCATION '$dir'")
+            s"INTO $writtenBuckets BUCKETS LOCATION '$dir'")
         }
         if (spark.catalog.tableExists(name)) spark.table(name)
         else spark.read.parquet(dir)
@@ -121,10 +135,22 @@ object KgPipeline {
         df.write.bucketBy(snapshotBuckets(spark), key).sortBy(key)
           .option("path", dir).mode("overwrite").saveAsTable(name)
         // marker: files in this dir carry bucket-id names, so a fresh
-        // session may re-register the table (plain-parquet dirs must not)
-        Files.write(Paths.get(dir, "_BUCKETED"),
-          s"$key:${snapshotBuckets(spark)}".getBytes("UTF-8"))
+        // session may re-register the table (plain-parquet dirs must
+        // not). Atomic tmp+move, like the manifest: a kill mid-write
+        // must read as "no marker" (plain-read fallback), never as a
+        // garbled layout.
+        val tmp = Paths.get(dir, "._BUCKETED.tmp")
+        Files.write(tmp, s"$key:${snapshotBuckets(spark)}".getBytes("UTF-8"))
+        Files.move(tmp, Paths.get(dir, "_BUCKETED"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       case _ =>
+        // a previous BUCKETED commit of this same dir may have left a
+        // catalog entry claiming a layout the new plain files don't
+        // have — drop it or a later bucketed-enabled load would read the
+        // plain files through the stale bucket spec (round-5 review)
+        if (BucketedPhases.contains(phase))
+          spark.sql(s"DROP TABLE IF EXISTS ${tableName(out, phase)}")
         df.write.mode("overwrite").parquet(dir)
     }
     val lineage = spark.read.parquet(dir)
@@ -327,6 +353,20 @@ object KgPipeline {
     Result(batch.triples, loadCanonical(spark, outDir), batch.issues,
       batch.invariantViolations, loadComponents(spark, outDir))
   }
+
+  /** True when `out` is a committed FULL snapshot (no manifest chain) —
+    * a compaction or first commit; nothing earlier is referenced by it.
+    */
+  def isFullSnapshot(out: String): Boolean =
+    readManifest(out).isEmpty && done(out, "canonical")
+
+  /** Drop any catalog tables registered for `out`'s bucketed phase
+    * snapshots (retention/GC of a superseded snapshot directory must
+    * also retire its table entries).
+    */
+  def dropSnapshotTables(spark: SparkSession, out: String): Unit =
+    BucketedPhases.keys.foreach(p =>
+      spark.sql(s"DROP TABLE IF EXISTS ${tableName(out, p)}"))
 
   /** Commit a full graph snapshot (components + canonical, bucketed) at
     * `outDir` — the chain head for a first batch. Idempotent.

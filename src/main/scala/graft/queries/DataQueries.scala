@@ -613,7 +613,8 @@ object DataQueries {
          |  SELECT doc_id, a[i] AS line, i AS pos
          |  FROM ls, unnest(generate_series(1, len(a))) t(i)),
          |hot AS (
-         |  SELECT line FROM lines GROUP BY line
+         |  SELECT line FROM lines WHERE trim(line) <> ''
+         |  GROUP BY line
          |  HAVING COUNT(DISTINCT doc_id) >= 2),
          |kept AS (
          |  SELECT * FROM lines WHERE line NOT IN (SELECT line FROM hot)),

@@ -71,6 +71,27 @@ object KgStream {
       case Some(prev) => KgPipeline.commitMerge(spark, prev, graph, dir)
     }
     writeHead(outDir, dir)
+    // retention: a compaction commits a FULL snapshot that references no
+    // earlier directory, so every older m<k> (and its catalog tables) is
+    // unreachable — without GC a long-running stream's storage grows with
+    // total batches processed, not corpus size (round-5 review).
+    // Delta commits keep their chain intact and GC nothing.
+    val gcOn = spark.conf.getOption("spark.graft.stream.gc")
+      .forall(_.toBoolean)
+    if (gcOn && KgPipeline.isFullSnapshot(dir)) {
+      val root = Paths.get(outDir)
+      Files.list(root).forEach { p =>
+        val n = p.getFileName.toString
+        "^m(\\d+)$".r.findFirstMatchIn(n).map(_.group(1).toLong) match {
+          case Some(k) if k < batchId =>
+            KgPipeline.dropSnapshotTables(spark, p.toString)
+            Files.walk(p)
+              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(q => Files.deleteIfExists(q))
+          case _ => ()
+        }
+      }
+    }
   }
 
   /** Resolved canonical triples of the stream's current HEAD. */

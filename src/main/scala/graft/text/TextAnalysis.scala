@@ -43,12 +43,31 @@ object TextAnalysis {
     (cp >= 0xF900 && cp <= 0xFAFF) || // CJK compat
     (cp >= 0x0E00 && cp <= 0x0E7F)    // Thai
 
+  /** One whitespace definition for BOTH the Scala kernels and the Column
+    * mirrors: the Unicode White_Space set, written out explicitly.
+    * Java's `Character.isWhitespace` and Java-regex `\s` (ASCII-only by
+    * default) each cover a DIFFERENT subset — notably U+3000 IDEOGRAPHIC
+    * SPACE, ubiquitous in real CJK text, is isWhitespace-true but
+    * `\s`-false, which made the two routing predicates disagree at the
+    * 30% boundary (round-5 review). An explicit class keeps the two
+    * implementations equal by construction.
+    */
+  val WhitespaceClass: String = "[\\t\\n\\x0B\\f\\r \\u0085\\u00A0" +
+    "\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]"
+
+  /** Scala mirror of [[WhitespaceClass]]. */
+  def isWhitespaceCp(cp: Int): Boolean =
+    (cp >= 0x09 && cp <= 0x0D) || cp == 0x20 || cp == 0x85 ||
+    cp == 0xA0 || cp == 0x1680 || (cp >= 0x2000 && cp <= 0x200A) ||
+    cp == 0x2028 || cp == 0x2029 || cp == 0x202F || cp == 0x205F ||
+    cp == 0x3000
+
   /** ≥30% of non-space codepoints in CJK/Thai blocks. */
   def isCjkText(s: String): Boolean = {
     var cjk = 0; var nonSpace = 0; var i = 0
     while (i < s.length) {
       val cp = s.codePointAt(i)
-      if (!Character.isWhitespace(cp)) {
+      if (!isWhitespaceCp(cp)) {
         nonSpace += 1
         if (isCjkCodepoint(cp)) cjk += 1
       }
@@ -64,7 +83,7 @@ object TextAnalysis {
     val CjkClass = "[\\x{1100}-\\x{11FF}\\x{3040}-\\x{30FF}" +
       "\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}\\x{AC00}-\\x{D7AF}" +
       "\\x{F900}-\\x{FAFF}\\x{0E00}-\\x{0E7F}]"
-    val nonSpace = length(regexp_replace(t, "\\s", ""))
+    val nonSpace = length(regexp_replace(t, WhitespaceClass, ""))
     val cjk = length(t) - length(regexp_replace(t, CjkClass, ""))
     nonSpace > 0 && cjk * 10 >= nonSpace * 3
   }
@@ -89,7 +108,8 @@ object TextAnalysis {
     // splitting would report n_tokens = 1, dup_bigram_n = 0 for every
     // unspaced doc); content-routed, so spaced rows are byte-identical.
     val wordToks = filter(split(trim(t), "\\s+"), w => w =!= "")
-    val charToks = filter(split(regexp_replace(t, "\\s+", ""), ""),
+    val charToks = filter(
+      split(regexp_replace(t, WhitespaceClass + "+", ""), ""),
       c => length(c) > 0)
     val toks = when(isCjkCol(t), charToks).otherwise(wordToks)
     val base = docs

@@ -46,9 +46,15 @@ class DedupCjkSpec extends SparkSpec {
   test("charShingles + shinglesAuto route and window correctly") {
     assert(Dedup.charShingles("甲乙丙", 2) == Set("甲乙", "乙丙"))
     assert(Dedup.charShingles("甲 乙丙", 2) == Set("甲乙", "乙丙")) // spaces squeezed
+    assert(Dedup.charShingles("甲　乙丙", 2) == Set("甲乙", "乙丙")) // U+3000 too
     assert(Dedup.charShingles("甲", 3) == Set("甲")) // short fallback
     assert(Dedup.shinglesAuto(base, 3) == Dedup.charShingles(base, 3))
     assert(Dedup.shinglesAuto("a b c d", 3) == Dedup.shingles("a b c d", 3))
+    // windows are CODE POINTS: a supplementary-plane Han neighbor must
+    // not be split into surrogate halves (round-5 review)
+    val supp = new String(Character.toChars(0x20000))
+    assert(Dedup.charShingles(supp + "甲乙", 2) ==
+      Set(supp + "甲", "甲乙"))
   }
 
   test("jaccard tier finds CJK near-dups at the standard threshold") {

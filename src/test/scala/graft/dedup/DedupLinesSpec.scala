@@ -29,6 +29,17 @@ class DedupLinesSpec extends SparkSpec {
     assert(out(5L) == ((2L, 0L, "solo line\nsolo line")))
   }
 
+  test("blank lines are structure, not boilerplate (round-5 review)") {
+    val docs = Seq(
+      (1L, "para one\n\npara two"),
+      (2L, "other text\n\nmore text")).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, minDocs = 2).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    // the shared empty separator line survives in BOTH docs
+    assert(out(1L) == "para one\n\npara two")
+    assert(out(2L) == "other text\n\nmore text")
+  }
+
   test("minDocs threshold: a line must cross documents to be boilerplate") {
     val docs = Seq(
       (1L, "x\ny"), (2L, "x\nz"), (3L, "x\nw")).toDF("doc_id", "text")

@@ -81,6 +81,17 @@ class PerceptualHashSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("extreme aspect ratios resize without a zero dimension (round-5 review)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val media = Seq((1L, "image", Multimodal.encodeBmp(200, 1)))
+      .toDF("doc_id", "kind", "media")
+    val r = Multimodal.resize(media, maxSide = 100).head()
+    assert(r.getInt(1) == 100 && r.getInt(2) == 1) // clamped, not 0
+    assert(Multimodal.decodeBmp(r.getAs[Array[Byte]]("media"))
+      .exists(m => m.width == 100 && m.height == 1))
+  }
+
   test("resize really resamples image pixels (not a synthetic payload)") {
     val spark2 = spark
     import spark2.implicits._

@@ -44,6 +44,32 @@ class KgStreamSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq == streamed)
   }
 
+  test("compaction GCs superseded snapshot dirs (round-5 review)") {
+    val pages = graft.pages.PageGen.pages(spark, "/root/testdata/sf0.001")
+      .localCheckpoint()
+    val out = Files.createTempDirectory("kgstream_gc").toString
+    val saved = spark.conf.getOption("spark.graft.merge.compactEvery")
+    spark.conf.set("spark.graft.merge.compactEvery", "2")
+    try {
+      for (b <- 0 until 5)
+        KgStream.mergeBatch(pages.filter(col("doc_id") % 5 === b), gaz, out, b)
+      // with compactEvery=2, batches 2 and 4 compact to full snapshots —
+      // every directory before the last compaction is unreachable + GC'd
+      val dirs = Files.list(Paths.get(out)).toArray.map(_.toString)
+        .filter(_.matches(".*/m\\d+$")).map(_.split("/m").last.toInt).sorted
+      assert(dirs.toSeq == Seq(4), s"stale snapshot dirs not GC'd: ${dirs.toSeq}")
+      // and the surviving chain still resolves to the full-corpus graph
+      val streamed = KgStream.canonical(spark, out)
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == fullBatchTriples(pages))
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.graft.merge.compactEvery", v)
+        case None => spark.conf.unset("spark.graft.merge.compactEvery")
+      }
+    }
+  }
+
   test("file-source stream, kill after a committed batch, resume from checkpoint") {
     val pages = graft.pages.PageGen.pages(spark, "/root/testdata/sf0.001")
       .localCheckpoint()

@@ -23,6 +23,9 @@ class CjkParityPropertySpec extends SparkSpec {
     Gen.choose(0x3041, 0x3096).map(_.toChar.toString),           // Hiragana
     Gen.choose(0x0E01, 0x0E2E).map(_.toChar.toString),           // Thai
     Gen.const(" "), Gen.const("\t"), Gen.const("\n"),
+    Gen.const("　"), // IDEOGRAPHIC SPACE — ubiquitous in real CJK;
+                         // ASCII-only \s missed it (round-5 review)
+    Gen.const(" "), Gen.const(" "),
     // supplementary plane: 𝕊 (math bold, non-CJK) and a CJK-ext-B char
     // (U+20000 — OUTSIDE the routed blocks; counts as non-CJK on both
     // sides, but its surrogate pair stresses the length accounting)
@@ -49,6 +52,16 @@ class CjkParityPropertySpec extends SparkSpec {
     }
     assert(diffs.isEmpty,
       s"Scala/Column CJK routing diverged on ${diffs.take(3)}")
+  }
+
+  test("full-width spaces are whitespace on BOTH sides (round-5 review)") {
+    // 3 Han + 7 ASCII + 7 ideographic spaces: U+3000 must not count as
+    // content, or the two predicates split at the 30% boundary
+    val t = "甲乙丙abcdefg" + "　" * 7
+    assert(TextAnalysis.isCjkText(t))
+    val col1 = Seq(t).toDF("t")
+      .select(TextAnalysis.isCjkCol(col("t"))).head.getBoolean(0)
+    assert(col1, "Column side must strip U+3000 before the ratio")
   }
 
   test("boundary ratios route identically on both sides") {
