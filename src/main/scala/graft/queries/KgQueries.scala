@@ -180,6 +180,31 @@ object KgQueries {
 
   private val halfGraphCache = new DirCache[Seq[graft.pipeline.KgGraph]]
 
+  /** Streaming materialization: three doc_id-residue page micro-batches
+    * delta-merged through [[graft.streaming.KgStream]]'s manifest-chain
+    * commit log (the per-batch path a continuous ingestion runs), then
+    * the resolved chain head. ORACLED against the FULL-batch
+    * kg_canonical SQL: stream-of-batches must reproduce the one-batch
+    * result bit-for-bit — the streaming tier's correctness contract,
+    * driver-checked. The chain directory is a deterministic intermediate
+    * of the dir (cached; replays are HEAD-guarded no-ops anyway).
+    */
+  def kgCanonicalStream(spark: SparkSession, dir: String): DataFrame = {
+    val out = streamOutCache.get(spark, dir) {
+      val o = java.nio.file.Files
+        .createTempDirectory("graft_kgstream_q").toString
+      val pages = pagesDf(spark, dir)
+      for (b <- 0 until 3)
+        graft.streaming.KgStream.mergeBatch(
+          pages.filter(col("doc_id") % 3 === b), Gazetteer(gaz), o, b.toLong)
+      o
+    }
+    graft.streaming.KgStream.canonical(spark, out)
+      .orderBy(col("s"), col("p"), col("o"))
+  }
+
+  private val streamOutCache = new DirCache[String]
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_extract_text" -> kgExtractText,
     "kg_mentions" -> kgMentions,
@@ -189,7 +214,8 @@ object KgQueries {
     "kg_shape" -> kgShape,
     "kg_cc" -> kgCc,
     "kg_canonical" -> kgCanonical,
-    "kg_canonical_inc" -> kgCanonicalInc
+    "kg_canonical_inc" -> kgCanonicalInc,
+    "kg_canonical_stream" -> kgCanonicalStream
   )
 
   private val tokensCte =
@@ -252,7 +278,8 @@ object KgQueries {
         |SELECT n AS node, MIN(x) AS component FROM reach GROUP BY n ORDER BY node""".stripMargin,
     "kg_canonical" -> canonicalSql,
     // the incremental path must reproduce the full-batch result exactly
-    "kg_canonical_inc" -> canonicalSql
+    "kg_canonical_inc" -> canonicalSql,
+    "kg_canonical_stream" -> canonicalSql
   )
 
   private lazy val canonicalSql: String =
