@@ -50,6 +50,27 @@ class DedupLinesSpec extends SparkSpec {
     assert(loose == 3L) // 'x' dropped from all three docs
   }
 
+  test("line dedup is idempotent (survivor counts never drop twice)") {
+    // surviving lines kept their cross-doc distinct counts below the
+    // threshold, so a second pass must be the identity — seeded random
+    // corpora with heavy line sharing
+    val rnd = new scala.util.Random(11)
+    val pool = (0 until 12).map(i => s"line $i ${"x" * (i % 4)}")
+    val docs = (0L until 40L).map { id =>
+      val n = 1 + rnd.nextInt(6)
+      (id, Seq.fill(n)(pool(rnd.nextInt(pool.length))).mkString("\n"))
+    }.toDF("doc_id", "text")
+    val once = Dedup.dedupLines(docs, minDocs = 3)
+      .select("doc_id", "text").localCheckpoint()
+    val twice = Dedup.dedupLines(once, minDocs = 3)
+      .select("doc_id", "n_dropped", "text")
+    assert(twice.agg(sum("n_dropped")).head.getLong(0) == 0L,
+      "second pass dropped lines — dedup not idempotent")
+    val a = once.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val b = twice.collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(a == b)
+  }
+
   test("dd_lines entry: counts are consistent and boilerplate is removed") {
     val dir = "/root/testdata/sf0.001"
     val corpus = graft.queries.DataQueries.linesCorpus(spark, dir)
