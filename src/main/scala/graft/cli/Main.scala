@@ -256,6 +256,27 @@ object Main {
       println(s"phash near-dup pairs (hamming<=$maxDist): ${pairs.count()}")
       stopOwned(spark)
 
+    // entity salience: top-10 by integer PageRank (round 5)
+    case "pagerank" :: sfDir :: Nil =>
+      val spark = session()
+      graft.queries.KgQueries.kgPagerank(spark, sfDir)
+        .orderBy(org.apache.spark.sql.functions.col("score").desc,
+          org.apache.spark.sql.functions.col("node"))
+        .limit(10).collect()
+        .foreach(r => println(f"${r.getLong(1)}%14d  ${r.getString(0)}"))
+      stopOwned(spark)
+
+    // audio near-dup pairs via the energy-delta fingerprint (round 5)
+    case "audio-fp" :: sfDir :: Nil =>
+      val spark = session()
+      import org.apache.spark.sql.functions.col
+      val fp = graft.multimodal.Multimodal.audioFingerprint(
+        graft.multimodal.Multimodal.mediaTable(spark, sfDir))
+      val pairs = graft.dedup.Dedup.simHashPairsFromSims(
+        fp.select(col("doc_id"), col("fp").as("sim")), maxDist = 0)
+      println(s"audio exact-fingerprint dup pairs: ${pairs.count()}")
+      stopOwned(spark)
+
     case other =>
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
@@ -265,6 +286,7 @@ object Main {
            |       kg-merge <prevOut> <sfDir> <outDir> |
            |       kg-stream <srcDir> <outDir> <ckptDir> |
            |       curate <sfDir> | lines <sfDir> | phash <sfDir> <maxDist> |
+           |       pagerank <sfDir> | audio-fp <sfDir> |
            |       search <sfDir> <vecId> <k>""".stripMargin)
       sys.exit(2)
   }

@@ -208,6 +208,34 @@ object MentionScan {
       .toDF("doc_id", "e", "tf")
   }
 
+  /** [[mentionsIdx]] carrying one extra long payload column (e.g. the
+    * crawl age derived from `warc_ts`) through the scan task — mentions
+    * of a document never leave the task that extracted them, so
+    * per-entity TEMPORAL aggregates (first/last seen, active days) need
+    * no doc-keyed join against the corpus at all; the only shuffle is
+    * the dictionary-sized groupBy(e).
+    */
+  def mentionsIdxWith(pages: DataFrame, payload: org.apache.spark.sql.Column,
+      gazetteer: Gazetteer): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(gazetteer)
+    val bcIdx = spark.sparkContext.broadcast(
+      gazetteer.entityList.sorted(graft.model.CodePoint.ordering)
+        .zipWithIndex.toMap)
+    pages.select(col("doc_id"), payload.cast("long").as("payload"),
+        col("text")).as[(Long, Long, String)]
+      .mapPartitions { it =>
+        val trie = bc.value
+        val idx = bcIdx.value
+        it.flatMap { case (docId, p, text) =>
+          trie.countMatches(text).map { case (ent, tf) =>
+            (docId, p, idx(ent), tf.toLong) }
+        }
+      }
+      .toDF("doc_id", "payload", "e", "tf")
+  }
+
   /** TF-IDF link score per mention: `tf * ln(nDocs / df)`. The df side is
     * dictionary-sized → broadcast join.
     */

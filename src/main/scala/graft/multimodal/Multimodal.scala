@@ -516,6 +516,67 @@ object Multimodal {
     None
   }
 
+  /** PCM payload of a 16-bit mono WAV: walk chunks to `data`, read LE
+    * shorts. Same chunk-walk hardening as [[decodeWav]].
+    */
+  def decodeWavSamples(bytes: Array[Byte]): Option[Array[Short]] = {
+    if (bytes.length < 44) return None
+    val asc = new String(bytes, 0, 12, StandardCharsets.US_ASCII)
+    if (!asc.startsWith("RIFF") || !asc.regionMatches(8, "WAVE", 0, 4)) return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val id = new String(bytes, off, 4, StandardCharsets.US_ASCII)
+      val size = buf.getInt(off + 4)
+      if (size < 0 || size > bytes.length - off - 8) return None
+      if (id == "data") {
+        val n = size / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) { out(i) = buf.getShort(off + 8 + 2 * i); i += 1 }
+        return Some(out)
+      }
+      off += 8 + size + (size & 1)
+    }
+    None
+  }
+
+  /** Audio feature extraction + fingerprint over WAV rows: non-overlapping
+    * windows of `window` samples (last window may be partial), per-window
+    * energy e_w = Σ|s| (64-bit integer — order-free, bit-exact), and an
+    * energy-delta fingerprint packing bit k = [e_{k+1} > e_k] — the
+    * Haitsma–Kalker (ISMIR'02) robust-hash shape at its simplest. The
+    * fingerprint is an integer, so near-dup audio joins ride the same
+    * hamming-pigeonhole bucketing the SimHash/phash tiers use — never a
+    * quadratic self-join. mapPartitions batch shape, kernel per row;
+    * non-audio rows are dropped by the decode (None ⇒ flatMap skips).
+    */
+  def audioFingerprint(media: DataFrame, window: Int = 1024): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, bytes) =>
+          decodeWavSamples(bytes).map { s =>
+            val nw = (s.length + window - 1) / window
+            val en = new Array[Long](nw)
+            var i = 0
+            while (i < s.length) { en(i / window) += math.abs(s(i).toLong); i += 1 }
+            // cap at bit 62: keeps fp non-negative, so the SQL replay
+            // needs no signed-reassembly bridge (nw here is ≤ 20 anyway)
+            var fp = 0L
+            var k = 1
+            while (k < nw && k <= 63) {
+              if (en(k) > en(k - 1)) fp |= 1L << (k - 1)
+              k += 1
+            }
+            (id, nw.toLong, fp)
+          }
+        }
+      }
+      .toDF("doc_id", "n_windows", "fp")
+  }
+
   // ---------------------------------------------------------------- Y4M
 
   private def y4mHeader(width: Int, height: Int): String =
@@ -671,7 +732,10 @@ object Multimodal {
         // the compressed-container decode path, BMP the uncompressed one
         case 0 => (id, "image",
           if (id % 6 == 0) encodePng(w, h) else encodeBmp(w, h))
-        case 1 => (id, "audio", encodeWav(16000, 16000))
+        // duration varies by doc_id (0.5-1.25 s) so the audio
+        // fingerprint tier sees real variance; doc_ids congruent mod 11
+        // are bit-identical twins the dedup tier must find
+        case 1 => (id, "audio", encodeWav(16000, (8000 + id % 11 * 1200).toInt))
         case _ => (id, "video", encodeY4m(w, h, (1 + id % 30).toInt))
       }
     }.toDF("doc_id", "kind", "media")

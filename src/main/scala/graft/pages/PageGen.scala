@@ -41,7 +41,11 @@ object PageGen {
       // codegen'd concat (round-1 advice: a UDF here broke whole-stage
       // codegen for the whole projection)
       concat(lit("https://example.org/doc/"), col("doc_id")).as("url"),
-      to_timestamp(lit("2024-01-01 00:00:00")).as("warc_ts"),
+      // deterministic crawl-time scatter over 31 days (9973 is prime, so
+      // consecutive doc_ids land far apart); replayable in closed form by
+      // the kg_timeline oracle: age_s = (doc_id * 9973) % 2678400
+      expr("timestampadd(SECOND, CAST((doc_id * 9973) % 2678400 AS INT), " +
+        "to_timestamp('2024-01-01 00:00:00'))").as("warc_ts"),
       mkHtml(col("doc_id"), col("lang"), col("source"), col("text")).as("html"),
       col("text"),
       col("lang"),

@@ -283,6 +283,14 @@ object DataQueries {
     Multimodal.perceptualHashes(media(spark, dir))
       .orderBy("doc_id")
 
+  /** Multimodal: audio feature-extract + energy-delta fingerprint over
+    * the WAV rows (the audio analogue of mm_phash). Oracle replays the
+    * closed-form sawtooth payload: sample i = (i mod 4096) - 2048.
+    */
+  def mmAudioFp(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFingerprint(media(spark, dir))
+      .orderBy("doc_id")
+
   /** Multimodal: frame sampling plumbing (video rows, stride 7). */
   def mmFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.frameSample(media(spark, dir), stride = 7)
@@ -308,7 +316,8 @@ object DataQueries {
     "mm_meta" -> mmMeta,
     "mm_resize" -> mmResize,
     "mm_frames" -> mmFrames,
-    "mm_phash" -> mmPhash
+    "mm_phash" -> mmPhash,
+    "mm_audio_fp" -> mmAudioFp
   )
 
   // ---- FNV-1a in DuckDB SQL -------------------------------------------
@@ -741,7 +750,7 @@ object DataQueries {
         |    WHEN kind = 'image' AND doc_id % 6 = 0
         |      THEN 63 + h * (1 + 3 * w) + 5 * ((h * (1 + 3 * w) + 65534) // 65535)
         |    WHEN kind = 'image' THEN 54 + h * (((3 * w + 3) // 4) * 4)
-        |    WHEN kind = 'audio' THEN 44 + 16000 * 2
+        |    WHEN kind = 'audio' THEN 44 + (8000 + doc_id % 11 * 1200) * 2
         |    ELSE length('YUV4MPEG2 W' || CAST(w AS VARCHAR) || ' H' ||
         |         CAST(h AS VARCHAR) || ' F25:1 Ip A1:1 C444') + 1
         |         + f * (6 + w * h * 3)
@@ -773,7 +782,7 @@ object DataQueries {
         |    WHEN kind = 'image' AND doc_id % 6 = 0
         |      THEN 63 + h2 * (1 + 3 * w2) + 5 * ((h2 * (1 + 3 * w2) + 65534) // 65535)
         |    WHEN kind = 'image' THEN 54 + h2 * (((3 * w2 + 3) // 4) * 4)
-        |    WHEN kind = 'audio' THEN 44 + 16000 * 2
+        |    WHEN kind = 'audio' THEN 44 + (8000 + doc_id % 11 * 1200) * 2
         |    ELSE length('YUV4MPEG2 W' || CAST(w2 AS VARCHAR) || ' H' ||
         |         CAST(h2 AS VARCHAR) || ' F25:1 Ip A1:1 C444') + 1
         |         + f * (6 + w2 * h2 * 3)
@@ -831,6 +840,26 @@ object DataQueries {
         |  SELECT doc_id, CAST(1 + doc_id % 30 AS INTEGER) AS n_frames
         |  FROM documents WHERE doc_id % 3 = 2)
         |SELECT doc_id, CAST(unnest(generate_series(0, n_frames - 1, 7)) AS BIGINT) AS frame_idx
-        |FROM m ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM m ORDER BY doc_id, frame_idx""".stripMargin,
+    // energy-delta fingerprint replayed from the sawtooth payload:
+    // sample i = (i mod 4096) - 2048, windows of 1024 (last partial),
+    // bit w-1 = [e_w > e_{w-1}]; fp stays below bit 63, no sign bridge
+    "mm_audio_fp" ->
+      """WITH a AS (
+        |  SELECT doc_id, CAST(8000 + doc_id % 11 * 1200 AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |e AS (
+        |  SELECT doc_id, i // 1024 AS w, SUM(abs((i % 4096) - 2048)) AS en
+        |  FROM a, unnest(generate_series(0, n - 1)) t(i)
+        |  GROUP BY doc_id, i // 1024),
+        |d AS (
+        |  SELECT doc_id, w, en,
+        |    LAG(en) OVER (PARTITION BY doc_id ORDER BY w) AS pe
+        |  FROM e)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |  CAST(COALESCE(SUM(CASE WHEN pe IS NOT NULL AND en > pe AND w <= 63
+        |    THEN CAST(1 AS BIGINT) << CAST(w - 1 AS INTEGER) ELSE 0 END), 0)
+        |    AS BIGINT) AS fp
+        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -205,6 +205,47 @@ object KgQueries {
 
   private val streamOutCache = new DirCache[String]
 
+  /** Entity salience: fixed-point integer PageRank over the doc↔entity
+    * mention bipartite graph (both directions, so every node has
+    * out-degree ≥ 1 and no dangling mass). Bit-exact across engines and
+    * cluster sizes — see [[graft.canon.PageRank]]; the oracle unrolls
+    * the same integer recurrence with DuckDB floor division.
+    */
+  def kgPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val m = MentionScan.mentionsIdx(pagesDf(spark, dir), Gazetteer(gaz))
+    val fwd = m.select(
+      concat(lit("urn:doc:"), col("doc_id")).as("src"),
+      entCol(col("e")).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    graft.canon.PageRank.run(edges, iters = 5)
+      .orderBy(col("node"))
+  }
+
+  /** Entity timeline over `warc_ts` (the input-shape crawl timestamp):
+    * per entity, first/last crawl age, span, doc count, distinct active
+    * days. Ages are integer seconds since the crawl origin — a
+    * timezone-proof difference (both engines shift identically), per the
+    * q10 convention of never hashing raw timestamps. The age rides
+    * through the scan task ([[MentionScan.mentionsIdxWith]]); the only
+    * shuffle is the dictionary-sized groupBy.
+    */
+  def kgTimeline(spark: SparkSession, dir: String): DataFrame = {
+    val pages = pagesDf(spark, dir)
+    val age = unix_timestamp(col("warc_ts")) -
+      unix_timestamp(to_timestamp(lit("2024-01-01 00:00:00")))
+    MentionScan.mentionsIdxWith(pages, age, Gazetteer(gaz))
+      .groupBy("e")
+      .agg(min(col("payload")).as("first_seen_s"),
+        max(col("payload")).as("last_seen_s"),
+        count(lit(1)).as("n_docs"),
+        countDistinct(expr("payload div 86400")).as("active_days"))
+      .select(element_at(typedLit(gazSorted), col("e") + 1).as("entity"),
+        col("first_seen_s"), col("last_seen_s"),
+        (col("last_seen_s") - col("first_seen_s")).as("span_s"),
+        col("n_docs"), col("active_days"))
+      .orderBy(col("entity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_extract_text" -> kgExtractText,
     "kg_mentions" -> kgMentions,
@@ -215,8 +256,32 @@ object KgQueries {
     "kg_cc" -> kgCc,
     "kg_canonical" -> kgCanonical,
     "kg_canonical_inc" -> kgCanonicalInc,
-    "kg_canonical_stream" -> kgCanonicalStream
+    "kg_canonical_stream" -> kgCanonicalStream,
+    "kg_pagerank" -> kgPagerank,
+    "kg_timeline" -> kgTimeline
   )
+
+  /** Unrolled integer-PageRank SQL: s{k} from s{k-1} via the identical
+    * fixed-point recurrence (DuckDB `//` = floor division; all values
+    * positive, so it matches Spark's `div` truncation).
+    */
+  private lazy val pagerankSql: String = {
+    val iters = (1 to 5).map { k =>
+      s"""s$k AS (
+         |  SELECT u.dst AS node,
+         |    CAST(150000000000 + (85 * SUM(s.score // d.deg)) // 100 AS BIGINT) AS score
+         |  FROM und u JOIN s${k - 1} s ON u.src = s.node
+         |  JOIN deg d ON u.src = d.src
+         |  GROUP BY u.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $tokensCte,
+       |e0 AS (SELECT 'urn:doc:' || doc_id AS src, 'urn:ent:' || entity AS dst FROM m),
+       |und AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY src),
+       |s0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS score FROM deg),
+       |$iters
+       |SELECT node, score FROM s5 ORDER BY node""".stripMargin
+  }
 
   private val tokensCte =
     """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS entity FROM documents),
@@ -279,7 +344,20 @@ object KgQueries {
     "kg_canonical" -> canonicalSql,
     // the incremental path must reproduce the full-batch result exactly
     "kg_canonical_inc" -> canonicalSql,
-    "kg_canonical_stream" -> canonicalSql
+    "kg_canonical_stream" -> canonicalSql,
+    "kg_pagerank" -> pagerankSql,
+    // replays PageGen's closed-form crawl-time scatter directly
+    "kg_timeline" ->
+      s"""WITH $tokensCte,
+         |ages AS (SELECT doc_id,
+         |  CAST((doc_id * 9973) % 2678400 AS BIGINT) AS age_s FROM documents)
+         |SELECT m.entity,
+         |  MIN(a.age_s) AS first_seen_s, MAX(a.age_s) AS last_seen_s,
+         |  MAX(a.age_s) - MIN(a.age_s) AS span_s,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT a.age_s // 86400) AS BIGINT) AS active_days
+         |FROM m JOIN ages a ON m.doc_id = a.doc_id
+         |GROUP BY m.entity ORDER BY m.entity""".stripMargin
   )
 
   private lazy val canonicalSql: String =

@@ -51,7 +51,7 @@ object StressBench {
     val out = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT", "/tmp/graft_stress")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sections = sys.env.getOrElse("SPARK_GRAFT_STRESS_SECTIONS",
-      "cc,dd,kg,inc,ivf,ivfpq,skew,lines").split(",").map(_.trim).toSet
+      "cc,dd,kg,inc,ivf,ivfpq,skew,lines,pagerank").split(",").map(_.trim).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -295,6 +295,26 @@ object StressBench {
         frags += s""""lines_Nx":{"kept":$kN,"dropped":$dN,"sec":$sN}"""
       } else
         frags += s""""lines_1x":{"kept":$k1,"dropped":$d1,"sec":$s1}"""
+    }
+
+    // ---- pagerank: per-iteration shuffle ∝ edges, bit-exact at any N ----
+    if (sections("pagerank")) {
+      def prStats(dir: String): (Long, Long, Double) = {
+        val pages = graft.pages.PageGen.pages(spark, dir)
+        val nEdges = 2L * graft.extract.MentionScan.mentionsIdx(pages,
+          graft.extract.Gazetteer(graft.extract.Gazetteer.DefaultEntities)).count()
+        val (nNodes, secs) = time {
+          graft.queries.KgQueries.kgPagerank(spark, dir).count()
+        }
+        (nNodes, nEdges, secs)
+      }
+      val (n1, e1, s1) = prStats(base)
+      if (sections("kg") || sections("inc")) {
+        val (nN, eN, sN) = prStats(s"$out/kg")
+        frags += s""""pagerank_1x":{"nodes":$n1,"edges":$e1,"sec":$s1}"""
+        frags += s""""pagerank_Nx":{"nodes":$nN,"edges":$eN,"sec":$sN}"""
+      } else
+        frags += s""""pagerank_1x":{"nodes":$n1,"edges":$e1,"sec":$s1}"""
     }
 
     // ---- incremental merge: wall ∝ batch, not corpus --------------------
