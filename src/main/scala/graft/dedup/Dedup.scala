@@ -517,4 +517,50 @@ object Dedup {
 
     cold.union(hotPairs).distinct()
   }
+
+  // ---- Benchmark decontamination -------------------------------------
+
+  /** Benchmark decontamination (GPT-3 appendix C / The Pile style):
+    * flag corpus documents sharing any token `window`-gram with a
+    * held-out benchmark set, so eval questions never leak into training
+    * data. Window identity is [[graft.text.TextAnalysis.windowHashes]]'s
+    * 64-bit polynomial roll (docs shorter than `window` hash whole);
+    * returns one row per CONTAMINATED doc: (doc_id, n_hits, n_windows)
+    * where n_hits counts corpus windows (with multiplicity) present in
+    * the benchmark's window set.
+    *
+    * Scale shape: the benchmark is tiny by definition (an eval suite,
+    * not a corpus), so its distinct window hashes collect to the driver
+    * and broadcast as a sorted array — the corpus side is then ONE
+    * mapPartitions scan with per-doc binary-search counting: zero
+    * shuffles over the corpus, no explode of corpus windows. A row
+    * guard (`maxBenchWindows`) refuses pathological benchmark sizes
+    * rather than silently OOMing the driver — at that point the caller
+    * should explode + join instead (the [[dedupLines]] fallback shape).
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    window: Int = 13,
+                    maxBenchWindows: Long = 50000000L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val benchHashes = benchmark.select(col("text")).as[String]
+      .flatMap(t => graft.text.TextAnalysis.windowHashes(t, window))
+      .distinct()
+    val n = benchHashes.count()
+    require(n <= maxBenchWindows,
+      s"benchmark has $n distinct windows > $maxBenchWindows; " +
+        "use an explode+join decontamination pass for corpus-sized benchmarks")
+    val sorted = benchHashes.collect().sorted
+    val bc = spark.sparkContext.broadcast(sorted)
+    corpus.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val hs = bc.value
+        it.flatMap { case (id, t) =>
+          val ws = graft.text.TextAnalysis.windowHashes(t, window)
+          val hits = ws.count(h => java.util.Arrays.binarySearch(hs, h) >= 0)
+          if (hits > 0) Some((id, hits.toLong, ws.length.toLong)) else None
+        }
+      }
+      .toDF("doc_id", "n_hits", "n_windows")
+  }
 }

@@ -1,0 +1,80 @@
+package graft.mix
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions.col
+
+/** Deterministic data-mixture sampling — the "mixing weights" stage of
+  * an LLM training-data pipeline (cf. The Pile / Gopher / LLaMA corpus
+  * recipes): each source gets a target rate, documents are kept,
+  * dropped, or replicated so the output corpus matches the recipe.
+  *
+  * Rates are expressed in basis points (10000 = 1.0) and may exceed
+  * 10000: `n_copies = bp / 10000 + [u < bp % 10000]` where `u` is a
+  * per-document uniform draw in [0, 10000). The draw is FNV-1a over the
+  * doc_id's decimal string, reduced by UNSIGNED mod — a splittable,
+  * seedless, engine-replayable decision: the same document gets the
+  * same verdict on any cluster size, any partitioning, any engine (the
+  * DuckDB oracle folds the identical hash in HUGEINT SQL). That
+  * determinism is what makes a 100 TB sampling run resumable and
+  * auditable — rerunning a failed partition reproduces its exact rows.
+  *
+  * Scale shape: the decision is a per-row kernel (no shuffle) — the
+  * rate map is dictionary-sized and broadcast. The hash is a scalar
+  * fold rather than a Column expression because FNV's wraparound
+  * multiply overflows ANSI-mode Column arithmetic (Spark 4 default);
+  * `xxhash64` would be codegen'd but has no closed-form SQL replay.
+  * Materializing upsampled copies is a flatMap — output rows carry a
+  * `copy` ordinal so downstream shuffles spread replicas of a hot doc
+  * across partitions instead of stacking them.
+  */
+object Mix {
+
+  /** FNV-1a over a string's UTF-16 code units — bit-parity with
+    * [[graft.dedup.Dedup]]'s token hash and the oracle's HUGEINT fold.
+    */
+  def fnv1a(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Copies a document contributes under rate `bp` basis points. */
+  def copiesFor(docId: Long, bp: Int): Int = {
+    val u = java.lang.Long.remainderUnsigned(fnv1a(docId.toString), 10000L)
+    bp / 10000 + (if (u < bp % 10000) 1 else 0)
+  }
+
+  /** Per-document mixture decisions: (doc_id, source, n_copies).
+    * `n_copies` may be 0 (dropped), 1 (kept) or k ≥ 2 (upsampled).
+    */
+  def mixture(docs: DataFrame, ratesBp: Map[String, Int],
+              defaultBp: Int = 10000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(ratesBp)
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        val rates = bc.value
+        it.map { case (id, src) =>
+          (id, src, copiesFor(id, rates.getOrElse(src, defaultBp)).toLong)
+        }
+      }
+      .toDF("doc_id", "source", "n_copies")
+  }
+
+  /** Materialized mixture: input rows replicated per the decision, with
+    * a `copy` ordinal (0-based). Upsampled replicas are distinct rows —
+    * downstream repartitioning spreads them, so a heavily-upsampled
+    * source cannot pin one partition.
+    */
+  def materialize(docs: DataFrame, ratesBp: Map[String, Int],
+                  defaultBp: Int = 10000): DataFrame = {
+    val decisions = mixture(docs, ratesBp, defaultBp)
+      .filter(col("n_copies") > 0)
+    docs.join(decisions.select("doc_id", "n_copies"), Seq("doc_id"))
+      .withColumn("copy",
+        F.explode(F.sequence(F.lit(0L), col("n_copies") - 1)))
+      .drop("n_copies")
+  }
+}

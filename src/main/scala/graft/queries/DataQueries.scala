@@ -26,6 +26,19 @@ object DataQueries {
     Dedup.exactClusters(spark.read.parquet(s"$dir/documents.parquet"))
       .orderBy("doc_id")
 
+  /** Benchmark decontamination: corpus docs sharing any 13-gram window
+    * with the held-out benchmark slice (doc_id ≡ 3 mod 11). The oracle
+    * replays the polynomial window hash in HUGEINT SQL and joins on it,
+    * so even a 64-bit collision would match both sides.
+    */
+  def ddDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Dedup.decontaminate(
+      docs.filter(pmod(col("doc_id"), lit(11)) =!= 3),
+      docs.filter(pmod(col("doc_id"), lit(11)) === 3))
+      .orderBy("doc_id")
+  }
+
   /** Unigram-Jaccard near-dup pairs within (lang, source) blocks. */
   def ddJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(spark.read.parquet(s"$dir/documents.parquet"), 0.8)
@@ -241,6 +254,27 @@ object DataQueries {
       .filter(col("n") > 1)
       .orderBy("fingerprint")
 
+  /** Deterministic source-mixing recipe keyed by source index mod 4:
+    * upsample 2.25x / keep / half / fifth — covering replication,
+    * passthrough and subsampling in one run. Per-source totals verify
+    * every per-doc FNV draw against the oracle's HUGEINT fold.
+    */
+  def txtMix(spark: SparkSession, dir: String): DataFrame = {
+    val ratesBp = (0 until 20).map { k =>
+      s"src$k" -> (k % 4 match {
+        case 0 => 22500
+        case 1 => 10000
+        case 2 => 5000
+        case _ => 2000
+      })
+    }.toMap
+    graft.mix.Mix.mixture(
+        spark.read.parquet(s"$dir/documents.parquet"), ratesBp)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"), sum("n_copies").as("n_out"))
+      .orderBy("source")
+  }
+
   /** Media table shared by the three mm_* queries — encoding ~n real
     * BMP/WAV/Y4M containers is the dominant cost, so synthesize once per
     * dir (size-1 LRU, same pattern as the ontology extraction cache).
@@ -300,6 +334,7 @@ object DataQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ddExact,
     "dd_exact_clusters" -> ddExactClusters,
+    "dd_decontam" -> ddDecontam,
     "dd_jaccard" -> ddJaccard,
     "dd_lines" -> ddLines,
     "dd_minhash" -> ddMinhash,
@@ -313,6 +348,7 @@ object DataQueries {
     "txt_quality" -> txtQuality,
     "txt_repetition" -> txtRepetition,
     "txt_fingerprint" -> txtFingerprint,
+    "txt_mix" -> txtMix,
     "mm_meta" -> mmMeta,
     "mm_resize" -> mmResize,
     "mm_frames" -> mmFrames,
@@ -527,6 +563,26 @@ object DataQueries {
          |  FROM scored)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, cos
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // mixture sampling: per-doc FNV-1a(doc_id string) folded in HUGEINT,
+    // unsigned mod 10000 vs the recipe's basis-point rate; source group
+    // = numeric suffix mod 4 (22500/10000/5000/2000 bp)
+    "txt_mix" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, source,
+         |    CASE CAST(substring(source, 4) AS INTEGER) % 4
+         |      WHEN 0 THEN 22500 WHEN 1 THEN 10000
+         |      WHEN 2 THEN 5000 ELSE 2000 END AS bp
+         |  FROM documents),
+         |h AS (SELECT doc_id, source, bp,
+         |    ${fnvFoldSql("CAST(doc_id AS VARCHAR)", "14695981039346656037")} AS hu
+         |  FROM r),
+         |c AS (SELECT source,
+         |    (bp // 10000) + CASE WHEN (hu % 10000) < (bp % 10000)
+         |      THEN 1 ELSE 0 END AS nc
+         |  FROM h)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+         |  CAST(SUM(nc) AS BIGINT) AS n_out
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
     // window strings mirror polyHash exactly: each token followed by one
     // space (incl. trailing), init = the engine's basis constant
     "txt_fingerprint" ->
@@ -587,6 +643,32 @@ object DataQueries {
         |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS keep_id
         |  FROM documents) t
         |WHERE doc_id <> keep_id ORDER BY doc_id""".stripMargin,
+    // 13-gram decontamination: window strings mirror polyHash (token +
+    // trailing space per token), hash replayed via the FNV fold so the
+    // join key is identical to the engine's 64-bit window hash
+    "dd_decontam" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
+         |    t -> t <> '') AS w
+         |  FROM documents),
+         |wins AS (
+         |  SELECT doc_id, array_to_string(list_slice(w, i, i + 12), ' ') || ' ' AS s
+         |  FROM toks, unnest(generate_series(1, len(w) - 12)) AS t(i)
+         |  WHERE len(w) >= 13
+         |  UNION ALL
+         |  SELECT doc_id, array_to_string(w, ' ') || ' '
+         |  FROM toks WHERE len(w) < 13 AND len(w) > 0),
+         |hashes AS (SELECT doc_id, ${fnvFoldSql("s", "1469598103934665603")} AS hu
+         |  FROM wins),
+         |bench AS (SELECT DISTINCT hu FROM hashes WHERE doc_id % 11 = 3),
+         |nw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows
+         |  FROM hashes WHERE doc_id % 11 <> 3 GROUP BY doc_id),
+         |hits AS (SELECT h.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM hashes h JOIN bench b ON h.hu = b.hu
+         |  WHERE h.doc_id % 11 <> 3 GROUP BY h.doc_id)
+         |SELECT h.doc_id, h.n_hits, n.n_windows
+         |FROM hits h JOIN nw n ON h.doc_id = n.doc_id
+         |ORDER BY h.doc_id""".stripMargin,
     "dd_jaccard" ->
       """WITH tok AS (
         |  SELECT DISTINCT doc_id, lang, source, unnest(string_split(text, ' ')) AS w
