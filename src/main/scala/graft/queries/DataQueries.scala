@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
 import graft.ann.Similarity
-import graft.text.TextAnalysis
+import graft.mix.Pack
+import graft.text.{Pii, TextAnalysis}
 import graft.multimodal.Multimodal
 
 /** Training-data pipeline operators as driver-checkable queries: dedup
@@ -275,6 +276,43 @@ object DataQueries {
       .orderBy("source")
   }
 
+  /** PII scrub: the synthetic corpus carries no PII, so plant it
+    * deterministically from doc_id (the media table's synthesize-then-
+    * verify pattern), then count + redact with [[graft.text.Pii]]. The
+    * oracle replays both the injection and the regex passes in DuckDB's
+    * RE2 — the patterns use only constructs with identical Java/RE2
+    * semantics — and `red_len` hash-checks the replacement itself, not
+    * just the counts. doc_id%7==3 plants NEAR-misses (double @, short
+    * dotted number, 2-2 digit dash pair) that must NOT match.
+    */
+  def txtPii(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val d = col("doc_id")
+    val injected = docs.withColumn("text", concat(col("text"),
+      when(pmod(d, lit(7)) === 0,
+        concat(lit(" mail user"), d.cast("string"), lit("@example.com now")))
+      .when(pmod(d, lit(7)) === 1,
+        concat(lit(" node 10."), pmod(d, lit(256)).cast("string"), lit(".0.1 up")))
+      .when(pmod(d, lit(7)) === 2,
+        concat(lit(" call 555-"), (lit(100) + pmod(d, lit(900))).cast("string"),
+          lit("-"), (lit(1000) + pmod(d, lit(9000))).cast("string"), lit(" today")))
+      .when(pmod(d, lit(7)) === 3, lit(" ping bad@@nope 999.9 12-34 x"))
+      .otherwise(lit(""))))
+    Pii.redact(Pii.detect(injected))
+      .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_phone"),
+        length(col("text")).cast("long").as("red_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing: per-shard GPT-style concat-and-chunk assignments
+    * at seqLen=128 (integer-exact, window-summed per shard). The oracle
+    * replays the cumulative sum and the div/mod arithmetic in DuckDB.
+    */
+  def txtPack(spark: SparkSession, dir: String): DataFrame =
+    Pack.pack(spark.read.parquet(s"$dir/documents.parquet"), seqLen = 128)
+      .withColumnRenamed("offset", "tok_offset")
+      .orderBy("doc_id")
+
   /** Media table shared by the three mm_* queries — encoding ~n real
     * BMP/WAV/Y4M containers is the dominant cost, so synthesize once per
     * dir (size-1 LRU, same pattern as the ontology extraction cache).
@@ -349,6 +387,8 @@ object DataQueries {
     "txt_repetition" -> txtRepetition,
     "txt_fingerprint" -> txtFingerprint,
     "txt_mix" -> txtMix,
+    "txt_pii" -> txtPii,
+    "txt_pack" -> txtPack,
     "mm_meta" -> mmMeta,
     "mm_resize" -> mmResize,
     "mm_frames" -> mmFrames,
@@ -583,6 +623,45 @@ object DataQueries {
          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
          |  CAST(SUM(nc) AS BIGINT) AS n_out
          |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    // PII: replay the deterministic injection, then Java-parity RE2
+    // counts + the 3-pass redaction; red_len checks the rewrite bytes
+    "txt_pii" ->
+      s"""WITH inj AS (
+         |  SELECT doc_id, text || CASE doc_id % 7
+         |    WHEN 0 THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+         |    WHEN 1 THEN ' node 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 up'
+         |    WHEN 2 THEN ' call 555-' || CAST(100 + doc_id % 900 AS VARCHAR)
+         |      || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' today'
+         |    WHEN 3 THEN ' ping bad@@nope 999.9 12-34 x'
+         |    ELSE '' END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(length(regexp_extract_all(t, '${Pii.EmailRe}')) AS BIGINT) AS n_email,
+         |  CAST(length(regexp_extract_all(t, '${Pii.Ipv4Re}')) AS BIGINT) AS n_ipv4,
+         |  CAST(length(regexp_extract_all(t, '${Pii.PhoneRe}')) AS BIGINT) AS n_phone,
+         |  CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '${Pii.EmailRe}', '${Pii.EmailTag}', 'g'),
+         |    '${Pii.Ipv4Re}', '${Pii.IpTag}', 'g'),
+         |    '${Pii.PhoneRe}', '${Pii.PhoneTag}', 'g')) AS BIGINT) AS red_len
+         |FROM inj ORDER BY doc_id""".stripMargin,
+    // packing: cumulative token sum per shard, integer div/mod at L=128
+    "txt_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source AS shard,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |    END AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM t WHERE n_tok > 0)
+        |SELECT doc_id, shard, n_tok,
+        |  CAST((cum - n_tok) // 128 AS BIGINT) AS seq_first,
+        |  CAST((cum - 1) // 128 AS BIGINT) AS seq_last,
+        |  CAST((cum - n_tok) % 128 AS BIGINT) AS tok_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
     // window strings mirror polyHash exactly: each token followed by one
     // space (incl. trailing), init = the engine's basis constant
     "txt_fingerprint" ->
