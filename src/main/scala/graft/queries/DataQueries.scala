@@ -313,6 +313,20 @@ object DataQueries {
       .withColumnRenamed("offset", "tok_offset")
       .orderBy("doc_id")
 
+  /** Per-source distinct-token cardinality via the KMV sketch: bounded
+    * mergeable state, integer estimator — the oracle replays the
+    * splitmix-finalized FNV token hashes, ranks them unsigned, and
+    * recomputes (k−1)·2^64 // kth in HUGEINT, so the ESTIMATE itself
+    * (not just counts) is hash-checked bit-exactly. k=16 (not the
+    * production default 64) so the sf0.01 per-source vocabulary (~31
+    * distinct tokens) actually overflows the sketch and the estimator
+    * branch — not just the exact-below-k path — is driver-gated.
+    */
+  def sketchDistinct(spark: SparkSession, dir: String): DataFrame =
+    graft.sketch.Kmv.distinctSketch(
+        spark.read.parquet(s"$dir/documents.parquet"), k = 16)
+      .orderBy("source")
+
   /** Media table shared by the three mm_* queries — encoding ~n real
     * BMP/WAV/Y4M containers is the dominant cost, so synthesize once per
     * dir (size-1 LRU, same pattern as the ontology extraction cache).
@@ -389,6 +403,7 @@ object DataQueries {
     "txt_mix" -> txtMix,
     "txt_pii" -> txtPii,
     "txt_pack" -> txtPack,
+    "sketch_distinct" -> sketchDistinct,
     "mm_meta" -> mmMeta,
     "mm_resize" -> mmResize,
     "mm_frames" -> mmFrames,
@@ -416,6 +431,26 @@ object DataQueries {
       s"list_transform(generate_series(1, length($strExpr)), " +
       s"i -> CAST(unicode(($strExpr)[i]) AS HUGEINT))), " +
       s"(h, c) -> (($xUnsigned * 1099511628211) % CAST('$Two64' AS HUGEINT)))"
+  }
+
+  /** One unsigned splitmix64 stage `hu XOR (hu >>> s)` where `d` = 2^s
+    * as a decimal literal: logical shift = unsigned `//` quotient, xor
+    * on the BIGINT reinterpretations, result back to unsigned HUGEINT.
+    */
+  /** `(hu * c) mod 2^64` for a full-width 64-bit constant via 32-bit
+    * halves — the direct product of two ~2^64 values overflows DuckDB's
+    * signed INT128: (hi·2^32+lo)·c ≡ lo·c + ((hi·c) mod 2^32)·2^32.
+    */
+  private def mulSql(hu: String, c: String): String = {
+    val C = s"CAST('$c' AS HUGEINT)"
+    s"((($hu % 4294967296) * $C + (($hu // 4294967296) * $C % 4294967296)" +
+      s" * 4294967296) % CAST('$Two64' AS HUGEINT))"
+  }
+
+  private def xorShrSql(hu: String, d: String): String = {
+    val x = s"xor(${signedSql(hu)}, ${signedSql(s"($hu // $d)")})"
+    s"(CASE WHEN $x < 0 THEN CAST($x AS HUGEINT) + CAST('$Two64' AS HUGEINT)" +
+      s" ELSE CAST($x AS HUGEINT) END)"
   }
 
   /** BIGINT reinterpretation of an unsigned HUGEINT column. */
@@ -662,6 +697,39 @@ object DataQueries {
         |  CAST((cum - 1) // 128 AS BIGINT) AS seq_last,
         |  CAST((cum - n_tok) % 128 AS BIGINT) AS tok_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    // KMV: distinct splitmix64-finalized FNV token hashes ranked
+    // unsigned (one CTE per mix stage: xor-shift = xor with the
+    // unsigned // 2^s quotient, multiply = mod-2^64 HUGEINT product);
+    // the k-th minimum and the integer estimator (k-1)*2^64 // kth
+    // replayed exactly
+    "sketch_distinct" ->
+      s"""WITH tk AS (
+         |  SELECT source, unnest(list_filter(string_split(text, ' '),
+         |    t -> t <> '')) AS tok
+         |  FROM documents),
+         |h0 AS (SELECT DISTINCT source,
+         |    ${fnvFoldSql("tok", "14695981039346656037")} AS hu
+         |  FROM tk),
+         |m1 AS (SELECT source, ${xorShrSql("hu", "1073741824")} AS hu FROM h0),
+         |m2 AS (SELECT source, ${mulSql("hu", "13787848793156543929")} AS hu FROM m1),
+         |m3 AS (SELECT source, ${xorShrSql("hu", "134217728")} AS hu FROM m2),
+         |m4 AS (SELECT source, ${mulSql("hu", "10723151780598845931")} AS hu FROM m3),
+         |h AS (SELECT source, ${xorShrSql("hu", "2147483648")} AS hu FROM m4),
+         |r AS (SELECT source, hu,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hu) AS rk,
+         |    COUNT(*) OVER (PARTITION BY source) AS n_h
+         |  FROM h),
+         |kk AS (SELECT source, MIN(n_h) AS n_h,
+         |    MAX(CASE WHEN rk = 16 THEN hu END) AS kth
+         |  FROM r GROUP BY source)
+         |SELECT source,
+         |  CAST(LEAST(n_h, 16) AS BIGINT) AS n_min,
+         |  CAST(COALESCE(${signedSql("kth")}, 0) AS BIGINT) AS kth_min,
+         |  CAST(CASE WHEN n_h < 16 THEN n_h
+         |    ELSE LEAST(CAST('15' AS HUGEINT) * CAST('$Two64' AS HUGEINT) // kth,
+         |      CAST('9223372036854775807' AS HUGEINT)) END AS BIGINT)
+         |    AS est_distinct
+         |FROM kk ORDER BY source""".stripMargin,
     // window strings mirror polyHash exactly: each token followed by one
     // space (incl. trailing), init = the engine's basis constant
     "txt_fingerprint" ->

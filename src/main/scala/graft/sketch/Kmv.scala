@@ -1,0 +1,159 @@
+package graft.sketch
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values) distinct-count sketch — the mergeable
+  * cardinality summary a corpus engine needs for per-source vocabulary /
+  * URL / entity counts at 100 TB, where exact `COUNT(DISTINCT)` shuffles
+  * every distinct value and `approx_count_distinct`'s HLL is neither
+  * engine-replayable nor inspectable.
+  *
+  * Shape: a typed [[Aggregator]] whose state is the k smallest DISTINCT
+  * 64-bit token hashes in UNSIGNED order — bounded at k·8 bytes per
+  * group, partially aggregated map-side, so the shuffle carries ≤ k
+  * longs per (partition, group) regardless of corpus size. The estimate
+  * is the classic KMV estimator est = (k−1)·2^64 / kth_min (Bar-Yossef
+  * et al.; exact when fewer than k distinct values were seen), computed
+  * in integer arithmetic so it replays bit-exactly in the DuckDB oracle
+  * (HUGEINT `//`) — unlike float formulations, the result is
+  * partitioning- and merge-order-invariant by construction.
+  *
+  * Hashing is the engine's FNV-1a-64 over UTF-16 code units (the
+  * `dd_simhash` convention, oracle-replayed via `fnvFoldSql`) finalized
+  * with a splitmix64 avalanche mix (see [[mix]]); tokens split on
+  * single spaces to match.
+  */
+object Kmv {
+
+  /** Buffer wrapper so the state rides `Encoders.product` (no catalyst
+    * internals); `mins` is sorted ascending in unsigned order, distinct,
+    * length ≤ k.
+    */
+  case class KmvState(mins: Array[Long])
+
+  /** (n_min = stored minima, kth_min = signed bits of the k-th minimum
+    * or 0 when not full, est_distinct = integer KMV estimate — exact
+    * below k).
+    */
+  case class KmvSummary(n_min: Long, kth_min: Long, est_distinct: Long)
+
+  private[sketch] def fnv1a(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** splitmix64 finalizer (Stafford mix13). The KMV estimator assumes
+    * hashes uniform over [0, 2^64); raw FNV-1a clusters low values on
+    * short similar tokens (measured 35x overestimate on `tokN` corpora),
+    * so the fold is finalized with an avalanche mix — each stage is one
+    * xor-shift or one mod-2^64 multiply, replayed stage-per-CTE in the
+    * oracle's HUGEINT SQL.
+    */
+  private[sketch] def mix(z0: Long): Long = {
+    var z = z0
+    z ^= z >>> 30; z *= 0xbf58476d1ce4e5b9L
+    z ^= z >>> 27; z *= 0x94d049bb133111ebL
+    z ^= z >>> 31
+    z
+  }
+
+  private[sketch] def tokenHash(t: String): Long = mix(fnv1a(t))
+
+  class KmvAgg(k: Int) extends Aggregator[Long, KmvState, KmvSummary] {
+    require(k >= 2, s"k must be >= 2: $k")
+
+    override def zero: KmvState = KmvState(Array.emptyLongArray)
+
+    /** Insertion point of h in unsigned order, or -1 if already present. */
+    private def slot(b: Array[Long], h: Long): Int = {
+      var lo = 0
+      var hi = b.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        val c = java.lang.Long.compareUnsigned(b(mid), h)
+        if (c == 0) return -1
+        if (c < 0) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+
+    override def reduce(b: KmvState, h: Long): KmvState = {
+      val a = b.mins
+      val pos = slot(a, h)
+      if (pos < 0 || pos >= k) return b // present, or beyond the k minima
+      val n = math.min(a.length + 1, k)
+      val out = new Array[Long](n)
+      System.arraycopy(a, 0, out, 0, pos)
+      out(pos) = h
+      System.arraycopy(a, pos, out, pos + 1, n - pos - 1)
+      KmvState(out)
+    }
+
+    /** Two-pointer unsigned merge, distinct, truncated at k. */
+    override def merge(x: KmvState, y: KmvState): KmvState = {
+      val a = x.mins; val b = y.mins
+      if (a.isEmpty) return y
+      if (b.isEmpty) return x
+      val out = new Array[Long](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var n = 0
+      while (n < k && (i < a.length || j < b.length)) {
+        val takeA =
+          j >= b.length ||
+            (i < a.length && java.lang.Long.compareUnsigned(a(i), b(j)) <= 0)
+        val v = if (takeA) a(i) else b(j)
+        if (takeA) {
+          if (j < b.length && a(i) == b(j)) j += 1
+          i += 1
+        } else j += 1
+        out(n) = v; n += 1
+      }
+      KmvState(if (n == out.length) out else out.take(n))
+    }
+
+    override def finish(s: KmvState): KmvSummary = {
+      val n = s.mins.length
+      if (n < k) KmvSummary(n, 0L, n)
+      else {
+        val kth = s.mins(k - 1)
+        val kthU = BigInt(kth) & ((BigInt(1) << 64) - 1)
+        val est = (BigInt(k - 1) << 64) / kthU
+        KmvSummary(n, kth, est.min(BigInt(Long.MaxValue)).toLong)
+      }
+    }
+
+    override def bufferEncoder: Encoder[KmvState] = Encoders.product[KmvState]
+    override def outputEncoder: Encoder[KmvSummary] = Encoders.product[KmvSummary]
+  }
+
+  /** (group, h) token-hash pairs — one typed flatMap over the corpus
+    * (duplicate hashes are fine; the aggregator dedups in-state, so no
+    * corpus-wide DISTINCT shuffle precedes the bounded agg).
+    */
+  def tokenHashes(docs: DataFrame, groupCol: String = "source",
+                  textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(groupCol), col(textCol)).as[(String, String)]
+      .flatMap { case (g, text) =>
+        text.split(' ').iterator.filter(_.nonEmpty).map(t => (g, tokenHash(t)))
+      }
+      .toDF(groupCol, "h")
+  }
+
+  /** Per-group distinct-token sketch summary. */
+  def distinctSketch(docs: DataFrame, k: Int = 64,
+                     groupCol: String = "source",
+                     textCol: String = "text"): DataFrame = {
+    val agg = udaf(new KmvAgg(k))
+    tokenHashes(docs, groupCol, textCol)
+      .groupBy(col(groupCol))
+      .agg(agg(col("h")).as("s"))
+      .select(col(groupCol), col("s.n_min").as("n_min"),
+        col("s.kth_min").as("kth_min"),
+        col("s.est_distinct").as("est_distinct"))
+  }
+}
