@@ -1,0 +1,57 @@
+package graft.kgql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SPARQL property-path evaluation (`p{1,k}` / `p+`) as iterative
+  * frontier expansion — the graph-traversal counterpart of the
+  * reference's parent-chain walks (`/root/reference/src/formats/rdf/
+  * rdf_converter.py:520-560` resolves `subClassOf*` ancestor chains one
+  * node at a time; here the whole relation advances per round).
+  *
+  * Shape at scale: each round is ONE equi-join of the current frontier
+  * against the edge table on the join key `via` (co-partitioned shuffle,
+  * map-side distinct), plus a left-anti join against the known set to
+  * keep the frontier minimal (Δ-BFS — without it, dense graphs re-derive
+  * the same pairs every round and the frontier grows multiplicatively).
+  * Rounds = min(k, graph diameter), each checkpointed so the lineage
+  * stays O(1) instead of O(rounds).
+  *
+  * All-pairs closure is only materialized when the caller asks for it —
+  * on corpus-scale graphs use `from` to restrict sources (single-source /
+  * landmark BFS), or the CC module when only reachability classes are
+  * needed.
+  */
+object PropertyPath {
+
+  /** Min-hop distances (src, dst, dist) for 1 ≤ dist ≤ maxHops over a
+    * directed edge table (src, dst). Self-pairs (src = dst) are
+    * excluded. `from`: optional source restriction (single-source BFS).
+    */
+  def boundedClosure(edges: DataFrame, maxHops: Int,
+      from: Option[DataFrame] = None): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val seeds = from match {
+      case Some(s) => e.join(s.select(col("src")).distinct(), Seq("src"))
+      case None => e
+    }
+    var known = seeds.withColumn("dist", lit(1)).localCheckpoint()
+    var frontier = known
+    var hop = 1
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val next = frontier
+        .select(col("src"), col("dst").as("via"))
+        .join(e.select(col("src").as("via"), col("dst")), Seq("via"))
+        .select(col("src"), col("dst"))
+        .distinct()
+        .join(known.select("src", "dst"), Seq("src", "dst"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .localCheckpoint()
+      known = known.union(next).localCheckpoint()
+      frontier = next
+    }
+    known.filter(col("src") =!= col("dst"))
+  }
+}

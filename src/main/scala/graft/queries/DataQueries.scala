@@ -383,10 +383,46 @@ object DataQueries {
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Bigram-LM perplexity quality signal (CCNet-style): per-doc mean
+    * −ln p over corpus-trained add-one bigram statistics. Integer
+    * micro-nat quantization makes the score hash-exact across engines.
+    */
+  def txtPerplexity(spark: SparkSession, dir: String): DataFrame =
+    graft.text.LangModel.bigramNll(
+        spark.read.parquet(s"$dir/documents.parquet"))
+      .orderBy("doc_id")
+
+  /** Canonical-URL dedup (crawl tier): deterministic messy variants of
+    * each page URL (case/port/fragment/utm-param noise keyed on
+    * doc_id%4, page id = doc_id/4) are normalized by [[UrlCanon]] and
+    * collapsed; survivor = min doc_id per canonical URL.
+    */
+  def ddUrls(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val base = concat(lit("https://example.org/page/"),
+      expr("doc_id div 4"))
+    val baseUp = concat(lit("HTTPS://EXAMPLE.ORG:443/page/"),
+      expr("doc_id div 4"))
+    val url = when(pmod(col("doc_id"), lit(4)) === 0, base)
+      .when(pmod(col("doc_id"), lit(4)) === 1,
+        concat(baseUp, lit("?utm_source=feed&utm_campaign=x#frag")))
+      .when(pmod(col("doc_id"), lit(4)) === 2,
+        concat(base, lit("?b=2&a=1&utm_medium=email")))
+      .otherwise(concat(base, lit("?a=1&b=2#sec2")))
+    docs.select(col("doc_id"),
+        graft.extract.UrlCanon.canonical(url).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(min(col("doc_id")).as("survivor_doc"),
+        count(lit(1)).as("n_variants"))
+      .orderBy("canonical_url")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ddExact,
     "dd_exact_clusters" -> ddExactClusters,
     "dd_decontam" -> ddDecontam,
+    "dd_urls" -> ddUrls,
+    "txt_perplexity" -> txtPerplexity,
     "dd_jaccard" -> ddJaccard,
     "dd_lines" -> ddLines,
     "dd_minhash" -> ddMinhash,
@@ -492,6 +528,55 @@ object DataQueries {
       s"(acc, x) -> acc + x)"
 
   val oracles: Map[String, String] = Map(
+    // bigram add-one LM: identical integer micro-nat quantization on
+    // both sides (one ln per distinct bigram over exact integer counts),
+    // so sums/averages are integer-exact across engines
+    "txt_perplexity" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pos AS (SELECT doc_id, unnest(w) AS w1 FROM toks),
+        |uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM pos GROUP BY w1),
+        |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+        |bi AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        |       FROM toks, unnest(generate_series(1, len(w)-1)) AS g(i)),
+        |docbi AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM bi GROUP BY ALL),
+        |c2 AS (SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c2 FROM docbi GROUP BY ALL),
+        |term AS (SELECT c2.w1, c2.w2,
+        |   CAST(round((ln(u.c1 + v.v) - ln(c2.c2 + 1)) * 1000000) AS BIGINT) AS t
+        |   FROM c2 JOIN uni u ON u.w1 = c2.w1 CROSS JOIN v)
+        |SELECT d.doc_id, CAST(SUM(d.n) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(d.n * t.t) AS BIGINT) AS nll_micro,
+        |  CAST(SUM(d.n * t.t) // (SUM(d.n) * 1000) AS BIGINT) AS nll_milli_avg
+        |FROM docbi d JOIN term t ON t.w1 = d.w1 AND t.w2 = d.w2
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    // same regex pipeline as UrlCanon.canonical; COALESCE bridges
+    // DuckDB's NULL for array_to_string([]) vs Spark's '' for array_join
+    "dd_urls" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'https://example.org/page/' || (doc_id // 4)
+        |       WHEN doc_id % 4 = 1 THEN 'HTTPS://EXAMPLE.ORG:443/page/' || (doc_id // 4) || '?utm_source=feed&utm_campaign=x#frag'
+        |       WHEN doc_id % 4 = 2 THEN 'https://example.org/page/' || (doc_id // 4) || '?b=2&a=1&utm_medium=email'
+        |       ELSE 'https://example.org/page/' || (doc_id // 4) || '?a=1&b=2#sec2' END AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+        |p AS (SELECT doc_id,
+        |  lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM c),
+        |qq AS (SELECT doc_id, scheme,
+        |  lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+        |  regexp_replace(rest, '^[^/?]*', '') AS pathq FROM p),
+        |r AS (SELECT doc_id, scheme,
+        |  CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |       WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |       ELSE hostport END AS host,
+        |  CASE WHEN regexp_extract(pathq, '^([^?]*)', 1) = '' THEN '/'
+        |       ELSE regexp_extract(pathq, '^([^?]*)', 1) END AS path,
+        |  COALESCE(array_to_string(list_sort(list_filter(string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
+        |    x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&'), '') AS qs
+        |  FROM qq),
+        |canon AS (SELECT doc_id,
+        |  scheme || '://' || host || path || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical_url FROM r)
+        |SELECT canonical_url, MIN(doc_id) AS survivor_doc, CAST(COUNT(*) AS BIGINT) AS n_variants
+        |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd_embed" ->
       s"""WITH ${lshPlanesSql(11)},
          |corpus AS (

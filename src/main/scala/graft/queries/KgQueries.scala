@@ -246,6 +246,68 @@ object KgQueries {
       .orderBy(col("entity"))
   }
 
+  /** Triple table the SPARQL-subset queries run over: mention triples ∪
+    * co-occurrence triples (s, p, o only — the BGP layer is agnostic to
+    * side statistics). Deterministic intermediate of the dir; cached so
+    * the three kgql queries share one build per session+dir.
+    */
+  private def bgpTriples(spark: SparkSession, dir: String): DataFrame =
+    bgpTriplesCache.get(spark, dir) {
+      val m = MentionScan.mentions(pagesDf(spark, dir), Gazetteer(gaz))
+      MentionScan.mentionTriples(m)
+        .union(MentionScan.coOccurrenceTriples(m).select("s", "p", "o"))
+        .localCheckpoint()
+    }
+  private val bgpTriplesCache = new DirCache[DataFrame]
+
+  /** SPARQL BGP over the KG: a star join on documents mentioning a fixed
+    * entity plus a co-occurrence chain between the other two mentions.
+    * Exercises selectivity ordering (the 2-bound pattern seeds the join
+    * tree as a broadcast) and variable unification across 4 patterns.
+    */
+  def kgBgp(spark: SparkSession, dir: String): DataFrame =
+    graft.kgql.Sparql.query(bgpTriples(spark, dir),
+      """SELECT ?d ?e1 ?e2 WHERE {
+        |  ?d <urn:graft:mentions> <urn:ent:spark> .
+        |  ?d <urn:graft:mentions> ?e1 .
+        |  ?d <urn:graft:mentions> ?e2 .
+        |  ?e1 <urn:graft:coOccursWith> ?e2 .
+        |}""".stripMargin)
+      .orderBy(col("d"), col("e1"), col("e2"))
+
+  /** OPTIONAL + FILTER: entities co-occurring with `vector`, left-joined
+    * to the docs that mention them alongside `hash` (doc 0 filtered out
+    * inside the optional block — SPARQL group-local filter semantics).
+    */
+  def kgBgpOpt(spark: SparkSession, dir: String): DataFrame =
+    graft.kgql.Sparql.query(bgpTriples(spark, dir),
+      """SELECT DISTINCT ?e ?d WHERE {
+        |  ?e <urn:graft:coOccursWith> <urn:ent:vector> .
+        |  OPTIONAL {
+        |    ?d <urn:graft:mentions> ?e .
+        |    ?d <urn:graft:mentions> <urn:ent:hash> .
+        |    FILTER ( ?d != <urn:doc:0> )
+        |  }
+        |}""".stripMargin)
+      .orderBy(col("e"), col("d").asc_nulls_first)
+
+  /** Property path `mentions{1,3}`: min-hop distances over the
+    * undirected doc–entity bipartite subgraph (docs ≡ 0 mod 97 — sparse
+    * enough that hop-2 doc–doc and hop-3 paths genuinely occur, unlike
+    * the complete 10-entity co-occurrence graph) via Δ-BFS frontier
+    * joins: each round one co-partitioned equi-join + anti-join,
+    * checkpointed lineage.
+    */
+  def kgPath(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = bgpTriples(spark, dir)
+      .filter(col("p") === MentionScan.MentionsPred)
+      .filter(expr("CAST(substring(s, 9) AS LONG) % 97 = 0"))
+    val und = e0.select(col("s").as("src"), col("o").as("dst"))
+      .union(e0.select(col("o").as("src"), col("s").as("dst")))
+    graft.kgql.PropertyPath.boundedClosure(und, maxHops = 3)
+      .orderBy(col("src"), col("dst"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_extract_text" -> kgExtractText,
     "kg_mentions" -> kgMentions,
@@ -258,7 +320,10 @@ object KgQueries {
     "kg_canonical_inc" -> kgCanonicalInc,
     "kg_canonical_stream" -> kgCanonicalStream,
     "kg_pagerank" -> kgPagerank,
-    "kg_timeline" -> kgTimeline
+    "kg_timeline" -> kgTimeline,
+    "kg_bgp" -> kgBgp,
+    "kg_bgp_opt" -> kgBgpOpt,
+    "kg_path" -> kgPath
   )
 
   /** Unrolled integer-PageRank SQL: s{k} from s{k-1} via the identical
@@ -346,6 +411,44 @@ object KgQueries {
     "kg_canonical_inc" -> canonicalSql,
     "kg_canonical_stream" -> canonicalSql,
     "kg_pagerank" -> pagerankSql,
+    // SPARQL BGP replay: star join on docs mentioning `spark` plus the
+    // co-occurrence chain — bag semantics, so no DISTINCT on the outer
+    "kg_bgp" ->
+      s"""WITH $tokensCte,
+         |md AS (SELECT 'urn:doc:' || doc_id AS d, 'urn:ent:' || entity AS e FROM m),
+         |co AS (SELECT DISTINCT 'urn:ent:' || a.entity AS s, 'urn:ent:' || b.entity AS o
+         |  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.entity < b.entity)
+         |SELECT s.d AS d, e1.e AS e1, e2.e AS e2
+         |FROM md s JOIN md e1 ON e1.d = s.d JOIN md e2 ON e2.d = s.d
+         |JOIN co ON co.s = e1.e AND co.o = e2.e
+         |WHERE s.e = 'urn:ent:spark'
+         |ORDER BY d, e1, e2""".stripMargin,
+    // OPTIONAL → LEFT JOIN with the block-local doc filter; NULLS FIRST
+    // matches Spark's asc_nulls_first
+    "kg_bgp_opt" ->
+      s"""WITH $tokensCte,
+         |md AS (SELECT 'urn:doc:' || doc_id AS d, 'urn:ent:' || entity AS e FROM m),
+         |co AS (SELECT DISTINCT 'urn:ent:' || a.entity AS s, 'urn:ent:' || b.entity AS o
+         |  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.entity < b.entity),
+         |base AS (SELECT s AS e FROM co WHERE o = 'urn:ent:vector'),
+         |opt AS (SELECT m1.e, m1.d FROM md m1 JOIN md m2 ON m2.d = m1.d AND m2.e = 'urn:ent:hash'
+         |        WHERE m1.d <> 'urn:doc:0')
+         |SELECT DISTINCT b.e AS e, o.d AS d FROM base b LEFT JOIN opt o ON o.e = b.e
+         |ORDER BY e, d NULLS FIRST""".stripMargin,
+    // min-hop closure within 3 hops over the sparse bipartite subgraph;
+    // the recursive UNION enumerates bounded walks, MIN picks the hop
+    // count the Δ-BFS assigns at first discovery
+    "kg_path" ->
+      s"""WITH RECURSIVE $tokensCte,
+         |e0 AS (SELECT 'urn:doc:' || doc_id AS a, 'urn:ent:' || entity AS b
+         |       FROM m WHERE doc_id % 97 = 0),
+         |und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+         |walk(src, dst, dist) AS (
+         |  SELECT a, b, 1 FROM und
+         |  UNION
+         |  SELECT w.src, u.b, w.dist + 1 FROM walk w JOIN und u ON w.dst = u.a WHERE w.dist < 3)
+         |SELECT src, dst, MIN(dist) AS dist FROM walk WHERE src <> dst
+         |GROUP BY src, dst ORDER BY src, dst""".stripMargin,
     // replays PageGen's closed-form crawl-time scatter directly
     "kg_timeline" ->
       s"""WITH $tokensCte,

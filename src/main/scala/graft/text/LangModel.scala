@@ -1,0 +1,62 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained bigram language model with add-one smoothing — the
+  * CCNet/Gopher-style perplexity quality signal: documents whose token
+  * transitions are improbable under the corpus's own statistics score a
+  * high negative log-likelihood and sit in the filter tail.
+  *
+  * Model: p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V) over whitespace
+  * tokens, V = |vocab|. Per-doc score = mean over its bigrams of
+  * −ln p(w2|w1).
+  *
+  * Plan shape at 100 TB:
+  *  - bigrams are derived IN-ROW (`transform` over the token array) —
+  *    no positional self-join;
+  *  - the only corpus-keyed shuffle is the (doc, w1, w2) pre-aggregation
+  *    with map-side combine; the model tables (unigram/bigram counts)
+  *    are vocab-bounded aggregations of that same intermediate;
+  *  - scoring joins the per-doc bigram histogram to the count tables on
+  *    (w1, w2) / (w1) — co-partitioned hash joins; frequent-bigram key
+  *    skew is one-row-per-key on the build side, handled by AQE;
+  *  - determinism across engines: the per-bigram −ln term is quantized
+  *    to integer micro-nats ONCE (a single libm call on exact integer
+  *    inputs), then every downstream sum/avg is integer-exact — no
+  *    float-summation-order drift between Spark and the DuckDB oracle.
+  */
+object LangModel {
+
+  /** (doc_id, n_bigrams, nll_micro, nll_milli_avg) for every doc with
+    * ≥ 2 tokens. `nll_micro` = Σ n·round(1e6·(ln(c1+V) − ln(c2+1)));
+    * `nll_milli_avg` = nll_micro div (n_bigrams·1000).
+    */
+  def bigramNll(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      split(col("text"), " ", -1).as("w"))
+    // unigram counts + vocab size (model-scale, one map-side-combined agg)
+    val uni = toks.select(explode(col("w")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vDf = uni.agg(count(lit(1)).as("v"))
+    // in-row bigram derivation, then ONE corpus shuffle: (doc, w1, w2)
+    val docBi = toks.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
+    val c2 = docBi.groupBy("w1", "w2").agg(sum(col("n")).as("c2"))
+    // integer micro-nat term per distinct (w1, w2): the single float op
+    val term = c2.join(uni, Seq("w1")).crossJoin(broadcast(vDf))
+      .select(col("w1"), col("w2"),
+        round((log(col("c1") + col("v")) - log(col("c2") + lit(1))) * 1e6)
+          .cast("long").as("t"))
+    docBi.join(term, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum(col("n") * col("t")).as("nll_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_micro"),
+        expr("nll_micro div (n_bigrams * 1000)").as("nll_milli_avg"))
+  }
+}
