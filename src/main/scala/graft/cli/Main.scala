@@ -277,6 +277,43 @@ object Main {
       println(s"audio exact-fingerprint dup pairs: ${pairs.count()}")
       stopOwned(spark)
 
+    // SPARQL-subset query over the KG triple table (round 5): the query
+    // text is read from a file so shells don't mangle IRIs
+    case "sparql" :: sfDir :: queryFile :: Nil =>
+      val spark = session()
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(queryFile)), "UTF-8")
+      val pages = graft.pages.PageGen.pages(spark, sfDir)
+      val m = graft.extract.MentionScan.mentions(pages,
+        graft.extract.Gazetteer(graft.extract.Gazetteer.DefaultEntities))
+      val triples = graft.extract.MentionScan.mentionTriples(m)
+        .union(graft.extract.MentionScan.coOccurrenceTriples(m)
+          .select("s", "p", "o"))
+      graft.kgql.Sparql.query(triples, text).show(50, false)
+      stopOwned(spark)
+
+    // train a BPE tokenizer on the documents table, print the merges
+    case "bpe" :: sfDir :: nMerges :: Nil =>
+      val spark = session()
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val merges = graft.text.Bpe.train(docs, nMerges.toInt)
+      merges.zipWithIndex.foreach { case ((a, b), i) =>
+        println(f"$i%4d  $a%-12s + $b%s") }
+      val stats = graft.text.Bpe.tokenCounts(docs, merges)
+        .agg(org.apache.spark.sql.functions.sum("n_bpe_tokens")).head.getLong(0)
+      println(s"corpus BPE tokens with ${merges.length} merges: $stats")
+      stopOwned(spark)
+
+    // exact-substring duplicated-span report (round 5)
+    case "spans" :: sfDir :: Nil =>
+      val spark = session()
+      import org.apache.spark.sql.functions._
+      val r = graft.dedup.Dedup.duplicateSpans(
+        spark.read.parquet(s"$sfDir/documents.parquet"))
+      r.agg(count(lit(1)).as("docs_hit"), sum("n_spans").as("spans"),
+          sum("dup_tokens").as("dup_tokens")).show()
+      stopOwned(spark)
+
     case other =>
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
@@ -287,7 +324,8 @@ object Main {
            |       kg-stream <srcDir> <outDir> <ckptDir> |
            |       curate <sfDir> | lines <sfDir> | phash <sfDir> <maxDist> |
            |       pagerank <sfDir> | audio-fp <sfDir> |
-           |       search <sfDir> <vecId> <k>""".stripMargin)
+           |       sparql <sfDir> <query.rq> | bpe <sfDir> <numMerges> |
+           |       spans <sfDir> | search <sfDir> <vecId> <k>""".stripMargin)
       sys.exit(2)
   }
 }

@@ -538,6 +538,68 @@ object Dedup {
     * rather than silently OOMing the driver — at that point the caller
     * should explode + join instead (the [[dedupLines]] fallback shape).
     */
+  /** Exact-substring span dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", re-expressed at fixed
+    * token-window granularity): a window of `window` tokens is
+    * *duplicated* when its polynomial hash occurs in ≥ 2 DISTINCT docs;
+    * per doc, the duplicated windows are merged into maximal spans
+    * (touching/overlapping windows coalesce) and reported as
+    * (doc_id, n_dup_windows, n_spans, dup_tokens, n_tokens) — the
+    * inputs a removal pass needs (which token ranges to cut, how much
+    * of the doc they cover).
+    *
+    * Scale shape — the paper's suffix-array pass as two hash shuffles:
+    *  1. one corpus-keyed shuffle of NARROW (hash, doc, pos) rows into
+    *     a groupBy(hash); cross-doc duplication is detected with
+    *     `min(doc) ≠ max(doc)` (no countDistinct sketch/expansion);
+    *  2. a co-partitioned self-join of the window stream against the
+    *     surviving dup hashes (both sides already hash-partitioned on
+    *     `h` from step 1 — AQE reuses the exchange);
+    *  3. span merging is per-doc local: sorted positions fold through
+    *     ONE `aggregate` higher-order function (codegen'd, no window
+    *     sort): spans split where the gap exceeds `window`, union
+    *     length adds `min(window, gap)` per step.
+    * Nothing driver-side, nothing quadratic; dup volume ∝ actual
+    * duplication, not corpus².
+    */
+  def duplicateSpans(docs: DataFrame, window: Int = 13): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wins = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, t) =>
+          val toks = t.split("\\s+").filter(_.nonEmpty)
+          graft.text.TextAnalysis.windowHashesPos(t, window)
+            .map { case (p, h) => (id, p, h, toks.length.toLong) }
+        }
+      }
+      .toDF("doc_id", "pos", "h", "n_tokens")
+    val dupH = wins.groupBy("h")
+      .agg(min(col("doc_id")).as("d1"), max(col("doc_id")).as("d2"))
+      .filter(col("d1") =!= col("d2"))
+      .select("h")
+    val w = window
+    wins.join(dupH, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_windows"),
+        sort_array(collect_list(col("pos"))).as("ps"),
+        min(col("n_tokens")).as("n_tokens"))
+      .select(col("doc_id"), col("n_dup_windows"),
+        expr(
+          s"""aggregate(ps,
+             |  struct(CAST(0 AS BIGINT) AS spans, CAST(0 AS BIGINT) AS toks,
+             |         CAST(-$w - 1 AS BIGINT) AS prev),
+             |  (acc, p) -> struct(
+             |    acc.spans + IF(p - acc.prev > $w, CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+             |    acc.toks + LEAST(CAST($w AS BIGINT), CAST(p AS BIGINT) - acc.prev),
+             |    CAST(p AS BIGINT)),
+             |  acc -> acc)""".stripMargin).as("m"),
+        col("n_tokens"))
+      .select(col("doc_id"), col("n_dup_windows"),
+        col("m.spans").as("n_spans"), col("m.toks").as("dup_tokens"),
+        col("n_tokens"))
+  }
+
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     window: Int = 13,
                     maxBenchWindows: Long = 50000000L): DataFrame = {

@@ -417,11 +417,31 @@ object DataQueries {
       .orderBy("canonical_url")
   }
 
+  /** Exact-substring span dedup over a corpus with a planted two-sided
+    * chorus (docs ≡ 0 mod 5 get a 20-token run prepended AND appended,
+    * so multi-span merging is genuinely exercised) plus whatever
+    * organic window duplication the corpus carries. Oracle replays the
+    * polynomial window hash in HUGEINT SQL and the span merge with a
+    * lag() window.
+    */
+  def ddSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val planted = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(SpanChorus + " "), col("text"), lit(" " + SpanChorus)))
+        .otherwise(col("text")).as("text"))
+    Dedup.duplicateSpans(planted, window = 13).orderBy("doc_id")
+  }
+
+  private val SpanChorus = "the quick brown fox jumps over the lazy dog " +
+    "while the eager crawler indexes every page on the open web"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ddExact,
     "dd_exact_clusters" -> ddExactClusters,
     "dd_decontam" -> ddDecontam,
     "dd_urls" -> ddUrls,
+    "dd_spans" -> ddSpans,
     "txt_perplexity" -> txtPerplexity,
     "dd_jaccard" -> ddJaccard,
     "dd_lines" -> ddLines,
@@ -577,6 +597,26 @@ object DataQueries {
         |  scheme || '://' || host || path || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical_url FROM r)
         |SELECT canonical_url, MIN(doc_id) AS survivor_doc, CAST(COUNT(*) AS BIGINT) AS n_variants
         |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact-substring spans: window hash replayed via fnvFoldSql, span
+    // merge via lag() — identical gap semantics to the aggregate() fold
+    "dd_spans" ->
+      s"""WITH planted AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 5 = 0 THEN '$SpanChorus' || ' ' || text || ' ' || '$SpanChorus'
+         |       ELSE text END AS text
+         |  FROM documents),
+         |toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS w FROM planted),
+         |wins AS (SELECT doc_id, i AS pos, len(w) AS n_tokens,
+         |    array_to_string(list_slice(w, i, i + 12), ' ') || ' ' AS s
+         |  FROM toks, unnest(generate_series(1, len(w) - 12)) AS t(i) WHERE len(w) >= 13),
+         |hashes AS (SELECT doc_id, pos, n_tokens, ${fnvFoldSql("s", "1469598103934665603")} AS hu FROM wins),
+         |dup AS (SELECT hu FROM hashes GROUP BY hu HAVING MIN(doc_id) <> MAX(doc_id)),
+         |dw AS (SELECT h.doc_id, h.pos, h.n_tokens FROM hashes h JOIN dup d ON h.hu = d.hu),
+         |lagd AS (SELECT doc_id, pos, n_tokens, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dw)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows,
+         |  CAST(SUM(CASE WHEN prev IS NULL OR pos - prev > 13 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+         |  CAST(SUM(CASE WHEN prev IS NULL THEN 13 ELSE LEAST(13, pos - prev) END) AS BIGINT) AS dup_tokens,
+         |  CAST(MIN(n_tokens) AS BIGINT) AS n_tokens
+         |FROM lagd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dd_embed" ->
       s"""WITH ${lshPlanesSql(11)},
          |corpus AS (

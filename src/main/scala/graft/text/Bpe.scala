@@ -1,0 +1,139 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training and encoding (Sennrich et al.
+  * 2016), Spark-native: the corpus is touched ONCE (word-frequency
+  * aggregation with map-side combine); every merge iteration then runs
+  * over the vocab-scale symbol table, never the corpus. This is the
+  * standard scale split — at 10^12 documents the word-frequency table is
+  * orders of magnitude smaller than the corpus, and `maxVocab` caps it
+  * (top-N by frequency, deterministic tie-break) the way production
+  * tokenizer trainers truncate their word dicts.
+  *
+  * Determinism: pair selection breaks count ties lexicographically
+  * (code-point order on both symbols), so training is reproducible
+  * across partitionings and cluster sizes — the property every other
+  * deterministic id in this repo maintains.
+  *
+  * Symbols are Unicode code points (not UTF-16 chars), so
+  * supplementary-plane text round-trips.
+  */
+object Bpe {
+
+  type Merge = (String, String)
+
+  /** One corpus pass: whitespace word frequencies. */
+  def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
+  private[text] def codePoints(w: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toSeq
+  }
+
+  /** Merge every non-overlapping (a, b) occurrence, scanning left to
+    * right — the classic BPE apply step.
+    */
+  private[text] def applyMergeOnce(syms: Seq[String], a: String,
+      b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Train `numMerges` merges. Each round: adjacent-pair weighted counts
+    * over the symbol table (one small shuffle), a 1-row argmax to the
+    * driver (the algorithm's inherent sequential dependency), and a map
+    * applying the merge. The symbol table is localCheckpointed per round
+    * so lineage stays O(1) across rounds.
+    */
+  def train(docs: DataFrame, numMerges: Int,
+      maxVocab: Int = 1000000): Seq[Merge] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab: Dataset[(Seq[String], Long)] = wordCounts(docs)
+      .orderBy(desc("n"), asc("word")).limit(maxVocab)
+      .as[(String, Long)]
+      .map { case (w, n) => (codePoints(w), n) }
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[Merge]()
+    var done = false
+    while (merges.length < numMerges && !done) {
+      val top = vocab.flatMap { case (syms, n) =>
+          if (syms.length < 2) Iterator.empty
+          else syms.iterator.zip(syms.iterator.drop(1)).map(p => (p._1, p._2, n))
+        }
+        .toDF("a", "b", "n")
+        .groupBy("a", "b").agg(sum(col("n")).as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(1)
+        .as[(String, String, Long)]
+        .collect()
+      top.headOption match {
+        case None => done = true
+        case Some((a, b, _)) =>
+          merges += ((a, b))
+          vocab = vocab
+            .map { case (syms, n) => (applyMergeOnce(syms, a, b), n) }
+            .localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Encode one word with trained merges: repeatedly apply the
+    * lowest-rank applicable merge (rank = training order).
+    */
+  def encodeWord(word: String, ranks: Map[Merge, Int]): Seq[String] = {
+    var syms = codePoints(word)
+    var continue = syms.length >= 2
+    while (continue) {
+      var best = Int.MaxValue
+      var bestPair: Merge = null
+      var i = 0
+      while (i + 1 < syms.length) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; bestPair = (syms(i), syms(i + 1)) }
+        i += 1
+      }
+      if (bestPair == null) continue = false
+      else syms = applyMergeOnce(syms, bestPair._1, bestPair._2)
+    }
+    syms
+  }
+
+  /** Per-doc BPE token counts under a trained merge table (broadcast to
+    * executors; one corpus map pass, no shuffle).
+    */
+  def tokenCounts(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      merges.zipWithIndex.toMap)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val ranks = bc.value
+        it.map { case (id, t) =>
+          val n = t.split("\\s+").filter(_.nonEmpty)
+            .map(w => encodeWord(w, ranks).length.toLong).sum
+          (id, n)
+        }
+      }
+      .toDF("doc_id", "n_bpe_tokens")
+  }
+}

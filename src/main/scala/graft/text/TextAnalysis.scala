@@ -232,6 +232,19 @@ object TextAnalysis {
     } else toks.sliding(window).map(polyHash).toSeq
   }
 
+  /** (1-based window position, hash) pairs for docs with ≥ `window`
+    * tokens; shorter docs yield nothing (no full window exists). The
+    * positional variant backs span-level exact-substring dedup, where
+    * WHERE a duplicate window sits in the doc matters, not just that
+    * one exists.
+    */
+  def windowHashesPos(text: String, window: Int): Seq[(Int, Long)] = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < window) Seq.empty
+    else toks.sliding(window).zipWithIndex
+      .map { case (w, i) => (i + 1, polyHash(w)) }.toSeq
+  }
+
   private def polyHash(toks: Array[String]): Long = {
     var h = 1469598103934665603L
     for (t <- toks) {
