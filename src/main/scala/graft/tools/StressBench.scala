@@ -51,7 +51,8 @@ object StressBench {
     val out = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT", "/tmp/graft_stress")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sections = sys.env.getOrElse("SPARK_GRAFT_STRESS_SECTIONS",
-      "cc,dd,kg,inc,ivf,ivfpq,skew,lines,pagerank").split(",").map(_.trim).toSet
+      "cc,dd,kg,inc,ivf,ivfpq,skew,lines,pagerank,spans,path")
+      .split(",").map(_.trim).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -295,6 +296,63 @@ object StressBench {
         frags += s""""lines_Nx":{"kept":$kN,"dropped":$dN,"sec":$sN}"""
       } else
         frags += s""""lines_1x":{"kept":$k1,"dropped":$d1,"sec":$s1}"""
+    }
+
+    // ---- exact-substring spans: dup volume ∝ corpus, never corpus² -----
+    // word-salting means replica k>0 windows can never hash-match
+    // replica 0 (or each other), so the REPx corpus must report exactly
+    // REP× the 1x span/token counts — the machine-checked signature of a
+    // duplication-proportional plan
+    if (sections("spans")) {
+      def spanStats(dir: String): (Long, Long, Long, Double) = {
+        val (r, secs) = time {
+          val agg = graft.dedup.Dedup.duplicateSpans(
+              spark.read.parquet(s"$dir/documents.parquet"))
+            .agg(count(lit(1)), sum("n_spans"), sum("dup_tokens")).head
+          (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+        }
+        (r._1, r._2, r._3, secs)
+      }
+      val (h1, sp1, t1, s1) = spanStats(base)
+      if (sections("dd")) {
+        val (hN, spN, tN, sN) = spanStats(s"$out/dd")
+        frags += s""""spans_1x":{"docs_hit":$h1,"spans":$sp1,"dup_tokens":$t1,"sec":$s1}"""
+        frags += s""""spans_Nx":{"docs_hit":$hN,"spans":$spN,"dup_tokens":$tN,"sec":$sN}"""
+      } else
+        frags += s""""spans_1x":{"docs_hit":$h1,"spans":$sp1,"dup_tokens":$t1,"sec":$s1}"""
+    }
+
+    // ---- property-path closure: output ∝ sources, rounds fixed ---------
+    // Δ-BFS within 3 hops from the bridge-order sources on the 1x and
+    // bridged REPx order-part graphs: the source set scales ×REP while
+    // each source's ≤3-hop neighborhood stays constant-size, so reached
+    // pairs must scale ∝ REP (never graph²) and wall must track output
+    if (sections("path")) {
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      def undirected(e: DataFrame) =
+        e.select(col("a").as("src"), col("b").as("dst"))
+          .union(e.select(col("b").as("src"), col("a").as("dst")))
+      def pathStats(edges: DataFrame, sources: DataFrame): (Long, Double) =
+        time {
+          graft.kgql.PropertyPath.boundedClosure(undirected(edges),
+            maxHops = 3, from = Some(sources)).count()
+        }
+      val e1 = li.select(
+        concat(lit("o"), col("ok")).as("a"),
+        concat(lit("p"), col("pk")).as("b"))
+      val src1 = li.filter(col("ok") % 997 === 0)
+        .select(concat(lit("o"), col("ok")).as("src")).distinct()
+      val (p1, s1) = pathStats(e1, src1)
+      val eN = li.crossJoin(reps).select(
+        concat(lit("o"), col("ok") + col("k") * 10000000L).as("a"),
+        concat(lit("p"), col("pk") + col("k") * 10000000L).as("b"))
+      val srcN = li.filter(col("ok") % 997 === 0).select("ok").distinct()
+        .crossJoin(reps)
+        .select(concat(lit("o"), col("ok") + col("k") * 10000000L).as("src"))
+      val (pN, sN) = pathStats(eN, srcN)
+      frags += s""""path_1x":{"pairs":$p1,"sec":$s1}"""
+      frags += s""""path_Nx":{"pairs":$pN,"sec":$sN}"""
     }
 
     // ---- pagerank: per-iteration shuffle ∝ edges, bit-exact at any N ----
