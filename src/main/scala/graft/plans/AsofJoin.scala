@@ -1,0 +1,193 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** AS-OF join — the one relational operator this engine needs that
+  * Spark genuinely lacks (pandas `merge_asof`, DuckDB/QuestDB
+  * `ASOF JOIN`; SPARK-22947 was never merged): for every left row,
+  * join the single right row with the same key and the LARGEST right
+  * timestamp ≤ the left timestamp. The declarative workarounds are all
+  * corpus-hostile at 10^12 rows — a range join explodes to a
+  * near-cartesian before its per-left-row argmax, and the union+window
+  * trick funnels both tables through one window sort.
+  *
+  * This is the brief's escalation path (c) done properly: a custom
+  * `LogicalPlan` + `SparkStrategy` + `SparkPlan` whose physical shape
+  * is the textbook one — both sides hash-clustered on the key (ONE
+  * exchange each, planted by EnsureRequirements), sorted within
+  * partitions by (key, ts) (declared via `requiredChildOrdering`, so
+  * Catalyst plants/elides the sorts), then a single streaming merge
+  * walk per partition: O(|L| + |R|), zero buffering beyond one
+  * remembered match row per key.
+  *
+  * Key/ts columns are carried as ORDINALS into each child's output, and
+  * `references` pins both children's full outputs. Ordinals make the
+  * node immune to the self-join attribute-rebinding problem
+  * (DeduplicateRelations cannot rewrite a custom node's expressions
+  * when both children share exprIds — with ordinals there is nothing
+  * to rewrite), and the pinned references keep column pruning from
+  * shifting them.
+  *
+  * Semantics: inner as-of (left rows with no match are dropped); right
+  * rows tied on (key, ts) resolve to the last in sort order — callers
+  * wanting determinism ensure (key, ts) uniqueness on the right (the
+  * oracled query does). Null keys and null timestamps never match and
+  * are filtered at the API layer, matching SQL equality-join and
+  * DuckDB ASOF semantics.
+  */
+case class AsofJoin(leftKeyIdx: Seq[Int], rightKeyIdx: Seq[Int],
+    leftTsIdx: Int, rightTsIdx: Int,
+    left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override def references: AttributeSet =
+    AttributeSet(left.output ++ right.output)
+  override protected def withNewChildrenInternal(newLeft: LogicalPlan,
+      newRight: LogicalPlan): AsofJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsofJoinExec(leftKeyIdx: Seq[Int], rightKeyIdx: Seq[Int],
+    leftTsIdx: Int, rightTsIdx: Int,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  private def leftKeys: Seq[Attribute] = leftKeyIdx.map(left.output)
+  private def rightKeys: Seq[Attribute] = rightKeyIdx.map(right.output)
+  private def leftTs: Attribute = left.output(leftTsIdx)
+  private def rightTs: Attribute = right.output(rightTsIdx)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTs, Ascending))
+
+  override def outputPartitioning = left.outputPartitioning
+
+  override protected def withNewChildrenInternal(newLeft: SparkPlan,
+      newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output; val rOut = right.output
+    val lKeys: Seq[Expression] = leftKeys; val rKeys: Seq[Expression] = rightKeys
+    val lTsE: Expression = leftTs; val rTsE: Expression = rightTs
+    val allOut = output
+    val keySchema = StructType(lKeys.zipWithIndex.map { case (k, i) =>
+      StructField(s"k$i", k.dataType) })
+    val tsSchema = StructType(Seq(StructField("t", lTsE.dataType)))
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+      val keyOrd = GenerateOrdering.create(keySchema)
+      val lTsProj = UnsafeProjection.create(Seq(lTsE), lOut)
+      val rTsProj = UnsafeProjection.create(Seq(rTsE), rOut)
+      val tsOrd = GenerateOrdering.create(tsSchema)
+      val outProj = UnsafeProjection.create(allOut, lOut ++ rOut)
+      val joined = new JoinedRow
+
+      // one-row lookahead on the right (key/ts snapshots copied because
+      // the projections reuse their buffers)
+      var rRow: InternalRow = null
+      var rKey: UnsafeRow = null
+      var rTsRow: UnsafeRow = null
+      def advanceRight(): Unit =
+        if (rIt.hasNext) {
+          rRow = rIt.next()
+          rKey = rKeyProj(rRow).copy()
+          rTsRow = rTsProj(rRow).copy()
+        } else { rRow = null; rKey = null; rTsRow = null }
+      advanceRight()
+
+      // last right row with key == matchKey and ts ≤ current left ts
+      var matchRow: InternalRow = null
+      var matchKey: UnsafeRow = null
+
+      lIt.flatMap { l =>
+        val lk = lKeyProj(l)
+        val lt = lTsProj(l).copy()
+        while (rRow != null && {
+          val c = keyOrd.compare(rKey, lk)
+          c < 0 || (c == 0 && tsOrd.compare(rTsRow, lt) <= 0)
+        }) {
+          if (keyOrd.compare(rKey, lk) == 0) {
+            matchRow = rRow.copy(); matchKey = rKey
+          }
+          advanceRight()
+        }
+        if (matchRow != null && matchKey != null &&
+            keyOrd.compare(matchKey, lk) == 0)
+          Iterator.single[InternalRow](outProj(joined(l, matchRow)))
+        else Iterator.empty
+      }
+    }
+  }
+}
+
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoin(lk, rk, lt, rt, l, r) =>
+      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+object AsofJoinApi {
+
+  /** Idempotent per-session strategy install (public `experimental`
+    * hook); [[GraftExtensions]] is the `spark.sql.extensions` form.
+    */
+  def install(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+  }
+
+  /** `asofJoin(left, right, keys, ts)`: for each left row, the latest
+    * right row with equal `keys` and right.`ts` ≤ left.`ts` (inner).
+    * Null keys/timestamps are filtered per SQL join semantics. Output =
+    * left columns ++ right columns positionally — rename on collision.
+    */
+  def asofJoin(l: DataFrame, r: DataFrame, keys: Seq[String],
+      ts: String): DataFrame = {
+    val spark = l.sparkSession
+    install(spark)
+    def nonNull(df: DataFrame): DataFrame =
+      (keys :+ ts).foldLeft(df)((d, c) => d.filter(d.col(c).isNotNull))
+    val lp = nonNull(l).queryExecution.analyzed
+    val rp = nonNull(r).queryExecution.analyzed
+    def ordinal(p: LogicalPlan, name: String): Int = {
+      val i = p.output.indexWhere(a =>
+        spark.sessionState.analyzer.resolver(a.name, name))
+      require(i >= 0, s"column $name not found in ${p.output.map(_.name)}")
+      i
+    }
+    val lk = keys.map(ordinal(lp, _)); val rk = keys.map(ordinal(rp, _))
+    val lt = ordinal(lp, ts); val rt = ordinal(rp, ts)
+    lk.zip(rk).foreach { case (a, b) =>
+      require(lp.output(a).dataType == rp.output(b).dataType,
+        s"key type mismatch: ${lp.output(a)} vs ${rp.output(b)}") }
+    require(lp.output(lt).dataType == rp.output(rt).dataType,
+      s"ts type mismatch: ${lp.output(lt)} vs ${rp.output(rt)}")
+    val plan = AsofJoin(lk, rk, lt, rt, lp, rp)
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, plan)
+  }
+}
+
+/** `--conf spark.sql.extensions=graft.plans.GraftExtensions` */
+class GraftExtensions
+    extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(
+      e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectPlannerStrategy(_ => AsofJoinStrategy)
+}

@@ -164,6 +164,30 @@ object RelationalQueries {
       .orderBy(col("bucket"), col("event_type"))
   }
 
+  /** AS-OF join via the engine's custom planner operator
+    * ([[graft.plans.AsofJoin]] — Spark has no native as-of join): each
+    * purchase event joined to the user's latest click at-or-before it.
+    * The oracle is DuckDB's NATIVE `ASOF JOIN`, so the custom physical
+    * operator is driver-gated against an independent first-class
+    * implementation. (user_id, ts) is unique in the events table, so
+    * the match is deterministic.
+    */
+  def q11Asof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    graft.plans.AsofJoinApi.asofJoin(purchases, clicks,
+        keys = Seq("user_id"), ts = "ts")
+      .toDF("user_id", "p_ts", "purchase_id", "r_user_id", "c_ts",
+        "click_id")
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("click_id"), col("c_ts"))
+      .orderBy(col("purchase_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg,
     "q2_join_agg" -> q2JoinAgg,
@@ -174,10 +198,21 @@ object RelationalQueries {
     "q7_json" -> q7Json,
     "q8_running" -> q8Running,
     "q9_rollup" -> q9Rollup,
-    "q10_time_bucket" -> q10TimeBucket
+    "q10_time_bucket" -> q10TimeBucket,
+    "q11_asof" -> q11Asof
   )
 
   val oracles: Map[String, String] = Map(
+    // native DuckDB ASOF JOIN — an independent as-of implementation
+    // gating the custom Spark operator
+    "q11_asof" ->
+      """WITH p AS (SELECT user_id, ts, event_id AS purchase_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts AS c_ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, p.user_id, p.ts AS p_ts, c.click_id, c.c_ts
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.c_ts
+        |ORDER BY purchase_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
