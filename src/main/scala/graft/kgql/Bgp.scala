@@ -72,12 +72,16 @@ object Bgp {
     val proj = varCols.groupBy(_._2).map { case (n, cs) =>
       col(cs.head._1).as(n)
     }.toSeq
-    // broadcast hint: ≥2 bound terms ⇒ the scan is a sliver of the
-    // corpus (one predicate × one endpoint) — dictionary-scale, safe to
-    // replicate to executors so the big side never shuffles
-    val out = df.select(proj: _*)
-    if (tp.boundCount >= 2) broadcast(out) else out
+    df.select(proj: _*)
   }
+
+  /** ≥2 bound terms ⇒ the scan is a sliver of the corpus (one predicate
+    * × one endpoint) — dictionary-scale, safe to replicate to executors
+    * so the big side never shuffles. Applied at JOIN time to the build
+    * side only (a hint on the stream side of an outer join is
+    * unsupported and would just warn).
+    */
+  private def selective(tp: TriplePattern): Boolean = tp.boundCount >= 2
 
   /** Greedy join order: seed with the most-bound pattern; then always
     * extend with a variable-connected pattern (max shared vars, then max
@@ -112,9 +116,17 @@ object Bgp {
       patterns: Seq[TriplePattern]): DataFrame = {
     require(patterns.nonEmpty, "empty BGP")
     val ordered = joinOrder(patterns)
-    ordered.tail.foldLeft(scan(triples, ordered.head)) { (acc, p) =>
-      val shared = p.vars.filter(acc.columns.contains)
-      val rhs = scan(triples, p)
+    var first = true
+    ordered.tail.foldLeft(scan(triples, ordered.head)) { (acc0, p) =>
+      // hint the build side: a selective rhs always; a selective SEED
+      // only on its first join (after that acc is join output, not the
+      // dictionary-scale scan)
+      val acc = if (first && selective(ordered.head)) broadcast(acc0)
+        else acc0
+      first = false
+      val rhs0 = scan(triples, p)
+      val rhs = if (selective(p)) broadcast(rhs0) else rhs0
+      val shared = p.vars.filter(acc0.columns.contains)
       if (shared.nonEmpty) acc.join(rhs, shared, "inner")
       else acc.crossJoin(rhs)
     }

@@ -45,6 +45,34 @@ object Mix {
     bp / 10000 + (if (u < bp % 10000) 1 else 0)
   }
 
+  /** Deterministic shard assignment for training-data prep: shard =
+    * unsigned FNV-1a(doc_id) mod nShards (power of two, so the modulus
+    * is identical in the signed and unsigned domains), plus the full
+    * hash as `sort_key`. Writing each shard ordered by (sort_key,
+    * doc_id) yields a reproducible pseudorandom global permutation —
+    * the "shuffle the corpus before training" step as a pure map + a
+    * partitioned write, with NO global sort or single-reducer funnel;
+    * at cluster scale this is `repartitionByRange(shard, sort_key)`
+    * straight into the shard files.
+    */
+  def shardAssign(docs: DataFrame, nShards: Int): DataFrame = {
+    require(nShards > 0 && (nShards & (nShards - 1)) == 0,
+      "nShards must be a power of two")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mask = (nShards - 1).toLong
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        // splitmix64-finalized: raw FNV over consecutive decimal ids is
+        // NOT avalanche-y (runs of consecutive ids survive the sort —
+        // measured 1309/4095 preserved adjacencies), the same weakness
+        // the KMV estimator hit; the shared mix fixes both
+        val h = graft.sketch.Kmv.mix(fnv1a(id.toString))
+        (id, h & mask, h)
+      })
+      .toDF("doc_id", "shard", "sort_key")
+  }
+
   /** Per-document mixture decisions: (doc_id, source, n_copies).
     * `n_copies` may be 0 (dropped), 1 (kept) or k ≥ 2 (upsampled).
     */

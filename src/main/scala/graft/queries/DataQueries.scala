@@ -436,6 +436,15 @@ object DataQueries {
   private val SpanChorus = "the quick brown fox jumps over the lazy dog " +
     "while the eager crawler indexes every page on the open web"
 
+  /** Deterministic 16-way shard assignment + pseudorandom sort key —
+    * the global-shuffle/sharding step of training-data prep as a pure
+    * map (no global sort); oracle replays the FNV fold.
+    */
+  def txtShard(spark: SparkSession, dir: String): DataFrame =
+    graft.mix.Mix.shardAssign(
+        spark.read.parquet(s"$dir/documents.parquet"), nShards = 16)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ddExact,
     "dd_exact_clusters" -> ddExactClusters,
@@ -443,6 +452,7 @@ object DataQueries {
     "dd_urls" -> ddUrls,
     "dd_spans" -> ddSpans,
     "txt_perplexity" -> txtPerplexity,
+    "txt_shard" -> txtShard,
     "dd_jaccard" -> ddJaccard,
     "dd_lines" -> ddLines,
     "dd_minhash" -> ddMinhash,
@@ -617,6 +627,20 @@ object DataQueries {
          |  CAST(SUM(CASE WHEN prev IS NULL THEN 13 ELSE LEAST(13, pos - prev) END) AS BIGINT) AS dup_tokens,
          |  CAST(MIN(n_tokens) AS BIGINT) AS n_tokens
          |FROM lagd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // shard assignment: FNV fold replayed, unsigned mod 16 (= signed
+    // bitmask for a power of two), signed bridge for the sort key
+    "txt_shard" ->
+      s"""WITH h0 AS (SELECT doc_id,
+         |    ${fnvFoldSql("CAST(doc_id AS VARCHAR)", "14695981039346656037")} AS hu
+         |  FROM documents),
+         |m1 AS (SELECT doc_id, ${xorShrSql("hu", "1073741824")} AS hu FROM h0),
+         |m2 AS (SELECT doc_id, ${mulSql("hu", "13787848793156543929")} AS hu FROM m1),
+         |m3 AS (SELECT doc_id, ${xorShrSql("hu", "134217728")} AS hu FROM m2),
+         |m4 AS (SELECT doc_id, ${mulSql("hu", "10723151780598845931")} AS hu FROM m3),
+         |h AS (SELECT doc_id, ${xorShrSql("hu", "2147483648")} AS hu FROM m4)
+         |SELECT doc_id, CAST(hu % 16 AS BIGINT) AS shard,
+         |  CAST(${signedSql("hu")} AS BIGINT) AS sort_key
+         |FROM h ORDER BY doc_id""".stripMargin,
     "dd_embed" ->
       s"""WITH ${lshPlanesSql(11)},
          |corpus AS (

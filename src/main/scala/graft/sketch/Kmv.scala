@@ -53,7 +53,7 @@ object Kmv {
     * xor-shift or one mod-2^64 multiply, replayed stage-per-CTE in the
     * oracle's HUGEINT SQL.
     */
-  private[sketch] def mix(z0: Long): Long = {
+  private[graft] def mix(z0: Long): Long = {
     var z = z0
     z ^= z >>> 30; z *= 0xbf58476d1ce4e5b9L
     z ^= z >>> 27; z *= 0x94d049bb133111ebL
