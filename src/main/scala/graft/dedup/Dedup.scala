@@ -561,6 +561,12 @@ object Dedup {
     *     length adds `min(window, gap)` per step.
     * Nothing driver-side, nothing quadratic; dup volume ∝ actual
     * duplication, not corpus².
+    *
+    * Join regime is adaptive (observed in the executed plan): when the
+    * surviving dup-hash set is small, AQE broadcasts it (costs a second
+    * window scan, saves the join shuffle — the better trade); at high
+    * duplication it falls back to a sort-merge join where both sides'
+    * h-keyed exchanges share one scan via ReusedExchange.
     */
   def duplicateSpans(docs: DataFrame, window: Int = 13): DataFrame = {
     val spark = docs.sparkSession

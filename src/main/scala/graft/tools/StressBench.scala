@@ -51,7 +51,7 @@ object StressBench {
     val out = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT", "/tmp/graft_stress")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sections = sys.env.getOrElse("SPARK_GRAFT_STRESS_SECTIONS",
-      "cc,dd,kg,inc,ivf,ivfpq,skew,lines,pagerank,spans,path")
+      "cc,dd,kg,inc,ivf,ivfpq,skew,lines,pagerank,spans,path,asof")
       .split(",").map(_.trim).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -353,6 +353,32 @@ object StressBench {
       val (pN, sN) = pathStats(eN, srcN)
       frags += s""""path_1x":{"pairs":$p1,"sec":$s1}"""
       frags += s""""path_Nx":{"pairs":$pN,"sec":$sN}"""
+    }
+
+    // ---- as-of join: output ∝ input, one merge pass per partition -----
+    // replicas shift user_id, so the REPx run has REP× the users at the
+    // SAME per-user event density — matched pairs must scale exactly
+    // ×REP and the merge walk stays O(|L|+|R|) per partition
+    if (sections("asof")) {
+      def asofStats(ev: DataFrame): (Long, Double) = {
+        val l = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id").as("pid"))
+        val r = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("cid"))
+        time(graft.plans.AsofJoinApi
+          .asofJoin(l, r, Seq("user_id"), "ts").count())
+      }
+      val ev1 = spark.read.parquet(s"$base/events.parquet")
+      asofStats(ev1) // warmup: codegen + strategy install outside timing
+      val (m1, s1) = asofStats(ev1)
+      val evN = ev1.crossJoin(reps).select(
+        (col("event_id") + col("k") * 100000000L).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("k") * 100000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      val (mN, sN) = asofStats(evN)
+      frags += s""""asof_1x":{"matched":$m1,"sec":$s1}"""
+      frags += s""""asof_Nx":{"matched":$mN,"sec":$sN}"""
     }
 
     // ---- pagerank: per-iteration shuffle ∝ edges, bit-exact at any N ----
