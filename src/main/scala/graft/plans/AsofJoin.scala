@@ -44,9 +44,10 @@ import org.apache.spark.sql.types.{StructField, StructType}
   * DuckDB ASOF semantics.
   */
 case class AsofJoin(leftKeyIdx: Seq[Int], rightKeyIdx: Seq[Int],
-    leftTsIdx: Int, rightTsIdx: Int,
+    leftTsIdx: Int, rightTsIdx: Int, outer: Boolean,
     left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] = left.output ++
+    (if (outer) right.output.map(_.withNullability(true)) else right.output)
   override def references: AttributeSet =
     AttributeSet(left.output ++ right.output)
   override protected def withNewChildrenInternal(newLeft: LogicalPlan,
@@ -55,10 +56,11 @@ case class AsofJoin(leftKeyIdx: Seq[Int], rightKeyIdx: Seq[Int],
 }
 
 case class AsofJoinExec(leftKeyIdx: Seq[Int], rightKeyIdx: Seq[Int],
-    leftTsIdx: Int, rightTsIdx: Int,
+    leftTsIdx: Int, rightTsIdx: Int, outer: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] = left.output ++
+    (if (outer) right.output.map(_.withNullability(true)) else right.output)
 
   private def leftKeys: Seq[Attribute] = leftKeyIdx.map(left.output)
   private def rightKeys: Seq[Attribute] = rightKeyIdx.map(right.output)
@@ -79,6 +81,7 @@ case class AsofJoinExec(leftKeyIdx: Seq[Int], rightKeyIdx: Seq[Int],
     copy(left = newLeft, right = newRight)
 
   protected override def doExecute(): RDD[InternalRow] = {
+    val isOuter = outer
     val lOut = left.output; val rOut = right.output
     val lKeys: Seq[Expression] = leftKeys; val rKeys: Seq[Expression] = rightKeys
     val lTsE: Expression = leftTs; val rTsE: Expression = rightTs
@@ -93,7 +96,12 @@ case class AsofJoinExec(leftKeyIdx: Seq[Int], rightKeyIdx: Seq[Int],
       val lTsProj = UnsafeProjection.create(Seq(lTsE), lOut)
       val rTsProj = UnsafeProjection.create(Seq(rTsE), rOut)
       val tsOrd = GenerateOrdering.create(tsSchema)
-      val outProj = UnsafeProjection.create(allOut, lOut ++ rOut)
+      // outer: bind right columns NULLABLE regardless of their source
+      // nullability, or the generated projection skips null checks and
+      // reads garbage from the all-null pad row
+      val inAttrs = lOut ++
+        (if (isOuter) rOut.map(_.withNullability(true)) else rOut)
+      val outProj = UnsafeProjection.create(allOut, inAttrs)
       val joined = new JoinedRow
 
       // one-row lookahead on the right (key/ts snapshots copied because
@@ -112,6 +120,8 @@ case class AsofJoinExec(leftKeyIdx: Seq[Int], rightKeyIdx: Seq[Int],
       // last right row with key == matchKey and ts ≤ current left ts
       var matchRow: InternalRow = null
       var matchKey: UnsafeRow = null
+      val nullRight: InternalRow =
+        new GenericInternalRow(rOut.size)
 
       lIt.flatMap { l =>
         val lk = lKeyProj(l)
@@ -128,6 +138,8 @@ case class AsofJoinExec(leftKeyIdx: Seq[Int], rightKeyIdx: Seq[Int],
         if (matchRow != null && matchKey != null &&
             keyOrd.compare(matchKey, lk) == 0)
           Iterator.single[InternalRow](outProj(joined(l, matchRow)))
+        else if (isOuter)
+          Iterator.single[InternalRow](outProj(joined(l, nullRight)))
         else Iterator.empty
       }
     }
@@ -136,8 +148,8 @@ case class AsofJoinExec(leftKeyIdx: Seq[Int], rightKeyIdx: Seq[Int],
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(lk, rk, lt, rt, l, r) =>
-      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsofJoin(lk, rk, lt, rt, outer, l, r) =>
+      AsofJoinExec(lk, rk, lt, rt, outer, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -154,17 +166,21 @@ object AsofJoinApi {
   }
 
   /** `asofJoin(left, right, keys, ts)`: for each left row, the latest
-    * right row with equal `keys` and right.`ts` ≤ left.`ts` (inner).
-    * Null keys/timestamps are filtered per SQL join semantics. Output =
-    * left columns ++ right columns positionally — rename on collision.
+    * right row with equal `keys` and right.`ts` ≤ left.`ts`. Inner
+    * drops unmatched left rows; `outer = true` (pandas merge_asof's
+    * default) keeps them with null right columns. Null right
+    * keys/timestamps never match and are filtered; null LEFT keys/ts
+    * are filtered for inner (SQL equality semantics) but kept-unmatched
+    * for outer. Output = left columns ++ right columns positionally —
+    * rename on collision.
     */
   def asofJoin(l: DataFrame, r: DataFrame, keys: Seq[String],
-      ts: String): DataFrame = {
+      ts: String, outer: Boolean = false): DataFrame = {
     val spark = l.sparkSession
     install(spark)
     def nonNull(df: DataFrame): DataFrame =
       (keys :+ ts).foldLeft(df)((d, c) => d.filter(d.col(c).isNotNull))
-    val lp = nonNull(l).queryExecution.analyzed
+    val lp = (if (outer) l else nonNull(l)).queryExecution.analyzed
     val rp = nonNull(r).queryExecution.analyzed
     def ordinal(p: LogicalPlan, name: String): Int = {
       val i = p.output.indexWhere(a =>
@@ -179,7 +195,7 @@ object AsofJoinApi {
         s"key type mismatch: ${lp.output(a)} vs ${rp.output(b)}") }
     require(lp.output(lt).dataType == rp.output(rt).dataType,
       s"ts type mismatch: ${lp.output(lt)} vs ${rp.output(rt)}")
-    val plan = AsofJoin(lk, rk, lt, rt, lp, rp)
+    val plan = AsofJoin(lk, rk, lt, rt, outer, lp, rp)
     org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, plan)
   }
 }

@@ -188,6 +188,25 @@ object RelationalQueries {
       .orderBy(col("purchase_id"))
   }
 
+  /** Left-outer as-of (pandas merge_asof default): every signup keeps a
+    * row; users with no prior click get null right columns. Oracle:
+    * DuckDB's native `ASOF LEFT JOIN`.
+    */
+  def q12AsofOuter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id").as("signup_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    graft.plans.AsofJoinApi.asofJoin(signups, clicks,
+        keys = Seq("user_id"), ts = "ts", outer = true)
+      .toDF("user_id", "s_ts", "signup_id", "r_user_id", "c_ts",
+        "click_id")
+      .select(col("signup_id"), col("user_id"), col("s_ts"),
+        col("click_id"), col("c_ts"))
+      .orderBy(col("signup_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg,
     "q2_join_agg" -> q2JoinAgg,
@@ -199,10 +218,19 @@ object RelationalQueries {
     "q8_running" -> q8Running,
     "q9_rollup" -> q9Rollup,
     "q10_time_bucket" -> q10TimeBucket,
-    "q11_asof" -> q11Asof
+    "q11_asof" -> q11Asof,
+    "q12_asof_outer" -> q12AsofOuter
   )
 
   val oracles: Map[String, String] = Map(
+    "q12_asof_outer" ->
+      """WITH s AS (SELECT user_id, ts, event_id AS signup_id
+        |  FROM events WHERE event_type = 'signup'),
+        |c AS (SELECT user_id, ts AS c_ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click')
+        |SELECT s.signup_id, s.user_id, s.ts AS s_ts, c.click_id, c.c_ts
+        |FROM s ASOF LEFT JOIN c ON s.user_id = c.user_id AND s.ts >= c.c_ts
+        |ORDER BY signup_id""".stripMargin,
     // native DuckDB ASOF JOIN — an independent as-of implementation
     // gating the custom Spark operator
     "q11_asof" ->

@@ -75,6 +75,43 @@ class AsofJoinSpec extends SparkSpec {
     assert(got == Set((2L, 10L)))
   }
 
+  test("left-outer keeps unmatched left rows with null right columns") {
+    val lDf = Seq(("a", 1L, 1L), ("a", 9L, 2L), ("c", 5L, 3L))
+      .toDF("k", "ts", "lid")
+    val rDf = Seq(("a", 5L, 10L)).toDF("k", "ts", "rid")
+    val out = AsofJoinApi.asofJoin(lDf, rDf, Seq("k"), "ts", outer = true)
+    val got = out.collect().map(r =>
+      (r.getLong(2), if (r.isNullAt(5)) None else Some(r.getLong(5))))
+      .toSet
+    assert(got == Set((1L, None), (2L, Some(10L)), (3L, None)))
+    // null LEFT key survives as unmatched in outer mode
+    val lNull = Seq((Some("a"), 9L, 1L), (None, 9L, 2L))
+      .toDF("k", "ts", "lid")
+    val got2 = AsofJoinApi.asofJoin(lNull, rDf, Seq("k"), "ts",
+        outer = true)
+      .collect().map(r =>
+        (r.getLong(2), if (r.isNullAt(5)) None else Some(r.getLong(5))))
+      .toSet
+    assert(got2 == Set((1L, Some(10L)), (2L, None)))
+  }
+
+  test("outer matches brute force on the random dataset") {
+    val l = (0 until 120).map(i =>
+      (s"u${i % 9}", (i * 13 % 97).toLong, i.toLong))
+    val r = (0 until 60).map(i =>
+      (s"u${i % 13}", (i * 29 % 89).toLong, (1000 + i).toLong))
+    val rUniq = r.groupBy(x => (x._1, x._2)).map(_._2.maxBy(_._3)).toSeq
+    val out = AsofJoinApi.asofJoin(l.toDF("k", "ts", "lid").repartition(4),
+      rUniq.toDF("k", "ts", "rid").repartition(3), Seq("k"), "ts",
+      outer = true)
+    val got = out.collect().map(r => (r.getLong(2),
+      if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSet
+    val inner = refAsof(l, rUniq).map(x => (x._3, Some(x._4)))
+    val matched = inner.map(_._1)
+    val want = inner ++ l.map(_._3).filterNot(matched).map(_ -> None)
+    assert(got == want)
+  }
+
   test("composite keys") {
     val lDf = Seq(("a", 1L, 9L, 1L), ("a", 2L, 9L, 2L), ("b", 1L, 9L, 3L))
       .toDF("k1", "k2", "ts", "lid")
