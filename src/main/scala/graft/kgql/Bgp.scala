@@ -40,7 +40,16 @@ object Bgp {
   final case class V(name: String) extends Term
   final case class C(value: String) extends Term
 
-  final case class TriplePattern(s: Term, p: Term, o: Term) {
+  /** A pattern in a BGP block: a plain triple pattern or a bounded
+    * property path (`<p>+`).
+    */
+  sealed trait Pattern {
+    def vars: Seq[String]
+    def boundCount: Int
+  }
+
+  final case class TriplePattern(s: Term, p: Term, o: Term)
+      extends Pattern {
     /** (triple-column, term) pairs. */
     def terms: Seq[(String, Term)] =
       Seq("s" -> s, "p" -> p, "o" -> o)
@@ -48,8 +57,24 @@ object Bgp {
     def boundCount: Int = terms.count(_._2.isInstanceOf[C])
   }
 
+  /** Bounded property path `s <pred>+ o` (1..maxHops hops, min-hop
+    * witness, self-pairs excluded — see [[PropertyPath]]). Compiles to a
+    * Δ-BFS closure over the `pred` edge set; a CONSTANT source routes
+    * through single-source BFS, so prefer binding `s` on corpus-scale
+    * graphs (an unbound-unbound path materializes the all-pairs
+    * closure).
+    */
+  final case class PathPattern(s: Term, pred: String, o: Term,
+      maxHops: Int) extends Pattern {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    def endpoints: Seq[(String, Term)] = Seq("src" -> s, "dst" -> o)
+    def vars: Seq[String] =
+      endpoints.collect { case (_, V(n)) => n }.distinct
+    def boundCount: Int = 1 + endpoints.count(_._2.isInstanceOf[C])
+  }
+
   /** One OPTIONAL { ... } block: its patterns plus block-local filters. */
-  final case class OptionalBlock(patterns: Seq[TriplePattern],
+  final case class OptionalBlock(patterns: Seq[Pattern],
       filters: Seq[Column] = Nil)
 
   /** Scan one pattern: constants → pushed filters; repeated variables
@@ -75,13 +100,55 @@ object Bgp {
     df.select(proj: _*)
   }
 
+  /** Closure relation for a path pattern: constants pushed (a constant
+    * source routes through single-source BFS), endpoints renamed to
+    * their variables, repeated variable (s = o) unsatisfiable by
+    * construction (closure excludes self-pairs) → empty.
+    */
+  private[kgql] def pathScan(triples: DataFrame,
+      pp: PathPattern): DataFrame = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val edges = triples.filter(col("p") === pp.pred)
+      .select(col("s").as("src"), col("o").as("dst"))
+    val from = pp.s match {
+      case C(v) => Some(Seq(v).toDF("src"))
+      case V(_) => None
+    }
+    var closure = PropertyPath.boundedClosure(edges, pp.maxHops, from)
+    pp.endpoints.foreach {
+      case (c, C(v)) => closure = closure.filter(col(c) === v)
+      case _ => ()
+    }
+    val varCols = pp.endpoints.collect { case (c, V(n)) => (c, n) }
+    varCols.groupBy(_._2).valuesIterator.filter(_.size > 1).foreach { g =>
+      g.map(_._1).sliding(2).foreach {
+        case Seq(a, b) => closure = closure.filter(col(a) === col(b))
+        case _ => ()
+      }
+    }
+    val proj = varCols.groupBy(_._2).map { case (n, cs) =>
+      col(cs.head._1).as(n)
+    }.toSeq
+    closure.select(proj: _*)
+  }
+
+  private def scanAny(triples: DataFrame, p: Pattern): DataFrame =
+    p match {
+      case tp: TriplePattern => scan(triples, tp)
+      case pp: PathPattern => pathScan(triples, pp)
+    }
+
   /** ≥2 bound terms ⇒ the scan is a sliver of the corpus (one predicate
     * × one endpoint) — dictionary-scale, safe to replicate to executors
     * so the big side never shuffles. Applied at JOIN time to the build
     * side only (a hint on the stream side of an outer join is
     * unsupported and would just warn).
     */
-  private def selective(tp: TriplePattern): Boolean = tp.boundCount >= 2
+  private def selective(p: Pattern): Boolean = p match {
+    case tp: TriplePattern => tp.boundCount >= 2
+    case pp: PathPattern => pp.boundCount >= 2 // pred + an endpoint
+  }
 
   /** Greedy join order: seed with the most-bound pattern; then always
     * extend with a variable-connected pattern (max shared vars, then max
@@ -89,7 +156,7 @@ object Bgp {
     * the pattern graph is genuinely disconnected.
     */
   private[kgql] def joinOrder(
-      patterns: Seq[TriplePattern]): Seq[TriplePattern] = {
+      patterns: Seq[Pattern]): Seq[Pattern] = {
     if (patterns.isEmpty) return Nil
     val remaining = scala.collection.mutable.ArrayBuffer(
       patterns.zipWithIndex: _*)
@@ -113,18 +180,18 @@ object Bgp {
     * variables; crossJoin only for disconnected components).
     */
   private[kgql] def compileBlock(triples: DataFrame,
-      patterns: Seq[TriplePattern]): DataFrame = {
+      patterns: Seq[Pattern]): DataFrame = {
     require(patterns.nonEmpty, "empty BGP")
     val ordered = joinOrder(patterns)
     var first = true
-    ordered.tail.foldLeft(scan(triples, ordered.head)) { (acc0, p) =>
+    ordered.tail.foldLeft(scanAny(triples, ordered.head)) { (acc0, p) =>
       // hint the build side: a selective rhs always; a selective SEED
       // only on its first join (after that acc is join output, not the
       // dictionary-scale scan)
       val acc = if (first && selective(ordered.head)) broadcast(acc0)
         else acc0
       first = false
-      val rhs0 = scan(triples, p)
+      val rhs0 = scanAny(triples, p)
       val rhs = if (selective(p)) broadcast(rhs0) else rhs0
       val shared = p.vars.filter(acc0.columns.contains)
       if (shared.nonEmpty) acc.join(rhs, shared, "inner")
@@ -136,7 +203,7 @@ object Bgp {
     * and a variable projection.
     */
   def select(triples: DataFrame,
-      patterns: Seq[TriplePattern],
+      patterns: Seq[Pattern],
       projection: Seq[String],
       optionals: Seq[OptionalBlock] = Nil,
       filters: Seq[Column] = Nil,

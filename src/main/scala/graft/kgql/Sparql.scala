@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * {{{
   * query    := SELECT DISTINCT? ?var+ WHERE { item* }
   * item     := triple '.'? | FILTER ( expr ) | OPTIONAL { item* }
-  * triple   := term term term
+  * triple   := term term '+'? term    -- `<p>+` = bounded property path
   * term     := ?name | <iri> | "literal"
   * expr     := operand op operand        op ∈ { = != < <= > >= }
   * }}}
@@ -23,17 +23,22 @@ object Sparql {
   import Bgp._
 
   final case class Query(projection: Seq[String], distinct: Boolean,
-      patterns: Seq[TriplePattern], optionals: Seq[OptionalBlock],
+      patterns: Seq[Pattern], optionals: Seq[OptionalBlock],
       filters: Seq[Column])
 
-  /** Parse and evaluate against a (s, p, o) triple DataFrame. */
-  def query(triples: DataFrame, text: String): DataFrame = {
-    val q = parse(text)
+  /** Parse and evaluate against a (s, p, o) triple DataFrame.
+    * `pathMaxHops` bounds `<p>+` property paths (SPARQL's unbounded `+`
+    * needs a fixpoint; a hop bound keeps the Δ-BFS round count fixed —
+    * raise it per query when the graph's diameter demands).
+    */
+  def query(triples: DataFrame, text: String,
+      pathMaxHops: Int = 8): DataFrame = {
+    val q = parse(text, pathMaxHops)
     Bgp.select(triples, q.patterns, q.projection, q.optionals, q.filters,
       q.distinct)
   }
 
-  def parse(text: String): Query = {
+  def parse(text: String, pathMaxHops: Int = 8): Query = {
     val toks = tokenize(text)
     val st = new Stream(toks)
     st.expectKw("SELECT")
@@ -44,7 +49,8 @@ object Sparql {
     require(proj.nonEmpty, "SELECT needs at least one ?var")
     st.expectKw("WHERE")
     st.expect("{")
-    val (pats, opts, fils) = parseBlock(st, allowOptional = true)
+    val (pats, opts, fils) = parseBlock(st, allowOptional = true,
+      pathMaxHops)
     st.expect("}")
     require(st.peek.isEmpty, s"trailing tokens: ${st.peek.getOrElse("")}")
     require(pats.nonEmpty, "WHERE block needs at least one triple pattern")
@@ -53,9 +59,10 @@ object Sparql {
 
   // ---------------------------------------------------------------- //
 
-  private def parseBlock(st: Stream, allowOptional: Boolean)
-      : (Seq[TriplePattern], Seq[OptionalBlock], Seq[Column]) = {
-    val pats = scala.collection.mutable.ArrayBuffer[TriplePattern]()
+  private def parseBlock(st: Stream, allowOptional: Boolean,
+      pathMaxHops: Int)
+      : (Seq[Pattern], Seq[OptionalBlock], Seq[Column]) = {
+    val pats = scala.collection.mutable.ArrayBuffer[Pattern]()
     val opts = scala.collection.mutable.ArrayBuffer[OptionalBlock]()
     val fils = scala.collection.mutable.ArrayBuffer[Column]()
     while (!st.peek.contains("}") && st.peek.nonEmpty) {
@@ -66,13 +73,23 @@ object Sparql {
       } else if (st.peekKw("OPTIONAL")) {
         require(allowOptional, "nested OPTIONAL is not supported")
         st.next(); st.expect("{")
-        val (p, o, f) = parseBlock(st, allowOptional = false)
+        val (p, o, f) = parseBlock(st, allowOptional = false, pathMaxHops)
         require(o.isEmpty, "nested OPTIONAL is not supported")
         require(p.nonEmpty, "OPTIONAL block needs a triple pattern")
         st.expect("}")
         opts += OptionalBlock(p, f)
       } else {
-        pats += TriplePattern(parseTerm(st), parseTerm(st), parseTerm(st))
+        val subj = parseTerm(st)
+        val pred = parseTerm(st)
+        if (st.peek.contains("+")) {
+          st.next()
+          pred match {
+            case C(iri) =>
+              pats += PathPattern(subj, iri, parseTerm(st), pathMaxHops)
+            case V(_) => throw new IllegalArgumentException(
+              "property-path predicate must be an IRI, not a variable")
+          }
+        } else pats += TriplePattern(subj, pred, parseTerm(st))
         if (st.peek.contains(".")) st.next()
       }
     }
@@ -115,7 +132,7 @@ object Sparql {
   private[kgql] def tokenize(text: String): Seq[String] = {
     // IRIs contain no whitespace — otherwise `?a < ?b ... ?c > ?d`
     // would tokenize as one giant <...> span
-    val re = "<[^>\\s]*>|\"[^\"]*\"|\\?[A-Za-z_][A-Za-z0-9_]*|[{}().]|!=|<=|>=|[=<>]|[A-Za-z_][A-Za-z0-9_]*".r
+    val re = "<[^>\\s]*>|\"[^\"]*\"|\\?[A-Za-z_][A-Za-z0-9_]*|[{}().+]|!=|<=|>=|[=<>]|[A-Za-z_][A-Za-z0-9_]*".r
     re.findAllIn(text).toSeq
   }
 

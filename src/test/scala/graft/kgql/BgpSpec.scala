@@ -135,6 +135,34 @@ class BgpSpec extends SparkSpec {
     assert(rows.toSeq == Seq("alice", "alice", "carol"))
   }
 
+  test("property path <p>+ : constant source, var-var, and BGP join") {
+    val fromAlice = Sparql.query(triples,
+      "SELECT ?x WHERE { <alice> <knows>+ ?x }")
+      .as[String].collect().sorted
+    assert(fromAlice.toSeq == Seq("bob", "carol"))
+    val pairs = Sparql.query(triples,
+      "SELECT ?a ?b WHERE { ?a <knows>+ ?b }")
+      .as[(String, String)].collect().sorted
+    assert(pairs.toSeq == Seq(("alice", "bob"), ("alice", "carol"),
+      ("bob", "carol")))
+    // path joined with a triple pattern on the shared variable
+    val joinRows = Sparql.query(triples,
+      "SELECT ?d ?x WHERE { <alice> <knows>+ ?x . ?d <mentions> ?x }")
+      .as[(String, String)].collect().sorted
+    assert(joinRows.toSeq == Seq(("d1", "bob"), ("d2", "carol"),
+      ("d3", "bob")))
+    // hop bound respected: maxHops = 1 sees only direct edges
+    val oneHop = Sparql.query(triples,
+      "SELECT ?x WHERE { <bob> <knows>+ ?x }", pathMaxHops = 1)
+      .as[String].collect().sorted
+    assert(oneHop.toSeq == Seq("carol"))
+  }
+
+  test("path predicate must be an IRI") {
+    intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?x WHERE { <alice> ?p + ?x }"))
+  }
+
   test("parser rejects malformed input") {
     intercept[IllegalArgumentException](Sparql.parse("SELECT WHERE { }"))
     intercept[IllegalArgumentException](
