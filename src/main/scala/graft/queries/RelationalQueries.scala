@@ -207,6 +207,48 @@ object RelationalQueries {
       .orderBy(col("signup_id"))
   }
 
+  /** Gap-based sessionization over the event stream ([[graft.plans
+    * .Sessionize]]): 30-minute inactivity cut per user, one summary row
+    * per session. One user-keyed exchange total (the groupBy reuses the
+    * window's partitioning). Oracle replays the break-flag → prefix-sum
+    * formulation with `epoch_us` integer gap arithmetic.
+    */
+  def q13Session(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    graft.plans.Sessionize.withSessionIdx(e, "user_id", "ts",
+        "event_id", 1800L)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"),
+        max(col("ts")).as("end_ts"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  /** Range (interval) join via the bucket-exploded equi-join
+    * ([[graft.plans.RangeJoinApi]]): every purchase falling inside any
+    * signup's 2-hour attribution window, across ALL users (a genuine
+    * unkeyed containment join — the naive plan is a broadcast
+    * nested-loop over |purchases|x|signups|). Oracle is DuckDB's native
+    * inequality join, so the bucketed rewrite is gated against an
+    * independent range-join implementation.
+    */
+  def q14Range(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val windows = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"),
+        col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+    graft.plans.RangeJoinApi.intervalJoin(purchases, windows,
+        tsCol = "p_ts", startCol = "w_start", endCol = "w_end",
+        bucketSeconds = 3600L)
+      .select(col("purchase_id"), col("p_ts"), col("signup_id"),
+        col("w_start"))
+      .orderBy(col("purchase_id"), col("signup_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg,
     "q2_join_agg" -> q2JoinAgg,
@@ -219,10 +261,41 @@ object RelationalQueries {
     "q9_rollup" -> q9Rollup,
     "q10_time_bucket" -> q10TimeBucket,
     "q11_asof" -> q11Asof,
-    "q12_asof_outer" -> q12AsofOuter
+    "q12_asof_outer" -> q12AsofOuter,
+    "q13_session" -> q13Session,
+    "q14_range" -> q14Range
   )
 
   val oracles: Map[String, String] = Map(
+    "q13_session" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS session_idx
+        |  FROM g)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |  MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+    // native inequality join — an independent range-join implementation
+    // gating the bucket-exploded rewrite
+    "q14_range" ->
+      """WITH p AS (SELECT event_id AS purchase_id, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (SELECT event_id AS signup_id, ts AS w_start,
+        |    ts + INTERVAL 2 HOUR AS w_end
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT p.purchase_id, p.p_ts, w.signup_id, w.w_start
+        |FROM p JOIN w ON p.p_ts BETWEEN w.w_start AND w.w_end
+        |ORDER BY purchase_id, signup_id""".stripMargin,
     "q12_asof_outer" ->
       """WITH s AS (SELECT user_id, ts, event_id AS signup_id
         |  FROM events WHERE event_type = 'signup'),
