@@ -51,7 +51,7 @@ object StressBench {
     val out = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT", "/tmp/graft_stress")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sections = sys.env.getOrElse("SPARK_GRAFT_STRESS_SECTIONS",
-      "cc,dd,kg,inc,ivf,ivfpq,skew,lines,pagerank,spans,path,asof")
+      "cc,dd,kg,inc,ivf,ivfpq,skew,lines,pagerank,spans,path,asof,range")
       .split(",").map(_.trim).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -379,6 +379,42 @@ object StressBench {
       val (mN, sN) = asofStats(evN)
       frags += s""""asof_1x":{"matched":$m1,"sec":$s1}"""
       frags += s""""asof_Nx":{"matched":$mN,"sec":$sN}"""
+    }
+
+    // ---- range join + sessionization: replicas are TIME-SHIFTED (35
+    // days apart, >> the 2 h window), modelling a longer event history at
+    // constant rate — so matched pairs / session counts must scale
+    // exactly ∝ corpus. Replicating in-place would instead grow the TRUE
+    // result quadratically with temporal density (a property of the
+    // query, not a plan defect) and prove nothing about the plan.
+    if (sections("range")) {
+      val ev1 = spark.read.parquet(s"$base/events.parquet")
+      def rangeStats(ev: DataFrame): (Long, Double) = {
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("ts").as("p_ts"))
+        val w = ev.filter(col("event_type") === "signup")
+          .select(col("event_id").as("sid"), col("ts").as("w_start"),
+            (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+        time(graft.plans.RangeJoinApi.intervalJoin(p, w,
+          "p_ts", "w_start", "w_end", bucketSeconds = 3600L).count())
+      }
+      def sessStats(ev: DataFrame): (Long, Double) =
+        time(graft.plans.Sessionize
+          .sessions(ev, "user_id", "ts", "event_id", 1800L).count())
+      val evN = ev1.crossJoin(reps).select(
+        (col("event_id") + col("k") * 100000000L).as("event_id"),
+        expr("timestampadd(DAY, CAST(k AS INT) * 35, ts)").as("ts"),
+        (col("user_id") + col("k") * 100000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      rangeStats(ev1); sessStats(ev1) // warmup
+      val (r1, rs1) = rangeStats(ev1)
+      val (rN, rsN) = rangeStats(evN)
+      val (c1, cs1) = sessStats(ev1)
+      val (cN, csN) = sessStats(evN)
+      frags += s""""range_1x":{"pairs":$r1,"sec":$rs1}"""
+      frags += s""""range_Nx":{"pairs":$rN,"sec":$rsN}"""
+      frags += s""""sess_1x":{"sessions":$c1,"sec":$cs1}"""
+      frags += s""""sess_Nx":{"sessions":$cN,"sec":$csN}"""
     }
 
     // ---- pagerank: per-iteration shuffle ∝ edges, bit-exact at any N ----
