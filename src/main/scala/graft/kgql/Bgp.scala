@@ -57,20 +57,40 @@ object Bgp {
     def boundCount: Int = terms.count(_._2.isInstanceOf[C])
   }
 
-  /** Bounded property path `s <pred>+ o` (1..maxHops hops, min-hop
-    * witness, self-pairs excluded — see [[PropertyPath]]). Compiles to a
-    * Δ-BFS closure over the `pred` edge set; a CONSTANT source routes
-    * through single-source BFS, so prefer binding `s` on corpus-scale
-    * graphs (an unbound-unbound path materializes the all-pairs
-    * closure).
+  /** SPARQL 1.1 property-path expression (the subset whose translation
+    * is relational): `<p>`, inverse `^e`, sequence `a/b`, alternation
+    * `a|b`, bounded closure `e+`. Per the spec's path translation,
+    * `^` / `/` / `|` rewrite to triple patterns, joins and unions and so
+    * keep BAG semantics (each distinct intermediate node = one row);
+    * only the closure `+` is set-semantic (distinct reachable pairs,
+    * min-hop witness via [[PropertyPath]]).
     */
-  final case class PathPattern(s: Term, pred: String, o: Term,
-      maxHops: Int) extends Pattern {
+  sealed trait PathExpr
+  final case class Pred(iri: String) extends PathExpr
+  final case class Inv(e: PathExpr) extends PathExpr
+  final case class PSeq(a: PathExpr, b: PathExpr) extends PathExpr
+  final case class PAlt(a: PathExpr, b: PathExpr) extends PathExpr
+  final case class Plus(e: PathExpr, maxHops: Int) extends PathExpr {
     require(maxHops >= 1, "maxHops must be >= 1")
+  }
+
+  /** Bounded property path `s <path> o` over the triple table. A
+    * CONSTANT source routes through source-restricted evaluation
+    * (single-source BFS for closures, semi-join pushdown for the
+    * leftmost step of sequences), so prefer binding `s` on corpus-scale
+    * graphs — an unbound-unbound closure materializes all-pairs.
+    */
+  final case class PathPattern(s: Term, path: PathExpr, o: Term)
+      extends Pattern {
     def endpoints: Seq[(String, Term)] = Seq("src" -> s, "dst" -> o)
     def vars: Seq[String] =
       endpoints.collect { case (_, V(n)) => n }.distinct
     def boundCount: Int = 1 + endpoints.count(_._2.isInstanceOf[C])
+  }
+  object PathPattern {
+    /** Legacy shape: `s <pred>+ o` (1..maxHops min-hop closure). */
+    def apply(s: Term, pred: String, o: Term, maxHops: Int): PathPattern =
+      PathPattern(s, Plus(Pred(pred), maxHops), o)
   }
 
   /** One OPTIONAL { ... } block: its patterns plus block-local filters. */
@@ -100,22 +120,63 @@ object Bgp {
     df.select(proj: _*)
   }
 
-  /** Closure relation for a path pattern: constants pushed (a constant
-    * source routes through single-source BFS), endpoints renamed to
-    * their variables, repeated variable (s = o) unsatisfiable by
-    * construction (closure excludes self-pairs) → empty.
+  /** The (src, dst) relation of a path expression. `sources` (when the
+    * pattern's subject is constant, or recursively known) is pushed into
+    * the LEFTMOST step only — a closure takes it as its BFS seed set, a
+    * predicate scan as a semi-join (left-semi keeps bag multiplicity of
+    * the left side intact = 1 row per triple), a sequence pushes into
+    * its first factor, an alternation into both branches. An inverse
+    * drops the restriction (its sources are the inner expr's dsts) and
+    * filters after — correct, just not pushed.
+    */
+  private[kgql] def rel(triples: DataFrame, e: PathExpr,
+      sources: Option[DataFrame] = None): DataFrame = e match {
+    case Pred(iri) =>
+      val scan = triples.filter(col("p") === iri)
+        .select(col("s").as("src"), col("o").as("dst"))
+      sources match {
+        case Some(s) => scan.join(s.select("src"), Seq("src"), "left_semi")
+        case None => scan
+      }
+    case Inv(x) =>
+      val r = rel(triples, x, None)
+        .select(col("dst").as("src"), col("src").as("dst"))
+      sources match {
+        case Some(s) => r.join(s.select("src"), Seq("src"), "left_semi")
+        case None => r
+      }
+    case PSeq(a, b) =>
+      val ra = rel(triples, a, sources)
+        .select(col("src"), col("dst").as("mid"))
+      val rb = rel(triples, b, None)
+        .select(col("src").as("mid"), col("dst"))
+      ra.join(rb, Seq("mid")).select(col("src"), col("dst"))
+    case PAlt(a, b) => // union is bag-semantic (no dedup), as SPARQL's |
+      rel(triples, a, sources).union(rel(triples, b, sources))
+    case Plus(x, k) =>
+      // closure input must be a SET of edges (bag replication would
+      // multiply frontier work for identical pairs); output is the
+      // set-semantic reachable relation, min-hop dist dropped
+      PropertyPath.boundedClosure(rel(triples, x, None).distinct(), k,
+        sources.map(_.select("src").distinct()))
+        .select(col("src"), col("dst"))
+  }
+
+  /** Relation for a path pattern: a constant source is pushed into the
+    * path evaluation (BFS seeds / leftmost semi-join), a constant object
+    * filtered after; endpoints renamed to their variables; repeated
+    * variable (s = o) → src = dst filter (satisfiable for non-closure
+    * paths, e.g. `?x <p>/^<p> ?x`).
     */
   private[kgql] def pathScan(triples: DataFrame,
       pp: PathPattern): DataFrame = {
     val spark = triples.sparkSession
     import spark.implicits._
-    val edges = triples.filter(col("p") === pp.pred)
-      .select(col("s").as("src"), col("o").as("dst"))
     val from = pp.s match {
       case C(v) => Some(Seq(v).toDF("src"))
       case V(_) => None
     }
-    var closure = PropertyPath.boundedClosure(edges, pp.maxHops, from)
+    var closure = rel(triples, pp.path, from)
     pp.endpoints.foreach {
       case (c, C(v)) => closure = closure.filter(col(c) === v)
       case _ => ()

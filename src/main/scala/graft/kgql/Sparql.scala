@@ -9,12 +9,23 @@ import org.apache.spark.sql.functions._
   *
   * Grammar (whitespace-separated tokens; '.' separators optional):
   * {{{
-  * query    := SELECT DISTINCT? ?var+ WHERE { item* }
+  * query    := SELECT DISTINCT? selItem+ WHERE { item* } group?
+  * selItem  := ?var | ( AGG ( DISTINCT? ?var | * ) AS ?name )
+  * group    := GROUP BY ?var+               AGG ∈ { COUNT MIN MAX }
   * item     := triple '.'? | FILTER ( expr ) | OPTIONAL { item* }
-  * triple   := term term '+'? term    -- `<p>+` = bounded property path
+  * triple   := term path? term               -- path in predicate position
+  * path     := pseq ('|' pseq)*              -- alternation (bag union)
+  * pseq     := pelt ('/' pelt)*              -- sequence (bag join)
+  * pelt     := '^'? prim '+'?                -- inverse / bounded closure
+  * prim     := <iri> | ( path )
   * term     := ?name | <iri> | "literal"
   * expr     := operand op operand        op ∈ { = != < <= > >= }
   * }}}
+  * Path operators follow SPARQL 1.1's translation: `^` `/` `|` rewrite
+  * to joins/unions and keep BAG semantics; `+` is the set-semantic
+  * bounded closure (Δ-BFS, [[PropertyPath]]). Aggregates follow SPARQL
+  * semantics: COUNT(?v) counts bound (non-null) rows, COUNT(*) all
+  * rows; every projected non-aggregate variable must be grouped.
   * OPTIONAL blocks nest one level (SPARQL's common case); FILTERs inside
   * an OPTIONAL bind to that block, top-level FILTERs to the whole query.
   */
@@ -22,20 +33,50 @@ object Sparql {
 
   import Bgp._
 
+  final case class Agg(fn: String, arg: Option[String],
+      isDistinct: Boolean, as: String)
+
   final case class Query(projection: Seq[String], distinct: Boolean,
       patterns: Seq[Pattern], optionals: Seq[OptionalBlock],
-      filters: Seq[Column])
+      filters: Seq[Column], aggs: Seq[Agg] = Nil,
+      groupVars: Seq[String] = Nil)
 
   /** Parse and evaluate against a (s, p, o) triple DataFrame.
-    * `pathMaxHops` bounds `<p>+` property paths (SPARQL's unbounded `+`
-    * needs a fixpoint; a hop bound keeps the Δ-BFS round count fixed —
-    * raise it per query when the graph's diameter demands).
+    * `pathMaxHops` bounds `+` property-path closures (SPARQL's unbounded
+    * `+` needs a fixpoint; a hop bound keeps the Δ-BFS round count
+    * fixed — raise it per query when the graph's diameter demands).
     */
   def query(triples: DataFrame, text: String,
       pathMaxHops: Int = 8): DataFrame = {
     val q = parse(text, pathMaxHops)
-    Bgp.select(triples, q.patterns, q.projection, q.optionals, q.filters,
-      q.distinct)
+    if (q.aggs.isEmpty)
+      Bgp.select(triples, q.patterns, q.projection, q.optionals,
+        q.filters, q.distinct)
+    else {
+      // aggregate query: materialize the bag of (group vars ∪ agg arg
+      // vars), then ONE hash aggregation keyed on the group vars —
+      // map-side partial aggregation bounds the shuffle by the group
+      // cardinality, not the bag size
+      val needed = (q.groupVars ++ q.aggs.flatMap(_.arg)).distinct
+      val bag = Bgp.select(triples, q.patterns, needed, q.optionals,
+        q.filters, distinct = false)
+      val aggCols = q.aggs.map { a =>
+        val c = (a.fn, a.arg) match {
+          case ("COUNT", None) => count(lit(1))
+          case ("COUNT", Some(v)) =>
+            if (a.isDistinct) countDistinct(col(v)) else count(col(v))
+          case ("MIN", Some(v)) => min(col(v))
+          case ("MAX", Some(v)) => max(col(v))
+          case (fn, arg) => throw new IllegalArgumentException(
+            s"unsupported aggregate: $fn(${arg.getOrElse("*")})")
+        }
+        c.as(a.as)
+      }
+      val grouped = bag.groupBy(q.groupVars.map(col): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+      val projected = grouped.select(q.projection.map(col): _*)
+      if (q.distinct) projected.distinct() else projected
+    }
   }
 
   def parse(text: String, pathMaxHops: Int = 8): Query = {
@@ -45,16 +86,59 @@ object Sparql {
     val distinct = st.peekKw("DISTINCT")
     if (distinct) st.next()
     val proj = scala.collection.mutable.ArrayBuffer[String]()
-    while (st.peek.exists(_.startsWith("?"))) proj += st.next().drop(1)
+    val aggs = scala.collection.mutable.ArrayBuffer[Agg]()
+    var more = true
+    while (more) {
+      if (st.peek.exists(_.startsWith("?"))) proj += st.next().drop(1)
+      else if (st.peek.contains("(")) {
+        st.next()
+        val fn = st.next().toUpperCase
+        require(Set("COUNT", "MIN", "MAX")(fn), s"bad aggregate fn: $fn")
+        st.expect("(")
+        val isDistinct = st.peekKw("DISTINCT")
+        if (isDistinct) st.next()
+        val arg = if (st.peek.contains("*")) { st.next(); None }
+          else Some(st.next() match {
+            case v if v.startsWith("?") => v.drop(1)
+            case other => throw new IllegalArgumentException(
+              s"aggregate arg must be ?var or *, got $other")
+          })
+        require(arg.nonEmpty || fn == "COUNT", s"$fn(*) is not valid")
+        st.expect(")")
+        st.expectKw("AS")
+        val as = st.next()
+        require(as.startsWith("?"), s"AS needs a ?name, got $as")
+        st.expect(")")
+        aggs += Agg(fn, arg, isDistinct, as.drop(1))
+        proj += as.drop(1)
+      } else more = false
+    }
     require(proj.nonEmpty, "SELECT needs at least one ?var")
     st.expectKw("WHERE")
     st.expect("{")
     val (pats, opts, fils) = parseBlock(st, allowOptional = true,
       pathMaxHops)
     st.expect("}")
+    val groupVars = scala.collection.mutable.ArrayBuffer[String]()
+    if (st.peekKw("GROUP")) {
+      st.next(); st.expectKw("BY")
+      while (st.peek.exists(_.startsWith("?")))
+        groupVars += st.next().drop(1)
+      require(groupVars.nonEmpty, "GROUP BY needs at least one ?var")
+    }
     require(st.peek.isEmpty, s"trailing tokens: ${st.peek.getOrElse("")}")
     require(pats.nonEmpty, "WHERE block needs at least one triple pattern")
-    Query(proj.toSeq, distinct, pats, opts, fils)
+    if (aggs.nonEmpty || groupVars.nonEmpty) {
+      require(aggs.nonEmpty, "GROUP BY without an aggregate in SELECT")
+      val aggNames = aggs.map(_.as).toSet
+      val bare = proj.filterNot(aggNames)
+      val missing = bare.filterNot(groupVars.contains)
+      require(missing.isEmpty,
+        s"projected non-aggregate vars must be grouped: " +
+          missing.mkString(", "))
+    }
+    Query(proj.toSeq, distinct, pats, opts, fils, aggs.toSeq,
+      groupVars.toSeq)
   }
 
   // ---------------------------------------------------------------- //
@@ -80,20 +164,59 @@ object Sparql {
         opts += OptionalBlock(p, f)
       } else {
         val subj = parseTerm(st)
-        val pred = parseTerm(st)
-        if (st.peek.contains("+")) {
-          st.next()
-          pred match {
-            case C(iri) =>
-              pats += PathPattern(subj, iri, parseTerm(st), pathMaxHops)
-            case V(_) => throw new IllegalArgumentException(
-              "property-path predicate must be an IRI, not a variable")
+        if (st.peek.exists(_.startsWith("?"))) {
+          // variable predicate: plain triple pattern only (a path with a
+          // variable predicate would be a join over ALL predicates)
+          pats += TriplePattern(subj, parseTerm(st), parseTerm(st))
+        } else {
+          val path = parsePath(st, pathMaxHops)
+          val obj = parseTerm(st)
+          path match {
+            case Pred(iri) => pats += TriplePattern(subj, C(iri), obj)
+            case p => pats += PathPattern(subj, p, obj)
           }
-        } else pats += TriplePattern(subj, pred, parseTerm(st))
+        }
         if (st.peek.contains(".")) st.next()
       }
     }
     (pats.toSeq, opts.toSeq, fils.toSeq)
+  }
+
+  /** path := pseq ('|' pseq)* ; pseq := pelt ('/' pelt)* ;
+    * pelt := '^'? prim '+'? ; prim := <iri> | "lit" | ( path ).
+    * `^` applies to the modified primary (SPARQL: PathEltOrInverse ::=
+    * PathElt | '^' PathElt), so `^<p>+` = inverse of the closure.
+    */
+  private def parsePath(st: Stream, maxHops: Int): PathExpr = {
+    def prim(): PathExpr =
+      if (st.peek.contains("(")) {
+        st.next()
+        val p = alt()
+        st.expect(")")
+        p
+      } else parseTerm(st) match {
+        case C(iri) => Pred(iri)
+        case V(n) => throw new IllegalArgumentException(
+          s"path step must be an IRI or group, got ?$n")
+      }
+    def elt(): PathExpr = {
+      val inv = st.peek.contains("^")
+      if (inv) st.next()
+      var p = prim()
+      if (st.peek.contains("+")) { st.next(); p = Plus(p, maxHops) }
+      if (inv) Inv(p) else p
+    }
+    def seq(): PathExpr = {
+      var p = elt()
+      while (st.peek.contains("/")) { st.next(); p = PSeq(p, elt()) }
+      p
+    }
+    def alt(): PathExpr = {
+      var p = seq()
+      while (st.peek.contains("|")) { st.next(); p = PAlt(p, seq()) }
+      p
+    }
+    alt()
   }
 
   private def parseTerm(st: Stream): Term = {
@@ -126,13 +249,13 @@ object Sparql {
     }
   }
 
-  /** IRIs and quoted literals are single tokens; braces/parens/dot and
-    * comparison operators are their own tokens.
+  /** IRIs and quoted literals are single tokens; braces/parens/dot,
+    * path operators and comparison operators are their own tokens.
     */
   private[kgql] def tokenize(text: String): Seq[String] = {
     // IRIs contain no whitespace — otherwise `?a < ?b ... ?c > ?d`
     // would tokenize as one giant <...> span
-    val re = "<[^>\\s]*>|\"[^\"]*\"|\\?[A-Za-z_][A-Za-z0-9_]*|[{}().+]|!=|<=|>=|[=<>]|[A-Za-z_][A-Za-z0-9_]*".r
+    val re = "<[^>\\s]*>|\"[^\"]*\"|\\?[A-Za-z_][A-Za-z0-9_]*|[{}().+|/^*]|!=|<=|>=|[=<>]|[A-Za-z_][A-Za-z0-9_]*".r
     re.findAllIn(text).toSeq
   }
 

@@ -308,6 +308,25 @@ object KgQueries {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** SPARQL path expressions + aggregates: for each doc d mentioning
+    * `spark`, walk `mentions / (coOccursWith | ^coOccursWith)` (the
+    * stored co-occurrence edges are canonical s < o, so the alternation
+    * with the inverse makes the relation undirected) and COUNT the
+    * paths into each endpoint ?x — BAG semantics throughout (each
+    * intermediate entity = one path), per SPARQL 1.1's path translation,
+    * checked exactly by the counts. Plan shape: the constant-source
+    * first pattern semi-restricts the sequence's leftmost scan; the
+    * aggregation is one hash agg keyed on ?x (map-side partials, output
+    * ∝ |entities|, never ∝ paths).
+    */
+  def kgPathExpr(spark: SparkSession, dir: String): DataFrame =
+    graft.kgql.Sparql.query(bgpTriples(spark, dir),
+      """SELECT ?x (COUNT(?d) AS ?paths) WHERE {
+        |  <urn:ent:spark> ^<urn:graft:mentions> ?d .
+        |  ?d <urn:graft:mentions>/( <urn:graft:coOccursWith> | ^<urn:graft:coOccursWith> ) ?x .
+        |} GROUP BY ?x""".stripMargin)
+      .orderBy(col("x"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_extract_text" -> kgExtractText,
     "kg_mentions" -> kgMentions,
@@ -323,7 +342,8 @@ object KgQueries {
     "kg_timeline" -> kgTimeline,
     "kg_bgp" -> kgBgp,
     "kg_bgp_opt" -> kgBgpOpt,
-    "kg_path" -> kgPath
+    "kg_path" -> kgPath,
+    "kg_path_expr" -> kgPathExpr
   )
 
   /** Unrolled integer-PageRank SQL: s{k} from s{k-1} via the identical
@@ -449,6 +469,18 @@ object KgQueries {
          |  SELECT w.src, u.b, w.dist + 1 FROM walk w JOIN und u ON w.dst = u.a WHERE w.dist < 3)
          |SELECT src, dst, MIN(dist) AS dist FROM walk WHERE src <> dst
          |GROUP BY src, dst ORDER BY src, dst""".stripMargin,
+    // path translation replayed as plain SQL: bag joins for the
+    // sequence, UNION ALL for the alternation, inverse = column swap
+    "kg_path_expr" ->
+      s"""WITH $tokensCte,
+         |mt AS (SELECT 'urn:doc:' || doc_id AS s, 'urn:ent:' || entity AS o FROM m),
+         |co AS (SELECT DISTINCT 'urn:ent:' || a.entity AS s, 'urn:ent:' || b.entity AS o
+         |       FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.entity < b.entity),
+         |d AS (SELECT s AS d FROM mt WHERE o = 'urn:ent:spark'),
+         |und AS (SELECT s, o FROM co UNION ALL SELECT o AS s, s AS o FROM co),
+         |paths AS (SELECT u.o AS x, dd.d FROM d dd
+         |          JOIN mt ON mt.s = dd.d JOIN und u ON u.s = mt.o)
+         |SELECT x, COUNT(d) AS paths FROM paths GROUP BY x ORDER BY x""".stripMargin,
     // replays PageGen's closed-form crawl-time scatter directly
     "kg_timeline" ->
       s"""WITH $tokensCte,

@@ -1,0 +1,125 @@
+package graft.kgql
+
+import graft.SparkSpec
+
+/** SPARQL 1.1 path-expression + aggregate semantics on a hand-built
+  * triple table. The load-bearing checks: `^` `/` `|` keep BAG
+  * semantics (the spec's path translation rewrites them to triple
+  * patterns/joins/unions — multiplicities are observable via COUNT),
+  * `+` is set-semantic; `^` applies to the modified primary
+  * (`^<p>+` = inverse of the closure); a constant source is pushed into
+  * the leftmost step (plan: no full-relation scan on the first factor).
+  */
+class PathExprSpec extends SparkSpec {
+  import spark.implicits._
+  import Bgp._
+
+  // d1 -m-> a, d1 -m-> b, d2 -m-> a ; a -k-> b ; b -k-> c ; a -k-> c
+  private lazy val triples = Seq(
+    ("d1", "m", "a"), ("d1", "m", "b"), ("d2", "m", "a"),
+    ("a", "k", "b"), ("b", "k", "c"), ("a", "k", "c")
+  ).toDF("s", "p", "o")
+
+  private def rows(q: String): Seq[Seq[String]] =
+    Sparql.query(triples, q, pathMaxHops = 8)
+      .collect().toSeq.map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+
+  test("inverse: ^m is mentioned-by") {
+    assert(rows("SELECT ?d WHERE { <a> ^<m> ?d }") ==
+      Seq(Seq("d1"), Seq("d2")))
+  }
+
+  test("sequence keeps bag multiplicity: one row per intermediate") {
+    // d1 -m-> {a,b} -k-> c twice (a-k->c, b-k->c): two rows for (d1, c)
+    val out = rows("SELECT ?d ?y WHERE { ?d <m>/<k> ?y }")
+    assert(out == Seq(Seq("d1", "b"), Seq("d1", "c"), Seq("d1", "c"),
+      Seq("d2", "b"), Seq("d2", "c")))
+  }
+
+  test("alternation is bag union; parenthesized group") {
+    // a: k-successors {b, c} ∪ ^k-predecessors {} = 2 rows
+    // b: {c} ∪ {a} ; c: {} ∪ {b, a}
+    val out = rows("SELECT ?x ?y WHERE { ?x ( <k> | ^<k> ) ?y }")
+    assert(out == Seq(Seq("a", "b"), Seq("a", "c"), Seq("b", "a"),
+      Seq("b", "c"), Seq("c", "a"), Seq("c", "b")))
+  }
+
+  test("closure + is set-semantic: a reaches c once despite two paths") {
+    val out = rows("SELECT ?y WHERE { <a> <k>+ ?y }")
+    assert(out == Seq(Seq("b"), Seq("c")))
+  }
+
+  test("inverse of a closure: ^<k>+ from c reaches a and b once each") {
+    val out = rows("SELECT ?y WHERE { <c> ^<k>+ ?y }")
+    assert(out == Seq(Seq("a"), Seq("b")))
+  }
+
+  test("plus on a group: (m|^m)+ spans the undirected bipartite graph") {
+    // from d2: d2—a, then a—d1, then d1—b (hop 3)
+    val out = rows("SELECT ?y WHERE { <d2> ( <m> | ^<m> )+ ?y }")
+    assert(out == Seq(Seq("a"), Seq("b"), Seq("d1")))
+  }
+
+  test("repeated endpoint variable: ?x <k>/^<k> ?x is satisfiable") {
+    // x -k-> mid <-k- x : a via b, a via c, b via c (and each x with
+    // itself through each of its successors)
+    val out = rows(
+      "SELECT ?x (COUNT(*) AS ?n) WHERE { ?x <k>/^<k> ?x } GROUP BY ?x")
+    assert(out == Seq(Seq("a", "2"), Seq("b", "1")))
+  }
+
+  test("aggregates: COUNT bag paths, COUNT DISTINCT, MIN/MAX") {
+    val out = rows(
+      """SELECT ?d (COUNT(?y) AS ?paths) (COUNT(DISTINCT ?y) AS ?uniq)
+        |(MIN(?y) AS ?lo) (MAX(?y) AS ?hi)
+        |WHERE { ?d <m>/<k> ?y } GROUP BY ?d""".stripMargin)
+    assert(out == Seq(Seq("d1", "3", "2", "b", "c"),
+      Seq("d2", "2", "2", "b", "c")))
+  }
+
+  test("global aggregate (no GROUP BY) and COUNT(*)") {
+    val out = rows("SELECT (COUNT(*) AS ?n) WHERE { ?d <m>/<k> ?y }")
+    assert(out == Seq(Seq("5")))
+  }
+
+  test("COUNT(?v) skips unbound optionals, COUNT(*) does not") {
+    val out = rows(
+      """SELECT ?x (COUNT(?d) AS ?nd) (COUNT(*) AS ?all) WHERE {
+        |  ?x <k> ?y .
+        |  OPTIONAL { ?d <m> ?x FILTER ( ?d != <d1> ) }
+        |} GROUP BY ?x""".stripMargin)
+    // a: 2 k-edges × 1 surviving doc (d2) = 2 bound; b: doc d1 filtered
+    // out in-block → unbound d, 1 row via the left join
+    assert(out == Seq(Seq("a", "2", "2"), Seq("b", "0", "1")))
+  }
+
+  test("projected non-aggregate var must be grouped") {
+    intercept[IllegalArgumentException] {
+      Sparql.parse("SELECT ?x (COUNT(*) AS ?n) WHERE { ?x <k> ?y }")
+    }
+  }
+
+  test("GROUP BY without aggregate rejected; var path step rejected") {
+    intercept[IllegalArgumentException] {
+      Sparql.parse("SELECT ?x WHERE { ?x <k> ?y } GROUP BY ?x")
+    }
+    intercept[IllegalArgumentException] {
+      Sparql.parse("SELECT ?x WHERE { ?x <k>/?p ?y }")
+    }
+  }
+
+  test("precedence: / binds tighter than |") {
+    // <m>|<m>/<k> = <m> | (<m>/<k>) — from d2: {a} ∪ {b, c} = 3 rows;
+    // the other grouping ((m|m)/k) would give {b, c, b, c}
+    val out = rows("SELECT ?y WHERE { <d2> <m> | <m>/<k> ?y }")
+    assert(out == Seq(Seq("a"), Seq("b"), Seq("c")))
+  }
+
+  test("constant source pushes a semi-join into the leftmost step") {
+    val df = Sparql.query(triples,
+      "SELECT ?y WHERE { <d1> <m>/<k> ?y }")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") || plan.contains("left_semi"),
+      s"expected a pushed semi-join in:\n$plan")
+  }
+}
