@@ -97,6 +97,20 @@ object Bgp {
   final case class OptionalBlock(patterns: Seq[Pattern],
       filters: Seq[Column] = Nil)
 
+  /** One negation block — `FILTER NOT EXISTS { ... }` or `MINUS
+    * { ... }`. Both compile to a LEFT ANTI join on the shared
+    * variables (the null-unsafe equality matches SPARQL's
+    * bound-solution case; unbound-var compatibility is out of this
+    * subset). They differ exactly where the spec makes them differ —
+    * when the variable domains are DISJOINT: NOT EXISTS removes every
+    * row if the inner pattern matches at all (an always-true anti
+    * join against one inner row — distributed, no driver branch),
+    * MINUS removes nothing (no shared domain ⇒ trivially no
+    * incompatibility).
+    */
+  final case class NegationBlock(patterns: Seq[Pattern],
+      filters: Seq[Column] = Nil, isMinus: Boolean = false)
+
   /** Scan one pattern: constants → pushed filters; repeated variables
     * within the pattern → column-equality filters; project+rename the
     * variable columns.
@@ -268,7 +282,8 @@ object Bgp {
       projection: Seq[String],
       optionals: Seq[OptionalBlock] = Nil,
       filters: Seq[Column] = Nil,
-      distinct: Boolean = false): DataFrame = {
+      distinct: Boolean = false,
+      negations: Seq[NegationBlock] = Nil): DataFrame = {
     val required = compileBlock(triples, patterns)
     val joined = optionals.foldLeft(required) { (acc, ob) =>
       val block0 = compileBlock(triples, ob.patterns)
@@ -277,7 +292,16 @@ object Bgp {
         .filter(acc.columns.contains)
       acc.join(block, shared, "left_outer")
     }
-    val filtered = filters.foldLeft(joined)(_.filter(_))
+    val negated = negations.foldLeft(joined) { (acc, nb) =>
+      val block0 = compileBlock(triples, nb.patterns)
+      val block = nb.filters.foldLeft(block0)(_.filter(_))
+      val shared = nb.patterns.flatMap(_.vars).distinct
+        .filter(acc.columns.contains)
+      if (shared.nonEmpty) acc.join(block, shared, "left_anti")
+      else if (nb.isMinus) acc // disjoint MINUS: no-op per spec
+      else acc.join(block.limit(1), lit(true), "left_anti")
+    }
+    val filtered = filters.foldLeft(negated)(_.filter(_))
     val projected = filtered.select(projection.map(col): _*)
     if (distinct) projected.distinct() else projected
   }

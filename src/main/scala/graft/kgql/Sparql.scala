@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
   *
   * Grammar (whitespace-separated tokens; '.' separators optional):
   * {{{
-  * query    := SELECT DISTINCT? selItem+ WHERE { item* } group?
+  * query    := select | construct
+  * select   := SELECT DISTINCT? selItem+ WHERE { item* } group?
+  * construct:= CONSTRUCT { (term term term '.'?)* } WHERE { item* }
   * selItem  := ?var | ( AGG ( DISTINCT? ?var | * ) AS ?name )
   * group    := GROUP BY ?var+               AGG ∈ { COUNT MIN MAX }
   * item     := triple '.'? | FILTER ( expr ) | OPTIONAL { item* }
+  *           | FILTER NOT EXISTS { item* } | MINUS { item* }
   * triple   := term path? term               -- path in predicate position
   * path     := pseq ('|' pseq)*              -- alternation (bag union)
   * pseq     := pelt ('/' pelt)*              -- sequence (bag join)
@@ -28,6 +31,10 @@ import org.apache.spark.sql.functions._
   * rows; every projected non-aggregate variable must be grouped.
   * OPTIONAL blocks nest one level (SPARQL's common case); FILTERs inside
   * an OPTIONAL bind to that block, top-level FILTERs to the whole query.
+  * Negation compiles to LEFT ANTI joins on the shared variables, with
+  * the spec's disjoint-domain split: NOT EXISTS drops everything when
+  * the inner pattern matches at all, MINUS drops nothing — see
+  * [[Bgp.NegationBlock]].
   */
 object Sparql {
 
@@ -39,7 +46,9 @@ object Sparql {
   final case class Query(projection: Seq[String], distinct: Boolean,
       patterns: Seq[Pattern], optionals: Seq[OptionalBlock],
       filters: Seq[Column], aggs: Seq[Agg] = Nil,
-      groupVars: Seq[String] = Nil)
+      groupVars: Seq[String] = Nil,
+      template: Seq[(Term, Term, Term)] = Nil,
+      negations: Seq[NegationBlock] = Nil)
 
   /** Parse and evaluate against a (s, p, o) triple DataFrame.
     * `pathMaxHops` bounds `+` property-path closures (SPARQL's unbounded
@@ -49,9 +58,32 @@ object Sparql {
   def query(triples: DataFrame, text: String,
       pathMaxHops: Int = 8): DataFrame = {
     val q = parse(text, pathMaxHops)
-    if (q.aggs.isEmpty)
+    if (q.template.nonEmpty) {
+      // CONSTRUCT: instantiate each template triple over the match bag,
+      // drop instantiations with an unbound (null) variable (SPARQL's
+      // rule for optionals in templates), and set-union — the output is
+      // an RDF GRAPH, i.e. a distinct triple set. Plan shape: the WHERE
+      // bag materializes once; each template head is a projection over
+      // it; the final distinct is one hash aggregation keyed on
+      // (s, p, o) — output ∝ emitted graph, not ∝ match bag.
+      val needed = q.template.flatMap { case (s, p, o) =>
+        Seq(s, p, o).collect { case V(n) => n }
+      }.distinct
+      val bag = Bgp.select(triples, q.patterns, needed, q.optionals,
+        q.filters, distinct = false, negations = q.negations)
+      def term(t: Term): Column = t match {
+        case V(n) => col(n)
+        case C(v) => lit(v)
+      }
+      val parts = q.template.map { case (s, p, o) =>
+        val vars = Seq(s, p, o).collect { case V(n) => n }.distinct
+        vars.foldLeft(bag)((df, v) => df.filter(col(v).isNotNull))
+          .select(term(s).as("s"), term(p).as("p"), term(o).as("o"))
+      }
+      parts.reduce(_.union(_)).distinct()
+    } else if (q.aggs.isEmpty)
       Bgp.select(triples, q.patterns, q.projection, q.optionals,
-        q.filters, q.distinct)
+        q.filters, q.distinct, q.negations)
     else {
       // aggregate query: materialize the bag of (group vars ∪ agg arg
       // vars), then ONE hash aggregation keyed on the group vars —
@@ -59,7 +91,7 @@ object Sparql {
       // cardinality, not the bag size
       val needed = (q.groupVars ++ q.aggs.flatMap(_.arg)).distinct
       val bag = Bgp.select(triples, q.patterns, needed, q.optionals,
-        q.filters, distinct = false)
+        q.filters, distinct = false, negations = q.negations)
       val aggCols = q.aggs.map { a =>
         val c = (a.fn, a.arg) match {
           case ("COUNT", None) => count(lit(1))
@@ -82,6 +114,7 @@ object Sparql {
   def parse(text: String, pathMaxHops: Int = 8): Query = {
     val toks = tokenize(text)
     val st = new Stream(toks)
+    if (st.peekKw("CONSTRUCT")) return parseConstruct(st, pathMaxHops)
     st.expectKw("SELECT")
     val distinct = st.peekKw("DISTINCT")
     if (distinct) st.next()
@@ -116,7 +149,7 @@ object Sparql {
     require(proj.nonEmpty, "SELECT needs at least one ?var")
     st.expectKw("WHERE")
     st.expect("{")
-    val (pats, opts, fils) = parseBlock(st, allowOptional = true,
+    val (pats, opts, fils, negs) = parseBlock(st, allowOptional = true,
       pathMaxHops)
     st.expect("}")
     val groupVars = scala.collection.mutable.ArrayBuffer[String]()
@@ -138,29 +171,82 @@ object Sparql {
           missing.mkString(", "))
     }
     Query(proj.toSeq, distinct, pats, opts, fils, aggs.toSeq,
-      groupVars.toSeq)
+      groupVars.toSeq, negations = negs)
+  }
+
+  /** CONSTRUCT { tmplTriple* } WHERE { item* } — template triples are
+    * plain terms (no paths); every template variable must occur in the
+    * WHERE block (else it could never bind).
+    */
+  private def parseConstruct(st: Stream, pathMaxHops: Int): Query = {
+    st.expectKw("CONSTRUCT")
+    st.expect("{")
+    val tmpl = scala.collection.mutable.ArrayBuffer[(Term, Term, Term)]()
+    while (!st.peek.contains("}") && st.peek.nonEmpty) {
+      tmpl += ((parseTerm(st), parseTerm(st), parseTerm(st)))
+      if (st.peek.contains(".")) st.next()
+    }
+    st.expect("}")
+    require(tmpl.nonEmpty, "CONSTRUCT needs at least one template triple")
+    st.expectKw("WHERE")
+    st.expect("{")
+    val (pats, opts, fils, negs) = parseBlock(st, allowOptional = true,
+      pathMaxHops)
+    st.expect("}")
+    require(st.peek.isEmpty, s"trailing tokens: ${st.peek.getOrElse("")}")
+    require(pats.nonEmpty, "WHERE block needs at least one triple pattern")
+    val whereVars = (pats.flatMap(_.vars) ++
+      opts.flatMap(_.patterns.flatMap(_.vars))).toSet
+    val tmplVars = tmpl.flatMap { case (s, p, o) =>
+      Seq(s, p, o).collect { case V(n) => n }
+    }
+    val unbound = tmplVars.filterNot(whereVars).distinct
+    require(unbound.isEmpty,
+      s"template vars not bound in WHERE: ${unbound.mkString(", ")}")
+    Query(Seq("s", "p", "o"), distinct = true, pats, opts, fils,
+      template = tmpl.toSeq, negations = negs)
   }
 
   // ---------------------------------------------------------------- //
 
   private def parseBlock(st: Stream, allowOptional: Boolean,
       pathMaxHops: Int)
-      : (Seq[Pattern], Seq[OptionalBlock], Seq[Column]) = {
+      : (Seq[Pattern], Seq[OptionalBlock], Seq[Column],
+         Seq[NegationBlock]) = {
     val pats = scala.collection.mutable.ArrayBuffer[Pattern]()
     val opts = scala.collection.mutable.ArrayBuffer[OptionalBlock]()
     val fils = scala.collection.mutable.ArrayBuffer[Column]()
+    val negs = scala.collection.mutable.ArrayBuffer[NegationBlock]()
+    def innerBlock(kind: String): (Seq[Pattern], Seq[Column]) = {
+      st.expect("{")
+      val (p, o, f, n) = parseBlock(st, allowOptional = false, pathMaxHops)
+      require(o.isEmpty && n.isEmpty, s"nested blocks in $kind")
+      require(p.nonEmpty, s"$kind block needs a triple pattern")
+      st.expect("}")
+      (p, f)
+    }
     while (!st.peek.contains("}") && st.peek.nonEmpty) {
       if (st.peekKw("FILTER")) {
-        st.next(); st.expect("(")
-        fils += parseExpr(st)
-        st.expect(")")
+        st.next()
+        if (st.peekKw("NOT")) {
+          require(allowOptional, "nested FILTER NOT EXISTS")
+          st.next(); st.expectKw("EXISTS")
+          val (p, f) = innerBlock("FILTER NOT EXISTS")
+          negs += NegationBlock(p, f, isMinus = false)
+        } else {
+          st.expect("(")
+          fils += parseExpr(st)
+          st.expect(")")
+        }
+      } else if (st.peekKw("MINUS")) {
+        require(allowOptional, "nested MINUS is not supported")
+        st.next()
+        val (p, f) = innerBlock("MINUS")
+        negs += NegationBlock(p, f, isMinus = true)
       } else if (st.peekKw("OPTIONAL")) {
         require(allowOptional, "nested OPTIONAL is not supported")
-        st.next(); st.expect("{")
-        val (p, o, f) = parseBlock(st, allowOptional = false, pathMaxHops)
-        require(o.isEmpty, "nested OPTIONAL is not supported")
-        require(p.nonEmpty, "OPTIONAL block needs a triple pattern")
-        st.expect("}")
+        st.next()
+        val (p, f) = innerBlock("OPTIONAL")
         opts += OptionalBlock(p, f)
       } else {
         val subj = parseTerm(st)
@@ -179,7 +265,7 @@ object Sparql {
         if (st.peek.contains(".")) st.next()
       }
     }
-    (pats.toSeq, opts.toSeq, fils.toSeq)
+    (pats.toSeq, opts.toSeq, fils.toSeq, negs.toSeq)
   }
 
   /** path := pseq ('|' pseq)* ; pseq := pelt ('/' pelt)* ;

@@ -392,6 +392,17 @@ object DataQueries {
         spark.read.parquet(s"$dir/documents.parquet"))
       .orderBy("doc_id")
 
+  /** Per-domain document cap (RefinedWeb-style "no host dominates the
+    * corpus"): top 10 docs per source by (n_chars DESC, doc_id) via the
+    * bounded map-side top-n Aggregator — the exchange carries ≤ tasks ×
+    * domains × 10 16-byte keys, never corpus rows, so a Zipf-hot domain
+    * cannot pin a reducer (see [[graft.mix.DomainCap]]).
+    */
+  def ddDomainCap(spark: SparkSession, dir: String): DataFrame =
+    graft.mix.DomainCap.capKeys(
+        spark.read.parquet(s"$dir/documents.parquet"), 10)
+      .orderBy("source", "rk")
+
   /** Canonical-URL dedup (crawl tier): deterministic messy variants of
     * each page URL (case/port/fragment/utm-param noise keyed on
     * doc_id%4, page id = doc_id/4) are normalized by [[UrlCanon]] and
@@ -451,6 +462,7 @@ object DataQueries {
     "dd_decontam" -> ddDecontam,
     "dd_urls" -> ddUrls,
     "dd_spans" -> ddSpans,
+    "dd_domain_cap" -> ddDomainCap,
     "txt_perplexity" -> txtPerplexity,
     "txt_shard" -> txtShard,
     "dd_jaccard" -> ddJaccard,
@@ -580,6 +592,14 @@ object DataQueries {
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     // same regex pipeline as UrlCanon.canonical; COALESCE bridges
     // DuckDB's NULL for array_to_string([]) vs Spark's '' for array_join
+    // window replay of the bounded-aggregator cap (same survivor set by
+    // the deterministic (n_chars DESC, doc_id) order)
+    "dd_domain_cap" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |  ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id) AS rk FROM documents)
+        |SELECT source, doc_id, n_chars, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
     "dd_urls" ->
       """WITH u AS (SELECT doc_id,
         |  CASE WHEN doc_id % 4 = 0 THEN 'https://example.org/page/' || (doc_id // 4)

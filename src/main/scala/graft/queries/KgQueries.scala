@@ -327,6 +327,33 @@ object KgQueries {
         |} GROUP BY ?x""".stripMargin)
       .orderBy(col("x"))
 
+  /** SPARQL CONSTRUCT: materialize a derived graph — inverse
+    * `mentionedIn` edges plus entity type triples — from one mention
+    * scan. The output is a distinct triple SET (RDF graph semantics);
+    * plan: the WHERE bag materializes once, each template head is a
+    * projection, one hash agg on (s, p, o) dedups.
+    */
+  def kgConstruct(spark: SparkSession, dir: String): DataFrame =
+    graft.kgql.Sparql.query(bgpTriples(spark, dir),
+      """CONSTRUCT {
+        |  ?e <urn:graft:mentionedIn> ?d .
+        |  ?e <urn:rdf:type> <urn:graft:Entity> .
+        |} WHERE { ?d <urn:graft:mentions> ?e }""".stripMargin)
+      .orderBy(col("s"), col("p"), col("o"))
+
+  /** SPARQL negation: per-entity doc counts RESTRICTED to docs that do
+    * not mention `spark` — `FILTER NOT EXISTS` compiles to one LEFT
+    * ANTI join on the shared ?d (the anti side is the selective
+    * 2-bound scan), then the aggregate is a hash agg keyed on ?e.
+    */
+  def kgNegation(spark: SparkSession, dir: String): DataFrame =
+    graft.kgql.Sparql.query(bgpTriples(spark, dir),
+      """SELECT ?e (COUNT(?d) AS ?n_docs) WHERE {
+        |  ?d <urn:graft:mentions> ?e .
+        |  FILTER NOT EXISTS { ?d <urn:graft:mentions> <urn:ent:spark> }
+        |} GROUP BY ?e""".stripMargin)
+      .orderBy(col("e"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_extract_text" -> kgExtractText,
     "kg_mentions" -> kgMentions,
@@ -343,7 +370,9 @@ object KgQueries {
     "kg_bgp" -> kgBgp,
     "kg_bgp_opt" -> kgBgpOpt,
     "kg_path" -> kgPath,
-    "kg_path_expr" -> kgPathExpr
+    "kg_path_expr" -> kgPathExpr,
+    "kg_construct" -> kgConstruct,
+    "kg_negation" -> kgNegation
   )
 
   /** Unrolled integer-PageRank SQL: s{k} from s{k-1} via the identical
@@ -481,6 +510,22 @@ object KgQueries {
          |paths AS (SELECT u.o AS x, dd.d FROM d dd
          |          JOIN mt ON mt.s = dd.d JOIN und u ON u.s = mt.o)
          |SELECT x, COUNT(d) AS paths FROM paths GROUP BY x ORDER BY x""".stripMargin,
+    // CONSTRUCT replay: one SELECT per template head, set UNION
+    "kg_construct" ->
+      s"""WITH $tokensCte,
+         |mt AS (SELECT 'urn:doc:' || doc_id AS ds, 'urn:ent:' || entity AS es FROM m),
+         |out AS (
+         |  SELECT es AS s, 'urn:graft:mentionedIn' AS p, ds AS o FROM mt
+         |  UNION
+         |  SELECT es, 'urn:rdf:type', 'urn:graft:Entity' FROM mt)
+         |SELECT s, p, o FROM out ORDER BY s, p, o""".stripMargin,
+    // NOT EXISTS replay: NOT IN anti filter + GROUP BY
+    "kg_negation" ->
+      s"""WITH $tokensCte,
+         |mt AS (SELECT doc_id, 'urn:ent:' || entity AS e FROM m)
+         |SELECT e, COUNT(doc_id) AS n_docs FROM mt
+         |WHERE doc_id NOT IN (SELECT doc_id FROM m WHERE entity = 'spark')
+         |GROUP BY e ORDER BY e""".stripMargin,
     // replays PageGen's closed-form crawl-time scatter directly
     "kg_timeline" ->
       s"""WITH $tokensCte,

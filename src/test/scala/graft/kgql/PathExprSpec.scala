@@ -115,6 +115,96 @@ class PathExprSpec extends SparkSpec {
     assert(out == Seq(Seq("a"), Seq("b"), Seq("c")))
   }
 
+  test("CONSTRUCT: template instantiation, graph-set dedup") {
+    // two docs mention a → one mentionedIn edge per doc, ONE type triple
+    val out = rows(
+      """CONSTRUCT {
+        |  ?x <mentionedIn> ?d .
+        |  ?x <type> <Entity> .
+        |} WHERE { ?d <m> ?x }""".stripMargin)
+    assert(out == Seq(
+      Seq("a", "mentionedIn", "d1"), Seq("a", "mentionedIn", "d2"),
+      Seq("a", "type", "Entity"), Seq("b", "mentionedIn", "d1"),
+      Seq("b", "type", "Entity")))
+  }
+
+  test("CONSTRUCT skips templates with unbound optional vars") {
+    val out = rows(
+      """CONSTRUCT { ?x <seenIn> ?d } WHERE {
+        |  ?x <k> ?y .
+        |  OPTIONAL { ?d <m> ?x FILTER ( ?d != <d1> ) }
+        |}""".stripMargin)
+    // only a is mentioned by a doc other than d1 (d2); b's binding is
+    // filtered inside the block → null → no triple emitted
+    assert(out == Seq(Seq("a", "seenIn", "d2")))
+  }
+
+  test("CONSTRUCT rejects template vars unbound in WHERE") {
+    intercept[IllegalArgumentException] {
+      Sparql.parse("CONSTRUCT { ?z <p> ?x } WHERE { ?x <k> ?y }")
+    }
+  }
+
+  test("FILTER NOT EXISTS: anti-join on shared vars") {
+    // docs with a mention not shared with d1's mentions… simpler: docs
+    // that do NOT mention b
+    val out = rows(
+      """SELECT DISTINCT ?d WHERE {
+        |  ?d <m> ?x .
+        |  FILTER NOT EXISTS { ?d <m> <b> }
+        |}""".stripMargin)
+    assert(out == Seq(Seq("d2")))
+  }
+
+  test("MINUS: anti-join on shared vars; inner filters stay inner") {
+    val out = rows(
+      """SELECT DISTINCT ?x WHERE {
+        |  ?x <k> ?y .
+        |  MINUS { ?d <m> ?x FILTER ( ?d != <d1> ) }
+        |}""".stripMargin)
+    // subjects of k: a, b; docs-other-than-d1 mention only a → a removed
+    assert(out == Seq(Seq("b")))
+  }
+
+  test("disjoint domains: NOT EXISTS removes all, MINUS removes none") {
+    val ne = rows(
+      """SELECT ?x WHERE {
+        |  ?x <k> ?y .
+        |  FILTER NOT EXISTS { ?p <m> <a> }
+        |}""".stripMargin)
+    assert(ne.isEmpty) // the inner pattern matches somewhere → all drop
+    val mi = rows(
+      """SELECT DISTINCT ?x WHERE {
+        |  ?x <k> ?y .
+        |  MINUS { ?p <m> <a> }
+        |}""".stripMargin)
+    assert(mi == Seq(Seq("a"), Seq("b"))) // spec: disjoint MINUS no-op
+  }
+
+  test("NOT EXISTS with a never-matching inner keeps everything") {
+    val out = rows(
+      """SELECT DISTINCT ?x WHERE {
+        |  ?x <k> ?y .
+        |  FILTER NOT EXISTS { ?x <m> <zzz> }
+        |}""".stripMargin)
+    assert(out == Seq(Seq("a"), Seq("b")))
+  }
+
+  test("negation composes with aggregates and CONSTRUCT") {
+    val agg = rows(
+      """SELECT ?d (COUNT(?x) AS ?n) WHERE {
+        |  ?d <m> ?x .
+        |  FILTER NOT EXISTS { ?d <m> <b> }
+        |} GROUP BY ?d""".stripMargin)
+    assert(agg == Seq(Seq("d2", "1")))
+    val g = rows(
+      """CONSTRUCT { ?d <clean> <yes> } WHERE {
+        |  ?d <m> ?x .
+        |  MINUS { ?d <m> <b> }
+        |}""".stripMargin)
+    assert(g == Seq(Seq("d2", "clean", "yes")))
+  }
+
   test("constant source pushes a semi-join into the leftmost step") {
     val df = Sparql.query(triples,
       "SELECT ?y WHERE { <d1> <m>/<k> ?y }")
