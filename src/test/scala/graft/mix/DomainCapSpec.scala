@@ -4,10 +4,14 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
-/** DomainCap: window-equivalence on random corpora, bounded-buffer
-  * algebra laws (merge associative/commutative, bounded at the cap),
-  * and the plan contract — partial (map-side) aggregation, no Window
-  * exchange of corpus rows.
+/** DomainCap: window-equivalence on random corpora (both the
+  * production window path and the Aggregator alternative), bounded-
+  * buffer algebra laws (merge associative/commutative, bounded at the
+  * cap), and the plan contracts — the window path MUST carry Spark's
+  * WindowGroupLimit map-side pre-truncation (losing it reverts the cap
+  * to a full corpus-row shuffle at the domain key, where Zipf skew is
+  * the norm), the aggregator path must be a partial ObjectHashAggregate
+  * with no Window node; both scans pruned to the three key columns.
   */
 class DomainCapSpec extends SparkSpec {
   import spark.implicits._
@@ -27,7 +31,7 @@ class DomainCapSpec extends SparkSpec {
       }
     }.toSet
 
-  test("capKeys ≡ window row_number on random corpora") {
+  test("capKeys and capKeysAgg ≡ reference top-n on random corpora") {
     val gen = Gen.listOfN(120, for {
       id <- Gen.choose(0L, 400L)
       src <- Gen.oneOf("a", "b", "c")
@@ -35,10 +39,13 @@ class DomainCapSpec extends SparkSpec {
     } yield (id, src, nc)).map(_.distinctBy(_._1))
     check(Prop.forAll(gen, Gen.choose(1, 7)) { (rows, n) =>
       val df = rows.toDF("doc_id", "source", "n_chars")
-      val got = capKeys(df, n)
+      val ref = windowRef(rows, n)
+      val win = capKeys(df, n)
         .as[(String, Long, Long, Long)].collect().toSet
-      got == windowRef(rows, n)
-    })
+      val agg = capKeysAgg(df, n)
+        .as[(String, Long, Long, Long)].collect().toSet
+      win == ref && agg == ref
+    }, n = 15)
   }
 
   test("merge is associative, commutative, bounded at the cap") {
@@ -56,14 +63,23 @@ class DomainCapSpec extends SparkSpec {
     })
   }
 
-  test("plan: partial ObjectHashAggregate, no Window, only key columns") {
-    val docs = (0L until 200L)
-      .map(i => (i, s"src${i % 5}", i % 17, s"text-$i"))
-      .toDF("doc_id", "source", "n_chars", "text")
-    val plan = capKeys(docs, 4).queryExecution.executedPlan.toString
+  private def sampleDocs = (0L until 200L)
+    .map(i => (i, s"src${i % 5}", i % 17, s"text-$i"))
+    .toDF("doc_id", "source", "n_chars", "text")
+
+  test("window plan: WindowGroupLimit present, text pruned") {
+    val plan = capKeys(sampleDocs, 4).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-limit pushdown missing — the cap would shuffle every " +
+        s"corpus row to its domain's reducer:\n$plan")
+    assert(!plan.contains("text#"), s"text column survived pruning:\n$plan")
+  }
+
+  test("aggregator plan: partial ObjectHashAggregate, no Window, pruned") {
+    val plan = capKeysAgg(sampleDocs, 4)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"), s"no object agg in:\n$plan")
     assert(!plan.contains("Window"), s"window leaked into:\n$plan")
-    // column pruning: the text column must not survive into the plan
     assert(!plan.contains("text#"), s"text column survived pruning:\n$plan")
   }
 
