@@ -73,6 +73,13 @@ object Bgp {
   final case class Plus(e: PathExpr, maxHops: Int) extends PathExpr {
     require(maxHops >= 1, "maxHops must be >= 1")
   }
+  /** Negated property set `!<p>` / `!( <p> | <q> )`: any edge whose
+    * predicate is outside the set (forward direction only — the
+    * `!^` inverse members of the full spec are out of this subset).
+    */
+  final case class NegSet(preds: Seq[String]) extends PathExpr {
+    require(preds.nonEmpty, "negated property set needs >= 1 IRI")
+  }
 
   /** Bounded property path `s <path> o` over the triple table. A
     * CONSTANT source routes through source-restricted evaluation
@@ -111,6 +118,17 @@ object Bgp {
   final case class NegationBlock(patterns: Seq[Pattern],
       filters: Seq[Column] = Nil, isMinus: Boolean = false)
 
+  /** One VALUES block: inline bindings for `vars`, one row per entry.
+    * Joins the solution set on the shared variables (broadcast — the
+    * binding table is query-literal-sized); with no shared variable it
+    * extends solutions as a cartesian, per the spec.
+    */
+  final case class ValuesBlock(vars: Seq[String], rows: Seq[Seq[String]]) {
+    require(vars.nonEmpty, "VALUES needs >= 1 var")
+    require(rows.forall(_.length == vars.length),
+      "VALUES row arity must match the var list")
+  }
+
   /** Scan one pattern: constants → pushed filters; repeated variables
     * within the pattern → column-equality filters; project+rename the
     * variable columns.
@@ -147,6 +165,13 @@ object Bgp {
       sources: Option[DataFrame] = None): DataFrame = e match {
     case Pred(iri) =>
       val scan = triples.filter(col("p") === iri)
+        .select(col("s").as("src"), col("o").as("dst"))
+      sources match {
+        case Some(s) => scan.join(s.select("src"), Seq("src"), "left_semi")
+        case None => scan
+      }
+    case NegSet(preds) =>
+      val scan = triples.filter(!col("p").isin(preds: _*))
         .select(col("s").as("src"), col("o").as("dst"))
       sources match {
         case Some(s) => scan.join(s.select("src"), Seq("src"), "left_semi")
@@ -283,8 +308,24 @@ object Bgp {
       optionals: Seq[OptionalBlock] = Nil,
       filters: Seq[Column] = Nil,
       distinct: Boolean = false,
-      negations: Seq[NegationBlock] = Nil): DataFrame = {
-    val required = compileBlock(triples, patterns)
+      negations: Seq[NegationBlock] = Nil,
+      values: Seq[ValuesBlock] = Nil): DataFrame = {
+    val spark = triples.sparkSession
+    val required0 = compileBlock(triples, patterns)
+    val required = values.foldLeft(required0) { (acc, vb) =>
+      // LocalRelation (not an RDD) so Catalyst can constant-fold and
+      // broadcast the binding table like any other literal
+      import scala.jdk.CollectionConverters._
+      val rows = vb.rows.map(r =>
+        org.apache.spark.sql.Row(r: _*)).asJava
+      val schema = org.apache.spark.sql.types.StructType(vb.vars.map(v =>
+        org.apache.spark.sql.types.StructField(v,
+          org.apache.spark.sql.types.StringType)))
+      val vdf = broadcast(spark.createDataFrame(rows, schema))
+      val shared = vb.vars.filter(acc.columns.contains)
+      if (shared.nonEmpty) acc.join(vdf, shared, "inner")
+      else acc.crossJoin(vdf)
+    }
     val joined = optionals.foldLeft(required) { (acc, ob) =>
       val block0 = compileBlock(triples, ob.patterns)
       val block = ob.filters.foldLeft(block0)(_.filter(_))

@@ -10,17 +10,22 @@ import org.apache.spark.sql.functions._
   * Grammar (whitespace-separated tokens; '.' separators optional):
   * {{{
   * query    := select | construct
-  * select   := SELECT DISTINCT? selItem+ WHERE { item* } group?
+  * select   := SELECT DISTINCT? selItem+ WHERE { item* }
+  *             group? order? ( LIMIT k )?
   * construct:= CONSTRUCT { (term term term '.'?)* } WHERE { item* }
   * selItem  := ?var | ( AGG ( DISTINCT? ?var | * ) AS ?name )
   * group    := GROUP BY ?var+               AGG ∈ { COUNT MIN MAX }
+  * order    := ORDER BY ( ?var | ASC ( ?var ) | DESC ( ?var ) )+
   * item     := triple '.'? | FILTER ( expr ) | OPTIONAL { item* }
   *           | FILTER NOT EXISTS { item* } | MINUS { item* }
+  *           | VALUES ?var { const* }
+  *           | VALUES ( ?var+ ) { ( const+ )* }
   * triple   := term path? term               -- path in predicate position
   * path     := pseq ('|' pseq)*              -- alternation (bag union)
   * pseq     := pelt ('/' pelt)*              -- sequence (bag join)
   * pelt     := '^'? prim '+'?                -- inverse / bounded closure
-  * prim     := <iri> | ( path )
+  * prim     := <iri> | ( path )              -- negated property set:
+  *           | '!' <iri> | '!' ( <iri> ('|' <iri>)* )
   * term     := ?name | <iri> | "literal"
   * expr     := operand op operand        op ∈ { = != < <= > >= }
   * }}}
@@ -48,7 +53,10 @@ object Sparql {
       filters: Seq[Column], aggs: Seq[Agg] = Nil,
       groupVars: Seq[String] = Nil,
       template: Seq[(Term, Term, Term)] = Nil,
-      negations: Seq[NegationBlock] = Nil)
+      negations: Seq[NegationBlock] = Nil,
+      valuesBlocks: Seq[ValuesBlock] = Nil,
+      orderBy: Seq[(String, Boolean)] = Nil,
+      limit: Option[Int] = None)
 
   /** Parse and evaluate against a (s, p, o) triple DataFrame.
     * `pathMaxHops` bounds `+` property-path closures (SPARQL's unbounded
@@ -70,7 +78,8 @@ object Sparql {
         Seq(s, p, o).collect { case V(n) => n }
       }.distinct
       val bag = Bgp.select(triples, q.patterns, needed, q.optionals,
-        q.filters, distinct = false, negations = q.negations)
+        q.filters, distinct = false, negations = q.negations,
+        values = q.valuesBlocks)
       def term(t: Term): Column = t match {
         case V(n) => col(n)
         case C(v) => lit(v)
@@ -82,8 +91,8 @@ object Sparql {
       }
       parts.reduce(_.union(_)).distinct()
     } else if (q.aggs.isEmpty)
-      Bgp.select(triples, q.patterns, q.projection, q.optionals,
-        q.filters, q.distinct, q.negations)
+      modifiers(q, Bgp.select(triples, q.patterns, q.projection,
+        q.optionals, q.filters, q.distinct, q.negations, q.valuesBlocks))
     else {
       // aggregate query: materialize the bag of (group vars ∪ agg arg
       // vars), then ONE hash aggregation keyed on the group vars —
@@ -91,7 +100,8 @@ object Sparql {
       // cardinality, not the bag size
       val needed = (q.groupVars ++ q.aggs.flatMap(_.arg)).distinct
       val bag = Bgp.select(triples, q.patterns, needed, q.optionals,
-        q.filters, distinct = false, negations = q.negations)
+        q.filters, distinct = false, negations = q.negations,
+        values = q.valuesBlocks)
       val aggCols = q.aggs.map { a =>
         val c = (a.fn, a.arg) match {
           case ("COUNT", None) => count(lit(1))
@@ -107,8 +117,19 @@ object Sparql {
       val grouped = bag.groupBy(q.groupVars.map(col): _*)
         .agg(aggCols.head, aggCols.tail: _*)
       val projected = grouped.select(q.projection.map(col): _*)
-      if (q.distinct) projected.distinct() else projected
+      modifiers(q, if (q.distinct) projected.distinct() else projected)
     }
+  }
+
+  /** Solution modifiers: ORDER BY then LIMIT. An ordered limit plans as
+    * TakeOrderedAndProject — per-partition bounded top-k heaps merged
+    * on the driver, no global sort materialization.
+    */
+  private def modifiers(q: Query, df: DataFrame): DataFrame = {
+    val ordered = if (q.orderBy.isEmpty) df
+      else df.orderBy(q.orderBy.map { case (v, asc) =>
+        if (asc) col(v).asc else col(v).desc }: _*)
+    q.limit.map(ordered.limit).getOrElse(ordered)
   }
 
   def parse(text: String, pathMaxHops: Int = 8): Query = {
@@ -149,8 +170,8 @@ object Sparql {
     require(proj.nonEmpty, "SELECT needs at least one ?var")
     st.expectKw("WHERE")
     st.expect("{")
-    val (pats, opts, fils, negs) = parseBlock(st, allowOptional = true,
-      pathMaxHops)
+    val (pats, opts, fils, negs, vals) = parseBlock(st,
+      allowOptional = true, pathMaxHops)
     st.expect("}")
     val groupVars = scala.collection.mutable.ArrayBuffer[String]()
     if (st.peekKw("GROUP")) {
@@ -158,6 +179,34 @@ object Sparql {
       while (st.peek.exists(_.startsWith("?")))
         groupVars += st.next().drop(1)
       require(groupVars.nonEmpty, "GROUP BY needs at least one ?var")
+    }
+    val orderBy = scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
+    if (st.peekKw("ORDER")) {
+      st.next(); st.expectKw("BY")
+      var going = true
+      while (going) {
+        if (st.peek.exists(_.startsWith("?")))
+          orderBy += ((st.next().drop(1), true))
+        else if (st.peekKw("ASC") || st.peekKw("DESC")) {
+          val asc = st.next().equalsIgnoreCase("ASC")
+          st.expect("(")
+          val v = st.next()
+          require(v.startsWith("?"), s"ORDER BY needs a ?var, got $v")
+          st.expect(")")
+          orderBy += ((v.drop(1), asc))
+        } else going = false
+      }
+      require(orderBy.nonEmpty, "ORDER BY needs at least one sort key")
+      val missing = orderBy.map(_._1).filterNot(proj.contains)
+      require(missing.isEmpty,
+        s"ORDER BY vars must be projected: ${missing.mkString(", ")}")
+    }
+    var limit: Option[Int] = None
+    if (st.peekKw("LIMIT")) {
+      st.next()
+      val k = st.next()
+      require(k.forall(_.isDigit), s"LIMIT needs a number, got $k")
+      limit = Some(k.toInt)
     }
     require(st.peek.isEmpty, s"trailing tokens: ${st.peek.getOrElse("")}")
     require(pats.nonEmpty, "WHERE block needs at least one triple pattern")
@@ -171,7 +220,8 @@ object Sparql {
           missing.mkString(", "))
     }
     Query(proj.toSeq, distinct, pats, opts, fils, aggs.toSeq,
-      groupVars.toSeq, negations = negs)
+      groupVars.toSeq, negations = negs, valuesBlocks = vals,
+      orderBy = orderBy.toSeq, limit = limit)
   }
 
   /** CONSTRUCT { tmplTriple* } WHERE { item* } — template triples are
@@ -190,8 +240,8 @@ object Sparql {
     require(tmpl.nonEmpty, "CONSTRUCT needs at least one template triple")
     st.expectKw("WHERE")
     st.expect("{")
-    val (pats, opts, fils, negs) = parseBlock(st, allowOptional = true,
-      pathMaxHops)
+    val (pats, opts, fils, negs, vals) = parseBlock(st,
+      allowOptional = true, pathMaxHops)
     st.expect("}")
     require(st.peek.isEmpty, s"trailing tokens: ${st.peek.getOrElse("")}")
     require(pats.nonEmpty, "WHERE block needs at least one triple pattern")
@@ -204,7 +254,7 @@ object Sparql {
     require(unbound.isEmpty,
       s"template vars not bound in WHERE: ${unbound.mkString(", ")}")
     Query(Seq("s", "p", "o"), distinct = true, pats, opts, fils,
-      template = tmpl.toSeq, negations = negs)
+      template = tmpl.toSeq, negations = negs, valuesBlocks = vals)
   }
 
   // ---------------------------------------------------------------- //
@@ -212,18 +262,26 @@ object Sparql {
   private def parseBlock(st: Stream, allowOptional: Boolean,
       pathMaxHops: Int)
       : (Seq[Pattern], Seq[OptionalBlock], Seq[Column],
-         Seq[NegationBlock]) = {
+         Seq[NegationBlock], Seq[ValuesBlock]) = {
     val pats = scala.collection.mutable.ArrayBuffer[Pattern]()
     val opts = scala.collection.mutable.ArrayBuffer[OptionalBlock]()
     val fils = scala.collection.mutable.ArrayBuffer[Column]()
     val negs = scala.collection.mutable.ArrayBuffer[NegationBlock]()
+    val vals = scala.collection.mutable.ArrayBuffer[ValuesBlock]()
     def innerBlock(kind: String): (Seq[Pattern], Seq[Column]) = {
       st.expect("{")
-      val (p, o, f, n) = parseBlock(st, allowOptional = false, pathMaxHops)
-      require(o.isEmpty && n.isEmpty, s"nested blocks in $kind")
+      val (p, o, f, n, v) = parseBlock(st, allowOptional = false,
+        pathMaxHops)
+      require(o.isEmpty && n.isEmpty && v.isEmpty,
+        s"nested blocks in $kind")
       require(p.nonEmpty, s"$kind block needs a triple pattern")
       st.expect("}")
       (p, f)
+    }
+    def constValue(): String = parseTerm(st) match {
+      case C(v) => v
+      case V(n) => throw new IllegalArgumentException(
+        s"VALUES entries must be constants, got ?$n")
     }
     while (!st.peek.contains("}") && st.peek.nonEmpty) {
       if (st.peekKw("FILTER")) {
@@ -237,6 +295,33 @@ object Sparql {
           st.expect("(")
           fils += parseExpr(st)
           st.expect(")")
+        }
+      } else if (st.peekKw("VALUES")) {
+        require(allowOptional, "nested VALUES is not supported")
+        st.next()
+        if (st.peek.contains("(")) { // multi-var row form
+          st.next()
+          val vs = scala.collection.mutable.ArrayBuffer[String]()
+          while (st.peek.exists(_.startsWith("?"))) vs += st.next().drop(1)
+          st.expect(")")
+          st.expect("{")
+          val rows = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+          while (st.peek.contains("(")) {
+            st.next()
+            rows += Seq.fill(vs.length)(constValue())
+            st.expect(")")
+          }
+          st.expect("}")
+          vals += ValuesBlock(vs.toSeq, rows.toSeq)
+        } else { // single-var form
+          val v = st.next()
+          require(v.startsWith("?"), s"VALUES needs a ?var, got $v")
+          st.expect("{")
+          val rows = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+          while (!st.peek.contains("}") && st.peek.nonEmpty)
+            rows += Seq(constValue())
+          st.expect("}")
+          vals += ValuesBlock(Seq(v.drop(1)), rows.toSeq)
         }
       } else if (st.peekKw("MINUS")) {
         require(allowOptional, "nested MINUS is not supported")
@@ -265,7 +350,7 @@ object Sparql {
         if (st.peek.contains(".")) st.next()
       }
     }
-    (pats.toSeq, opts.toSeq, fils.toSeq, negs.toSeq)
+    (pats.toSeq, opts.toSeq, fils.toSeq, negs.toSeq, vals.toSeq)
   }
 
   /** path := pseq ('|' pseq)* ; pseq := pelt ('/' pelt)* ;
@@ -274,17 +359,29 @@ object Sparql {
     * PathElt | '^' PathElt), so `^<p>+` = inverse of the closure.
     */
   private def parsePath(st: Stream, maxHops: Int): PathExpr = {
+    def iriOf(t: Term): String = t match {
+      case C(iri) => iri
+      case V(n) => throw new IllegalArgumentException(
+        s"path step must be an IRI or group, got ?$n")
+    }
     def prim(): PathExpr =
-      if (st.peek.contains("(")) {
+      if (st.peek.contains("!")) { // negated property set
+        st.next()
+        if (st.peek.contains("(")) {
+          st.next()
+          val preds = scala.collection.mutable.ArrayBuffer(
+            iriOf(parseTerm(st)))
+          while (st.peek.contains("|")) { st.next()
+            preds += iriOf(parseTerm(st)) }
+          st.expect(")")
+          NegSet(preds.toSeq)
+        } else NegSet(Seq(iriOf(parseTerm(st))))
+      } else if (st.peek.contains("(")) {
         st.next()
         val p = alt()
         st.expect(")")
         p
-      } else parseTerm(st) match {
-        case C(iri) => Pred(iri)
-        case V(n) => throw new IllegalArgumentException(
-          s"path step must be an IRI or group, got ?$n")
-      }
+      } else Pred(iriOf(parseTerm(st)))
     def elt(): PathExpr = {
       val inv = st.peek.contains("^")
       if (inv) st.next()
@@ -341,7 +438,9 @@ object Sparql {
   private[kgql] def tokenize(text: String): Seq[String] = {
     // IRIs contain no whitespace — otherwise `?a < ?b ... ?c > ?d`
     // would tokenize as one giant <...> span
-    val re = "<[^>\\s]*>|\"[^\"]*\"|\\?[A-Za-z_][A-Za-z0-9_]*|[{}().+|/^*]|!=|<=|>=|[=<>]|[A-Za-z_][A-Za-z0-9_]*".r
+    // `!=` must precede the char class holding bare `!` (regex
+    // alternation is ordered) or FILTER inequalities would split
+    val re = "<[^>\\s]*>|\"[^\"]*\"|\\?[A-Za-z_][A-Za-z0-9_]*|!=|<=|>=|[{}().+|/^*!]|[=<>]|[0-9]+|[A-Za-z_][A-Za-z0-9_]*".r
     re.findAllIn(text).toSeq
   }
 

@@ -354,6 +354,18 @@ object KgQueries {
         |} GROUP BY ?e""".stripMargin)
       .orderBy(col("e"))
 
+  /** SPARQL VALUES + ORDER BY + LIMIT: inline binding table (broadcast
+    * LocalRelation) joined into the mention scan, ordered limit planned
+    * as TakeOrderedAndProject (per-partition bounded top-k, no global
+    * sort materialization — PathExprSpec pins the plan node).
+    */
+  def kgValuesTopk(spark: SparkSession, dir: String): DataFrame =
+    graft.kgql.Sparql.query(bgpTriples(spark, dir),
+      """SELECT ?e ?d WHERE {
+        |  VALUES ?e { <urn:ent:spark> <urn:ent:vector> }
+        |  ?d <urn:graft:mentions> ?e .
+        |} ORDER BY ?e ?d LIMIT 50""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_extract_text" -> kgExtractText,
     "kg_mentions" -> kgMentions,
@@ -372,7 +384,8 @@ object KgQueries {
     "kg_path" -> kgPath,
     "kg_path_expr" -> kgPathExpr,
     "kg_construct" -> kgConstruct,
-    "kg_negation" -> kgNegation
+    "kg_negation" -> kgNegation,
+    "kg_values_topk" -> kgValuesTopk
   )
 
   /** Unrolled integer-PageRank SQL: s{k} from s{k-1} via the identical
@@ -519,6 +532,13 @@ object KgQueries {
          |  UNION
          |  SELECT es, 'urn:rdf:type', 'urn:graft:Entity' FROM mt)
          |SELECT s, p, o FROM out ORDER BY s, p, o""".stripMargin,
+    // VALUES ≡ IN-list restriction; ordered LIMIT replayed verbatim
+    "kg_values_topk" ->
+      s"""WITH $tokensCte,
+         |mt AS (SELECT 'urn:doc:' || doc_id AS d, 'urn:ent:' || entity AS e FROM m)
+         |SELECT e, d FROM mt
+         |WHERE e IN ('urn:ent:spark', 'urn:ent:vector')
+         |ORDER BY e, d LIMIT 50""".stripMargin,
     // NOT EXISTS replay: NOT IN anti filter + GROUP BY
     "kg_negation" ->
       s"""WITH $tokensCte,

@@ -205,6 +205,63 @@ class PathExprSpec extends SparkSpec {
     assert(g == Seq(Seq("d2", "clean", "yes")))
   }
 
+  test("VALUES single-var: inline bindings join the pattern") {
+    val out = rows(
+      """SELECT ?d ?x WHERE {
+        |  VALUES ?x { <a> <zzz> }
+        |  ?d <m> ?x .
+        |}""".stripMargin)
+    assert(out == Seq(Seq("d1", "a"), Seq("d2", "a")))
+  }
+
+  test("VALUES multi-var row form; unshared var extends solutions") {
+    val out = rows(
+      """SELECT ?x ?tag WHERE {
+        |  VALUES ( ?x ?tag ) { ( <a> "ent" ) ( <d1> "doc" ) }
+        |  ?x <m> ?y .
+        |}""".stripMargin)
+    assert(out == Seq(Seq("d1", "doc"), Seq("d1", "doc"))) // d1 m a, d1 m b
+    val cross = rows(
+      """SELECT DISTINCT ?d ?tag WHERE {
+        |  VALUES ?tag { "t1" "t2" }
+        |  ?d <m> <a> .
+        |}""".stripMargin)
+    assert(cross == Seq(Seq("d1", "t1"), Seq("d1", "t2"),
+      Seq("d2", "t1"), Seq("d2", "t2")))
+  }
+
+  test("negated property set: !<m> and !( <m> | <k> )") {
+    val out = rows("SELECT ?s ?o WHERE { ?s !<m> ?o }")
+    assert(out == Seq(Seq("a", "b"), Seq("a", "c"), Seq("b", "c")))
+    assert(rows("SELECT ?s ?o WHERE { ?s !( <m> | <k> ) ?o }").isEmpty)
+    // composes with sequence: doc -m-> x -(not m)-> y ≡ m/k here
+    val comp = rows("SELECT DISTINCT ?y WHERE { <d2> <m>/!<m> ?y }")
+    assert(comp == Seq(Seq("b"), Seq("c")))
+  }
+
+  test("ORDER BY + LIMIT: deterministic top-k, TakeOrdered plan") {
+    val out = rows(
+      """SELECT ?x (COUNT(*) AS ?n) WHERE { ?d <m> ?x }
+        |GROUP BY ?x ORDER BY DESC ( ?n ) ?x LIMIT 1""".stripMargin)
+    assert(out == Seq(Seq("a", "2")))
+    val df = Sparql.query(triples,
+      "SELECT ?d ?x WHERE { ?d <m> ?x } ORDER BY ?d ?x LIMIT 2")
+    assert(df.collect().map(_.toSeq.map(String.valueOf)).toSeq ==
+      Seq(Seq("d1", "a"), Seq("d1", "b")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"ordered limit did not plan as top-k:\n$plan")
+  }
+
+  test("ORDER BY var must be projected; VALUES vars must be constants") {
+    intercept[IllegalArgumentException] {
+      Sparql.parse("SELECT ?x WHERE { ?x <k> ?y } ORDER BY ?y")
+    }
+    intercept[IllegalArgumentException] {
+      Sparql.parse("SELECT ?x WHERE { VALUES ?v { ?bad } ?x <k> ?y }")
+    }
+  }
+
   test("constant source pushes a semi-join into the leftmost step") {
     val df = Sparql.query(triples,
       "SELECT ?y WHERE { <d1> <m>/<k> ?y }")
