@@ -40,8 +40,8 @@ object Bgp {
   final case class V(name: String) extends Term
   final case class C(value: String) extends Term
 
-  /** A pattern in a BGP block: a plain triple pattern or a bounded
-    * property path (`<p>+`).
+  /** A pattern in a BGP block: a plain triple pattern or a property
+    * path (any [[PathExpr]] — `^` `/` `|` `!` and the bounded `+`).
     */
   sealed trait Pattern {
     def vars: Seq[String]
@@ -73,6 +73,17 @@ object Bgp {
   final case class Plus(e: PathExpr, maxHops: Int) extends PathExpr {
     require(maxHops >= 1, "maxHops must be >= 1")
   }
+  /** Zero-or-more `e*` = zero-length path ∪ bounded closure. Per the
+    * spec a zero-length path matches EVERY term of the graph to itself
+    * (with a constant source: that term unconditionally) — so a
+    * var-var `*` materializes identity over distinct(s ∪ o) on top of
+    * the all-pairs closure; bind the source on corpus-scale graphs.
+    */
+  final case class Star(e: PathExpr, maxHops: Int) extends PathExpr {
+    require(maxHops >= 1, "maxHops must be >= 1")
+  }
+  /** Zero-or-one `e?` = zero-length path ∪ one step (set-semantic). */
+  final case class Opt(e: PathExpr) extends PathExpr
   /** Negated property set `!<p>` / `!( <p> | <q> )`: any edge whose
     * predicate is outside the set (forward direction only — the
     * `!^` inverse members of the full spec are out of this subset).
@@ -199,6 +210,33 @@ object Bgp {
       PropertyPath.boundedClosure(rel(triples, x, None).distinct(), k,
         sources.map(_.select("src").distinct()))
         .select(col("src"), col("dst"))
+    case Star(x, k) =>
+      rel(triples, Plus(x, k), sources)
+        .union(zeroLength(triples, sources)).distinct()
+    case Opt(x) =>
+      rel(triples, x, sources)
+        .union(zeroLength(triples, sources)).distinct()
+  }
+
+  /** The zero-length path relation: with a source restriction, each
+    * source matched to itself unconditionally (spec: a constant term
+    * zero-length-matches itself whether or not it occurs in the graph);
+    * unrestricted, identity over every term of the graph — one
+    * distinct over s ∪ o, corpus-scale, so prefer bound sources.
+    */
+  private def zeroLength(triples: DataFrame,
+      sources: Option[DataFrame]): DataFrame = {
+    val base = sources.getOrElse(
+      triples.select(col("s").as("src"))
+        .union(triples.select(col("o").as("src"))))
+    // the aliases mint FRESH attribute ids for this branch: `sources`
+    // is also referenced inside the closure branch (BFS seed join), and
+    // sharing its attribute across both Union children trips Spark's
+    // Union.rewriteConstraints (key-not-found on the reused attribute;
+    // reproduced in PathExprSpec's checkpointed-pipeline star test — a
+    // constraint-propagation-off control passes)
+    base.select(col("src").as("zlp")).distinct()
+      .select(col("zlp").as("src"), col("zlp").as("dst"))
   }
 
   /** Relation for a path pattern: a constant source is pushed into the

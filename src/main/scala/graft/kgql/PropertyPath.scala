@@ -31,7 +31,16 @@ object PropertyPath {
   def boundedClosure(edges: DataFrame, maxHops: Int,
       from: Option[DataFrame] = None): DataFrame = {
     require(maxHops >= 1, "maxHops must be >= 1")
+    // checkpoint the edge SET once: (a) every BFS round joins against
+    // it — without the barrier the whole upstream union/distinct
+    // recomputes per round; (b) composite path relations (e.g. the
+    // `(p|^p)` self-union) re-reference the same upstream attributes in
+    // the seed join below, which trips Spark's Union.rewriteConstraints
+    // (key-not-found on the reused attribute — StarReproSpec-derived
+    // regression in PathExprSpec; constraint-propagation-off control
+    // passes). The leaf plan has fresh attributes on both counts.
     val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint()
     val seeds = from match {
       case Some(s) => e.join(s.select(col("src")).distinct(), Seq("src"))
       case None => e

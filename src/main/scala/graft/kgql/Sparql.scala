@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   * triple   := term path? term               -- path in predicate position
   * path     := pseq ('|' pseq)*              -- alternation (bag union)
   * pseq     := pelt ('/' pelt)*              -- sequence (bag join)
-  * pelt     := '^'? prim '+'?                -- inverse / bounded closure
+  * pelt     := '^'? prim ('+'|'*'|'?')?      -- inverse / closures
   * prim     := <iri> | ( path )              -- negated property set:
   *           | '!' <iri> | '!' ( <iri> ('|' <iri>)* )
   * term     := ?name | <iri> | "literal"
@@ -387,6 +387,8 @@ object Sparql {
       if (inv) st.next()
       var p = prim()
       if (st.peek.contains("+")) { st.next(); p = Plus(p, maxHops) }
+      else if (st.peek.contains("*")) { st.next(); p = Star(p, maxHops) }
+      else if (st.peek.contains("?")) { st.next(); p = Opt(p) }
       if (inv) Inv(p) else p
     }
     def seq(): PathExpr = {
@@ -440,7 +442,7 @@ object Sparql {
     // would tokenize as one giant <...> span
     // `!=` must precede the char class holding bare `!` (regex
     // alternation is ordered) or FILTER inequalities would split
-    val re = "<[^>\\s]*>|\"[^\"]*\"|\\?[A-Za-z_][A-Za-z0-9_]*|!=|<=|>=|[{}().+|/^*!]|[=<>]|[0-9]+|[A-Za-z_][A-Za-z0-9_]*".r
+    val re = "<[^>\\s]*>|\"[^\"]*\"|\\?[A-Za-z_][A-Za-z0-9_]*|!=|<=|>=|[{}().+|/^*!?]|[=<>]|[0-9]+|[A-Za-z_][A-Za-z0-9_]*".r
     re.findAllIn(text).toSeq
   }
 

@@ -366,6 +366,19 @@ object KgQueries {
         |  ?d <urn:graft:mentions> ?e .
         |} ORDER BY ?e ?d LIMIT 50""".stripMargin)
 
+  /** Zero-or-more path `(mentions|^mentions)*` from one document:
+    * single-source Δ-BFS over the undirected doc–entity graph UNION the
+    * spec's zero-length path (the source matches itself). The constant
+    * source keeps the closure single-source — the var-var `*` would
+    * additionally materialize identity over every graph term.
+    */
+  def kgPathStar(spark: SparkSession, dir: String): DataFrame =
+    graft.kgql.Sparql.query(bgpTriples(spark, dir),
+      """SELECT ?y WHERE {
+        |  <urn:doc:0> ( <urn:graft:mentions> | ^<urn:graft:mentions> ) * ?y
+        |}""".stripMargin)
+      .orderBy(col("y"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_extract_text" -> kgExtractText,
     "kg_mentions" -> kgMentions,
@@ -385,7 +398,8 @@ object KgQueries {
     "kg_path_expr" -> kgPathExpr,
     "kg_construct" -> kgConstruct,
     "kg_negation" -> kgNegation,
-    "kg_values_topk" -> kgValuesTopk
+    "kg_values_topk" -> kgValuesTopk,
+    "kg_path_star" -> kgPathStar
   )
 
   /** Unrolled integer-PageRank SQL: s{k} from s{k-1} via the identical
@@ -532,6 +546,19 @@ object KgQueries {
          |  UNION
          |  SELECT es, 'urn:rdf:type', 'urn:graft:Entity' FROM mt)
          |SELECT s, p, o FROM out ORDER BY s, p, o""".stripMargin,
+    // star ≡ bounded reachability BFS ∪ the zero-length self row
+    "kg_path_star" ->
+      s"""WITH RECURSIVE $tokensCte,
+         |e0 AS (SELECT 'urn:doc:' || doc_id AS a, 'urn:ent:' || entity AS b FROM m),
+         |und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+         |walk(n, dist) AS (
+         |  SELECT b, 1 FROM und WHERE a = 'urn:doc:0'
+         |  UNION
+         |  SELECT u.b, w.dist + 1 FROM walk w JOIN und u ON u.a = w.n
+         |  WHERE w.dist < 8)
+         |SELECT DISTINCT y FROM (
+         |  SELECT 'urn:doc:0' AS y UNION ALL SELECT n FROM walk)
+         |ORDER BY y""".stripMargin,
     // VALUES ≡ IN-list restriction; ordered LIMIT replayed verbatim
     "kg_values_topk" ->
       s"""WITH $tokensCte,

@@ -262,6 +262,25 @@ class PathExprSpec extends SparkSpec {
     }
   }
 
+  test("star: zero-length self plus closure") {
+    assert(rows("SELECT ?y WHERE { <a> <k>* ?y }") ==
+      Seq(Seq("a"), Seq("b"), Seq("c")))
+    // star on a group over the undirected bipartite graph
+    assert(rows("SELECT ?y WHERE { <d2> ( <m> | ^<m> )* ?y }") ==
+      Seq(Seq("a"), Seq("b"), Seq("d1"), Seq("d2")))
+  }
+
+  test("zero-or-one: self plus one step; terminal node matches itself") {
+    assert(rows("SELECT ?y WHERE { <d1> <m>? ?y }") ==
+      Seq(Seq("a"), Seq("b"), Seq("d1")))
+    assert(rows("SELECT ?y WHERE { <c> <k>? ?y }") == Seq(Seq("c")))
+  }
+
+  test("var-var zero-length matches every graph term to itself") {
+    val out = rows("SELECT ?x WHERE { ?x <k>? ?x }")
+    assert(out == Seq(Seq("a"), Seq("b"), Seq("c"), Seq("d1"), Seq("d2")))
+  }
+
   test("constant source pushes a semi-join into the leftmost step") {
     val df = Sparql.query(triples,
       "SELECT ?y WHERE { <d1> <m>/<k> ?y }")
