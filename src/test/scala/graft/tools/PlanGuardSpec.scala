@@ -1,0 +1,36 @@
+package graft.tools
+
+import graft.SparkSpec
+
+/** Suite-wide physical-plan guard over EVERY driver query: no
+  * CartesianProduct anywhere, and BroadcastNestedLoopJoin only where a
+  * 1-row global-aggregate scalar is broadcast (the optimal plan for
+  * joining a corpus against a single reduced row):
+  *  - onto_limits: entity-stats × relationship-stats, both global aggs
+  *    (`shape/Limits.scala` global), 1 row × 1 row;
+  *  - txt_perplexity: per-bigram terms × the vocab-size scalar
+  *    (`text/LangModel.scala` vDf), broadcast 1 row.
+  * Any new query whose join degenerates to a nested loop over real
+  * relations fails here before it can reach the driver.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private val scalarBnljAllowed = Set("onto_limits", "txt_perplexity")
+
+  test("no cartesian products; BNLJ only for 1-row scalar broadcasts") {
+    val dir = "/root/testdata/sf0.001"
+    val violations = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, f) =>
+        val plan = f(spark, dir).queryExecution.executedPlan.toString
+        val v = scala.collection.mutable.ArrayBuffer[String]()
+        if (plan.contains("CartesianProduct"))
+          v += s"$name: CartesianProduct"
+        if (plan.contains("BroadcastNestedLoopJoin") &&
+            !scalarBnljAllowed(name))
+          v += s"$name: BroadcastNestedLoopJoin"
+        v
+      }
+    assert(violations.isEmpty,
+      s"plan regressions:\n${violations.mkString("\n")}")
+  }
+}
