@@ -403,6 +403,31 @@ object DataQueries {
         spark.read.parquet(s"$dir/documents.parquet"), 10)
       .orderBy("source", "rk")
 
+  /** Count-Min Sketch frequency estimates for the gazetteer tokens next
+    * to their exact counts. The synthetic corpus vocabulary is small
+    * enough that the 4×256 sketch happens to be collision-free here
+    * (est == exact — itself a strong oracle: one miscounted cell
+    * breaks the hash); the est > exact overestimate regime and the
+    * one-sided guarantee are exercised by CmsSpec's 500-token long-tail
+    * generator. The sketch is built relationally — one (row, bucket)
+    * hash agg, matrix ≤ 4×256 — and replays bit-exactly in SQL because
+    * CMS addition is commutative integer sums (see [[graft.sketch.Cms]]).
+    */
+  def sketchCms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "").as[String]
+    val ents = graft.extract.Gazetteer.DefaultEntities.sorted
+    val est = graft.sketch.Cms.estimates(toks, ents)
+    val exact = toks.toDF("tok").filter(col("tok").isin(ents: _*))
+      .groupBy(col("tok").as("token")).agg(count(lit(1)).as("exact"))
+    est.join(exact, Seq("token"), "left_outer")
+      .select(col("token"), col("est"),
+        coalesce(col("exact"), lit(0L)).as("exact"))
+      .orderBy("token")
+  }
+
   /** Canonical-URL dedup (crawl tier): deterministic messy variants of
     * each page URL (case/port/fragment/utm-param noise keyed on
     * doc_id%4, page id = doc_id/4) are normalized by [[UrlCanon]] and
@@ -482,6 +507,7 @@ object DataQueries {
     "txt_pii" -> txtPii,
     "txt_pack" -> txtPack,
     "sketch_distinct" -> sketchDistinct,
+    "sketch_cms" -> sketchCms,
     "mm_meta" -> mmMeta,
     "mm_resize" -> mmResize,
     "mm_frames" -> mmFrames,
@@ -869,6 +895,34 @@ object DataQueries {
     // KMV: distinct splitmix64-finalized FNV token hashes ranked
     // unsigned (one CTE per mix stage: xor-shift = xor with the
     // unsigned // 2^s quotient, multiply = mod-2^64 HUGEINT product);
+    // the full CMS matrix replayed: per-occurrence FNV("r:"||tok) % 256
+    // folds, (r, b) GROUP BY, min-over-rows point lookups
+    "sketch_cms" -> {
+      val entList = graft.extract.Gazetteer.DefaultEntities.sorted
+        .map(e => s"'$e'").mkString("[", ", ", "]")
+      s"""WITH tk AS (
+         |  SELECT unnest(list_filter(string_split(text, ' '),
+         |    t -> t <> '')) AS tok
+         |  FROM documents),
+         |rws AS (SELECT unnest([0, 1, 2, 3]) AS r),
+         |hb AS (SELECT r,
+         |    CAST((${fnvFoldSql("(CAST(r AS VARCHAR) || ':' || tok)", "14695981039346656037")}) % 256 AS BIGINT) AS b
+         |  FROM tk CROSS JOIN rws),
+         |mat AS (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM hb GROUP BY r, b),
+         |q AS (SELECT unnest($entList) AS token),
+         |qb AS (SELECT token, r,
+         |    CAST((${fnvFoldSql("(CAST(r AS VARCHAR) || ':' || token)", "14695981039346656037")}) % 256 AS BIGINT) AS b
+         |  FROM q CROSS JOIN rws),
+         |est AS (SELECT token, MIN(COALESCE(m.n, 0)) AS est
+         |  FROM qb LEFT JOIN mat m ON m.r = qb.r AND m.b = qb.b
+         |  GROUP BY token),
+         |ex AS (SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS exact
+         |  FROM tk GROUP BY tok)
+         |SELECT est.token, est.est, COALESCE(ex.exact, 0) AS exact
+         |FROM est LEFT JOIN ex ON est.token = ex.token
+         |ORDER BY est.token""".stripMargin
+    },
     // the k-th minimum and the integer estimator (k-1)*2^64 // kth
     // replayed exactly
     "sketch_distinct" ->
