@@ -34,16 +34,24 @@ object Cms {
   def bucket(row: Int, tok: String): Int =
     (graft.mix.Mix.fnv1a(s"$row:$tok") & (Width - 1)).toInt
 
+  /** Column form of [[bucket]], via the native codegen'd
+    * [[graft.functions.FnvHash]] expression — the whole matrix build
+    * stays inside whole-stage codegen (no typed flatMap / encoder
+    * round trip; parity with the scalar form is ScalaCheck'd).
+    */
+  def bucketCol(row: Int, tok: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    graft.functions.FnvHash(concat(lit(s"$row:"), tok))
+      .bitwiseAND(lit((Width - 1).toLong)).cast("int")
+
   /** The sketch matrix (r, b, n) — ≤ Depth × Width rows. */
-  def matrix(tokens: Dataset[String]): DataFrame = {
-    val spark = tokens.sparkSession
-    import spark.implicits._
-    tokens
-      .flatMap(t => (0 until Depth).map(i => (i, bucket(i, t))))
-      .toDF("r", "b")
+  def matrix(tokens: Dataset[String]): DataFrame =
+    tokens.toDF("tok")
+      .select(posexplode(array(
+        (0 until Depth).map(i => bucketCol(i, col("tok"))): _*))
+        .as(Seq("r", "b")))
       .groupBy("r", "b")
       .agg(count(lit(1)).as("n"))
-  }
 
   /** Point estimates for `queries`: (token, est) with
     * est = min over rows of the addressed cell (0 if a cell is empty —

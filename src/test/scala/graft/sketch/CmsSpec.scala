@@ -44,6 +44,29 @@ class CmsSpec extends SparkSpec {
     assert((0 until Cms.Depth).forall(r => sums(r) == 1000L))
   }
 
+  test("FnvHash expression ≡ scalar Mix.fnv1a (incl. astral plane)") {
+    import org.apache.spark.sql.functions.col
+    val astral = "𝕏" // 𝕏 U+1D54F, a surrogate pair
+    val gen = Gen.listOfN(40, Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.nonEmptyListOf(Gen.oneOf("道", astral, "é", "☃", "a"))
+        .map(_.mkString)))
+    check(Prop.forAll(gen) { ss =>
+      val got = ss.toDF("s")
+        .select(graft.functions.FnvHash(col("s")).as("h"))
+        .as[Long].collect().toSeq
+      got == ss.map(graft.mix.Mix.fnv1a)
+    }, n = 15)
+  }
+
+  test("matrix plan is fully codegen'd — no typed-kernel round trip") {
+    val toks = (0 until 100).map(i => s"w$i").toDS()
+    val plan = Cms.matrix(toks).queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") &&
+      !plan.contains("MapElements") && !plan.contains("mapelements"),
+      s"typed kernel leaked into the CMS build:\n$plan")
+  }
+
   test("sketch is partitioning-invariant") {
     val toks = (0 until 2000).map(i => s"w${(i * 31) % 97}")
     val a = Cms.estimates(toks.toDS().repartition(1), Seq("w0", "w13"))
