@@ -58,19 +58,17 @@ object Mix {
   def shardAssign(docs: DataFrame, nShards: Int): DataFrame = {
     require(nShards > 0 && (nShards & (nShards - 1)) == 0,
       "nShards must be a power of two")
-    val spark = docs.sparkSession
-    import spark.implicits._
+    // splitmix64-finalized: raw FNV over consecutive decimal ids is
+    // NOT avalanche-y (runs of consecutive ids survive the sort —
+    // measured 1309/4095 preserved adjacencies), the same weakness
+    // the KMV estimator hit; the shared mix fixes both. The hash runs
+    // through the native MixHash expression, so the assignment is one
+    // whole-stage-codegen'd projection (no typed mapPartitions —
+    // MixSpec pins typed≡column parity and the kernel-free plan).
     val mask = (nShards - 1).toLong
-    docs.select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
-        // splitmix64-finalized: raw FNV over consecutive decimal ids is
-        // NOT avalanche-y (runs of consecutive ids survive the sort —
-        // measured 1309/4095 preserved adjacencies), the same weakness
-        // the KMV estimator hit; the shared mix fixes both
-        val h = graft.sketch.Kmv.mix(fnv1a(id.toString))
-        (id, h & mask, h)
-      })
-      .toDF("doc_id", "shard", "sort_key")
+    val h = graft.functions.MixHash(col("doc_id").cast("string"))
+    docs.select(col("doc_id"), (h.bitwiseAND(F.lit(mask))).as("shard"),
+      h.as("sort_key"))
   }
 
   /** Per-document mixture decisions: (doc_id, source, n_copies).

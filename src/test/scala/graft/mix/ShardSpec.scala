@@ -43,4 +43,19 @@ class ShardSpec extends SparkSpec {
   test("non-power-of-two shard counts are rejected") {
     intercept[IllegalArgumentException](Mix.shardAssign(docs, 12))
   }
+
+  test("column MixHash path ≡ scalar Kmv.mix(fnv1a) and kernel-free") {
+    val docs = (0L until 512L).toDF("doc_id")
+    val out = Mix.shardAssign(docs, 16)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    out.foreach { case (id, shard, key) =>
+      val h = graft.sketch.Kmv.mix(Mix.fnv1a(id.toString))
+      assert(key == h && shard == (h & 15L), s"id=$id")
+    }
+    val plan = Mix.shardAssign(docs, 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") &&
+      !plan.contains("MapPartitions"),
+      s"typed kernel leaked into shardAssign:\n$plan")
+  }
 }
