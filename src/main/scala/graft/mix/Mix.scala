@@ -73,20 +73,29 @@ object Mix {
 
   /** Per-document mixture decisions: (doc_id, source, n_copies).
     * `n_copies` may be 0 (dropped), 1 (kept) or k ≥ 2 (upsampled).
+    *
+    * Fully codegen'd: the hash rides the native
+    * [[graft.functions.FnvHash]] expression and the unsigned modulus
+    * uses the identity remUnsigned(h, m) = ((h >>> 1) % m · 2 + (h & 1))
+    * % m — every intermediate fits a signed long, so ANSI-mode Column
+    * arithmetic never overflows; the rate map is a `typedLit` map
+    * literal (dictionary-sized, inlined into the plan). Scalar parity
+    * with [[copiesFor]] is pinned in MixSpec.
     */
   def mixture(docs: DataFrame, ratesBp: Map[String, Int],
               defaultBp: Int = 10000): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(ratesBp)
-    docs.select(col("doc_id"), col("source")).as[(Long, String)]
-      .mapPartitions { it =>
-        val rates = bc.value
-        it.map { case (id, src) =>
-          (id, src, copiesFor(id, rates.getOrElse(src, defaultBp)).toLong)
-        }
-      }
-      .toDF("doc_id", "source", "n_copies")
+    val bp = F.coalesce(
+      F.element_at(F.typedLit(ratesBp), col("source")),
+      F.lit(defaultBp)).cast("long")
+    val h = graft.functions.FnvHash(col("doc_id").cast("string"))
+    val u = (F.shiftrightunsigned(h, 1) % 10000L * 2L +
+      h.bitwiseAND(F.lit(1L))) % 10000L
+    // Column `/` is double division — `floor(...).cast(long)` keeps the
+    // whole decision integral (bp is bounded by the recipe, well under
+    // the 2^53 double-exact range)
+    docs.select(col("doc_id"), col("source"),
+      (F.floor(bp / F.lit(10000L)).cast("long") +
+        F.when(u < bp % 10000L, 1L).otherwise(0L)).as("n_copies"))
   }
 
   /** Materialized mixture: input rows replicated per the decision, with

@@ -66,4 +66,20 @@ class MixSpec extends SparkSpec {
     val big = BigInt(h) + (if (h < 0) BigInt(2).pow(64) else BigInt(0))
     assert(u == (big mod BigInt(10000)).toLong)
   }
+
+  test("columnar mixture ≡ scalar copiesFor; plan is kernel-free") {
+    val docs = (0L until 400L).map(i => (i, s"src${i % 4}"))
+      .toDF("doc_id", "source")
+    val rates = Map("src0" -> 0, "src1" -> 5000, "src2" -> 23456)
+    val got = Mix.mixture(docs, rates, defaultBp = 10000)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    got.foreach { case (id, src, n) =>
+      assert(n == Mix.copiesFor(id, rates.getOrElse(src, 10000)).toLong,
+        s"id=$id src=$src")
+    }
+    val plan = Mix.mixture(docs, rates).queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") &&
+      !plan.contains("MapPartitions"),
+      s"typed kernel leaked into mixture:\n$plan")
+  }
 }
