@@ -68,4 +68,43 @@ object PageRank {
     }
     scores
   }
+
+  /** Personalized PageRank: the restart (teleport) mass concentrates on
+    * `seeds` (a 1-column `node` DataFrame) instead of spreading
+    * uniformly — salience RELATIVE to a seed set (Haveliwala 2002,
+    * topic-sensitive PageRank; the standard random-walk-with-restart
+    * relevance measure). Same integer fixed point as [[run]] — init
+    * Scale on seeds / 0 elsewhere, per-round
+    * `s'(v) = [v∈seeds]·Teleport + (85·Σ(s(u) div deg u)) div 100` —
+    * so the result replays bit-exactly in the oracle. Plan adds one
+    * broadcast left-semi-style join against the (dictionary-sized) seed
+    * set per round; everything else is the [[run]] shape.
+    */
+  def runPersonalized(edges: DataFrame, seeds: DataFrame,
+      iters: Int = 5): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
+    val e = edges.join(deg, "src")
+      .repartition(col("src"))
+      .localCheckpoint()
+    val seedSet = broadcast(seeds.select(col("node")).distinct()
+      .withColumn("is_seed", lit(1L))
+      .localCheckpoint())
+    var scores = deg.select(col("src").as("node"))
+      .join(seedSet, Seq("node"), "left_outer")
+      .select(col("node"),
+        (coalesce(col("is_seed"), lit(0L)) * Scale).as("score"))
+    for (_ <- 1 to iters) {
+      scores = e.join(scores, e("src") === scores("node"))
+        .select(col("dst"), expr("score div deg").as("c"))
+        .groupBy("dst")
+        .agg(sum(col("c")).as("in"))
+        .join(seedSet.withColumnRenamed("node", "dst"), Seq("dst"),
+          "left_outer")
+        .select(col("dst").as("node"),
+          (coalesce(col("is_seed"), lit(0L)) * Teleport +
+            expr(s"($DampNum * in) div $DampDen")).cast("long").as("score"))
+      scores = scores.localCheckpoint()
+    }
+    scores
+  }
 }

@@ -221,6 +221,25 @@ object KgQueries {
       .orderBy(col("node"))
   }
 
+  /** Personalized PageRank seeded on one entity: random-walk-with-
+    * restart salience RELATIVE to `urn:ent:spark` over the undirected
+    * doc–entity mention graph — "which documents and entities are close
+    * to this topic" (the KG-construction counterpart of topic-sensitive
+    * retrieval). Integer fixed point, oracle unrolls the identical
+    * seed-conditional recurrence.
+    */
+  def kgPpr(spark: SparkSession, dir: String): DataFrame = {
+    val m = MentionScan.mentionsIdx(pagesDf(spark, dir), Gazetteer(gaz))
+    val fwd = m.select(
+      concat(lit("urn:doc:"), col("doc_id")).as("src"),
+      entCol(col("e")).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    import spark.implicits._
+    graft.canon.PageRank.runPersonalized(edges,
+        Seq("urn:ent:spark").toDF("node"), iters = 5)
+      .orderBy(col("node"))
+  }
+
   /** Entity timeline over `warc_ts` (the input-shape crawl timestamp):
     * per entity, first/last crawl age, span, doc count, distinct active
     * days. Ages are integer seconds since the crawl origin — a
@@ -399,7 +418,8 @@ object KgQueries {
     "kg_construct" -> kgConstruct,
     "kg_negation" -> kgNegation,
     "kg_values_topk" -> kgValuesTopk,
-    "kg_path_star" -> kgPathStar
+    "kg_path_star" -> kgPathStar,
+    "kg_ppr" -> kgPpr
   )
 
   /** Unrolled integer-PageRank SQL: s{k} from s{k-1} via the identical
@@ -420,6 +440,31 @@ object KgQueries {
        |und AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY src),
        |s0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS score FROM deg),
+       |$iters
+       |SELECT node, score FROM s5 ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled personalized-PageRank SQL: identical seed-conditional
+    * fixed point (teleport mass only on the seed node).
+    */
+  private lazy val pprSql: String = {
+    val seed = "'urn:ent:spark'"
+    val iters = (1 to 5).map { k =>
+      s"""s$k AS (
+         |  SELECT u.dst AS node,
+         |    CAST((CASE WHEN u.dst = $seed THEN 150000000000 ELSE 0 END)
+         |      + (85 * SUM(s.score // d.deg)) // 100 AS BIGINT) AS score
+         |  FROM und u JOIN s${k - 1} s ON u.src = s.node
+         |  JOIN deg d ON u.src = d.src
+         |  GROUP BY u.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $tokensCte,
+       |e0 AS (SELECT 'urn:doc:' || doc_id AS src, 'urn:ent:' || entity AS dst FROM m),
+       |und AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY src),
+       |s0 AS (SELECT src AS node,
+       |  CAST(CASE WHEN src = $seed THEN 1000000000000 ELSE 0 END AS BIGINT) AS score
+       |  FROM deg),
        |$iters
        |SELECT node, score FROM s5 ORDER BY node""".stripMargin
   }
@@ -487,6 +532,7 @@ object KgQueries {
     "kg_canonical_inc" -> canonicalSql,
     "kg_canonical_stream" -> canonicalSql,
     "kg_pagerank" -> pagerankSql,
+    "kg_ppr" -> pprSql,
     // SPARQL BGP replay: star join on docs mentioning `spark` plus the
     // co-occurrence chain — bag semantics, so no DISTINCT on the outer
     "kg_bgp" ->

@@ -66,4 +66,47 @@ class PageRankSpec extends SparkSpec {
     assert(df.length == score.size && df.length > 0)
     assert(df.forall { case (n, s) => score(n) == s })
   }
+
+  test("personalized PageRank: seed-restart recurrence, scala replay") {
+    val star = (1 to 5).map(i => ("hub", f"leaf$i"))
+    val edges = undirected(star)
+    val got = PageRank.runPersonalized(edges, Seq("hub").toDF("node"),
+        iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // replay the identical integer recurrence driver-side
+    val adj = (star ++ star.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    var s = adj.keys.map(n =>
+      n -> (if (n == "hub") PageRank.Scale else 0L)).toMap
+    for (_ <- 1 to 4) {
+      val in = scala.collection.mutable.Map[String, Long]()
+      adj.foreach { case (u, vs) =>
+        val c = s(u) / deg(u)
+        vs.foreach(v => in(v) = in.getOrElse(v, 0L) + c)
+      }
+      s = in.keys.map { v =>
+        v -> ((if (v == "hub") PageRank.Teleport else 0L) +
+          85L * in(v) / 100L)
+      }.toMap
+    }
+    assert(got == s)
+    // seed holds the mass; leaves share the rest symmetrically
+    assert(got("hub") > got("leaf1"))
+    assert((1 to 5).map(i => got(f"leaf$i")).distinct.size == 1)
+  }
+
+  test("personalized PageRank is partitioning-invariant") {
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 200).map(_ =>
+      (f"v${rnd.nextInt(30)}%02d", f"v${rnd.nextInt(30)}%02d"))
+      .filter(p => p._1 != p._2).distinct
+    val e = undirected(edges).distinct()
+    val seeds = Seq("v01", "v07").toDF("node")
+    val a = PageRank.runPersonalized(e.repartition(1), seeds, iters = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    val b = PageRank.runPersonalized(e.repartition(13), seeds, iters = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(a.sameElements(b))
+  }
 }
