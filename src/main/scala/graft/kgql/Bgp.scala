@@ -129,6 +129,28 @@ object Bgp {
   final case class NegationBlock(patterns: Seq[Pattern],
       filters: Seq[Column] = Nil, isMinus: Boolean = false)
 
+  /** One `{ ... } UNION { ... }` group: branch solutions bag-unioned
+    * (no dedup, per SPARQL's Union of multisets), then joined into the
+    * enclosing group on shared variables. Subset restriction, checked
+    * at parse time: every branch must bind the SAME variable set —
+    * asymmetric branches produce unbound variables whose join
+    * compatibility (unbound-matches-anything) has no null-unsafe
+    * equi-join translation; the symmetric case covers the common
+    * "either pattern shape" usage and keeps the plan one union + one
+    * hash join.
+    */
+  final case class UnionBlock(
+      branches: Seq[(Seq[Pattern], Seq[Column])]) {
+    require(branches.length >= 2, "UNION needs >= 2 branches")
+    val vars: Seq[String] =
+      branches.head._1.flatMap(_.vars).distinct.sorted
+    require(branches.forall(b =>
+      b._1.flatMap(_.vars).distinct.sorted == vars),
+      s"UNION branches must bind the same variables: " +
+        branches.map(_._1.flatMap(_.vars).distinct.sorted.mkString("("
+          , ",", ")")).mkString(" vs "))
+  }
+
   /** One VALUES block: inline bindings for `vars`, one row per entry.
     * Joins the solution set on the shared variables (broadcast — the
     * binding table is query-literal-sized); with no shared variable it
@@ -347,9 +369,26 @@ object Bgp {
       filters: Seq[Column] = Nil,
       distinct: Boolean = false,
       negations: Seq[NegationBlock] = Nil,
-      values: Seq[ValuesBlock] = Nil): DataFrame = {
+      values: Seq[ValuesBlock] = Nil,
+      unions: Seq[UnionBlock] = Nil): DataFrame = {
     val spark = triples.sparkSession
-    val required0 = compileBlock(triples, patterns)
+    val base = if (patterns.nonEmpty) Some(compileBlock(triples, patterns))
+      else None
+    val withUnions = unions.foldLeft(base) { (acc, ub) =>
+      val branch = ub.branches.map { case (pats, fils) =>
+        fils.foldLeft(compileBlock(triples, pats))(_.filter(_))
+          .select(ub.vars.map(col): _*) // align column order across branches
+      }.reduce(_.union(_))
+      acc match {
+        case Some(df) =>
+          val shared = ub.vars.filter(df.columns.contains)
+          if (shared.nonEmpty) Some(df.join(branch, shared, "inner"))
+          else Some(df.crossJoin(branch))
+        case None => Some(branch)
+      }
+    }
+    val required0 = withUnions.getOrElse(
+      throw new IllegalArgumentException("empty BGP"))
     val required = values.foldLeft(required0) { (acc, vb) =>
       // LocalRelation (not an RDD) so Catalyst can constant-fold and
       // broadcast the binding table like any other literal

@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
   *           | FILTER NOT EXISTS { item* } | MINUS { item* }
   *           | VALUES ?var { const* }
   *           | VALUES ( ?var+ ) { ( const+ )* }
+  *           | { item* } UNION { item* } ( UNION { item* } )*
   * triple   := term path? term               -- path in predicate position
   * path     := pseq ('|' pseq)*              -- alternation (bag union)
   * pseq     := pelt ('/' pelt)*              -- sequence (bag join)
@@ -56,7 +57,8 @@ object Sparql {
       negations: Seq[NegationBlock] = Nil,
       valuesBlocks: Seq[ValuesBlock] = Nil,
       orderBy: Seq[(String, Boolean)] = Nil,
-      limit: Option[Int] = None)
+      limit: Option[Int] = None,
+      unions: Seq[UnionBlock] = Nil)
 
   /** Parse and evaluate against a (s, p, o) triple DataFrame.
     * `pathMaxHops` bounds `+` property-path closures (SPARQL's unbounded
@@ -79,7 +81,7 @@ object Sparql {
       }.distinct
       val bag = Bgp.select(triples, q.patterns, needed, q.optionals,
         q.filters, distinct = false, negations = q.negations,
-        values = q.valuesBlocks)
+        values = q.valuesBlocks, unions = q.unions)
       def term(t: Term): Column = t match {
         case V(n) => col(n)
         case C(v) => lit(v)
@@ -92,7 +94,8 @@ object Sparql {
       parts.reduce(_.union(_)).distinct()
     } else if (q.aggs.isEmpty)
       modifiers(q, Bgp.select(triples, q.patterns, q.projection,
-        q.optionals, q.filters, q.distinct, q.negations, q.valuesBlocks))
+        q.optionals, q.filters, q.distinct, q.negations, q.valuesBlocks,
+        q.unions))
     else {
       // aggregate query: materialize the bag of (group vars ∪ agg arg
       // vars), then ONE hash aggregation keyed on the group vars —
@@ -101,7 +104,7 @@ object Sparql {
       val needed = (q.groupVars ++ q.aggs.flatMap(_.arg)).distinct
       val bag = Bgp.select(triples, q.patterns, needed, q.optionals,
         q.filters, distinct = false, negations = q.negations,
-        values = q.valuesBlocks)
+        values = q.valuesBlocks, unions = q.unions)
       val aggCols = q.aggs.map { a =>
         val c = (a.fn, a.arg) match {
           case ("COUNT", None) => count(lit(1))
@@ -170,7 +173,7 @@ object Sparql {
     require(proj.nonEmpty, "SELECT needs at least one ?var")
     st.expectKw("WHERE")
     st.expect("{")
-    val (pats, opts, fils, negs, vals) = parseBlock(st,
+    val (pats, opts, fils, negs, vals, unis) = parseBlock(st,
       allowOptional = true, pathMaxHops)
     st.expect("}")
     val groupVars = scala.collection.mutable.ArrayBuffer[String]()
@@ -209,7 +212,8 @@ object Sparql {
       limit = Some(k.toInt)
     }
     require(st.peek.isEmpty, s"trailing tokens: ${st.peek.getOrElse("")}")
-    require(pats.nonEmpty, "WHERE block needs at least one triple pattern")
+    require(pats.nonEmpty || unis.nonEmpty,
+      "WHERE block needs at least one triple pattern")
     if (aggs.nonEmpty || groupVars.nonEmpty) {
       require(aggs.nonEmpty, "GROUP BY without an aggregate in SELECT")
       val aggNames = aggs.map(_.as).toSet
@@ -221,7 +225,7 @@ object Sparql {
     }
     Query(proj.toSeq, distinct, pats, opts, fils, aggs.toSeq,
       groupVars.toSeq, negations = negs, valuesBlocks = vals,
-      orderBy = orderBy.toSeq, limit = limit)
+      orderBy = orderBy.toSeq, limit = limit, unions = unis)
   }
 
   /** CONSTRUCT { tmplTriple* } WHERE { item* } — template triples are
@@ -240,13 +244,15 @@ object Sparql {
     require(tmpl.nonEmpty, "CONSTRUCT needs at least one template triple")
     st.expectKw("WHERE")
     st.expect("{")
-    val (pats, opts, fils, negs, vals) = parseBlock(st,
+    val (pats, opts, fils, negs, vals, unis) = parseBlock(st,
       allowOptional = true, pathMaxHops)
     st.expect("}")
     require(st.peek.isEmpty, s"trailing tokens: ${st.peek.getOrElse("")}")
-    require(pats.nonEmpty, "WHERE block needs at least one triple pattern")
+    require(pats.nonEmpty || unis.nonEmpty,
+      "WHERE block needs at least one triple pattern")
     val whereVars = (pats.flatMap(_.vars) ++
-      opts.flatMap(_.patterns.flatMap(_.vars))).toSet
+      opts.flatMap(_.patterns.flatMap(_.vars)) ++
+      unis.flatMap(_.vars)).toSet
     val tmplVars = tmpl.flatMap { case (s, p, o) =>
       Seq(s, p, o).collect { case V(n) => n }
     }
@@ -254,7 +260,8 @@ object Sparql {
     require(unbound.isEmpty,
       s"template vars not bound in WHERE: ${unbound.mkString(", ")}")
     Query(Seq("s", "p", "o"), distinct = true, pats, opts, fils,
-      template = tmpl.toSeq, negations = negs, valuesBlocks = vals)
+      template = tmpl.toSeq, negations = negs, valuesBlocks = vals,
+      unions = unis)
   }
 
   // ---------------------------------------------------------------- //
@@ -262,17 +269,18 @@ object Sparql {
   private def parseBlock(st: Stream, allowOptional: Boolean,
       pathMaxHops: Int)
       : (Seq[Pattern], Seq[OptionalBlock], Seq[Column],
-         Seq[NegationBlock], Seq[ValuesBlock]) = {
+         Seq[NegationBlock], Seq[ValuesBlock], Seq[UnionBlock]) = {
     val pats = scala.collection.mutable.ArrayBuffer[Pattern]()
     val opts = scala.collection.mutable.ArrayBuffer[OptionalBlock]()
     val fils = scala.collection.mutable.ArrayBuffer[Column]()
     val negs = scala.collection.mutable.ArrayBuffer[NegationBlock]()
     val vals = scala.collection.mutable.ArrayBuffer[ValuesBlock]()
+    val unis = scala.collection.mutable.ArrayBuffer[UnionBlock]()
     def innerBlock(kind: String): (Seq[Pattern], Seq[Column]) = {
       st.expect("{")
-      val (p, o, f, n, v) = parseBlock(st, allowOptional = false,
+      val (p, o, f, n, v, u) = parseBlock(st, allowOptional = false,
         pathMaxHops)
-      require(o.isEmpty && n.isEmpty && v.isEmpty,
+      require(o.isEmpty && n.isEmpty && v.isEmpty && u.isEmpty,
         s"nested blocks in $kind")
       require(p.nonEmpty, s"$kind block needs a triple pattern")
       st.expect("}")
@@ -296,6 +304,16 @@ object Sparql {
           fils += parseExpr(st)
           st.expect(")")
         }
+      } else if (st.peek.contains("{")) {
+        // { branch } UNION { branch } (UNION { branch })*
+        require(allowOptional, "nested UNION group")
+        val branches =
+          scala.collection.mutable.ArrayBuffer(innerBlock("UNION"))
+        st.expectKw("UNION")
+        branches += innerBlock("UNION")
+        while (st.peekKw("UNION")) { st.next()
+          branches += innerBlock("UNION") }
+        unis += UnionBlock(branches.toSeq)
       } else if (st.peekKw("VALUES")) {
         require(allowOptional, "nested VALUES is not supported")
         st.next()
@@ -350,7 +368,8 @@ object Sparql {
         if (st.peek.contains(".")) st.next()
       }
     }
-    (pats.toSeq, opts.toSeq, fils.toSeq, negs.toSeq, vals.toSeq)
+    (pats.toSeq, opts.toSeq, fils.toSeq, negs.toSeq, vals.toSeq,
+      unis.toSeq)
   }
 
   /** path := pseq ('|' pseq)* ; pseq := pelt ('/' pelt)* ;

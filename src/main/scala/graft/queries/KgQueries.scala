@@ -398,6 +398,21 @@ object KgQueries {
         |}""".stripMargin)
       .orderBy(col("y"))
 
+  /** SPARQL UNION: docs mentioning `spark` unioned (bag) with docs
+    * mentioning `vector`, counted per doc — n = 2 exactly for docs
+    * mentioning both (the multiset-union semantics, checked by the
+    * counts). Plan: each branch is a 2-bound selective scan; the union
+    * feeds one hash agg.
+    */
+  def kgUnion(spark: SparkSession, dir: String): DataFrame =
+    graft.kgql.Sparql.query(bgpTriples(spark, dir),
+      """SELECT ?d (COUNT(*) AS ?n) WHERE {
+        |  { ?d <urn:graft:mentions> <urn:ent:spark> }
+        |  UNION
+        |  { ?d <urn:graft:mentions> <urn:ent:vector> }
+        |} GROUP BY ?d""".stripMargin)
+      .orderBy(col("d"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_extract_text" -> kgExtractText,
     "kg_mentions" -> kgMentions,
@@ -419,7 +434,8 @@ object KgQueries {
     "kg_negation" -> kgNegation,
     "kg_values_topk" -> kgValuesTopk,
     "kg_path_star" -> kgPathStar,
-    "kg_ppr" -> kgPpr
+    "kg_ppr" -> kgPpr,
+    "kg_union" -> kgUnion
   )
 
   /** Unrolled integer-PageRank SQL: s{k} from s{k-1} via the identical
@@ -612,6 +628,13 @@ object KgQueries {
          |SELECT e, d FROM mt
          |WHERE e IN ('urn:ent:spark', 'urn:ent:vector')
          |ORDER BY e, d LIMIT 50""".stripMargin,
+    // UNION ≡ UNION ALL of the two branch scans + GROUP BY
+    "kg_union" ->
+      s"""WITH $tokensCte,
+         |mt AS (SELECT 'urn:doc:' || doc_id AS d, 'urn:ent:' || entity AS e FROM m),
+         |u AS (SELECT d FROM mt WHERE e = 'urn:ent:spark'
+         |      UNION ALL SELECT d FROM mt WHERE e = 'urn:ent:vector')
+         |SELECT d, COUNT(*) AS n FROM u GROUP BY d ORDER BY d""".stripMargin,
     // NOT EXISTS replay: NOT IN anti filter + GROUP BY
     "kg_negation" ->
       s"""WITH $tokensCte,

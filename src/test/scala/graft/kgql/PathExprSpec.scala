@@ -281,6 +281,38 @@ class PathExprSpec extends SparkSpec {
     assert(out == Seq(Seq("a"), Seq("b"), Seq("c"), Seq("d1"), Seq("d2")))
   }
 
+  test("UNION: bag union of branches, joined with enclosing patterns") {
+    // standalone union: docs mentioning a UNION docs mentioning b,
+    // bag semantics → d1 appears twice (mentions both)
+    val out = rows(
+      """SELECT ?d (COUNT(*) AS ?n) WHERE {
+        |  { ?d <m> <a> } UNION { ?d <m> <b> }
+        |} GROUP BY ?d""".stripMargin)
+    assert(out == Seq(Seq("d1", "2"), Seq("d2", "1")))
+    // union joined with an enclosing pattern on the shared var
+    val joined = rows(
+      """SELECT ?x ?y WHERE {
+        |  ?x <k> ?y .
+        |  { ?x <k> <b> } UNION { ?x <k> <c> }
+        |}""".stripMargin)
+    // a k→{b,c}: union binds x=a twice (via b, via c) → each joins both
+    // k-edges of a; b k→{c}: once → 1 row per edge
+    assert(joined == Seq(Seq("a", "b"), Seq("a", "b"), Seq("a", "c"),
+      Seq("a", "c"), Seq("b", "c")))
+  }
+
+  test("three-branch UNION; asymmetric branches rejected") {
+    val out = rows(
+      """SELECT DISTINCT ?d WHERE {
+        |  { ?d <m> <a> } UNION { ?d <m> <b> } UNION { ?d <k> <c> }
+        |}""".stripMargin)
+    // d1, d2 mention; a, b have k-edges to c
+    assert(out == Seq(Seq("a"), Seq("b"), Seq("d1"), Seq("d2")))
+    intercept[IllegalArgumentException] {
+      Sparql.parse("SELECT ?d WHERE { { ?d <m> <a> } UNION { ?d <m> ?e } }")
+    }
+  }
+
   test("constant source pushes a semi-join into the leftmost step") {
     val df = Sparql.query(triples,
       "SELECT ?y WHERE { <d1> <m>/<k> ?y }")
