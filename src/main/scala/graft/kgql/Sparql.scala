@@ -29,6 +29,8 @@ import org.apache.spark.sql.functions._
   *           | '!' <iri> | '!' ( <iri> ('|' <iri>)* )
   * term     := ?name | <iri> | "literal"
   * expr     := operand op operand        op ∈ { = != < <= > >= }
+  *           | STRFN ( ?var "literal" )
+  *             STRFN ∈ { STRSTARTS STRENDS CONTAINS REGEX }
   * }}}
   * Path operators follow SPARQL 1.1's translation: `^` `/` `|` rewrite
   * to joins/unions and keep BAG semantics; `+` is the set-semantic
@@ -436,6 +438,30 @@ object Sparql {
     def operand(): Either[String, String] = parseTerm(st) match {
       case V(n) => Left(n)
       case C(v) => Right(v)
+    }
+    // string predicates: STRSTARTS/STRENDS/CONTAINS/REGEX ( ?v "lit" ) —
+    // compile to startswith/endswith/contains/rlike, all codegen'd
+    // Columns (REGEX uses Java regex semantics; oracles should prefer
+    // the LIKE-translatable forms)
+    if (st.peekKw("STRSTARTS") || st.peekKw("STRENDS") ||
+        st.peekKw("CONTAINS") || st.peekKw("REGEX")) {
+      val fn = st.next().toUpperCase
+      st.expect("(")
+      val v = st.next()
+      require(v.startsWith("?"), s"$fn needs a ?var first, got $v")
+      val arg = parseTerm(st) match {
+        case C(s) => s
+        case V(n) => throw new IllegalArgumentException(
+          s"$fn needs a literal second argument, got ?$n")
+      }
+      st.expect(")")
+      val c = col(v.drop(1))
+      return fn match {
+        case "STRSTARTS" => c.startsWith(arg)
+        case "STRENDS" => c.endsWith(arg)
+        case "CONTAINS" => c.contains(arg)
+        case _ => c.rlike(arg)
+      }
     }
     val l = operand()
     val op = st.next()

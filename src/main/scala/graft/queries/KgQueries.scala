@@ -413,6 +413,19 @@ object KgQueries {
         |} GROUP BY ?d""".stripMargin)
       .orderBy(col("d"))
 
+  /** SPARQL string filter: per-entity doc counts over the IRI-prefix
+    * slice `urn:doc:1*` — STRSTARTS compiles to a codegen'd
+    * `startsWith` (a prefix predicate Catalyst can push into scans /
+    * rewrite to range bounds on sorted layouts).
+    */
+  def kgStrFilter(spark: SparkSession, dir: String): DataFrame =
+    graft.kgql.Sparql.query(bgpTriples(spark, dir),
+      """SELECT ?e (COUNT(?d) AS ?n) WHERE {
+        |  ?d <urn:graft:mentions> ?e .
+        |  FILTER ( STRSTARTS ( ?d "urn:doc:1" ) )
+        |} GROUP BY ?e""".stripMargin)
+      .orderBy(col("e"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_extract_text" -> kgExtractText,
     "kg_mentions" -> kgMentions,
@@ -435,7 +448,8 @@ object KgQueries {
     "kg_values_topk" -> kgValuesTopk,
     "kg_path_star" -> kgPathStar,
     "kg_ppr" -> kgPpr,
-    "kg_union" -> kgUnion
+    "kg_union" -> kgUnion,
+    "kg_str_filter" -> kgStrFilter
   )
 
   /** Unrolled integer-PageRank SQL: s{k} from s{k-1} via the identical
@@ -628,6 +642,12 @@ object KgQueries {
          |SELECT e, d FROM mt
          |WHERE e IN ('urn:ent:spark', 'urn:ent:vector')
          |ORDER BY e, d LIMIT 50""".stripMargin,
+    // STRSTARTS ≡ LIKE 'prefix%'
+    "kg_str_filter" ->
+      s"""WITH $tokensCte,
+         |mt AS (SELECT 'urn:doc:' || doc_id AS d, 'urn:ent:' || entity AS e FROM m)
+         |SELECT e, COUNT(d) AS n FROM mt
+         |WHERE d LIKE 'urn:doc:1%' GROUP BY e ORDER BY e""".stripMargin,
     // UNION ≡ UNION ALL of the two branch scans + GROUP BY
     "kg_union" ->
       s"""WITH $tokensCte,

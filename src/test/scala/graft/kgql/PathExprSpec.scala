@@ -313,6 +313,24 @@ class PathExprSpec extends SparkSpec {
     }
   }
 
+  test("string FILTER predicates: STRSTARTS/STRENDS/CONTAINS/REGEX") {
+    assert(rows(
+      """SELECT ?s WHERE { ?s <m> <a> FILTER ( STRSTARTS ( ?s "d1" ) ) }"""
+    ) == Seq(Seq("d1")))
+    assert(rows(
+      """SELECT ?s ?o WHERE { ?s <k> ?o FILTER ( STRENDS ( ?o "c" ) ) }"""
+    ) == Seq(Seq("a", "c"), Seq("b", "c")))
+    assert(rows(
+      """SELECT DISTINCT ?s WHERE { ?s <m> ?o FILTER ( CONTAINS ( ?s "2" ) ) }"""
+    ) == Seq(Seq("d2")))
+    assert(rows(
+      """SELECT ?s WHERE { ?s <m> <a> FILTER ( REGEX ( ?s "^d[0-9]$" ) ) }"""
+    ) == Seq(Seq("d1"), Seq("d2")))
+    intercept[IllegalArgumentException] {
+      Sparql.parse("""SELECT ?s WHERE { ?s <m> ?o FILTER ( CONTAINS ( "x" ?o ) ) }""")
+    }
+  }
+
   test("constant source pushes a semi-join into the leftmost step") {
     val df = Sparql.query(triples,
       "SELECT ?y WHERE { <d1> <m>/<k> ?y }")
