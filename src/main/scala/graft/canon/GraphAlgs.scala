@@ -1,0 +1,110 @@
+package graft.canon
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the constructed knowledge graph, beyond the
+  * canonicalization CC and the PageRank salience tier: triangle
+  * counting (graph density / clustering structure — the standard
+  * quality signal for an extracted entity graph), single-source
+  * shortest paths (weighted proximity between canonical entities), and
+  * synchronous label propagation (community detection — topic clusters
+  * in the co-occurrence graph). All three are deterministic integer
+  * algorithms, partitioning-invariant by construction, so each replays
+  * exactly in the DuckDB oracle.
+  */
+object GraphAlgs {
+
+  /** Per-node triangle counts over an undirected simple graph given as
+    * canonical edges (a < b, distinct). The join orients every triangle
+    * a < b < c exactly once: e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c); each found
+    * triangle then credits its three corners.
+    *
+    * Scale shape: with edges pre-filtered to the canonical a < b
+    * orientation the wedge join fans out per node by its FORWARD degree
+    * only — the standard degree-orientation bound (Suri & Vassilvitskii
+    * 2011's MapReduce triangle counting): orienting by (degree, id)
+    * instead of plain id caps forward degree at O(sqrt(|E|)) on skewed
+    * graphs. Here id-orientation is used (the oracle replays it
+    * verbatim); the wedge→edge probe is an equi-join on (a, c) that AQE
+    * broadcasts when the edge set is small. No shuffle carries more
+    * than (a, b, c) triples ∝ wedges.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
+    val wedges = e.alias("e1")
+      .join(e.alias("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val tris = wedges.join(e.alias("e3"),
+      col("x") === col("e3.a") && col("z") === col("e3.b"))
+      .select(col("x"), col("y"), col("z"))
+    tris.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Bellman-Ford single-source shortest paths, `rounds` synchronous
+    * relaxation rounds over directed weighted edges (src, dst, w):
+    *
+    *   d_k(v) = min(d_{k-1}(v), min_{(u,v,w)} d_{k-1}(u) + w)
+    *
+    * Exact on graphs whose shortest paths use ≤ `rounds` hops; min over
+    * integer sums is order-invariant, so the result is bit-exact across
+    * partitionings and engines (the oracle unrolls the identical
+    * recurrence). Scale shape: per round one equi-join of the frontier
+    * against the src-partitioned edge table plus one map-side-combined
+    * min-agg keyed on dst — the PageRank iteration shape at (node,
+    * dist) width; localCheckpoint cuts the per-round lineage.
+    */
+  def sssp(edges: DataFrame, source: String, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long"))
+      .repartition(col("src"))
+      .localCheckpoint()
+    var dist = e.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0L).as("dist"))
+    for (_ <- 1 to rounds) {
+      val relaxed = e.join(dist, e("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy("node")
+        .agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007), made
+    * deterministic: every node starts labeled with itself; each round
+    * every node adopts the label most frequent among its neighbours,
+    * ties broken toward the LARGEST label (one `max(struct(cnt,
+    * label))` — argmax in a single map-side-combined aggregation, no
+    * window). Nodes keep their previous label only if they have no
+    * neighbours (symmetric edge lists never hit that case). Fixed
+    * `rounds` keeps the unrolled oracle finite; synchronous + lexico
+    * tie-break makes every round a pure function of the previous
+    * labeling — partitioning-invariant, replayed round-per-CTE in SQL.
+    *
+    * edges(src, dst): pass both directions for an undirected graph.
+    * Scale shape per round: one join on the src-partitioned edges, one
+    * (dst, label) count agg, one argmax agg — all map-side combined;
+    * label width is bounded by the node-id width.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .localCheckpoint()
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = e.join(labels, e("src") === labels("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), col("label"))).as("top"))
+        .select(col("dst").as("node"), col("top.label").as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+}

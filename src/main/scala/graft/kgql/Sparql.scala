@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   *             group? order? ( LIMIT k )?
   * construct:= CONSTRUCT { (term term term '.'?)* } WHERE { item* }
   * selItem  := ?var | ( AGG ( DISTINCT? ?var | * ) AS ?name )
-  * group    := GROUP BY ?var+               AGG ∈ { COUNT MIN MAX }
+  * group    := GROUP BY ?var+ having?   AGG ∈ { COUNT MIN MAX SUM AVG }
+  * having   := HAVING ( ?var op int )       -- ?var an aggregate alias
   * order    := ORDER BY ( ?var | ASC ( ?var ) | DESC ( ?var ) )+
   * item     := triple '.'? | FILTER ( expr ) | OPTIONAL { item* }
   *           | FILTER NOT EXISTS { item* } | MINUS { item* }
@@ -37,6 +38,11 @@ import org.apache.spark.sql.functions._
   * bounded closure (Δ-BFS, [[PropertyPath]]). Aggregates follow SPARQL
   * semantics: COUNT(?v) counts bound (non-null) rows, COUNT(*) all
   * rows; every projected non-aggregate variable must be grouped.
+  * SUM/AVG follow SPARQL's numeric-literal semantics restricted to
+  * integers: the argument variable's bindings cast to BIGINT (non-numeric
+  * bindings become unbound and are skipped, the engine's lenient form of
+  * SPARQL's type error); AVG returns a double. HAVING filters the
+  * aggregated rows by one integer comparison on an aggregate alias.
   * OPTIONAL blocks nest one level (SPARQL's common case); FILTERs inside
   * an OPTIONAL bind to that block, top-level FILTERs to the whole query.
   * Negation compiles to LEFT ANTI joins on the shared variables, with
@@ -60,7 +66,8 @@ object Sparql {
       valuesBlocks: Seq[ValuesBlock] = Nil,
       orderBy: Seq[(String, Boolean)] = Nil,
       limit: Option[Int] = None,
-      unions: Seq[UnionBlock] = Nil)
+      unions: Seq[UnionBlock] = Nil,
+      having: Option[Column] = None)
 
   /** Parse and evaluate against a (s, p, o) triple DataFrame.
     * `pathMaxHops` bounds `+` property-path closures (SPARQL's unbounded
@@ -114,6 +121,11 @@ object Sparql {
             if (a.isDistinct) countDistinct(col(v)) else count(col(v))
           case ("MIN", Some(v)) => min(col(v))
           case ("MAX", Some(v)) => max(col(v))
+          // try_cast, not cast: under ANSI a non-numeric literal must
+          // become unbound (skipped), not fail the query — the engine's
+          // lenient form of SPARQL's aggregate type error
+          case ("SUM", Some(v)) => sum(col(v).try_cast("long"))
+          case ("AVG", Some(v)) => avg(col(v).try_cast("long"))
           case (fn, arg) => throw new IllegalArgumentException(
             s"unsupported aggregate: $fn(${arg.getOrElse("*")})")
         }
@@ -121,7 +133,8 @@ object Sparql {
       }
       val grouped = bag.groupBy(q.groupVars.map(col): _*)
         .agg(aggCols.head, aggCols.tail: _*)
-      val projected = grouped.select(q.projection.map(col): _*)
+      val had = q.having.map(grouped.filter).getOrElse(grouped)
+      val projected = had.select(q.projection.map(col): _*)
       modifiers(q, if (q.distinct) projected.distinct() else projected)
     }
   }
@@ -152,7 +165,8 @@ object Sparql {
       else if (st.peek.contains("(")) {
         st.next()
         val fn = st.next().toUpperCase
-        require(Set("COUNT", "MIN", "MAX")(fn), s"bad aggregate fn: $fn")
+        require(Set("COUNT", "MIN", "MAX", "SUM", "AVG")(fn),
+          s"bad aggregate fn: $fn")
         st.expect("(")
         val isDistinct = st.peekKw("DISTINCT")
         if (isDistinct) st.next()
@@ -184,6 +198,30 @@ object Sparql {
       while (st.peek.exists(_.startsWith("?")))
         groupVars += st.next().drop(1)
       require(groupVars.nonEmpty, "GROUP BY needs at least one ?var")
+    }
+    var having: Option[Column] = None
+    if (st.peekKw("HAVING")) {
+      require(groupVars.nonEmpty, "HAVING without GROUP BY")
+      st.next(); st.expect("(")
+      val v = st.next()
+      require(v.startsWith("?"), s"HAVING needs a ?alias, got $v")
+      require(aggs.exists(_.as == v.drop(1)),
+        s"HAVING var must be an aggregate alias: $v")
+      val op = st.next()
+      val n = st.next()
+      require(n.forall(_.isDigit), s"HAVING needs an integer bound, got $n")
+      val c = col(v.drop(1)); val b = lit(n.toLong)
+      having = Some(op match {
+        case "=" => c === b
+        case "!=" => c =!= b
+        case "<" => c < b
+        case "<=" => c <= b
+        case ">" => c > b
+        case ">=" => c >= b
+        case other => throw new IllegalArgumentException(
+          s"bad HAVING op: $other")
+      })
+      st.expect(")")
     }
     val orderBy = scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
     if (st.peekKw("ORDER")) {
@@ -227,7 +265,8 @@ object Sparql {
     }
     Query(proj.toSeq, distinct, pats, opts, fils, aggs.toSeq,
       groupVars.toSeq, negations = negs, valuesBlocks = vals,
-      orderBy = orderBy.toSeq, limit = limit, unions = unis)
+      orderBy = orderBy.toSeq, limit = limit, unions = unis,
+      having = having)
   }
 
   /** CONSTRUCT { tmplTriple* } WHERE { item* } — template triples are

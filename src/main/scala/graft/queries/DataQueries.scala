@@ -428,6 +428,66 @@ object DataQueries {
       .orderBy("token")
   }
 
+  /** Per-source distinct-token cardinality via HyperLogLog — the
+    * fixed-size counterpart of sketch_distinct's KMV. Driver-checks the
+    * INTEGER CORE of the register vector: count of non-zero registers,
+    * the exact harmonic-mean denominator Σ2^(57-r) (zero registers
+    * included; see [[graft.sketch.Hll.FullExp]] for the overflow-free
+    * scaling) and a placement checksum — one flipped register anywhere
+    * breaks sum_pow or checksum. The oracle replays every register:
+    * splitmix-finalized FNV hashes, bucket = low 6 bits, rho =
+    * bit_count((w & -w) - 1) + 1 in integer arithmetic, MAX per bucket.
+    * The float estimate over these integers is ScalaTested (HllSpec).
+    */
+  def sketchHll(spark: SparkSession, dir: String): DataFrame =
+    graft.sketch.Hll.summary(
+        spark.read.parquet(s"$dir/documents.parquet"))
+      .orderBy("source")
+
+  /** Bloom-filter decontamination probe: build the 4096-bit k=4 filter
+    * over the eval slice's (doc_id ≡ 0 mod 50) distinct tokens, probe
+    * the gazetteer vocabulary plus ten known-absent tokens. Output per
+    * probe: set-bit hits (k ⇒ possibly present, <k ⇒ definitely
+    * absent), the filter verdict, exact membership, and the filter's
+    * total popcount (pins the whole bit vector). The oracle replays the
+    * FNV bit positions and the BIT_OR word matrix bit-exactly; the
+    * false-positive regime and no-false-negative law are BloomSpec'd.
+    */
+  def sketchBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val members = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(explode(filter(split(col("text"), " "), t => t =!= ""))
+        .as("token"))
+      .distinct()
+      .localCheckpoint() // two consumers: filter build + exact membership
+    val bloom = graft.sketch.Bloom.build(members).localCheckpoint()
+    val probeToks = (graft.extract.Gazetteer.DefaultEntities.sorted ++
+      (0 until 10).map(i => s"absent:$i")).toSeq
+    import spark.implicits._
+    val probes = probeToks.toDF("token")
+    val popcount = bloom.agg(sum(bit_count(col("bits"))).as("bits_total"))
+    graft.sketch.Bloom.probe(bloom, probes)
+      .join(members.withColumn("exact_present", lit(1)), Seq("token"),
+        "left_outer")
+      .crossJoin(broadcast(popcount))
+      .select(col("token"), col("hits"), col("maybe_present"),
+        coalesce(col("exact_present"), lit(0)).as("exact_present"),
+        col("bits_total"))
+      .orderBy("token")
+  }
+
+  /** BM25 ranked retrieval for the query {spark, vector, hash}: top 20
+    * documents by the integer-exact BM25 core (see [[graft.text.Bm25]]).
+    * The oracle replays tf/df/dl/(N, L) from the raw text and the exact
+    * integer score — including the one micro-quantized ln — so the
+    * RANKING itself is hash-checked.
+    */
+  def txtBm25(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bm25.topk(spark.read.parquet(s"$dir/documents.parquet"),
+      Bm25Terms, k = 20)
+
+  private val Bm25Terms = Seq("spark", "vector", "hash")
+
   /** Canonical-URL dedup (crawl tier): deterministic messy variants of
     * each page URL (case/port/fragment/utm-param noise keyed on
     * doc_id%4, page id = doc_id/4) are normalized by [[UrlCanon]] and
@@ -508,6 +568,9 @@ object DataQueries {
     "txt_pack" -> txtPack,
     "sketch_distinct" -> sketchDistinct,
     "sketch_cms" -> sketchCms,
+    "sketch_hll" -> sketchHll,
+    "sketch_bloom" -> sketchBloom,
+    "txt_bm25" -> txtBm25,
     "mm_meta" -> mmMeta,
     "mm_resize" -> mmResize,
     "mm_frames" -> mmFrames,
@@ -953,6 +1016,97 @@ object DataQueries {
          |      CAST('9223372036854775807' AS HUGEINT)) END AS BIGINT)
          |    AS est_distinct
          |FROM kk ORDER BY source""".stripMargin,
+    // every HLL register replayed: same mix chain as sketch_distinct,
+    // bucket = hu % 64, rho = bit_count((w & -w) - 1) + 1 on the
+    // BIGINT suffix word, MAX per (source, bucket); then the exact
+    // integer summary (Σ2^(59-r) incl. zero registers, placement
+    // checksum)
+    "sketch_hll" ->
+      s"""WITH tk AS (
+         |  SELECT source, unnest(list_filter(string_split(text, ' '),
+         |    t -> t <> '')) AS tok
+         |  FROM documents),
+         |h0 AS (SELECT DISTINCT source,
+         |    ${fnvFoldSql("tok", "14695981039346656037")} AS hu
+         |  FROM tk),
+         |m1 AS (SELECT source, ${xorShrSql("hu", "1073741824")} AS hu FROM h0),
+         |m2 AS (SELECT source, ${mulSql("hu", "13787848793156543929")} AS hu FROM m1),
+         |m3 AS (SELECT source, ${xorShrSql("hu", "134217728")} AS hu FROM m2),
+         |m4 AS (SELECT source, ${mulSql("hu", "10723151780598845931")} AS hu FROM m3),
+         |h AS (SELECT source, ${xorShrSql("hu", "2147483648")} AS hu FROM m4),
+         |rb AS (SELECT source, CAST(hu % 64 AS BIGINT) AS b,
+         |    CAST(hu // 64 AS BIGINT) AS w FROM h),
+         |reg AS (SELECT source, b,
+         |    MAX(CASE WHEN w = 0 THEN 59
+         |        ELSE bit_count((w & -w) - 1) + 1 END) AS r
+         |  FROM rb GROUP BY source, b)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_regs,
+         |  CAST(64 - COUNT(*) AS BIGINT) AS n_zero,
+         |  CAST(SUM(CAST(1 AS BIGINT) << CAST(57 - LEAST(r, 57) AS INT))
+         |    + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 57) AS BIGINT) AS sum_pow,
+         |  CAST(SUM((b + 1) * r) AS BIGINT) AS checksum
+         |FROM reg GROUP BY source ORDER BY source""".stripMargin,
+    // the full Bloom word matrix replayed: FNV("i:"||token) % 4096 bit
+    // positions, BIT_OR per 32-bit word, per-probe hit counts + the
+    // global popcount
+    "sketch_bloom" -> {
+      val probeList = (graft.extract.Gazetteer.DefaultEntities.sorted ++
+        (0 until 10).map(i => s"absent:$i"))
+        .map(t => s"'$t'").mkString("[", ", ", "]")
+      s"""WITH mem AS (
+         |  SELECT DISTINCT unnest(list_filter(string_split(text, ' '),
+         |    t -> t <> '')) AS token
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |rws AS (SELECT unnest([0, 1, 2, 3]) AS r),
+         |mb AS (SELECT CAST((${fnvFoldSql("(CAST(r AS VARCHAR) || ':' || token)", "14695981039346656037")}) % 4096 AS BIGINT) AS pos
+         |  FROM mem CROSS JOIN rws),
+         |wrds AS (SELECT CAST(pos // 32 AS INT) AS word,
+         |    CAST(BIT_OR(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS BIGINT) AS bits
+         |  FROM mb GROUP BY 1),
+         |pc AS (SELECT CAST(SUM(bit_count(bits)) AS BIGINT) AS bits_total FROM wrds),
+         |q AS (SELECT unnest($probeList) AS token),
+         |qb AS (SELECT token,
+         |    CAST((${fnvFoldSql("(CAST(r AS VARCHAR) || ':' || token)", "14695981039346656037")}) % 4096 AS BIGINT) AS pos
+         |  FROM q CROSS JOIN rws),
+         |hits AS (SELECT token,
+         |    CAST(SUM(CASE WHEN (w.bits & (CAST(1 AS BIGINT) << CAST(qb.pos % 32 AS INT))) <> 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS hits
+         |  FROM qb LEFT JOIN wrds w ON w.word = CAST(qb.pos // 32 AS INT)
+         |  GROUP BY token)
+         |SELECT h.token, h.hits,
+         |  CAST(CASE WHEN h.hits = 4 THEN 1 ELSE 0 END AS INT) AS maybe_present,
+         |  CAST(CASE WHEN m.token IS NOT NULL THEN 1 ELSE 0 END AS INT) AS exact_present,
+         |  pc.bits_total
+         |FROM hits h LEFT JOIN mem m ON m.token = h.token CROSS JOIN pc
+         |ORDER BY h.token""".stripMargin
+    },
+    // exact integer BM25 replay: tf/df/dl/(N, L) from the raw text, the
+    // one micro-quantized ln over integer-derived doubles, floor-div
+    // per-term scores, summed and top-20 ranked
+    "txt_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS w
+        |  FROM documents),
+        |dls AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks),
+        |sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(dl) AS BIGINT) AS l FROM dls),
+        |tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(w) AS t FROM toks)
+        |  WHERE t IN ('hash', 'spark', 'vector') GROUP BY doc_id, t),
+        |df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+        |idf AS (SELECT t,
+        |    CAST(round(ln(1 + (CAST(sc.n AS DOUBLE) - df + 0.5)
+        |      / (CAST(df AS DOUBLE) + 0.5)) * 1000000) AS BIGINT) AS idf
+        |  FROM df CROSS JOIN sc),
+        |s AS (SELECT tf.doc_id,
+        |    (idf.idf * 22 * tf.tf * sc.l)
+        |      // (10 * tf.tf * sc.l + 3 * sc.l + 9 * d.dl * sc.n) AS s
+        |  FROM tf JOIN idf ON idf.t = tf.t
+        |  JOIN dls d ON d.doc_id = tf.doc_id CROSS JOIN sc)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  CAST(SUM(s) AS BIGINT) AS score_micro
+        |FROM s GROUP BY doc_id
+        |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
     // window strings mirror polyHash exactly: each token followed by one
     // space (incl. trailing), init = the engine's basis constant
     "txt_fingerprint" ->

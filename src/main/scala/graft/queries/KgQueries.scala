@@ -426,6 +426,84 @@ object KgQueries {
         |} GROUP BY ?e""".stripMargin)
       .orderBy(col("e"))
 
+  /** SPARQL SUM aggregate + HAVING over numeric-literal triples: the
+    * triple graph is extended with `?d <urn:graft:tokenCount> "n"`
+    * literals (the standard RDF shape for per-resource metrics); per
+    * entity, SUM the token counts of its mentioning documents and keep
+    * entities above a HAVING bound. SUM casts the literal bindings to
+    * BIGINT (SPARQL's xsd:integer arithmetic); the aggregation is one
+    * hash agg keyed on ?e, HAVING filters the aggregated rows — output
+    * ∝ surviving entities.
+    */
+  def kgHaving(spark: SparkSession, dir: String): DataFrame = {
+    val tc = pagesDf(spark, dir).select(
+      concat(lit("urn:doc:"), col("doc_id")).as("s"),
+      lit("urn:graft:tokenCount").as("p"),
+      size(split(col("text"), " ")).cast("string").as("o"))
+    graft.kgql.Sparql.query(bgpTriples(spark, dir).union(tc),
+      """SELECT ?e (SUM(?n) AS ?toks) (COUNT(?d) AS ?n_docs) WHERE {
+        |  ?d <urn:graft:mentions> ?e .
+        |  ?d <urn:graft:tokenCount> ?n .
+        |} GROUP BY ?e HAVING ( ?toks >= 23300 ) ORDER BY ?e""".stripMargin)
+  }
+
+  /** Per-node triangle counts over the part–part "ordered together"
+    * projection (parts sharing an order, l_orderkey < 300; numeric
+    * a < b orientation so every triangle counts once). Graph-density /
+    * clustering structure — the standard quality signal over an
+    * extracted entity graph. Oracle replays the oriented wedge→edge
+    * join verbatim (see [[graft.canon.GraphAlgs.triangleCounts]] for
+    * the degree-orientation scale notes).
+    */
+  def kgTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_orderkey") < 300)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e = li.alias("x").join(li.alias("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(concat(lit("p"), col("x.p")).as("a"),
+        concat(lit("p"), col("y.p")).as("b"))
+      .distinct()
+    graft.canon.GraphAlgs.triangleCounts(e).orderBy("node")
+  }
+
+  /** Weighted single-source shortest paths from order `o0` over the
+    * order↔part bipartite graph (l_orderkey < 500, edge weight =
+    * min l_quantity — integral in TPC-H, so the decimal→long cast
+    * agrees across engines), 6 Bellman-Ford relaxation rounds. The
+    * oracle unrolls the identical min-plus recurrence (integer min is
+    * order-invariant — bit-exact across partitionings).
+    */
+  def kgSssp(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_orderkey") < 500)
+      .select(concat(lit("o"), col("l_orderkey")).as("a"),
+        concat(lit("p"), col("l_partkey")).as("b"),
+        col("l_quantity").cast("long").as("w"))
+      .groupBy("a", "b").agg(min(col("w")).as("w"))
+    val und = e0.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .union(e0.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    graft.canon.GraphAlgs.sssp(und, "o0", rounds = 6).orderBy("node")
+  }
+
+  /** Community detection: 4 rounds of deterministic synchronous label
+    * propagation over the same bipartite graph as kg_cc — each node
+    * adopts its neighbourhood's most frequent label, ties toward the
+    * larger label. The oracle replays every round with a window argmax
+    * (COUNT DESC, label DESC).
+    */
+  def kgLpa(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_orderkey") < 500)
+      .select(concat(lit("o"), col("l_orderkey")).as("a"),
+        concat(lit("p"), col("l_partkey")).as("b"))
+      .distinct()
+    val und = e0.select(col("a").as("src"), col("b").as("dst"))
+      .union(e0.select(col("b").as("src"), col("a").as("dst")))
+    graft.canon.GraphAlgs.labelPropagation(und, rounds = 4).orderBy("node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_extract_text" -> kgExtractText,
     "kg_mentions" -> kgMentions,
@@ -449,8 +527,54 @@ object KgQueries {
     "kg_path_star" -> kgPathStar,
     "kg_ppr" -> kgPpr,
     "kg_union" -> kgUnion,
-    "kg_str_filter" -> kgStrFilter
+    "kg_str_filter" -> kgStrFilter,
+    "kg_triangles" -> kgTriangles,
+    "kg_sssp" -> kgSssp,
+    "kg_lpa" -> kgLpa,
+    "kg_having" -> kgHaving
   )
+
+  /** Unrolled Bellman-Ford SQL: d{k} from d{k-1} via the identical
+    * min-plus relaxation. */
+  private lazy val ssspSql: String = {
+    val rounds = (1 to 6).map { k =>
+      s"""d$k AS (SELECT node, MIN(dist) AS dist FROM (
+         |  SELECT node, dist FROM d${k - 1}
+         |  UNION ALL
+         |  SELECT u.dst, d.dist + u.w FROM d${k - 1} d
+         |  JOIN und u ON u.src = d.node) GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT 'o' || l_orderkey AS a, 'p' || l_partkey AS b,
+       |    MIN(CAST(l_quantity AS BIGINT)) AS w
+       |  FROM lineitem WHERE l_orderkey < 500 GROUP BY 1, 2),
+       |und AS (SELECT a AS src, b AS dst, w FROM e0
+       |        UNION ALL SELECT b, a, w FROM e0),
+       |d0 AS (SELECT 'o0' AS node, CAST(0 AS BIGINT) AS dist),
+       |$rounds
+       |SELECT node, CAST(dist AS BIGINT) AS dist FROM d6 ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled synchronous LPA SQL: per round a (node, label) count and
+    * a window argmax (COUNT DESC, label DESC). */
+  private lazy val lpaSql: String = {
+    val rounds = (1 to 4).map { k =>
+      s"""l$k AS (SELECT node, label FROM (
+         |  SELECT u.dst AS node, l.label AS label, COUNT(*) AS c,
+         |    ROW_NUMBER() OVER (PARTITION BY u.dst
+         |      ORDER BY COUNT(*) DESC, l.label DESC) AS rn
+         |  FROM und u JOIN l${k - 1} l ON l.node = u.src
+         |  GROUP BY u.dst, l.label) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT 'o' || l_orderkey AS a, 'p' || l_partkey AS b
+       |  FROM lineitem WHERE l_orderkey < 500),
+       |und AS (SELECT a AS src, b AS dst FROM e0
+       |        UNION ALL SELECT b, a FROM e0),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+       |$rounds
+       |SELECT node, label FROM l4 ORDER BY node""".stripMargin
+  }
 
   /** Unrolled integer-PageRank SQL: s{k} from s{k-1} via the identical
     * fixed-point recurrence (DuckDB `//` = floor division; all values
@@ -662,6 +786,30 @@ object KgQueries {
          |SELECT e, COUNT(doc_id) AS n_docs FROM mt
          |WHERE doc_id NOT IN (SELECT doc_id FROM m WHERE entity = 'spark')
          |GROUP BY e ORDER BY e""".stripMargin,
+    // oriented wedge→edge triangle join replayed verbatim
+    "kg_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_orderkey < 300),
+        |e AS (SELECT DISTINCT 'p' || x.p AS a, 'p' || y.p AS b
+        |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+        |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |n AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t
+        |      UNION ALL SELECT z FROM t)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+        |FROM n GROUP BY node ORDER BY node""".stripMargin,
+    "kg_sssp" -> ssspSql,
+    "kg_lpa" -> lpaSql,
+    // SUM over the tokenCount literals + HAVING replayed directly
+    "kg_having" ->
+      s"""WITH $tokensCte,
+         |tc AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents)
+         |SELECT 'urn:ent:' || m.entity AS e, CAST(SUM(tc.n) AS BIGINT) AS toks,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM m JOIN tc ON tc.doc_id = m.doc_id
+         |GROUP BY 1 HAVING SUM(tc.n) >= 23300 ORDER BY e""".stripMargin,
     // replays PageGen's closed-form crawl-time scatter directly
     "kg_timeline" ->
       s"""WITH $tokensCte,

@@ -1,0 +1,114 @@
+package graft.canon
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** GraphAlgs vs naive scalar references on random graphs, plus the
+  * determinism/partitioning-invariance laws the oracles rely on.
+  */
+class GraphAlgsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(p: Prop, n: Int = 8): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(n).withWorkers(1), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val edgeGen: Gen[List[(Int, Int)]] =
+    Gen.listOfN(60, for {
+      a <- Gen.choose(0, 14); b <- Gen.choose(0, 14)
+    } yield (a, b)).map(_.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.distinct)
+
+  test("triangleCounts ≡ naive enumeration") {
+    check(Prop.forAll(edgeGen) { es =>
+      es.isEmpty || {
+        val set = es.toSet
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+        val naive = (for {
+          a <- nodes; b <- nodes if a < b && set((a, b))
+          c <- nodes if b < c && set((b, c)) && set((a, c))
+        } yield Seq(a, b, c)).flatten
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val got = GraphAlgs.triangleCounts(
+            es.map { case (a, b) => (s"n$a", s"n$b") }.toDF("a", "b")
+              .repartition(5))
+          .as[(String, Long)].collect()
+          .map { case (n, c) => (n.drop(1).toInt, c) }.toMap
+        got == naive
+      }
+    })
+  }
+
+  private val wEdgeGen: Gen[List[(Int, Int, Long)]] =
+    Gen.listOfN(50, for {
+      a <- Gen.choose(0, 11); b <- Gen.choose(0, 11)
+      w <- Gen.choose(1L, 9L)
+    } yield (a, b, w)).map(_.filter(e => e._1 != e._2))
+
+  test("sssp ≡ naive Bellman-Ford at the same round count") {
+    check(Prop.forAll(wEdgeGen) { es0 =>
+      val es = es0.groupBy(e => (e._1, e._2)).view
+        .mapValues(_.map(_._3).min).toSeq
+        .map { case ((a, b), w) => (a, b, w) }
+      val rounds = 5
+      var dist = Map(0 -> 0L)
+      for (_ <- 1 to rounds) {
+        val relaxed = es.flatMap { case (u, v, w) =>
+          dist.get(u).map(d => v -> (d + w)) }
+        dist = (dist.toSeq ++ relaxed).groupBy(_._1).view
+          .mapValues(_.map(_._2).min).toMap
+      }
+      val got = GraphAlgs.sssp(
+          es.map { case (a, b, w) => (s"n$a", s"n$b", w) }
+            .toDF("src", "dst", "w").repartition(5), "n0", rounds)
+        .as[(String, Long)].collect()
+        .map { case (n, d) => (n.drop(1).toInt, d) }.toMap
+      got == dist
+    })
+  }
+
+  /** Scalar synchronous LPA with the same (count, label) argmax. */
+  private def naiveLpa(und: Seq[(String, String)], rounds: Int)
+      : Map[String, String] = {
+    var labels = und.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      labels = und.groupBy(_._2).view.mapValues { in =>
+        in.map(e => labels(e._1)).groupBy(identity).view
+          .mapValues(_.size).toSeq
+          .maxBy { case (lbl, c) => (c, lbl) }._1
+      }.toMap
+    }
+    labels
+  }
+
+  test("labelPropagation ≡ naive sync argmax; partitioning-invariant") {
+    check(Prop.forAll(edgeGen) { es =>
+      es.isEmpty || {
+        val und = es.flatMap { case (a, b) =>
+          Seq((s"n$a", s"n$b"), (s"n$b", s"n$a")) }
+        val want = naiveLpa(und, 3)
+        val got = GraphAlgs.labelPropagation(
+            und.toDF("src", "dst").repartition(7), 3)
+          .as[(String, String)].collect().toMap
+        got == want
+      }
+    })
+  }
+
+  test("LPA unites a planted two-clique community structure") {
+    def clique(off: Int) = for {
+      a <- 0 until 5; b <- 0 until 5 if a != b
+    } yield (s"c${off + a}", s"c${off + b}")
+    // one weak bridge between the cliques
+    val und = clique(0) ++ clique(10) ++ Seq(("c0", "c10"), ("c10", "c0"))
+    val labels = GraphAlgs.labelPropagation(und.toDF("src", "dst"), 4)
+      .as[(String, String)].collect().toMap
+    val l1 = (0 until 5).map(i => labels(s"c$i")).distinct
+    assert(l1.size == 1, s"first clique not united: $l1")
+    val second = (10 until 15).map(i => labels(s"c$i")).distinct
+    assert(second.size == 1, s"second clique not united: $second")
+  }
+}

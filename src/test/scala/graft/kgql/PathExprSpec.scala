@@ -331,6 +331,35 @@ class PathExprSpec extends SparkSpec {
     }
   }
 
+  test("SUM/AVG over numeric literals; non-numeric bindings skipped") {
+    val t = Seq(
+      ("d1", "n", "10"), ("d1", "n", "4"), ("d2", "n", "7"),
+      ("d2", "n", "oops") // non-numeric literal: unbound under SUM/AVG
+    ).toDF("s", "p", "o")
+    val out = Sparql.query(t,
+      """SELECT ?s (SUM(?v) AS ?total) (AVG(?v) AS ?mean) WHERE {
+        |  ?s <n> ?v .
+        |} GROUP BY ?s ORDER BY ?s""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("d1", 14L, 7.0), ("d2", 7L, 7.0)))
+  }
+
+  test("HAVING filters aggregated rows; parse guards") {
+    val out = rows(
+      """SELECT ?o (COUNT(?d) AS ?n) WHERE { ?d <m> ?o }
+        |GROUP BY ?o HAVING ( ?n >= 2 ) ORDER BY ?o""".stripMargin)
+    assert(out == Seq(Seq("a", "2")))
+    // HAVING without GROUP BY, non-alias var, non-integer bound
+    intercept[IllegalArgumentException] {
+      Sparql.parse("SELECT ?d WHERE { ?d <m> ?o } HAVING ( ?d > 1 )")
+    }
+    intercept[IllegalArgumentException] {
+      Sparql.parse(
+        """SELECT ?o (COUNT(?d) AS ?n) WHERE { ?d <m> ?o }
+          |GROUP BY ?o HAVING ( ?o >= 2 )""".stripMargin)
+    }
+  }
+
   test("constant source pushes a semi-join into the leftmost step") {
     val df = Sparql.query(triples,
       "SELECT ?y WHERE { <d1> <m>/<k> ?y }")
