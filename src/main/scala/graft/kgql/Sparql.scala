@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions._
   *
   * Grammar (whitespace-separated tokens; '.' separators optional):
   * {{{
-  * query    := select | construct
+  * query    := select | construct | ask
   * select   := SELECT DISTINCT? selItem+ WHERE { item* }
-  *             group? order? ( LIMIT k )?
+  *             group? order? ( LIMIT k | OFFSET n )*
   * construct:= CONSTRUCT { (term term term '.'?)* } WHERE { item* }
+  * ask      := ASK WHERE? { item* }          -- 1-row boolean result
   * selItem  := ?var | ( AGG ( DISTINCT? ?var | * ) AS ?name )
   * group    := GROUP BY ?var+ having?   AGG ∈ { COUNT MIN MAX SUM AVG }
   * having   := HAVING ( ?var op int )       -- ?var an aggregate alias
@@ -67,7 +68,9 @@ object Sparql {
       orderBy: Seq[(String, Boolean)] = Nil,
       limit: Option[Int] = None,
       unions: Seq[UnionBlock] = Nil,
-      having: Option[Column] = None)
+      having: Option[Column] = None,
+      offset: Option[Int] = None,
+      isAsk: Boolean = false)
 
   /** Parse and evaluate against a (s, p, o) triple DataFrame.
     * `pathMaxHops` bounds `+` property-path closures (SPARQL's unbounded
@@ -77,6 +80,18 @@ object Sparql {
   def query(triples: DataFrame, text: String,
       pathMaxHops: Int = 8): DataFrame = {
     val q = parse(text, pathMaxHops)
+    if (q.isAsk) {
+      // ASK: does the pattern match at all — LocalLimit(1) under a
+      // 1-row count lets the scan short-circuit on the first match
+      // instead of materializing the whole solution bag.
+      val vars = (q.patterns.flatMap(_.vars) ++
+        q.unions.flatMap(_.vars)).distinct
+      require(vars.nonEmpty, "ASK needs at least one variable pattern")
+      val bag = Bgp.select(triples, q.patterns, Seq(vars.head),
+        q.optionals, q.filters, distinct = false, negations = q.negations,
+        values = q.valuesBlocks, unions = q.unions)
+      return bag.limit(1).agg((count(lit(1)) > 0).as("ask"))
+    }
     if (q.template.nonEmpty) {
       // CONSTRUCT: instantiate each template triple over the match bag,
       // drop instantiations with an unbound (null) variable (SPARQL's
@@ -139,21 +154,25 @@ object Sparql {
     }
   }
 
-  /** Solution modifiers: ORDER BY then LIMIT. An ordered limit plans as
-    * TakeOrderedAndProject — per-partition bounded top-k heaps merged
-    * on the driver, no global sort materialization.
+  /** Solution modifiers: ORDER BY, then OFFSET, then LIMIT (SPARQL
+    * applies OFFSET before LIMIT regardless of clause order). An
+    * ordered limit plans as TakeOrderedAndProject — per-partition
+    * bounded top-k heaps merged on the driver, no global sort
+    * materialization; with OFFSET the heaps are offset+limit deep.
     */
   private def modifiers(q: Query, df: DataFrame): DataFrame = {
     val ordered = if (q.orderBy.isEmpty) df
       else df.orderBy(q.orderBy.map { case (v, asc) =>
         if (asc) col(v).asc else col(v).desc }: _*)
-    q.limit.map(ordered.limit).getOrElse(ordered)
+    val skipped = q.offset.map(ordered.offset).getOrElse(ordered)
+    q.limit.map(skipped.limit).getOrElse(skipped)
   }
 
   def parse(text: String, pathMaxHops: Int = 8): Query = {
     val toks = tokenize(text)
     val st = new Stream(toks)
     if (st.peekKw("CONSTRUCT")) return parseConstruct(st, pathMaxHops)
+    if (st.peekKw("ASK")) return parseAsk(st, pathMaxHops)
     st.expectKw("SELECT")
     val distinct = st.peekKw("DISTINCT")
     if (distinct) st.next()
@@ -245,11 +264,16 @@ object Sparql {
         s"ORDER BY vars must be projected: ${missing.mkString(", ")}")
     }
     var limit: Option[Int] = None
-    if (st.peekKw("LIMIT")) {
-      st.next()
+    var offset: Option[Int] = None
+    while (st.peekKw("LIMIT") || st.peekKw("OFFSET")) {
+      val kw = st.next().toUpperCase
       val k = st.next()
-      require(k.forall(_.isDigit), s"LIMIT needs a number, got $k")
-      limit = Some(k.toInt)
+      require(k.forall(_.isDigit), s"$kw needs a number, got $k")
+      if (kw == "LIMIT") {
+        require(limit.isEmpty, "duplicate LIMIT"); limit = Some(k.toInt)
+      } else {
+        require(offset.isEmpty, "duplicate OFFSET"); offset = Some(k.toInt)
+      }
     }
     require(st.peek.isEmpty, s"trailing tokens: ${st.peek.getOrElse("")}")
     require(pats.nonEmpty || unis.nonEmpty,
@@ -266,7 +290,22 @@ object Sparql {
     Query(proj.toSeq, distinct, pats, opts, fils, aggs.toSeq,
       groupVars.toSeq, negations = negs, valuesBlocks = vals,
       orderBy = orderBy.toSeq, limit = limit, unions = unis,
-      having = having)
+      having = having, offset = offset)
+  }
+
+  /** ASK WHERE? { item* } — boolean pattern-existence form. */
+  private def parseAsk(st: Stream, pathMaxHops: Int): Query = {
+    st.expectKw("ASK")
+    if (st.peekKw("WHERE")) st.next()
+    st.expect("{")
+    val (pats, opts, fils, negs, vals, unis) = parseBlock(st,
+      allowOptional = true, pathMaxHops)
+    st.expect("}")
+    require(st.peek.isEmpty, s"trailing tokens: ${st.peek.getOrElse("")}")
+    require(pats.nonEmpty || unis.nonEmpty,
+      "ASK block needs at least one triple pattern")
+    Query(Seq("ask"), distinct = false, pats, opts, fils,
+      negations = negs, valuesBlocks = vals, unions = unis, isAsk = true)
   }
 
   /** CONSTRUCT { tmplTriple* } WHERE { item* } — template triples are

@@ -476,6 +476,24 @@ object DataQueries {
       .orderBy("token")
   }
 
+  /** Per-source AMS F2 (self-join size / token concentration) sketch
+    * next to the exact second moment. Every z_r — the whole linear
+    * sketch state — replays bit-exactly in the oracle (FNV low-bit
+    * signs, one integer sum per row); AMS's estimator law and
+    * linear-merge property are AmsSpec'd.
+    */
+  def sketchAms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val toks = docs.select(col("source"),
+      explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
+    val exact = toks.groupBy("source", "tok")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("source").agg(sum(col("n") * col("n")).as("exact_f2"))
+    graft.sketch.Ams.sketch(docs)
+      .join(exact, "source")
+      .orderBy("source", "r")
+  }
+
   /** BM25 ranked retrieval for the query {spark, vector, hash}: top 20
     * documents by the integer-exact BM25 core (see [[graft.text.Bm25]]).
     * The oracle replays tf/df/dl/(N, L) from the raw text and the exact
@@ -570,6 +588,7 @@ object DataQueries {
     "sketch_cms" -> sketchCms,
     "sketch_hll" -> sketchHll,
     "sketch_bloom" -> sketchBloom,
+    "sketch_ams" -> sketchAms,
     "txt_bm25" -> txtBm25,
     "mm_meta" -> mmMeta,
     "mm_resize" -> mmResize,
@@ -1080,6 +1099,27 @@ object DataQueries {
          |FROM hits h LEFT JOIN mem m ON m.token = h.token CROSS JOIN pc
          |ORDER BY h.token""".stripMargin
     },
+    // the whole AMS linear sketch replayed: FNV("r:"||tok) low-bit
+    // signs, one integer sum per estimator row, squared; exact F2
+    // alongside
+    "sketch_ams" ->
+      s"""WITH tk AS (
+         |  SELECT source, unnest(list_filter(string_split(text, ' '),
+         |    t -> t <> '')) AS tok
+         |  FROM documents),
+         |rws AS (SELECT unnest([0, 1, 2, 3]) AS r),
+         |sg AS (SELECT source, r,
+         |    CAST(1 - 2 * ((${fnvFoldSql("(CAST(r AS VARCHAR) || ':' || tok)", "14695981039346656037")}) % 2) AS BIGINT) AS s
+         |  FROM tk CROSS JOIN rws),
+         |zz AS (SELECT source, CAST(r AS INT) AS r,
+         |    CAST(SUM(s) AS BIGINT) AS z
+         |  FROM sg GROUP BY source, r),
+         |ex AS (SELECT source, CAST(SUM(n * n) AS BIGINT) AS exact_f2
+         |  FROM (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+         |        FROM tk GROUP BY source, tok) GROUP BY source)
+         |SELECT zz.source, zz.r, zz.z, zz.z * zz.z AS x, ex.exact_f2
+         |FROM zz JOIN ex ON ex.source = zz.source
+         |ORDER BY zz.source, zz.r""".stripMargin,
     // exact integer BM25 replay: tf/df/dl/(N, L) from the raw text, the
     // one micro-quantized ln over integer-derived doubles, floor-div
     // per-term scores, summed and top-20 ranked

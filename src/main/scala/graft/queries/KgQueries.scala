@@ -426,6 +426,18 @@ object KgQueries {
         |} GROUP BY ?e""".stripMargin)
       .orderBy(col("e"))
 
+  /** SPARQL ASK: does any document mention both `spark` and `vector` —
+    * the boolean query form. Plans as a 1-row count over a
+    * LocalLimit(1)-capped bag: the scan short-circuits on the first
+    * match instead of materializing all solutions.
+    */
+  def kgAsk(spark: SparkSession, dir: String): DataFrame =
+    graft.kgql.Sparql.query(bgpTriples(spark, dir),
+      """ASK WHERE {
+        |  ?d <urn:graft:mentions> <urn:ent:spark> .
+        |  ?d <urn:graft:mentions> <urn:ent:vector> .
+        |}""".stripMargin)
+
   /** SPARQL SUM aggregate + HAVING over numeric-literal triples: the
     * triple graph is extended with `?d <urn:graft:tokenCount> "n"`
     * literals (the standard RDF shape for per-resource metrics); per
@@ -531,7 +543,8 @@ object KgQueries {
     "kg_triangles" -> kgTriangles,
     "kg_sssp" -> kgSssp,
     "kg_lpa" -> kgLpa,
-    "kg_having" -> kgHaving
+    "kg_having" -> kgHaving,
+    "kg_ask" -> kgAsk
   )
 
   /** Unrolled Bellman-Ford SQL: d{k} from d{k-1} via the identical
@@ -801,6 +814,11 @@ object KgQueries {
         |FROM n GROUP BY node ORDER BY node""".stripMargin,
     "kg_sssp" -> ssspSql,
     "kg_lpa" -> lpaSql,
+    // ASK ≡ EXISTS over the two-pattern join
+    "kg_ask" ->
+      s"""WITH $tokensCte
+         |SELECT EXISTS(SELECT 1 FROM m a JOIN m b ON a.doc_id = b.doc_id
+         |  WHERE a.entity = 'spark' AND b.entity = 'vector') AS ask""".stripMargin,
     // SUM over the tokenCount literals + HAVING replayed directly
     "kg_having" ->
       s"""WITH $tokensCte,

@@ -360,6 +360,34 @@ class PathExprSpec extends SparkSpec {
     }
   }
 
+  test("ASK: true on a matching pattern, false on an impossible one") {
+    val yes = Sparql.query(triples,
+      "ASK WHERE { ?d <m> <a> . ?d <m> <b> }").collect()
+    assert(yes.map(_.getBoolean(0)).toSeq == Seq(true))
+    val no = Sparql.query(triples,
+      "ASK { ?d <m> <c> }").collect() // WHERE is optional
+    assert(no.map(_.getBoolean(0)).toSeq == Seq(false))
+    intercept[IllegalArgumentException] {
+      Sparql.parse("ASK WHERE { }")
+    }
+  }
+
+  test("OFFSET pages ordered solutions; applies before LIMIT") {
+    val all = rows("SELECT ?s ?o WHERE { ?s <k> ?o } ORDER BY ?s ?o")
+    val page = Sparql.query(triples,
+      "SELECT ?s ?o WHERE { ?s <k> ?o } ORDER BY ?s ?o LIMIT 2 OFFSET 1")
+      .collect().toSeq.map(_.toSeq.map(String.valueOf))
+    assert(page == all.slice(1, 3))
+    // OFFSET-first clause order means the same thing
+    val page2 = Sparql.query(triples,
+      "SELECT ?s ?o WHERE { ?s <k> ?o } ORDER BY ?s ?o OFFSET 1 LIMIT 2")
+      .collect().toSeq.map(_.toSeq.map(String.valueOf))
+    assert(page2 == page)
+    intercept[IllegalArgumentException] {
+      Sparql.parse("SELECT ?s WHERE { ?s <k> ?o } OFFSET 1 OFFSET 2")
+    }
+  }
+
   test("constant source pushes a semi-join into the leftmost step") {
     val df = Sparql.query(triples,
       "SELECT ?y WHERE { <d1> <m>/<k> ?y }")

@@ -9,13 +9,18 @@ import graft.SparkSpec
   *  - onto_limits: entity-stats × relationship-stats, both global aggs
   *    (`shape/Limits.scala` global), 1 row × 1 row;
   *  - txt_perplexity: per-bigram terms × the vocab-size scalar
-  *    (`text/LangModel.scala` vDf), broadcast 1 row.
+  *    (`text/LangModel.scala` vDf), broadcast 1 row;
+  *  - txt_bm25: per-(doc, term) scores × the (N, L) corpus-scalar row
+  *    (`text/Bm25.scala` scalars), broadcast 1 row;
+  *  - sketch_bloom: probe verdicts × the filter-popcount scalar
+  *    (`queries/DataQueries.scala` popcount), broadcast 1 row.
   * Any new query whose join degenerates to a nested loop over real
   * relations fails here before it can reach the driver.
   */
 class PlanGuardSpec extends SparkSpec {
 
-  private val scalarBnljAllowed = Set("onto_limits", "txt_perplexity")
+  private val scalarBnljAllowed =
+    Set("onto_limits", "txt_perplexity", "txt_bm25", "sketch_bloom")
 
   test("no cartesian products; BNLJ only for 1-row scalar broadcasts") {
     val dir = "/root/testdata/sf0.001"
