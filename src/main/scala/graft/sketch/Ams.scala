@@ -40,16 +40,22 @@ object Ams {
       .bitwiseAND(lit(1L))
 
   /** Per-group estimator rows (group, r, z, x = z²) — exactly
-    * `groups × K` rows; x is the row's F2 estimate. */
+    * `groups × K` rows; x is the row's F2 estimate. The K sums ride ONE
+    * aggregation as K columns (no K× row explode — the token relation
+    * is scanned once, fully codegen'd); the (r, z) unpivot happens on
+    * the groups-scale result. */
   def sketch(docs: DataFrame, groupCol: String = "source",
-             textCol: String = "text"): DataFrame =
+             textCol: String = "text"): DataFrame = {
+    val sums = (0 until K).map(r =>
+      sum(signCol(r, col("tok"))).as(s"z$r"))
     docs
       .select(col(groupCol),
         explode(filter(split(col(textCol), " "), t => t =!= "")).as("tok"))
+      .groupBy(col(groupCol))
+      .agg(sums.head, sums.tail: _*)
       .select(col(groupCol), posexplode(array(
-        (0 until K).map(r => signCol(r, col("tok"))): _*)).as(Seq("r", "s")))
-      .groupBy(col(groupCol), col("r"))
-      .agg(sum(col("s")).as("z"))
+        (0 until K).map(r => col(s"z$r")): _*)).as(Seq("r", "z")))
       .select(col(groupCol), col("r"), col("z"),
         (col("z") * col("z")).as("x"))
+  }
 }

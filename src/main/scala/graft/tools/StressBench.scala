@@ -51,7 +51,8 @@ object StressBench {
     val out = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT", "/tmp/graft_stress")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sections = sys.env.getOrElse("SPARK_GRAFT_STRESS_SECTIONS",
-      "cc,dd,kg,inc,ivf,ivfpq,skew,lines,pagerank,spans,path,asof,range,domcap")
+      "cc,dd,kg,inc,ivf,ivfpq,skew,lines,pagerank,spans,path,asof,range," +
+        "domcap,sketch,bm25,tri")
       .split(",").map(_.trim).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -72,12 +73,17 @@ object StressBench {
       // dd corpus: word-salt replica k>0 so cross-replica docs share no
       // 3-gram shingles; planted-dup structure (doc_id % 20 / % 40) is
       // preserved because shifts are multiples of 1e8
+      // repartition before write: the synthesized corpus must land as a
+      // MULTI-FILE table (one file would serialize every downstream
+      // scan's pre-exchange work — a layout artifact no real 100 TB
+      // table has, and it was measured masking section walls by 10-60x)
       docs.crossJoin(reps).select(
           (col("doc_id") + col("k") * 100000000L).as("doc_id"),
           when(col("k") === 0, col("text"))
             .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
               concat(lit("$1~"), col("k")))).as("text"),
           col("lang"), col("source"), col("n_chars"))
+        .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$out/dd/documents.parquet")
       val emb = spark.read.parquet(s"$base/embeddings.parquet")
       val dim = emb.select(size(col("embedding"))).head.getInt(0)
@@ -88,6 +94,7 @@ object StressBench {
           concat(slice(col("embedding"), col("k") + 1, lit(dim) - col("k")),
             slice(col("embedding"), lit(1), col("k"))).as("embedding"),
           col("label"))
+        .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$out/dd/embeddings.parquet")
     }
     if (sections("kg") || sections("inc"))
@@ -95,6 +102,7 @@ object StressBench {
       docs.crossJoin(reps).select(
           (col("doc_id") + col("k") * 100000000L).as("doc_id"),
           col("text"), col("lang"), col("source"), col("n_chars"))
+        .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$out/kg/documents.parquet")
 
     // ---- CC rounds at 1x and REPx --------------------------------------
@@ -550,6 +558,82 @@ object StressBench {
         parts.touchedPrevLabels.withColumnRenamed("component", "oldLabel"),
         Seq("oldLabel"), "left_semi").count()
       frags += s""""inc_merge":{"full_Nx_sec":$fullSec,"prev_N1x_sec":$prevSec,"merge_1x_sec":$mergeSec,"full_triples":$fullCount,"merged_triples":$mergedCount,"equal":${fullCount == mergedCount},"prev_triples":$prevTriples,"batch_triples":$batchTriples,"rewritten_prev":$nRewritten,"delta_rows":$nDelta,"changed_labels":$nChanged,"rename_map_rows":$nRenameMap}"""
+    }
+
+    // ---- sketch tier: summary state FIXED while the corpus ×REP --------
+    // the word-salted dd corpus multiplies the vocabulary ×REP; HLL
+    // registers saturate toward m (n_regs↑) and the Bloom popcount
+    // toward m_bits while OUTPUT CARDINALITY stays sketch-sized
+    // (sources rows / ≤128 filter words / sources×4 AMS rows) — the
+    // defining property of a mergeable-summary plan: shuffle and result
+    // are bounded by sketch dimensions, never by corpus size
+    if (sections("sketch")) {
+      def skStats(dir: String): String = {
+        val (h, hs) = time {
+          val r = graft.queries.DataQueries.sketchHll(spark, dir)
+            .agg(count(lit(1)), sum("n_regs")).head
+          (r.getLong(0), r.getLong(1))
+        }
+        val (b, bs) = time {
+          val r = graft.queries.DataQueries.sketchBloom(spark, dir)
+            .agg(count(lit(1)), max("bits_total")).head
+          (r.getLong(0), r.getLong(1))
+        }
+        val (a, as) = time(
+          graft.queries.DataQueries.sketchAms(spark, dir).count())
+        s"""{"hll_rows":${h._1},"hll_regs":${h._2},"hll_sec":$hs,""" +
+          s""""bloom_rows":${b._1},"bloom_bits":${b._2},"bloom_sec":$bs,""" +
+          s""""ams_rows":$a,"ams_sec":$as}"""
+      }
+      frags += s""""sketch_1x":${skStats(base)}"""
+      if (sections("dd"))
+        frags += s""""sketch_Nx":${skStats(s"$out/dd")}"""
+    }
+
+    // ---- BM25: shuffle ∝ matching (doc, term) rows; output = fixed k --
+    // in the salted REPx corpus only replica 0 carries the raw query
+    // terms, so the tf relation stays 1x-sized while dl/N/L statistics
+    // scan a REP× corpus — wall must track the corpus scan, never a
+    // corpus × query blowup; output is the constant top-k
+    if (sections("bm25")) {
+      def bmStats(dir: String): (Long, Double) =
+        time(graft.queries.DataQueries.txtBm25(spark, dir).count())
+      bmStats(base) // warmup
+      val (k1, s1) = bmStats(base)
+      frags += s""""bm25_1x":{"rows":$k1,"sec":$s1}"""
+      if (sections("dd")) {
+        val (kN, sN) = bmStats(s"$out/dd")
+        frags += s""""bm25_Nx":{"rows":$kN,"sec":$sN}"""
+      }
+    }
+
+    // ---- triangles: cost tracks WEDGES (oriented forward degree²), not
+    // nodes² — widening the order window ×10 grows edges/wedges/
+    // triangles organically; wall must track the wedge join's output
+    if (sections("tri")) {
+      def triStats(cap: Int): String = {
+        val li = spark.read.parquet(s"$base/lineitem.parquet")
+          .filter(col("l_orderkey") < cap)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val e = li.alias("x").join(li.alias("y"),
+            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .select(concat(lit("p"), col("x.p")).as("a"),
+            concat(lit("p"), col("y.p")).as("b"))
+          .distinct().localCheckpoint()
+        val nE = e.count()
+        val wedges = e.groupBy("b").agg(count(lit(1)).as("d"))
+          .agg(sum(col("d") * col("d"))).head.getLong(0)
+        val (tri, secs) = time {
+          val r = graft.canon.GraphAlgs.triangleCounts(e)
+            .agg(count(lit(1)), sum("n_tri")).head
+          (r.getLong(0), r.getLong(1))
+        }
+        s"""{"edges":$nE,"wedge_bound":$wedges,"nodes_hit":${tri._1},""" +
+          s""""tri_incidences":${tri._2},"sec":$secs}"""
+      }
+      frags += s""""tri_300":${triStats(300)}"""
+      frags += s""""tri_3000":${triStats(3000)}"""
     }
 
     println(frags.mkString("{", ",", "}"))
