@@ -129,6 +129,27 @@ object Bgp {
   final case class NegationBlock(patterns: Seq[Pattern],
       filters: Seq[Column] = Nil, isMinus: Boolean = false)
 
+  /** One positive `FILTER EXISTS { ... }` block — the dual of NOT
+    * EXISTS: keep a solution iff the inner pattern matches under the
+    * shared bindings. Compiles to a LEFT SEMI join on the shared
+    * variables (semi, not inner: a solution must survive ONCE however
+    * many inner matches exist — an inner join would multiply the bag).
+    * Disjoint variable domains ⇒ keep everything iff the inner pattern
+    * matches at all (an always-true semi join against one inner row).
+    */
+  final case class ExistsBlock(patterns: Seq[Pattern],
+      filters: Seq[Column] = Nil)
+
+  /** One `BIND ( expr AS ?var )` clause: extends each solution with a
+    * computed binding. `needs` lists the variables the expression reads
+    * (checked bound at parse time — SPARQL's in-scope rule for the
+    * preceding group); the Column is appended via withColumn AFTER the
+    * pattern joins, so it stays inside whole-stage codegen (a pure
+    * projection, never a shuffle).
+    */
+  final case class BindClause(name: String, expr: Column,
+      needs: Seq[String])
+
   /** One `{ ... } UNION { ... }` group: branch solutions bag-unioned
     * (no dedup, per SPARQL's Union of multisets), then joined into the
     * enclosing group on shared variables. Subset restriction, checked
@@ -370,7 +391,9 @@ object Bgp {
       distinct: Boolean = false,
       negations: Seq[NegationBlock] = Nil,
       values: Seq[ValuesBlock] = Nil,
-      unions: Seq[UnionBlock] = Nil): DataFrame = {
+      unions: Seq[UnionBlock] = Nil,
+      exists: Seq[ExistsBlock] = Nil,
+      binds: Seq[BindClause] = Nil): DataFrame = {
     val spark = triples.sparkSession
     val base = if (patterns.nonEmpty) Some(compileBlock(triples, patterns))
       else None
@@ -419,7 +442,18 @@ object Bgp {
       else if (nb.isMinus) acc // disjoint MINUS: no-op per spec
       else acc.join(block.limit(1), lit(true), "left_anti")
     }
-    val filtered = filters.foldLeft(negated)(_.filter(_))
+    val semied = exists.foldLeft(negated) { (acc, eb) =>
+      val block0 = compileBlock(triples, eb.patterns)
+      val block = eb.filters.foldLeft(block0)(_.filter(_))
+      val shared = eb.patterns.flatMap(_.vars).distinct
+        .filter(acc.columns.contains)
+      if (shared.nonEmpty) acc.join(block, shared, "left_semi")
+      else acc.join(block.limit(1), lit(true), "left_semi")
+    }
+    val bound = binds.foldLeft(semied) { (acc, b) =>
+      acc.withColumn(b.name, b.expr)
+    }
+    val filtered = filters.foldLeft(bound)(_.filter(_))
     val projected = filtered.select(projection.map(col): _*)
     if (distinct) projected.distinct() else projected
   }

@@ -15,14 +15,18 @@ import org.apache.spark.sql.functions._
   * construct:= CONSTRUCT { (term term term '.'?)* } WHERE { item* }
   * ask      := ASK WHERE? { item* }          -- 1-row boolean result
   * selItem  := ?var | ( AGG ( DISTINCT? ?var | * ) AS ?name )
-  * group    := GROUP BY ?var+ having?   AGG ∈ { COUNT MIN MAX SUM AVG }
+  * group    := GROUP BY ?var+ having?
+  *             AGG ∈ { COUNT MIN MAX SUM AVG GROUP_CONCAT }
   * having   := HAVING ( ?var op int )       -- ?var an aggregate alias
   * order    := ORDER BY ( ?var | ASC ( ?var ) | DESC ( ?var ) )+
   * item     := triple '.'? | FILTER ( expr ) | OPTIONAL { item* }
-  *           | FILTER NOT EXISTS { item* } | MINUS { item* }
+  *           | FILTER NOT EXISTS { item* } | FILTER EXISTS { item* }
+  *           | MINUS { item* }
+  *           | BIND ( bexpr AS ?var )
   *           | VALUES ?var { const* }
   *           | VALUES ( ?var+ ) { ( const+ )* }
   *           | { item* } UNION { item* } ( UNION { item* } )*
+  * bexpr    := CONCAT ( term+ ) | STRLEN ( ?var ) | term
   * triple   := term path? term               -- path in predicate position
   * path     := pseq ('|' pseq)*              -- alternation (bag union)
   * pseq     := pelt ('/' pelt)*              -- sequence (bag join)
@@ -44,12 +48,17 @@ import org.apache.spark.sql.functions._
   * bindings become unbound and are skipped, the engine's lenient form of
   * SPARQL's type error); AVG returns a double. HAVING filters the
   * aggregated rows by one integer comparison on an aggregate alias.
+  * GROUP_CONCAT returns the group's bindings joined on "," in a PINNED
+  * sorted order (the spec leaves element order implementation-defined;
+  * sorting makes results deterministic and replayable across engines).
   * OPTIONAL blocks nest one level (SPARQL's common case); FILTERs inside
   * an OPTIONAL bind to that block, top-level FILTERs to the whole query.
   * Negation compiles to LEFT ANTI joins on the shared variables, with
   * the spec's disjoint-domain split: NOT EXISTS drops everything when
   * the inner pattern matches at all, MINUS drops nothing — see
-  * [[Bgp.NegationBlock]].
+  * [[Bgp.NegationBlock]]. FILTER EXISTS is its positive dual (LEFT SEMI,
+  * [[Bgp.ExistsBlock]]); BIND extends solutions with a computed column
+  * ([[Bgp.BindClause]], parse-time in-scope check).
   */
 object Sparql {
 
@@ -70,7 +79,9 @@ object Sparql {
       unions: Seq[UnionBlock] = Nil,
       having: Option[Column] = None,
       offset: Option[Int] = None,
-      isAsk: Boolean = false)
+      isAsk: Boolean = false,
+      existsBlocks: Seq[ExistsBlock] = Nil,
+      binds: Seq[BindClause] = Nil)
 
   /** Parse and evaluate against a (s, p, o) triple DataFrame.
     * `pathMaxHops` bounds `+` property-path closures (SPARQL's unbounded
@@ -89,7 +100,8 @@ object Sparql {
       require(vars.nonEmpty, "ASK needs at least one variable pattern")
       val bag = Bgp.select(triples, q.patterns, Seq(vars.head),
         q.optionals, q.filters, distinct = false, negations = q.negations,
-        values = q.valuesBlocks, unions = q.unions)
+        values = q.valuesBlocks, unions = q.unions,
+        exists = q.existsBlocks, binds = q.binds)
       return bag.limit(1).agg((count(lit(1)) > 0).as("ask"))
     }
     if (q.template.nonEmpty) {
@@ -105,7 +117,8 @@ object Sparql {
       }.distinct
       val bag = Bgp.select(triples, q.patterns, needed, q.optionals,
         q.filters, distinct = false, negations = q.negations,
-        values = q.valuesBlocks, unions = q.unions)
+        values = q.valuesBlocks, unions = q.unions,
+        exists = q.existsBlocks, binds = q.binds)
       def term(t: Term): Column = t match {
         case V(n) => col(n)
         case C(v) => lit(v)
@@ -119,7 +132,7 @@ object Sparql {
     } else if (q.aggs.isEmpty)
       modifiers(q, Bgp.select(triples, q.patterns, q.projection,
         q.optionals, q.filters, q.distinct, q.negations, q.valuesBlocks,
-        q.unions))
+        q.unions, q.existsBlocks, q.binds))
     else {
       // aggregate query: materialize the bag of (group vars ∪ agg arg
       // vars), then ONE hash aggregation keyed on the group vars —
@@ -128,7 +141,8 @@ object Sparql {
       val needed = (q.groupVars ++ q.aggs.flatMap(_.arg)).distinct
       val bag = Bgp.select(triples, q.patterns, needed, q.optionals,
         q.filters, distinct = false, negations = q.negations,
-        values = q.valuesBlocks, unions = q.unions)
+        values = q.valuesBlocks, unions = q.unions,
+        exists = q.existsBlocks, binds = q.binds)
       val aggCols = q.aggs.map { a =>
         val c = (a.fn, a.arg) match {
           case ("COUNT", None) => count(lit(1))
@@ -141,6 +155,13 @@ object Sparql {
           // lenient form of SPARQL's aggregate type error
           case ("SUM", Some(v)) => sum(col(v).try_cast("long"))
           case ("AVG", Some(v)) => avg(col(v).try_cast("long"))
+          // GROUP_CONCAT with a PINNED deterministic order (the spec
+          // leaves element order implementation-defined; sorting makes
+          // the result replayable): sort the collected bag, join on ","
+          case ("GROUP_CONCAT", Some(v)) =>
+            val bagc = if (a.isDistinct) collect_set(col(v))
+              else collect_list(col(v))
+            array_join(array_sort(bagc), ",")
           case (fn, arg) => throw new IllegalArgumentException(
             s"unsupported aggregate: $fn(${arg.getOrElse("*")})")
         }
@@ -184,7 +205,8 @@ object Sparql {
       else if (st.peek.contains("(")) {
         st.next()
         val fn = st.next().toUpperCase
-        require(Set("COUNT", "MIN", "MAX", "SUM", "AVG")(fn),
+        require(
+          Set("COUNT", "MIN", "MAX", "SUM", "AVG", "GROUP_CONCAT")(fn),
           s"bad aggregate fn: $fn")
         st.expect("(")
         val isDistinct = st.peekKw("DISTINCT")
@@ -208,8 +230,25 @@ object Sparql {
     require(proj.nonEmpty, "SELECT needs at least one ?var")
     st.expectKw("WHERE")
     st.expect("{")
-    val (pats, opts, fils, negs, vals, unis) = parseBlock(st,
-      allowOptional = true, pathMaxHops)
+    val blk = parseBlock(st, allowOptional = true, pathMaxHops)
+    val Block(pats, opts, fils, negs, vals, unis, exs, binds) = blk
+    // BIND in-scope rule: each expression variable must be bound by the
+    // group's patterns/unions/values or an earlier BIND; the bound name
+    // must be fresh (SPARQL forbids rebinding an in-scope variable)
+    locally {
+      val baseVars = scala.collection.mutable.Set[String]()
+      baseVars ++= pats.flatMap(_.vars)
+      baseVars ++= unis.flatMap(_.vars)
+      baseVars ++= vals.flatMap(_.vars)
+      baseVars ++= opts.flatMap(_.patterns.flatMap(_.vars))
+      binds.foreach { b =>
+        val missing = b.needs.filterNot(baseVars)
+        require(missing.isEmpty,
+          s"BIND reads unbound vars: ${missing.mkString(", ")}")
+        require(!baseVars(b.name), s"BIND rebinds in-scope var ?${b.name}")
+        baseVars += b.name
+      }
+    }
     st.expect("}")
     val groupVars = scala.collection.mutable.ArrayBuffer[String]()
     if (st.peekKw("GROUP")) {
@@ -290,7 +329,8 @@ object Sparql {
     Query(proj.toSeq, distinct, pats, opts, fils, aggs.toSeq,
       groupVars.toSeq, negations = negs, valuesBlocks = vals,
       orderBy = orderBy.toSeq, limit = limit, unions = unis,
-      having = having, offset = offset)
+      having = having, offset = offset, existsBlocks = exs,
+      binds = binds)
   }
 
   /** ASK WHERE? { item* } — boolean pattern-existence form. */
@@ -298,14 +338,15 @@ object Sparql {
     st.expectKw("ASK")
     if (st.peekKw("WHERE")) st.next()
     st.expect("{")
-    val (pats, opts, fils, negs, vals, unis) = parseBlock(st,
-      allowOptional = true, pathMaxHops)
+    val Block(pats, opts, fils, negs, vals, unis, exs, binds) =
+      parseBlock(st, allowOptional = true, pathMaxHops)
     st.expect("}")
     require(st.peek.isEmpty, s"trailing tokens: ${st.peek.getOrElse("")}")
     require(pats.nonEmpty || unis.nonEmpty,
       "ASK block needs at least one triple pattern")
     Query(Seq("ask"), distinct = false, pats, opts, fils,
-      negations = negs, valuesBlocks = vals, unions = unis, isAsk = true)
+      negations = negs, valuesBlocks = vals, unions = unis, isAsk = true,
+      existsBlocks = exs, binds = binds)
   }
 
   /** CONSTRUCT { tmplTriple* } WHERE { item* } — template triples are
@@ -324,15 +365,15 @@ object Sparql {
     require(tmpl.nonEmpty, "CONSTRUCT needs at least one template triple")
     st.expectKw("WHERE")
     st.expect("{")
-    val (pats, opts, fils, negs, vals, unis) = parseBlock(st,
-      allowOptional = true, pathMaxHops)
+    val Block(pats, opts, fils, negs, vals, unis, exs, binds) =
+      parseBlock(st, allowOptional = true, pathMaxHops)
     st.expect("}")
     require(st.peek.isEmpty, s"trailing tokens: ${st.peek.getOrElse("")}")
     require(pats.nonEmpty || unis.nonEmpty,
       "WHERE block needs at least one triple pattern")
     val whereVars = (pats.flatMap(_.vars) ++
       opts.flatMap(_.patterns.flatMap(_.vars)) ++
-      unis.flatMap(_.vars)).toSet
+      unis.flatMap(_.vars) ++ binds.map(_.name)).toSet
     val tmplVars = tmpl.flatMap { case (s, p, o) =>
       Seq(s, p, o).collect { case V(n) => n }
     }
@@ -341,30 +382,37 @@ object Sparql {
       s"template vars not bound in WHERE: ${unbound.mkString(", ")}")
     Query(Seq("s", "p", "o"), distinct = true, pats, opts, fils,
       template = tmpl.toSeq, negations = negs, valuesBlocks = vals,
-      unions = unis)
+      unions = unis, existsBlocks = exs, binds = binds)
   }
 
   // ---------------------------------------------------------------- //
 
+  /** The parsed contents of one `{ ... }` group. */
+  private final case class Block(pats: Seq[Pattern],
+      opts: Seq[OptionalBlock], fils: Seq[Column],
+      negs: Seq[NegationBlock], vals: Seq[ValuesBlock],
+      unis: Seq[UnionBlock], exs: Seq[ExistsBlock],
+      binds: Seq[BindClause])
+
   private def parseBlock(st: Stream, allowOptional: Boolean,
-      pathMaxHops: Int)
-      : (Seq[Pattern], Seq[OptionalBlock], Seq[Column],
-         Seq[NegationBlock], Seq[ValuesBlock], Seq[UnionBlock]) = {
+      pathMaxHops: Int): Block = {
     val pats = scala.collection.mutable.ArrayBuffer[Pattern]()
     val opts = scala.collection.mutable.ArrayBuffer[OptionalBlock]()
     val fils = scala.collection.mutable.ArrayBuffer[Column]()
     val negs = scala.collection.mutable.ArrayBuffer[NegationBlock]()
     val vals = scala.collection.mutable.ArrayBuffer[ValuesBlock]()
     val unis = scala.collection.mutable.ArrayBuffer[UnionBlock]()
+    val exs = scala.collection.mutable.ArrayBuffer[ExistsBlock]()
+    val binds = scala.collection.mutable.ArrayBuffer[BindClause]()
     def innerBlock(kind: String): (Seq[Pattern], Seq[Column]) = {
       st.expect("{")
-      val (p, o, f, n, v, u) = parseBlock(st, allowOptional = false,
-        pathMaxHops)
-      require(o.isEmpty && n.isEmpty && v.isEmpty && u.isEmpty,
+      val b = parseBlock(st, allowOptional = false, pathMaxHops)
+      require(b.opts.isEmpty && b.negs.isEmpty && b.vals.isEmpty &&
+        b.unis.isEmpty && b.exs.isEmpty && b.binds.isEmpty,
         s"nested blocks in $kind")
-      require(p.nonEmpty, s"$kind block needs a triple pattern")
+      require(b.pats.nonEmpty, s"$kind block needs a triple pattern")
       st.expect("}")
-      (p, f)
+      (b.pats, b.fils)
     }
     def constValue(): String = parseTerm(st) match {
       case C(v) => v
@@ -379,11 +427,22 @@ object Sparql {
           st.next(); st.expectKw("EXISTS")
           val (p, f) = innerBlock("FILTER NOT EXISTS")
           negs += NegationBlock(p, f, isMinus = false)
+        } else if (st.peekKw("EXISTS")) {
+          require(allowOptional, "nested FILTER EXISTS")
+          st.next()
+          val (p, f) = innerBlock("FILTER EXISTS")
+          exs += ExistsBlock(p, f)
         } else {
           st.expect("(")
           fils += parseExpr(st)
           st.expect(")")
         }
+      } else if (st.peekKw("BIND")) {
+        require(allowOptional, "nested BIND is not supported")
+        st.next()
+        st.expect("(")
+        binds += parseBindExpr(st)
+        st.expect(")")
       } else if (st.peek.contains("{")) {
         // { branch } UNION { branch } (UNION { branch })*
         require(allowOptional, "nested UNION group")
@@ -448,8 +507,38 @@ object Sparql {
         if (st.peek.contains(".")) st.next()
       }
     }
-    (pats.toSeq, opts.toSeq, fils.toSeq, negs.toSeq, vals.toSeq,
-      unis.toSeq)
+    Block(pats.toSeq, opts.toSeq, fils.toSeq, negs.toSeq, vals.toSeq,
+      unis.toSeq, exs.toSeq, binds.toSeq)
+  }
+
+  /** BIND ( expr AS ?var ): expr := CONCAT ( term+ ) | STRLEN ( ?v )
+    * | term. CONCAT/STRLEN compile to the codegen'd concat/length
+    * Columns; the needed variables are recorded for the parse-time
+    * in-scope check.
+    */
+  private def parseBindExpr(st: Stream): BindClause = {
+    val needs = scala.collection.mutable.ArrayBuffer[String]()
+    def termCol(): Column = parseTerm(st) match {
+      case V(n) => needs += n; col(n)
+      case C(v) => lit(v)
+    }
+    val expr: Column =
+      if (st.peekKw("CONCAT")) {
+        st.next(); st.expect("(")
+        val parts = scala.collection.mutable.ArrayBuffer(termCol())
+        while (!st.peek.contains(")")) parts += termCol()
+        st.expect(")")
+        concat(parts.toSeq: _*)
+      } else if (st.peekKw("STRLEN")) {
+        st.next(); st.expect("(")
+        val c = termCol()
+        st.expect(")")
+        length(c).cast("long")
+      } else termCol()
+    st.expectKw("AS")
+    val v = st.next()
+    require(v.startsWith("?"), s"BIND needs AS ?var, got $v")
+    BindClause(v.drop(1), expr.as(v.drop(1)), needs.toSeq.distinct)
   }
 
   /** path := pseq ('|' pseq)* ; pseq := pelt ('/' pelt)* ;

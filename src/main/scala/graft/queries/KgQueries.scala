@@ -459,6 +459,49 @@ object KgQueries {
         |} GROUP BY ?e HAVING ( ?toks >= 23300 ) ORDER BY ?e""".stripMargin)
   }
 
+  /** SPARQL positive EXISTS — the dual of kg_negation: per-entity doc
+    * counts restricted to docs that DO mention `spark`. `FILTER EXISTS`
+    * compiles to one LEFT SEMI join on the shared ?d (semi, not inner:
+    * one survival per solution regardless of inner match multiplicity),
+    * with the selective 2-bound scan as the broadcast build side.
+    */
+  def kgExists(spark: SparkSession, dir: String): DataFrame =
+    graft.kgql.Sparql.query(bgpTriples(spark, dir),
+      """SELECT ?e (COUNT(?d) AS ?n_docs) WHERE {
+        |  ?d <urn:graft:mentions> ?e .
+        |  FILTER EXISTS { ?d <urn:graft:mentions> <urn:ent:spark> }
+        |} GROUP BY ?e""".stripMargin)
+      .orderBy(col("e"))
+
+  /** SPARQL BIND: computed solution columns — an edge label via CONCAT
+    * and its length via STRLEN, then a string filter over the BOUND
+    * variable (in-scope per the spec: BIND precedes the FILTER's use).
+    * Both exprs are codegen'd projections (concat/length) — BIND never
+    * shuffles.
+    */
+  def kgBind(spark: SparkSession, dir: String): DataFrame =
+    graft.kgql.Sparql.query(bgpTriples(spark, dir),
+      """SELECT ?d ?edge ?elen WHERE {
+        |  ?d <urn:graft:mentions> ?e .
+        |  BIND ( CONCAT ( ?d "->" ?e ) AS ?edge )
+        |  BIND ( STRLEN ( ?e ) AS ?elen )
+        |  FILTER ( STRENDS ( ?edge "spark" ) )
+        |}""".stripMargin)
+      .orderBy(col("d"))
+
+  /** SPARQL GROUP_CONCAT: per-doc sorted entity list (the engine pins
+    * the spec's implementation-defined element order to ascending so
+    * the string replays bit-exactly). One hash agg keyed on ?d;
+    * collect_list is bounded by the per-doc mention count (dictionary-
+    * sized here; at corpus scale the same bound is the gazetteer size).
+    */
+  def kgGroupConcat(spark: SparkSession, dir: String): DataFrame =
+    graft.kgql.Sparql.query(bgpTriples(spark, dir),
+      """SELECT ?d (GROUP_CONCAT(?e) AS ?ents) (COUNT(?e) AS ?n) WHERE {
+        |  ?d <urn:graft:mentions> ?e .
+        |} GROUP BY ?d""".stripMargin)
+      .orderBy(col("d"))
+
   /** Per-node triangle counts over the part–part "ordered together"
     * projection (parts sharing an order, l_orderkey < 300; numeric
     * a < b orientation so every triangle counts once). Graph-density /
@@ -544,7 +587,10 @@ object KgQueries {
     "kg_sssp" -> kgSssp,
     "kg_lpa" -> kgLpa,
     "kg_having" -> kgHaving,
-    "kg_ask" -> kgAsk
+    "kg_ask" -> kgAsk,
+    "kg_exists" -> kgExists,
+    "kg_bind" -> kgBind,
+    "kg_group_concat" -> kgGroupConcat
   )
 
   /** Unrolled Bellman-Ford SQL: d{k} from d{k-1} via the identical
@@ -828,6 +874,25 @@ object KgQueries {
          |  CAST(COUNT(*) AS BIGINT) AS n_docs
          |FROM m JOIN tc ON tc.doc_id = m.doc_id
          |GROUP BY 1 HAVING SUM(tc.n) >= 23300 ORDER BY e""".stripMargin,
+    // EXISTS replay: IN semi filter + GROUP BY
+    "kg_exists" ->
+      s"""WITH $tokensCte,
+         |mt AS (SELECT doc_id, 'urn:ent:' || entity AS e FROM m)
+         |SELECT e, COUNT(doc_id) AS n_docs FROM mt
+         |WHERE doc_id IN (SELECT doc_id FROM m WHERE entity = 'spark')
+         |GROUP BY e ORDER BY e""".stripMargin,
+    // BIND replay: computed columns inline; STRENDS ≡ LIKE '%suffix'
+    "kg_bind" ->
+      s"""WITH $tokensCte,
+         |mt AS (SELECT 'urn:doc:' || doc_id AS d, 'urn:ent:' || entity AS e FROM m)
+         |SELECT d, d || '->' || e AS edge, CAST(len(e) AS BIGINT) AS elen
+         |FROM mt WHERE d || '->' || e LIKE '%spark' ORDER BY d""".stripMargin,
+    // GROUP_CONCAT replay: string_agg with the pinned ascending order
+    "kg_group_concat" ->
+      s"""WITH $tokensCte,
+         |mt AS (SELECT 'urn:doc:' || doc_id AS d, 'urn:ent:' || entity AS e FROM m)
+         |SELECT d, string_agg(e, ',' ORDER BY e) AS ents, COUNT(e) AS n
+         |FROM mt GROUP BY d ORDER BY d""".stripMargin,
     // replays PageGen's closed-form crawl-time scatter directly
     "kg_timeline" ->
       s"""WITH $tokensCte,
