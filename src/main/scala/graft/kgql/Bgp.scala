@@ -393,7 +393,8 @@ object Bgp {
       values: Seq[ValuesBlock] = Nil,
       unions: Seq[UnionBlock] = Nil,
       exists: Seq[ExistsBlock] = Nil,
-      binds: Seq[BindClause] = Nil): DataFrame = {
+      binds: Seq[BindClause] = Nil,
+      derived: Seq[DataFrame] = Nil): DataFrame = {
     val spark = triples.sparkSession
     val base = if (patterns.nonEmpty) Some(compileBlock(triples, patterns))
       else None
@@ -410,7 +411,23 @@ object Bgp {
         case None => Some(branch)
       }
     }
-    val required0 = withUnions.getOrElse(
+    // Derived tables (SPARQL subqueries): each is a pre-evaluated
+    // solution set, joined into the group on its shared variables — the
+    // spec's bottom-up evaluation order (subqueries first) is exactly an
+    // inner equi-join for bound solutions. An aggregate subquery's
+    // output is group-cardinality-sized, so AQE picks the broadcast side
+    // at runtime; no static hint (a non-aggregate subquery can be
+    // corpus-scale).
+    val withDerived = derived.foldLeft(withUnions) { (acc, d) =>
+      acc match {
+        case Some(df) =>
+          val shared = d.columns.filter(df.columns.contains).toSeq
+          if (shared.nonEmpty) Some(df.join(d, shared, "inner"))
+          else Some(df.crossJoin(d))
+        case None => Some(d)
+      }
+    }
+    val required0 = withDerived.getOrElse(
       throw new IllegalArgumentException("empty BGP"))
     val required = values.foldLeft(required0) { (acc, vb) =>
       // LocalRelation (not an RDD) so Catalyst can constant-fold and

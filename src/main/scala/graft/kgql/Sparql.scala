@@ -9,14 +9,16 @@ import org.apache.spark.sql.functions._
   *
   * Grammar (whitespace-separated tokens; '.' separators optional):
   * {{{
-  * query    := select | construct | ask
+  * query    := select | construct | ask | describe
   * select   := SELECT DISTINCT? selItem+ WHERE { item* }
   *             group? order? ( LIMIT k | OFFSET n )*
   * construct:= CONSTRUCT { (term term term '.'?)* } WHERE { item* }
   * ask      := ASK WHERE? { item* }          -- 1-row boolean result
+  * describe := DESCRIBE <iri>+               -- graph about resources
+  *           | DESCRIBE ?var WHERE { item* }
   * selItem  := ?var | ( AGG ( DISTINCT? ?var | * ) AS ?name )
   * group    := GROUP BY ?var+ having?
-  *             AGG ∈ { COUNT MIN MAX SUM AVG GROUP_CONCAT }
+  *             AGG ∈ { COUNT MIN MAX SUM AVG SAMPLE GROUP_CONCAT }
   * having   := HAVING ( ?var op int )       -- ?var an aggregate alias
   * order    := ORDER BY ( ?var | ASC ( ?var ) | DESC ( ?var ) )+
   * item     := triple '.'? | FILTER ( expr ) | OPTIONAL { item* }
@@ -26,6 +28,7 @@ import org.apache.spark.sql.functions._
   *           | VALUES ?var { const* }
   *           | VALUES ( ?var+ ) { ( const+ )* }
   *           | { item* } UNION { item* } ( UNION { item* } )*
+  *           | { select }                    -- subquery (derived table)
   * bexpr    := CONCAT ( term+ ) | STRLEN ( ?var ) | term
   * triple   := term path? term               -- path in predicate position
   * path     := pseq ('|' pseq)*              -- alternation (bag union)
@@ -51,6 +54,17 @@ import org.apache.spark.sql.functions._
   * GROUP_CONCAT returns the group's bindings joined on "," in a PINNED
   * sorted order (the spec leaves element order implementation-defined;
   * sorting makes results deterministic and replayable across engines).
+  * SAMPLE is likewise pinned to the group minimum — the spec allows any
+  * element, determinism demands a canonical one (and MIN is the one
+  * choice that stays partitioning-invariant AND map-side combines).
+  * Subqueries (`{ SELECT ... }` inside a group) follow the spec's
+  * bottom-up evaluation: each evaluates independently against the
+  * graph, then joins into the enclosing group on its projected shared
+  * variables ([[Bgp.select]]'s `derived` tables). DESCRIBE returns the
+  * symmetric concise description — every triple whose subject OR object
+  * is a described resource — as one predicate-pushed scan for constant
+  * IRIs, or two semi-joins against the deduplicated bindings of the
+  * described variable.
   * OPTIONAL blocks nest one level (SPARQL's common case); FILTERs inside
   * an OPTIONAL bind to that block, top-level FILTERs to the whole query.
   * Negation compiles to LEFT ANTI joins on the shared variables, with
@@ -81,7 +95,10 @@ object Sparql {
       offset: Option[Int] = None,
       isAsk: Boolean = false,
       existsBlocks: Seq[ExistsBlock] = Nil,
-      binds: Seq[BindClause] = Nil)
+      binds: Seq[BindClause] = Nil,
+      subqueries: Seq[Query] = Nil,
+      isDescribe: Boolean = false,
+      describeIris: Seq[String] = Nil)
 
   /** Parse and evaluate against a (s, p, o) triple DataFrame.
     * `pathMaxHops` bounds `+` property-path closures (SPARQL's unbounded
@@ -89,8 +106,39 @@ object Sparql {
     * fixed — raise it per query when the graph's diameter demands).
     */
   def query(triples: DataFrame, text: String,
-      pathMaxHops: Int = 8): DataFrame = {
-    val q = parse(text, pathMaxHops)
+      pathMaxHops: Int = 8): DataFrame =
+    evalParsed(triples, parse(text, pathMaxHops))
+
+  /** Evaluate a parsed [[Query]]. Subqueries evaluate first (recursively
+    * through this method) and join in as derived tables.
+    */
+  private def evalParsed(triples: DataFrame, q: Query): DataFrame = {
+    val derived = q.subqueries.map(sq => evalParsed(triples, sq))
+    if (q.isDescribe) {
+      // DESCRIBE: the symmetric concise description of the resource set
+      // R — triples with subject or object in R, as a distinct graph.
+      // Constant IRIs compile to isin filters Catalyst pushes into the
+      // scan (ONE corpus pass, no join); a described variable's R is
+      // the deduplicated solution column, applied via two LEFT SEMI
+      // joins (s-side, o-side) whose union is the description.
+      import org.apache.spark.sql.functions.col
+      val spo = triples.select(col("s"), col("p"), col("o"))
+      val described: DataFrame =
+        if (q.describeIris.nonEmpty)
+          spo.filter(col("s").isin(q.describeIris: _*) ||
+            col("o").isin(q.describeIris: _*))
+        else {
+          val v = q.projection.head
+          val r = Bgp.select(triples, q.patterns, Seq(v), q.optionals,
+            q.filters, distinct = true, negations = q.negations,
+            values = q.valuesBlocks, unions = q.unions,
+            exists = q.existsBlocks, binds = q.binds, derived = derived)
+            .withColumnRenamed(v, "r")
+          spo.join(r, col("s") === col("r"), "left_semi")
+            .union(spo.join(r, col("o") === col("r"), "left_semi"))
+        }
+      return described.distinct()
+    }
     if (q.isAsk) {
       // ASK: does the pattern match at all — LocalLimit(1) under a
       // 1-row count lets the scan short-circuit on the first match
@@ -101,7 +149,7 @@ object Sparql {
       val bag = Bgp.select(triples, q.patterns, Seq(vars.head),
         q.optionals, q.filters, distinct = false, negations = q.negations,
         values = q.valuesBlocks, unions = q.unions,
-        exists = q.existsBlocks, binds = q.binds)
+        exists = q.existsBlocks, binds = q.binds, derived = derived)
       return bag.limit(1).agg((count(lit(1)) > 0).as("ask"))
     }
     if (q.template.nonEmpty) {
@@ -118,7 +166,7 @@ object Sparql {
       val bag = Bgp.select(triples, q.patterns, needed, q.optionals,
         q.filters, distinct = false, negations = q.negations,
         values = q.valuesBlocks, unions = q.unions,
-        exists = q.existsBlocks, binds = q.binds)
+        exists = q.existsBlocks, binds = q.binds, derived = derived)
       def term(t: Term): Column = t match {
         case V(n) => col(n)
         case C(v) => lit(v)
@@ -132,7 +180,7 @@ object Sparql {
     } else if (q.aggs.isEmpty)
       modifiers(q, Bgp.select(triples, q.patterns, q.projection,
         q.optionals, q.filters, q.distinct, q.negations, q.valuesBlocks,
-        q.unions, q.existsBlocks, q.binds))
+        q.unions, q.existsBlocks, q.binds, derived))
     else {
       // aggregate query: materialize the bag of (group vars ∪ agg arg
       // vars), then ONE hash aggregation keyed on the group vars —
@@ -142,7 +190,7 @@ object Sparql {
       val bag = Bgp.select(triples, q.patterns, needed, q.optionals,
         q.filters, distinct = false, negations = q.negations,
         values = q.valuesBlocks, unions = q.unions,
-        exists = q.existsBlocks, binds = q.binds)
+        exists = q.existsBlocks, binds = q.binds, derived = derived)
       val aggCols = q.aggs.map { a =>
         val c = (a.fn, a.arg) match {
           case ("COUNT", None) => count(lit(1))
@@ -150,6 +198,10 @@ object Sparql {
             if (a.isDistinct) countDistinct(col(v)) else count(col(v))
           case ("MIN", Some(v)) => min(col(v))
           case ("MAX", Some(v)) => max(col(v))
+          // SAMPLE pinned to MIN: the spec allows any group element;
+          // the minimum is deterministic, partitioning-invariant and
+          // map-side combinable (first()/any_value() are none of these)
+          case ("SAMPLE", Some(v)) => min(col(v))
           // try_cast, not cast: under ANSI a non-numeric literal must
           // become unbound (skipped), not fail the query — the engine's
           // lenient form of SPARQL's aggregate type error
@@ -194,6 +246,18 @@ object Sparql {
     val st = new Stream(toks)
     if (st.peekKw("CONSTRUCT")) return parseConstruct(st, pathMaxHops)
     if (st.peekKw("ASK")) return parseAsk(st, pathMaxHops)
+    if (st.peekKw("DESCRIBE")) return parseDescribe(st, pathMaxHops)
+    val q = parseSelect(st, pathMaxHops)
+    require(st.peek.isEmpty, s"trailing tokens: ${st.peek.getOrElse("")}")
+    q
+  }
+
+  /** One SELECT query; when `nested` (a `{ SELECT ... }` subquery) the
+    * parse stops at the group's closing brace instead of requiring
+    * end-of-input.
+    */
+  private def parseSelect(st: Stream, pathMaxHops: Int,
+      nested: Boolean = false): Query = {
     st.expectKw("SELECT")
     val distinct = st.peekKw("DISTINCT")
     if (distinct) st.next()
@@ -206,7 +270,8 @@ object Sparql {
         st.next()
         val fn = st.next().toUpperCase
         require(
-          Set("COUNT", "MIN", "MAX", "SUM", "AVG", "GROUP_CONCAT")(fn),
+          Set("COUNT", "MIN", "MAX", "SUM", "AVG", "SAMPLE",
+            "GROUP_CONCAT")(fn),
           s"bad aggregate fn: $fn")
         st.expect("(")
         val isDistinct = st.peekKw("DISTINCT")
@@ -231,16 +296,17 @@ object Sparql {
     st.expectKw("WHERE")
     st.expect("{")
     val blk = parseBlock(st, allowOptional = true, pathMaxHops)
-    val Block(pats, opts, fils, negs, vals, unis, exs, binds) = blk
+    val Block(pats, opts, fils, negs, vals, unis, exs, binds, subs) = blk
     // BIND in-scope rule: each expression variable must be bound by the
-    // group's patterns/unions/values or an earlier BIND; the bound name
-    // must be fresh (SPARQL forbids rebinding an in-scope variable)
+    // group's patterns/unions/values/subqueries or an earlier BIND; the
+    // bound name must be fresh (SPARQL forbids rebinding an in-scope var)
     locally {
       val baseVars = scala.collection.mutable.Set[String]()
       baseVars ++= pats.flatMap(_.vars)
       baseVars ++= unis.flatMap(_.vars)
       baseVars ++= vals.flatMap(_.vars)
       baseVars ++= opts.flatMap(_.patterns.flatMap(_.vars))
+      baseVars ++= subs.flatMap(_.projection)
       binds.foreach { b =>
         val missing = b.needs.filterNot(baseVars)
         require(missing.isEmpty,
@@ -314,9 +380,11 @@ object Sparql {
         require(offset.isEmpty, "duplicate OFFSET"); offset = Some(k.toInt)
       }
     }
-    require(st.peek.isEmpty, s"trailing tokens: ${st.peek.getOrElse("")}")
-    require(pats.nonEmpty || unis.nonEmpty,
-      "WHERE block needs at least one triple pattern")
+    if (!nested)
+      require(st.peek.isEmpty,
+        s"trailing tokens: ${st.peek.getOrElse("")}")
+    require(pats.nonEmpty || unis.nonEmpty || subs.nonEmpty,
+      "WHERE block needs at least one triple pattern or subquery")
     if (aggs.nonEmpty || groupVars.nonEmpty) {
       require(aggs.nonEmpty, "GROUP BY without an aggregate in SELECT")
       val aggNames = aggs.map(_.as).toSet
@@ -330,7 +398,42 @@ object Sparql {
       groupVars.toSeq, negations = negs, valuesBlocks = vals,
       orderBy = orderBy.toSeq, limit = limit, unions = unis,
       having = having, offset = offset, existsBlocks = exs,
-      binds = binds)
+      binds = binds, subqueries = subs)
+  }
+
+  /** DESCRIBE <iri>+ | DESCRIBE ?var WHERE { ... } — the graph about a
+    * resource set (symmetric concise description, see [[evalParsed]]).
+    */
+  private def parseDescribe(st: Stream, pathMaxHops: Int): Query = {
+    st.expectKw("DESCRIBE")
+    if (st.peek.exists(_.startsWith("?"))) {
+      val v = st.next().drop(1)
+      st.expectKw("WHERE")
+      st.expect("{")
+      val b = parseBlock(st, allowOptional = true, pathMaxHops)
+      st.expect("}")
+      require(st.peek.isEmpty,
+        s"trailing tokens: ${st.peek.getOrElse("")}")
+      require(b.pats.nonEmpty || b.unis.nonEmpty || b.subs.nonEmpty,
+        "DESCRIBE ?var needs at least one WHERE pattern")
+      val inScope = (b.pats.flatMap(_.vars) ++ b.unis.flatMap(_.vars) ++
+        b.vals.flatMap(_.vars) ++ b.subs.flatMap(_.projection)).toSet
+      require(inScope(v), s"DESCRIBE var ?$v not bound in WHERE")
+      Query(Seq(v), distinct = false, b.pats, b.opts, b.fils,
+        negations = b.negs, valuesBlocks = b.vals, unions = b.unis,
+        existsBlocks = b.exs, binds = b.binds, subqueries = b.subs,
+        isDescribe = true)
+    } else {
+      val iris = scala.collection.mutable.ArrayBuffer[String]()
+      while (st.peek.nonEmpty) parseTerm(st) match {
+        case C(v) => iris += v
+        case V(n) => throw new IllegalArgumentException(
+          s"DESCRIBE takes IRIs or one leading ?var, got ?$n")
+      }
+      require(iris.nonEmpty, "DESCRIBE needs at least one IRI or ?var")
+      Query(Nil, distinct = false, Nil, Nil, Nil,
+        isDescribe = true, describeIris = iris.toSeq)
+    }
   }
 
   /** ASK WHERE? { item* } — boolean pattern-existence form. */
@@ -338,7 +441,7 @@ object Sparql {
     st.expectKw("ASK")
     if (st.peekKw("WHERE")) st.next()
     st.expect("{")
-    val Block(pats, opts, fils, negs, vals, unis, exs, binds) =
+    val Block(pats, opts, fils, negs, vals, unis, exs, binds, subs) =
       parseBlock(st, allowOptional = true, pathMaxHops)
     st.expect("}")
     require(st.peek.isEmpty, s"trailing tokens: ${st.peek.getOrElse("")}")
@@ -346,7 +449,7 @@ object Sparql {
       "ASK block needs at least one triple pattern")
     Query(Seq("ask"), distinct = false, pats, opts, fils,
       negations = negs, valuesBlocks = vals, unions = unis, isAsk = true,
-      existsBlocks = exs, binds = binds)
+      existsBlocks = exs, binds = binds, subqueries = subs)
   }
 
   /** CONSTRUCT { tmplTriple* } WHERE { item* } — template triples are
@@ -365,15 +468,16 @@ object Sparql {
     require(tmpl.nonEmpty, "CONSTRUCT needs at least one template triple")
     st.expectKw("WHERE")
     st.expect("{")
-    val Block(pats, opts, fils, negs, vals, unis, exs, binds) =
+    val Block(pats, opts, fils, negs, vals, unis, exs, binds, subs) =
       parseBlock(st, allowOptional = true, pathMaxHops)
     st.expect("}")
     require(st.peek.isEmpty, s"trailing tokens: ${st.peek.getOrElse("")}")
-    require(pats.nonEmpty || unis.nonEmpty,
-      "WHERE block needs at least one triple pattern")
+    require(pats.nonEmpty || unis.nonEmpty || subs.nonEmpty,
+      "WHERE block needs at least one triple pattern or subquery")
     val whereVars = (pats.flatMap(_.vars) ++
       opts.flatMap(_.patterns.flatMap(_.vars)) ++
-      unis.flatMap(_.vars) ++ binds.map(_.name)).toSet
+      unis.flatMap(_.vars) ++ binds.map(_.name) ++
+      subs.flatMap(_.projection)).toSet
     val tmplVars = tmpl.flatMap { case (s, p, o) =>
       Seq(s, p, o).collect { case V(n) => n }
     }
@@ -382,7 +486,8 @@ object Sparql {
       s"template vars not bound in WHERE: ${unbound.mkString(", ")}")
     Query(Seq("s", "p", "o"), distinct = true, pats, opts, fils,
       template = tmpl.toSeq, negations = negs, valuesBlocks = vals,
-      unions = unis, existsBlocks = exs, binds = binds)
+      unions = unis, existsBlocks = exs, binds = binds,
+      subqueries = subs)
   }
 
   // ---------------------------------------------------------------- //
@@ -392,7 +497,7 @@ object Sparql {
       opts: Seq[OptionalBlock], fils: Seq[Column],
       negs: Seq[NegationBlock], vals: Seq[ValuesBlock],
       unis: Seq[UnionBlock], exs: Seq[ExistsBlock],
-      binds: Seq[BindClause])
+      binds: Seq[BindClause], subs: Seq[Query])
 
   private def parseBlock(st: Stream, allowOptional: Boolean,
       pathMaxHops: Int): Block = {
@@ -404,11 +509,13 @@ object Sparql {
     val unis = scala.collection.mutable.ArrayBuffer[UnionBlock]()
     val exs = scala.collection.mutable.ArrayBuffer[ExistsBlock]()
     val binds = scala.collection.mutable.ArrayBuffer[BindClause]()
+    val subs = scala.collection.mutable.ArrayBuffer[Query]()
     def innerBlock(kind: String): (Seq[Pattern], Seq[Column]) = {
       st.expect("{")
       val b = parseBlock(st, allowOptional = false, pathMaxHops)
       require(b.opts.isEmpty && b.negs.isEmpty && b.vals.isEmpty &&
-        b.unis.isEmpty && b.exs.isEmpty && b.binds.isEmpty,
+        b.unis.isEmpty && b.exs.isEmpty && b.binds.isEmpty &&
+        b.subs.isEmpty,
         s"nested blocks in $kind")
       require(b.pats.nonEmpty, s"$kind block needs a triple pattern")
       st.expect("}")
@@ -443,6 +550,13 @@ object Sparql {
         st.expect("(")
         binds += parseBindExpr(st)
         st.expect(")")
+      } else if (st.peek.contains("{") &&
+          st.peekAt(1).exists(_.equalsIgnoreCase("SELECT"))) {
+        // { SELECT ... } — subquery / derived table
+        require(allowOptional, "nested subquery group")
+        st.expect("{")
+        subs += parseSelect(st, pathMaxHops, nested = true)
+        st.expect("}")
       } else if (st.peek.contains("{")) {
         // { branch } UNION { branch } (UNION { branch })*
         require(allowOptional, "nested UNION group")
@@ -508,7 +622,7 @@ object Sparql {
       }
     }
     Block(pats.toSeq, opts.toSeq, fils.toSeq, negs.toSeq, vals.toSeq,
-      unis.toSeq, exs.toSeq, binds.toSeq)
+      unis.toSeq, exs.toSeq, binds.toSeq, subs.toSeq)
   }
 
   /** BIND ( expr AS ?var ): expr := CONCAT ( term+ ) | STRLEN ( ?v )
@@ -661,6 +775,8 @@ object Sparql {
   private final class Stream(toks: Seq[String]) {
     private var i = 0
     def peek: Option[String] = if (i < toks.length) Some(toks(i)) else None
+    def peekAt(k: Int): Option[String] =
+      if (i + k < toks.length) Some(toks(i + k)) else None
     def peekKw(kw: String): Boolean =
       peek.exists(_.equalsIgnoreCase(kw))
     def next(): String = {

@@ -428,6 +428,29 @@ object DataQueries {
       .orderBy("token")
   }
 
+  /** Log-bucketed quantile sketch over per-doc token counts — corpus
+    * length-distribution percentiles (p50/p90/p99) without a global
+    * sort: one bounded histogram aggregation (≤1024 buckets regardless
+    * of corpus size), quantiles read off cumulative counts in pure
+    * integer arithmetic. The bucket function uses `bin()` (present
+    * verbatim in Spark AND DuckDB), so the oracle replays the sketch
+    * bit-exactly — see [[graft.sketch.QuantileHist]].
+    */
+  def sketchQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val v = spark.read.parquet(s"$dir/documents.parquet")
+      .select(size(split(col("text"), " ")).cast("long").as("v"))
+    graft.sketch.QuantileHist.quantiles(v, "v", Seq(50, 90, 99))
+      .orderBy("q")
+  }
+
+  /** Per-doc top-5 tf-idf keywords (integer-proxy score, bounded
+    * WindowGroupLimit shape — see [[TextAnalysis.keywords]]).
+    */
+  def txtKeywords(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.keywords(
+        spark.read.parquet(s"$dir/documents.parquet"), topK = 5)
+      .orderBy("doc_id", "rnk")
+
   /** Per-source distinct-token cardinality via HyperLogLog — the
     * fixed-size counterpart of sketch_distinct's KMV. Driver-checks the
     * INTEGER CORE of the register vector: count of non-zero registers,
@@ -589,6 +612,8 @@ object DataQueries {
     "sketch_hll" -> sketchHll,
     "sketch_bloom" -> sketchBloom,
     "sketch_ams" -> sketchAms,
+    "sketch_quantile" -> sketchQuantile,
+    "txt_keywords" -> txtKeywords,
     "txt_bm25" -> txtBm25,
     "mm_meta" -> mmMeta,
     "mm_resize" -> mmResize,
@@ -678,6 +703,50 @@ object DataQueries {
       s"(acc, x) -> acc + x)"
 
   val oracles: Map[String, String] = Map(
+    // log-bucketed quantile sketch replayed bit-exactly: the bucket
+    // function (bin()-derived msb + 4 mantissa bits), the cumulative
+    // walk and the bound formulas are all integer — see QuantileHist
+    "sketch_quantile" ->
+      """WITH v AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+        |  FROM documents),
+        |b AS (SELECT CASE WHEN v < 32 THEN v
+        |  ELSE (length(bin(v)) - 1) * 16
+        |     + ((v >> (length(bin(v)) - 1 - 4)) & 15) END AS bucket FROM v),
+        |h AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM b
+        |  GROUP BY bucket),
+        |c AS (SELECT bucket, cnt, SUM(cnt) OVER (ORDER BY bucket) AS cum,
+        |  SUM(cnt) OVER () AS total FROM h)
+        |SELECT q.q, c.bucket,
+        |  CASE WHEN c.bucket < 32 THEN c.bucket
+        |    ELSE (CAST(1 AS BIGINT) << CAST(c.bucket // 16 AS INT))
+        |       + (c.bucket % 16)
+        |         * (CAST(1 AS BIGINT) << CAST(c.bucket // 16 - 4 AS INT))
+        |  END AS lo,
+        |  CASE WHEN c.bucket < 32 THEN c.bucket
+        |    ELSE (CAST(1 AS BIGINT) << CAST(c.bucket // 16 AS INT))
+        |       + ((c.bucket % 16) + 1)
+        |         * (CAST(1 AS BIGINT) << CAST(c.bucket // 16 - 4 AS INT)) - 1
+        |  END AS hi
+        |FROM c JOIN (VALUES (50), (90), (99)) q(q)
+        |  ON (c.cum - c.cnt) * 100 < q.q * c.total
+        | AND q.q * c.total <= c.cum * 100
+        |ORDER BY q.q""".stripMargin,
+    // tf-idf keywords: integer-proxy score and total-order tie-break
+    // replayed verbatim; ROW_NUMBER is BIGINT on both sides
+    "txt_keywords" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM t
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM t GROUP BY term),
+        |s AS (SELECT tf.doc_id, tf.term, (tf.tf * 1000000) // df.df AS score
+        |  FROM tf JOIN df USING (term)),
+        |r AS (SELECT doc_id, term, score, ROW_NUMBER() OVER (
+        |  PARTITION BY doc_id ORDER BY score DESC, term) AS rnk FROM s)
+        |SELECT doc_id, term, CAST(score AS BIGINT) AS score, rnk FROM r
+        |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
     // bigram add-one LM: identical integer micro-nat quantization on
     // both sides (one ln per distinct bigram over exact integer counts),
     // so sums/averages are integer-exact across engines

@@ -502,6 +502,48 @@ object KgQueries {
         |} GROUP BY ?d""".stripMargin)
       .orderBy(col("d"))
 
+  /** SPARQL subquery (derived table): per-entity mention statistics
+    * computed in an inner `{ SELECT ... GROUP BY }`, joined into an
+    * outer pattern restricting to entities co-occurring with `spark`.
+    * The subquery evaluates bottom-up (one hash agg, group-cardinality
+    * output) and joins on the shared ?e — AQE broadcasts the
+    * dictionary-sized aggregate side. SAMPLE is the engine's pinned
+    * deterministic form (group MIN), replayed as MIN in the oracle.
+    */
+  def kgSubquery(spark: SparkSession, dir: String): DataFrame =
+    graft.kgql.Sparql.query(bgpTriples(spark, dir),
+      """SELECT ?e ?cnt ?d0 WHERE {
+        |  ?e <urn:graft:coOccursWith> <urn:ent:spark> .
+        |  { SELECT ?e (COUNT(?d) AS ?cnt) (SAMPLE(?d) AS ?d0) WHERE {
+        |      ?d <urn:graft:mentions> ?e
+        |  } GROUP BY ?e }
+        |} ORDER BY ?e""".stripMargin)
+
+  /** SPARQL DESCRIBE: the symmetric concise description of two
+    * entities — every graph triple with either as subject or object.
+    * Constant IRIs compile to isin filters pushed into the triple scan
+    * (ONE corpus pass, no join — the right plan however large the
+    * graph), then one distinct.
+    */
+  def kgDescribe(spark: SparkSession, dir: String): DataFrame =
+    graft.kgql.Sparql.query(bgpTriples(spark, dir),
+      "DESCRIBE <urn:ent:spark> <urn:ent:vector>")
+      .orderBy(col("s"), col("p"), col("o"))
+
+  /** HITS hubs/authorities over the DIRECTED doc→entity mention graph
+    * (docs are hubs, entities authorities — the bipartite citation
+    * reading). Integer max-normalized fixed point, 3 rounds; the oracle
+    * unrolls the identical recurrence with `//` and scalar MAX
+    * subqueries. See [[graft.canon.Hits]] for the scale shape.
+    */
+  def kgHits(spark: SparkSession, dir: String): DataFrame = {
+    val m = MentionScan.mentionsIdx(pagesDf(spark, dir), Gazetteer(gaz))
+    val edges = m.select(
+      concat(lit("urn:doc:"), col("doc_id")).as("src"),
+      entCol(col("e")).as("dst"))
+    graft.canon.Hits.run(edges, iters = 3).orderBy(col("node"))
+  }
+
   /** Per-node triangle counts over the part–part "ordered together"
     * projection (parts sharing an order, l_orderkey < 300; numeric
     * a < b orientation so every triangle counts once). Graph-density /
@@ -590,7 +632,10 @@ object KgQueries {
     "kg_ask" -> kgAsk,
     "kg_exists" -> kgExists,
     "kg_bind" -> kgBind,
-    "kg_group_concat" -> kgGroupConcat
+    "kg_group_concat" -> kgGroupConcat,
+    "kg_subquery" -> kgSubquery,
+    "kg_describe" -> kgDescribe,
+    "kg_hits" -> kgHits
   )
 
   /** Unrolled Bellman-Ford SQL: d{k} from d{k-1} via the identical
@@ -639,6 +684,34 @@ object KgQueries {
     * fixed-point recurrence (DuckDB `//` = floor division; all values
     * positive, so it matches Spark's `div` truncation).
     */
+  /** HITS oracle: the identical integer max-normalized mutual
+    * recurrence, unrolled — each half-round is one join+SUM plus a
+    * scalar-MAX normalization with `//` floor division.
+    */
+  private lazy val hitsSql: String = {
+    val sc = graft.canon.Hits.Scale
+    val rounds = (1 to 3).map { k =>
+      s"""a${k}r AS (SELECT e.dst AS node, SUM(h.h) AS raw
+         |  FROM e JOIN h${k - 1} h ON e.src = h.node GROUP BY e.dst),
+         |a$k AS (SELECT node,
+         |  CAST((raw * $sc) // (SELECT MAX(raw) FROM a${k}r) AS BIGINT) AS a
+         |  FROM a${k}r),
+         |h${k}r AS (SELECT e.src AS node, SUM(a$k.a) AS raw
+         |  FROM e JOIN a$k ON e.dst = a$k.node GROUP BY e.src),
+         |h$k AS (SELECT node,
+         |  CAST((raw * $sc) // (SELECT MAX(raw) FROM h${k}r) AS BIGINT) AS h
+         |  FROM h${k}r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $tokensCte,
+       |e AS (SELECT 'urn:doc:' || doc_id AS src, 'urn:ent:' || entity AS dst FROM m),
+       |h0 AS (SELECT DISTINCT src AS node, CAST($sc AS BIGINT) AS h FROM e),
+       |$rounds
+       |SELECT COALESCE(h3.node, a3.node) AS node,
+       |  COALESCE(h3.h, 0) AS hub, COALESCE(a3.a, 0) AS auth
+       |FROM h3 FULL OUTER JOIN a3 ON h3.node = a3.node
+       |ORDER BY node""".stripMargin
+  }
+
   private lazy val pagerankSql: String = {
     val iters = (1 to 5).map { k =>
       s"""s$k AS (
@@ -893,6 +966,33 @@ object KgQueries {
          |mt AS (SELECT 'urn:doc:' || doc_id AS d, 'urn:ent:' || entity AS e FROM m)
          |SELECT d, string_agg(e, ',' ORDER BY e) AS ents, COUNT(e) AS n
          |FROM mt GROUP BY d ORDER BY d""".stripMargin,
+    // subquery replay: the inner aggregate as a CTE joined on ?e;
+    // SAMPLE is the engine's pinned MIN
+    "kg_subquery" ->
+      s"""WITH $tokensCte,
+         |co AS (SELECT DISTINCT 'urn:ent:' || a.entity AS e
+         |  FROM m a JOIN m b ON a.doc_id = b.doc_id
+         |  WHERE b.entity = 'spark' AND a.entity < 'spark'),
+         |sub AS (SELECT 'urn:ent:' || entity AS e,
+         |  CAST(COUNT(*) AS BIGINT) AS cnt,
+         |  MIN('urn:doc:' || doc_id) AS d0 FROM m GROUP BY 1)
+         |SELECT co.e AS e, sub.cnt, sub.d0
+         |FROM co JOIN sub ON sub.e = co.e ORDER BY e""".stripMargin,
+    // DESCRIBE replay: rebuild the triple graph (mentions ∪ ordered
+    // co-occurrence pairs), slice on subject-or-object membership
+    "kg_describe" ->
+      s"""WITH $tokensCte,
+         |mt AS (SELECT 'urn:doc:' || doc_id AS s, 'urn:graft:mentions' AS p,
+         |  'urn:ent:' || entity AS o FROM m),
+         |co AS (SELECT DISTINCT 'urn:ent:' || a.entity AS s,
+         |  'urn:graft:coOccursWith' AS p, 'urn:ent:' || b.entity AS o
+         |  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.entity < b.entity),
+         |g AS (SELECT s, p, o FROM mt UNION SELECT s, p, o FROM co)
+         |SELECT DISTINCT s, p, o FROM g
+         |WHERE s IN ('urn:ent:spark', 'urn:ent:vector')
+         |   OR o IN ('urn:ent:spark', 'urn:ent:vector')
+         |ORDER BY s, p, o""".stripMargin,
+    "kg_hits" -> hitsSql,
     // replays PageGen's closed-form crawl-time scatter directly
     "kg_timeline" ->
       s"""WITH $tokensCte,

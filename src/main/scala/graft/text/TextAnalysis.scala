@@ -269,4 +269,41 @@ object TextAnalysis {
       }
       .toDF("doc_id", "fingerprint", "n_windows")
   }
+
+  /** Per-document top-k keyword extraction by tf-idf — the classic
+    * salience signal for corpus exploration and weak topic labels over
+    * a training corpus. The idf factor is the INTEGER proxy
+    * `score = tf·10^6 div df`: monotone in tf/df like tf·ln(N/df) for
+    * ranking within a document (N is constant per corpus snapshot and
+    * df's ordering survives the log), but exactly replayable — a float
+    * ln would leave the ranking hostage to lib-specific last-ulp
+    * rounding at ties.
+    *
+    * Plan shape: one (doc, term) hash agg for tf and one term-keyed agg
+    * for df (both map-side combined), an equi-join on term (df is
+    * vocabulary-scale — AQE broadcasts it under threshold), then the
+    * per-doc top-k as a `row_number() <= k` filter that Spark 4's
+    * InsertWindowGroupLimits bounds BELOW the exchange (Partial
+    * WindowGroupLimit — ≤ k rows per doc per map task cross the wire,
+    * the same verified shape as dd_domain_cap / WindowGroupLimitSpec).
+    * Ties break on term ascending — total order, deterministic.
+    */
+  def keywords(docs: DataFrame, topK: Int = 5): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .select(col("doc_id"), col("term"),
+        expr("(tf * 1000000) div df").as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select("doc_id", "term", "score", "rnk")
+  }
 }

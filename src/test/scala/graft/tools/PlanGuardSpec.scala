@@ -13,14 +13,17 @@ import graft.SparkSpec
   *  - txt_bm25: per-(doc, term) scores × the (N, L) corpus-scalar row
   *    (`text/Bm25.scala` scalars), broadcast 1 row;
   *  - sketch_bloom: probe verdicts × the filter-popcount scalar
-  *    (`queries/DataQueries.scala` popcount), broadcast 1 row.
+  *    (`queries/DataQueries.scala` popcount), broadcast 1 row;
+  *  - kg_hits: per-half-round max-normalization — node scores × the
+  *    1-row MAX(raw) scalar (`canon/Hits.scala` normalize).
   * Any new query whose join degenerates to a nested loop over real
   * relations fails here before it can reach the driver.
   */
 class PlanGuardSpec extends SparkSpec {
 
   private val scalarBnljAllowed =
-    Set("onto_limits", "txt_perplexity", "txt_bm25", "sketch_bloom")
+    Set("onto_limits", "txt_perplexity", "txt_bm25", "sketch_bloom",
+      "kg_hits")
 
   test("no cartesian products; BNLJ only for 1-row scalar broadcasts") {
     val dir = "/root/testdata/sf0.001"
