@@ -89,6 +89,45 @@ object GraphAlgs {
     * (dst, label) count agg, one argmax agg — all map-side combined;
     * label width is bounded by the node-id width.
     */
+  /** k-core peeling (Seidman 1983; the synchronous distributed form):
+    * each round drops every node whose current degree is below k along
+    * with its incident edges, repeated `rounds` times. Fixed rounds
+    * keep the unrolled SQL oracle finite and make the result a pure
+    * function of the input — synchronous peeling is partitioning-
+    * invariant by construction (degree counts are commutative sums;
+    * membership is a threshold on them). When a round removes nothing,
+    * the remaining graph IS the k-core; callers size `rounds` to the
+    * peel depth they need (peel depth, not diameter, bounds it — on
+    * power-law graphs a handful of rounds strips the whole tail).
+    *
+    * edges(src, dst): pass both directions for an undirected graph.
+    * Scale shape per round: one map-side-combined degree agg (16-byte
+    * rows) + two LEFT SEMI joins of the edge list against the
+    * (node-cardinality) survivor set — shuffle ∝ edges at fixed width,
+    * like every iterative op here; the survivor side broadcasts under
+    * AQE whenever the graph's node set fits.
+    *
+    * Returns (node, deg): survivors of the last round with their
+    * remaining degree.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val alive = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src"))
+      e = e.join(alive, Seq("src"), "left_semi")
+        .join(alive.withColumnRenamed("src", "dst"), Seq("dst"),
+          "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+    }
+    e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+  }
+
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src"))

@@ -451,6 +451,18 @@ object DataQueries {
         spark.read.parquet(s"$dir/documents.parquet"), topK = 5)
       .orderBy("doc_id", "rnk")
 
+  /** Context-window chunking with overlap (64-token windows, 16-token
+    * left context) — docs → training sequences, entirely in-row, zero
+    * shuffles (see [[TextAnalysis.chunk]]). The oracle replays the
+    * integer chunk arithmetic and every slice via
+    * generate_series/list_slice.
+    */
+  def txtChunk(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunk(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        window = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_idx")
+
   /** Per-source distinct-token cardinality via HyperLogLog — the
     * fixed-size counterpart of sketch_distinct's KMV. Driver-checks the
     * INTEGER CORE of the register vector: count of non-zero registers,
@@ -614,6 +626,7 @@ object DataQueries {
     "sketch_ams" -> sketchAms,
     "sketch_quantile" -> sketchQuantile,
     "txt_keywords" -> txtKeywords,
+    "txt_chunk" -> txtChunk,
     "txt_bm25" -> txtBm25,
     "mm_meta" -> mmMeta,
     "mm_resize" -> mmResize,
@@ -747,6 +760,24 @@ object DataQueries {
         |  PARTITION BY doc_id ORDER BY score DESC, term) AS rnk FROM s)
         |SELECT doc_id, term, CAST(score AS BIGINT) AS score, rnk FROM r
         |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
+    // chunk arithmetic + slices replayed: stride 48 = 64 - 16,
+    // nChunks = 1 if n<=64 else ceil((n-64)/48)+1 in integer math;
+    // list_slice is 1-based inclusive ≡ Spark slice(arr, start, 64)
+    "txt_chunk" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+        |  CASE WHEN len(toks) <= 64 THEN 1
+        |       ELSE ((len(toks) - 64) + 47) // 48 + 1 END AS nc FROM t),
+        |c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, toks, n
+        |  FROM s, unnest(generate_series(0, nc - 1)) AS g(i))
+        |SELECT doc_id, chunk_idx,
+        |  CAST(chunk_idx * 48 AS BIGINT) AS start,
+        |  array_to_string(list_slice(toks, chunk_idx * 48 + 1,
+        |    chunk_idx * 48 + 64), ' ') AS chunk,
+        |  CAST(LEAST(64, n - chunk_idx * 48) AS BIGINT) AS n_toks
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     // bigram add-one LM: identical integer micro-nat quantization on
     // both sides (one ln per distinct bigram over exact integer counts),
     // so sums/averages are integer-exact across engines

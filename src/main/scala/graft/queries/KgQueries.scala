@@ -601,6 +601,26 @@ object KgQueries {
     graft.canon.GraphAlgs.labelPropagation(und, rounds = 4).orderBy("node")
   }
 
+  /** Dense-substructure mining: 4 synchronous peel rounds toward the
+    * 3-core of the same bipartite graph as kg_lpa/kg_cc — the graph-
+    * quality filter that strips weakly-connected tail entities before
+    * expensive downstream analytics. The oracle replays every peel
+    * round (degree agg → threshold → two endpoint semi-joins) verbatim;
+    * see [[graft.canon.GraphAlgs.kCore]] for the scale shape.
+    */
+  def kgKcore(spark: SparkSession, dir: String): DataFrame = {
+    // wider order window than kg_lpa: the < 500 slice 3-core peels to
+    // empty at sf0.01 — a 0-row result would be a vacuous oracle check
+    val e0 = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_orderkey") < 2000)
+      .select(concat(lit("o"), col("l_orderkey")).as("a"),
+        concat(lit("p"), col("l_partkey")).as("b"))
+      .distinct()
+    val und = e0.select(col("a").as("src"), col("b").as("dst"))
+      .union(e0.select(col("b").as("src"), col("a").as("dst")))
+    graft.canon.GraphAlgs.kCore(und, k = 3, rounds = 4).orderBy("node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_extract_text" -> kgExtractText,
     "kg_mentions" -> kgMentions,
@@ -635,7 +655,8 @@ object KgQueries {
     "kg_group_concat" -> kgGroupConcat,
     "kg_subquery" -> kgSubquery,
     "kg_describe" -> kgDescribe,
-    "kg_hits" -> kgHits
+    "kg_hits" -> kgHits,
+    "kg_kcore" -> kgKcore
   )
 
   /** Unrolled Bellman-Ford SQL: d{k} from d{k-1} via the identical
@@ -710,6 +731,28 @@ object KgQueries {
        |  COALESCE(h3.h, 0) AS hub, COALESCE(a3.a, 0) AS auth
        |FROM h3 FULL OUTER JOIN a3 ON h3.node = a3.node
        |ORDER BY node""".stripMargin
+  }
+
+  /** k-core oracle: every peel round unrolled — degree CTE, ≥k
+    * threshold, both-endpoint inner joins against the (distinct)
+    * survivor set (≡ the engine's semi-joins).
+    */
+  private lazy val kcoreSql: String = {
+    val rounds = (1 to 4).map { r =>
+      s"""d$r AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM e${r - 1} GROUP BY src),
+         |a$r AS (SELECT src AS n FROM d$r WHERE deg >= 3),
+         |e$r AS (SELECT e.src, e.dst FROM e${r - 1} e
+         |  JOIN a$r x ON e.src = x.n JOIN a$r y ON e.dst = y.n)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT 'o' || l_orderkey AS a,
+       |  'p' || l_partkey AS b FROM lineitem WHERE l_orderkey < 2000),
+       |e0 AS (SELECT a AS src, b AS dst FROM li
+       |       UNION ALL SELECT b, a FROM li),
+       |$rounds
+       |SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+       |FROM e4 GROUP BY src ORDER BY node""".stripMargin
   }
 
   private lazy val pagerankSql: String = {
@@ -993,6 +1036,7 @@ object KgQueries {
          |   OR o IN ('urn:ent:spark', 'urn:ent:vector')
          |ORDER BY s, p, o""".stripMargin,
     "kg_hits" -> hitsSql,
+    "kg_kcore" -> kcoreSql,
     // replays PageGen's closed-form crawl-time scatter directly
     "kg_timeline" ->
       s"""WITH $tokensCte,

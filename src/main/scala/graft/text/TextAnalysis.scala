@@ -306,4 +306,45 @@ object TextAnalysis {
       .filter(col("rnk") <= topK)
       .select("doc_id", "term", "score", "rnk")
   }
+
+  /** Context-window chunking with overlap — the step that turns curated
+    * documents into fixed-size training sequences while keeping `overlap`
+    * tokens of left context at every boundary (the standard chunking
+    * shape for pretraining and RAG indexing; contrast [[graft.mix.Mix]]'s
+    * txt_pack, which concatenates ACROSS documents without overlap).
+    *
+    * Entirely in-row: tokens, chunk count and every chunk's slice come
+    * from one codegen'd projection + one `explode(sequence(...))` —
+    * no shuffle at all (the ideal shape for a full-corpus rewrite; the
+    * output is written straight back out partition-aligned with the
+    * input). Chunk arithmetic is integer: stride = window − overlap,
+    * nChunks = 1 if n ≤ window else ceil((n − window)/stride) + 1 —
+    * the last chunk always ends exactly at the document end or earlier
+    * chunks cover it, and every token index < n appears in ≥ 1 chunk.
+    *
+    * Returns (doc_id, chunk_idx, start, chunk, n_toks).
+    */
+  def chunk(docs: DataFrame, window: Int = 64, overlap: Int = 16)
+      : DataFrame = {
+    require(window > overlap && overlap >= 0,
+      s"need window > overlap >= 0, got $window/$overlap")
+    val stride = window - overlap
+    docs
+      .withColumn("toks",
+        filter(split(col("text"), " "), t => t =!= ""))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("nc", expr(
+        s"case when n <= $window then 1L " +
+          s"else ((n - $window) + ${stride - 1}) div $stride + 1L end"))
+      .select(col("doc_id"),
+        explode(expr("sequence(0L, nc - 1)")).as("chunk_idx"),
+        col("toks"), col("n"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start"),
+        array_join(expr(
+          s"slice(toks, int(chunk_idx * $stride) + 1, $window)"), " ")
+          .as("chunk"),
+        least(lit(window.toLong), col("n") - col("chunk_idx") * stride)
+          .as("n_toks"))
+  }
 }
