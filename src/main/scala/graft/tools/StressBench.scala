@@ -52,7 +52,7 @@ object StressBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sections = sys.env.getOrElse("SPARK_GRAFT_STRESS_SECTIONS",
       "cc,dd,kg,inc,ivf,ivfpq,skew,lines,pagerank,spans,path,asof,range," +
-        "domcap,sketch,bm25,tri")
+        "domcap,sketch,bm25,tri,hits,kcore,quantile,chunk,keywords")
       .split(",").map(_.trim).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -634,6 +634,98 @@ object StressBench {
       }
       frags += s""""tri_300":${triStats(300)}"""
       frags += s""""tri_3000":${triStats(3000)}"""
+    }
+
+    // ---- HITS: wall vs graph size (same shape claim as pagerank) -------
+    if (sections("hits")) {
+      def hitsStats(dir: String): (Long, Long, Double) = {
+        val pages = graft.pages.PageGen.pages(spark, dir)
+        val nEdges = graft.extract.MentionScan.mentionsIdx(pages,
+          graft.extract.Gazetteer(
+            graft.extract.Gazetteer.DefaultEntities)).count()
+        val (nNodes, secs) = time {
+          graft.queries.KgQueries.kgHits(spark, dir).count()
+        }
+        (nNodes, nEdges, secs)
+      }
+      val (n1, e1, s1) = hitsStats(base)
+      frags += s""""hits_1x":{"nodes":$n1,"edges":$e1,"sec":$s1}"""
+      if (sections("kg") || sections("inc")) {
+        val (nN, eN, sN) = hitsStats(s"$out/kg")
+        frags += s""""hits_Nx":{"nodes":$nN,"edges":$eN,"sec":$sN}"""
+      }
+    }
+
+    // ---- k-core: survivors grow ∝ subgraph window -----------------------
+    if (sections("kcore")) {
+      def kcStats(cut: Int): String = {
+        val li = spark.read.parquet(s"$base/lineitem.parquet")
+          .filter(col("l_orderkey") < cut)
+          .select(concat(lit("o"), col("l_orderkey")).as("a"),
+            concat(lit("p"), col("l_partkey")).as("b"))
+          .distinct()
+        val und = li.select(col("a").as("src"), col("b").as("dst"))
+          .union(li.select(col("b").as("src"), col("a").as("dst")))
+          .localCheckpoint()
+        val nE = und.count() / 2
+        val (r, secs) = time {
+          graft.canon.GraphAlgs.kCore(und, 3, 4)
+            .agg(count(lit(1)), coalesce(sum("deg"), lit(0L))).head
+        }
+        s"""{"edges":$nE,"core_nodes":${r.getLong(0)},""" +
+          s""""core_deg_sum":${r.getLong(1)},"sec":$secs}"""
+      }
+      frags += s""""kcore_2k":${kcStats(2000)}"""
+      frags += s""""kcore_20k":${kcStats(20000)}"""
+    }
+
+    // ---- quantile sketch: buckets FIXED while corpus grows REPx ---------
+    if (sections("quantile")) {
+      def qStats(dir: String): String = {
+        val d = spark.read.parquet(s"$dir/documents.parquet")
+        val v = d.select(size(split(col("text"), " ")).cast("long").as("v"))
+        val ((nb, tot, los), secs) = time {
+          val hist = graft.sketch.QuantileHist.histogram(v, "v")
+            .localCheckpoint()
+          val nb = hist.count()
+          val tot = hist.agg(sum("cnt")).head.getLong(0)
+          val los = graft.sketch.QuantileHist
+            .quantiles(v, "v", Seq(50, 90, 99)).orderBy("q").collect()
+            .map(_.getLong(2)).mkString("[", ",", "]")
+          (nb, tot, los)
+        }
+        s"""{"buckets":$nb,"total":$tot,"q_lo":$los,"sec":$secs}"""
+      }
+      frags += s""""quantile_1x":${qStats(base)}"""
+      if (sections("kg") || sections("inc"))
+        frags += s""""quantile_Nx":${qStats(s"$out/kg")}"""
+    }
+
+    // ---- chunking + keywords: output exactly ∝ corpus -------------------
+    if (sections("chunk")) {
+      def cStats(dir: String): String = {
+        val d = spark.read.parquet(s"$dir/documents.parquet")
+        val (r, secs) = time {
+          graft.text.TextAnalysis.chunk(d, 64, 16)
+            .agg(count(lit(1)), sum("n_toks")).head
+        }
+        s"""{"chunks":${r.getLong(0)},"toks":${r.getLong(1)},"sec":$secs}"""
+      }
+      frags += s""""chunk_1x":${cStats(base)}"""
+      if (sections("kg") || sections("inc"))
+        frags += s""""chunk_Nx":${cStats(s"$out/kg")}"""
+    }
+    if (sections("keywords")) {
+      def kwStats(dir: String): String = {
+        val d = spark.read.parquet(s"$dir/documents.parquet")
+        val (n, secs) = time {
+          graft.text.TextAnalysis.keywords(d, 5).count()
+        }
+        s"""{"rows":$n,"sec":$secs}"""
+      }
+      frags += s""""keywords_1x":${kwStats(base)}"""
+      if (sections("kg") || sections("inc"))
+        frags += s""""keywords_Nx":${kwStats(s"$out/kg")}"""
     }
 
     println(frags.mkString("{", ",", "}"))
