@@ -249,6 +249,28 @@ object RelationalQueries {
       .orderBy(col("purchase_id"), col("signup_id"))
   }
 
+  /** PIVOT — long-to-wide reshaping, the one OLAP form Catalyst plans
+    * specially (a single-pass conditional aggregation over the pivot
+    * value list, NOT one scan per column): yearly revenue by order
+    * status. Values are enumerated explicitly (`Seq("F","O","P")`) so
+    * the plan skips the extra distinct-values job Spark otherwise runs,
+    * and the oracle replays each cell as a FILTERed aggregate. Money
+    * sums go through DECIMAL(18,2) per the q1 exactness convention;
+    * absent cells coalesce to 0 on both sides.
+    */
+  def q15Pivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(year(col("o_orderdate")).cast("long").as("yr"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("tp"))
+      .groupBy("yr").pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(col("tp")))
+      .select(col("yr"),
+        coalesce(col("F").cast("double"), lit(0.0)).as("f_rev"),
+        coalesce(col("O").cast("double"), lit(0.0)).as("o_rev"),
+        coalesce(col("P").cast("double"), lit(0.0)).as("p_rev"))
+      .orderBy("yr")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg,
     "q2_join_agg" -> q2JoinAgg,
@@ -263,7 +285,8 @@ object RelationalQueries {
     "q11_asof" -> q11Asof,
     "q12_asof_outer" -> q12AsofOuter,
     "q13_session" -> q13Session,
-    "q14_range" -> q14Range
+    "q14_range" -> q14Range,
+    "q15_pivot" -> q15Pivot
   )
 
   val oracles: Map[String, String] = Map(
@@ -314,6 +337,16 @@ object RelationalQueries {
         |SELECT p.purchase_id, p.user_id, p.ts AS p_ts, c.click_id, c.c_ts
         |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.c_ts
         |ORDER BY purchase_id""".stripMargin,
+    // PIVOT cells ≡ FILTERed aggregates over the explicit value list
+    "q15_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (o_orderstatus = 'F'), 0) AS DOUBLE) AS f_rev,
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (o_orderstatus = 'O'), 0) AS DOUBLE) AS o_rev,
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (o_orderstatus = 'P'), 0) AS DOUBLE) AS p_rev
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
