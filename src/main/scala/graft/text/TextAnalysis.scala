@@ -279,10 +279,18 @@ object TextAnalysis {
     * ln would leave the ranking hostage to lib-specific last-ulp
     * rounding at ties.
     *
-    * Plan shape: one (doc, term) hash agg for tf and one term-keyed agg
-    * for df (both map-side combined), an equi-join on term (df is
-    * vocabulary-scale — AQE broadcasts it under threshold), then the
-    * per-doc top-k as a `row_number() <= k` filter that Spark 4's
+    * Plan shape: ONE corpus scan — the (doc, term) tf hash agg is
+    * localCheckpointed and feeds both join sides, because df is just
+    * the tf relation re-aggregated by term (tf rows are already
+    * distinct per (doc, term), so a plain count IS the document
+    * frequency — no second scan, no countDistinct). The checkpoint is
+    * deliberate: the two consumers' canonical plans differ enough that
+    * ReuseExchange does NOT fire (measured — 2 scans without it), and
+    * re-deriving tf means re-scanning and re-exploding the corpus; the
+    * materialized relation is hash-width (doc_id, term, tf), a small
+    * fraction of the text it came from. The join on term keeps the
+    * vocabulary-scale df side broadcastable under AQE; the per-doc
+    * top-k is a `row_number() <= k` filter that Spark 4's
     * InsertWindowGroupLimits bounds BELOW the exchange (Partial
     * WindowGroupLimit — ≤ k rows per doc per map task cross the wire,
     * the same verified shape as dd_domain_cap / WindowGroupLimitSpec).
@@ -294,8 +302,9 @@ object TextAnalysis {
       .filter(col("term") =!= "")
     val tf = toks.groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
-    val dfreq = toks.groupBy("term")
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id")
       .orderBy(col("score").desc, col("term"))
