@@ -40,7 +40,16 @@ import org.apache.spark.sql.functions._
   * expr     := operand op operand        op ∈ { = != < <= > >= }
   *           | STRFN ( ?var "literal" )
   *             STRFN ∈ { STRSTARTS STRENDS CONTAINS REGEX }
+  *           | BOUND ( ?var ) | ! BOUND ( ?var )
+  * operand  := ?name | <iri> | "literal" | integer
   * }}}
+  * A bare integer operand makes the comparison NUMERIC (SPARQL's
+  * xsd:integer ordering): the other side's bindings go through
+  * `try_cast` to BIGINT, so a non-numeric binding becomes unbound and
+  * the filter drops the row — the engine's lenient form of SPARQL's
+  * type error → false rule. Quoted literals and IRIs keep plain
+  * string ordering. BOUND/!BOUND test null-ness of an OPTIONAL
+  * binding (isNotNull/isNull — SPARQL's bound()).
   * Path operators follow SPARQL 1.1's translation: `^` `/` `|` rewrite
   * to joins/unions and keep BAG semantics; `+` is the set-semantic
   * bounded closure (Δ-BFS, [[PropertyPath]]). Aggregates follow SPARQL
@@ -715,10 +724,32 @@ object Sparql {
     else throw new IllegalArgumentException(s"bad term: $t")
   }
 
+  private sealed trait Operand
+  private final case class OVar(n: String) extends Operand
+  private final case class OStr(v: String) extends Operand
+  private final case class ONum(v: Long) extends Operand
+
   private def parseExpr(st: Stream): Column = {
-    def operand(): Either[String, String] = parseTerm(st) match {
-      case V(n) => Left(n)
-      case C(v) => Right(v)
+    def operand(): Operand =
+      if (st.peek.exists(t => t.nonEmpty && t.forall(_.isDigit)))
+        ONum(st.next().toLong)
+      else parseTerm(st) match {
+        case V(n) => OVar(n)
+        case C(v) => OStr(v)
+      }
+    // BOUND ( ?v ) / ! BOUND ( ?v ): null test on an OPTIONAL binding
+    if (st.peekKw("BOUND") ||
+        (st.peek.contains("!") && st.peekAt(1).exists(
+          _.equalsIgnoreCase("BOUND")))) {
+      val negated = st.peek.contains("!")
+      if (negated) st.next()
+      st.next() // BOUND
+      st.expect("(")
+      val v = st.next()
+      require(v.startsWith("?"), s"BOUND needs a ?var, got $v")
+      st.expect(")")
+      return if (negated) col(v.drop(1)).isNull
+        else col(v.drop(1)).isNotNull
     }
     // string predicates: STRSTARTS/STRENDS/CONTAINS/REGEX ( ?v "lit" ) —
     // compile to startswith/endswith/contains/rlike, all codegen'd
@@ -747,8 +778,15 @@ object Sparql {
     val l = operand()
     val op = st.next()
     val r = operand()
-    def c(x: Either[String, String]): Column =
-      x.fold(col, lit)
+    // a bare-integer side makes the comparison numeric: the other
+    // side's bindings try_cast to BIGINT (non-numeric → unbound →
+    // row dropped, SPARQL's type-error→false)
+    val numeric = l.isInstanceOf[ONum] || r.isInstanceOf[ONum]
+    def c(x: Operand): Column = x match {
+      case OVar(n) => if (numeric) col(n).try_cast("long") else col(n)
+      case OStr(v) => lit(v)
+      case ONum(v) => lit(v)
+    }
     op match {
       case "=" => c(l) === c(r)
       case "!=" => c(l) =!= c(r)
