@@ -30,6 +30,7 @@ import org.apache.spark.sql.functions._
   *           | { item* } UNION { item* } ( UNION { item* } )*
   *           | { select }                    -- subquery (derived table)
   * bexpr    := CONCAT ( term+ ) | STRLEN ( ?var ) | term
+  *           | IF ( expr term term ) | COALESCE ( term+ )
   * triple   := term path? term               -- path in predicate position
   * path     := pseq ('|' pseq)*              -- alternation (bag union)
   * pseq     := pelt ('/' pelt)*              -- sequence (bag join)
@@ -657,6 +658,26 @@ object Sparql {
         val c = termCol()
         st.expect(")")
         length(c).cast("long")
+      } else if (st.peekKw("IF")) {
+        // IF ( expr term term ) — SPARQL's functional if: the condition
+        // reuses the FILTER expression grammar (incl. BOUND and numeric
+        // comparisons); an error-valued (null) condition yields the
+        // else branch via when()'s otherwise, matching the spec's
+        // effective-boolean-value-of-error → false
+        st.next(); st.expect("(")
+        val cond = parseExpr(st, needs)
+        val thenC = termCol()
+        val elseC = termCol()
+        st.expect(")")
+        when(cond, thenC).otherwise(elseC)
+      } else if (st.peekKw("COALESCE")) {
+        // COALESCE ( term+ ) — first bound (non-null) argument; the
+        // standard OPTIONAL-default idiom
+        st.next(); st.expect("(")
+        val parts = scala.collection.mutable.ArrayBuffer(termCol())
+        while (!st.peek.contains(")")) parts += termCol()
+        st.expect(")")
+        coalesce(parts.toSeq: _*)
       } else termCol()
     st.expectKw("AS")
     val v = st.next()
@@ -729,12 +750,21 @@ object Sparql {
   private final case class OStr(v: String) extends Operand
   private final case class ONum(v: Long) extends Operand
 
-  private def parseExpr(st: Stream): Column = {
+  /** FILTER / IF-condition expression. When `needs` is non-null every
+    * variable the expression reads is appended (BIND's in-scope check).
+    */
+  private def parseExpr(st: Stream,
+      needs: scala.collection.mutable.ArrayBuffer[String] = null)
+      : Column = {
+    def noteVar(n: String): String = {
+      if (needs != null) needs += n
+      n
+    }
     def operand(): Operand =
       if (st.peek.exists(t => t.nonEmpty && t.forall(_.isDigit)))
         ONum(st.next().toLong)
       else parseTerm(st) match {
-        case V(n) => OVar(n)
+        case V(n) => OVar(noteVar(n))
         case C(v) => OStr(v)
       }
     // BOUND ( ?v ) / ! BOUND ( ?v ): null test on an OPTIONAL binding
@@ -748,8 +778,8 @@ object Sparql {
       val v = st.next()
       require(v.startsWith("?"), s"BOUND needs a ?var, got $v")
       st.expect(")")
-      return if (negated) col(v.drop(1)).isNull
-        else col(v.drop(1)).isNotNull
+      return if (negated) col(noteVar(v.drop(1))).isNull
+        else col(noteVar(v.drop(1))).isNotNull
     }
     // string predicates: STRSTARTS/STRENDS/CONTAINS/REGEX ( ?v "lit" ) —
     // compile to startswith/endswith/contains/rlike, all codegen'd
@@ -767,7 +797,7 @@ object Sparql {
           s"$fn needs a literal second argument, got ?$n")
       }
       st.expect(")")
-      val c = col(v.drop(1))
+      val c = col(noteVar(v.drop(1)))
       return fn match {
         case "STRSTARTS" => c.startsWith(arg)
         case "STRENDS" => c.endsWith(arg)

@@ -70,4 +70,48 @@ class FilterSemanticsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("BOUND needs a ?var"))
   }
+
+  test("BIND IF: numeric condition selects per-row branches") {
+    val out = rows(
+      """SELECT ?s ?sz WHERE {
+        |  ?s <n> ?v .
+        |  BIND ( IF ( ?v > 9 "big" "small" ) AS ?sz )
+        |}""".stripMargin)
+    // "oops" try_casts to null → condition error → else branch (spec's
+    // EBV-of-error handling under when/otherwise)
+    assert(out == Seq(Seq("a", "small"), Seq("b", "big"),
+      Seq("c", "big"), Seq("d", "small")))
+  }
+
+  test("BIND COALESCE defaults an unbound OPTIONAL var") {
+    val out = rows(
+      """SELECT ?s ?w2 WHERE {
+        |  ?s <n> ?v .
+        |  OPTIONAL { ?s <m> ?w }
+        |  BIND ( COALESCE ( ?w "none" ) AS ?w2 )
+        |}""".stripMargin)
+    assert(out == Seq(Seq("a", "x"), Seq("b", "y"),
+      Seq("c", "none"), Seq("d", "none")))
+  }
+
+  test("IF condition with BOUND composes") {
+    val out = rows(
+      """SELECT ?s ?tag WHERE {
+        |  ?s <n> ?v .
+        |  OPTIONAL { ?s <m> ?w }
+        |  BIND ( IF ( BOUND ( ?w ) ?w "missing" ) AS ?tag )
+        |}""".stripMargin)
+    assert(out == Seq(Seq("a", "x"), Seq("b", "y"),
+      Seq("c", "missing"), Seq("d", "missing")))
+  }
+
+  test("BIND in-scope check still applies through IF conditions") {
+    val e = intercept[IllegalArgumentException] {
+      Sparql.parse(
+        """SELECT ?s WHERE {
+          |  ?s <n> ?v . BIND ( IF ( ?zz > 1 "a" "b" ) AS ?t )
+          |}""".stripMargin)
+    }
+    assert(e.getMessage.contains("unbound"))
+  }
 }
