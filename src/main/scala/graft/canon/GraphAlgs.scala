@@ -115,9 +115,15 @@ object GraphAlgs {
       .repartition(col("src"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
+      // checkpoint the (node-cardinality) survivor set: it feeds BOTH
+      // endpoint semi-joins, and the renamed dst side means the degree
+      // agg would otherwise execute twice per round (ReuseExchange does
+      // not fire across renamed branches — measured on the same pattern
+      // in TextAnalysis.keywords)
       val alive = e.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("src"))
+        .localCheckpoint()
       e = e.join(alive, Seq("src"), "left_semi")
         .join(alive.withColumnRenamed("src", "dst"), Seq("dst"),
           "left_semi")

@@ -43,8 +43,14 @@ object Hits {
     * auth 0, entities hub 0).
     */
   def run(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"HITS needs >= 1 iteration, got $iters")
     val e = edges.repartition(col("src")).localCheckpoint()
-    def normalize(raw: DataFrame, out: String): DataFrame = {
+    // the raw join+agg is consumed twice (scalar MAX and the normalize
+    // projection); checkpoint it so the edge-scale join runs ONCE per
+    // half-round — ReuseExchange does not fire across these branches
+    // (measured on the same pattern in TextAnalysis.keywords)
+    def normalize(raw0: DataFrame, out: String): DataFrame = {
+      val raw = raw0.localCheckpoint()
       val mx = raw.agg(max(col("raw")).as("mx"))
       raw.crossJoin(broadcast(mx))
         .select(col("node"),
@@ -57,11 +63,11 @@ object Hits {
       val araw = e.join(hub, e("src") === hub("node"))
         .groupBy(e("dst")).agg(sum(col("h")).as("raw"))
         .select(col("dst").as("node"), col("raw"))
-      auth = normalize(araw, "a").localCheckpoint()
+      auth = normalize(araw, "a")
       val hraw = e.join(auth, e("dst") === auth("node"))
         .groupBy(e("src")).agg(sum(col("a")).as("raw"))
         .select(col("src").as("node"), col("raw"))
-      hub = normalize(hraw, "h").localCheckpoint()
+      hub = normalize(hraw, "h")
     }
     hub.join(auth, Seq("node"), "full_outer")
       .select(col("node"),

@@ -154,7 +154,8 @@ object Sparql {
       // 1-row count lets the scan short-circuit on the first match
       // instead of materializing the whole solution bag.
       val vars = (q.patterns.flatMap(_.vars) ++
-        q.unions.flatMap(_.vars)).distinct
+        q.unions.flatMap(_.vars) ++
+        q.subqueries.flatMap(_.projection)).distinct
       require(vars.nonEmpty, "ASK needs at least one variable pattern")
       val bag = Bgp.select(triples, q.patterns, Seq(vars.head),
         q.optionals, q.filters, distinct = false, negations = q.negations,
@@ -257,9 +258,7 @@ object Sparql {
     if (st.peekKw("CONSTRUCT")) return parseConstruct(st, pathMaxHops)
     if (st.peekKw("ASK")) return parseAsk(st, pathMaxHops)
     if (st.peekKw("DESCRIBE")) return parseDescribe(st, pathMaxHops)
-    val q = parseSelect(st, pathMaxHops)
-    require(st.peek.isEmpty, s"trailing tokens: ${st.peek.getOrElse("")}")
-    q
+    parseSelect(st, pathMaxHops) // checks trailing tokens (nested=false)
   }
 
   /** One SELECT query; when `nested` (a `{ SELECT ... }` subquery) the
@@ -455,8 +454,8 @@ object Sparql {
       parseBlock(st, allowOptional = true, pathMaxHops)
     st.expect("}")
     require(st.peek.isEmpty, s"trailing tokens: ${st.peek.getOrElse("")}")
-    require(pats.nonEmpty || unis.nonEmpty,
-      "ASK block needs at least one triple pattern")
+    require(pats.nonEmpty || unis.nonEmpty || subs.nonEmpty,
+      "ASK block needs at least one triple pattern or subquery")
     Query(Seq("ask"), distinct = false, pats, opts, fils,
       negations = negs, valuesBlocks = vals, unions = unis, isAsk = true,
       existsBlocks = exs, binds = binds, subqueries = subs)
@@ -761,7 +760,7 @@ object Sparql {
       n
     }
     def operand(): Operand =
-      if (st.peek.exists(t => t.nonEmpty && t.forall(_.isDigit)))
+      if (st.peek.exists(_.matches("-?[0-9]+")))
         ONum(st.next().toLong)
       else parseTerm(st) match {
         case V(n) => OVar(noteVar(n))
@@ -836,7 +835,10 @@ object Sparql {
     // would tokenize as one giant <...> span
     // `!=` must precede the char class holding bare `!` (regex
     // alternation is ordered) or FILTER inequalities would split
-    val re = "<[^>\\s]*>|\"[^\"]*\"|\\?[A-Za-z_][A-Za-z0-9_]*|!=|<=|>=|[{}().+|/^*!?]|[=<>]|[0-9]+|[A-Za-z_][A-Za-z0-9_]*".r
+    // integers may be signed: without the '-?' the tokenizer would
+    // silently DROP the sign (unmatched chars are skipped) and
+    // 'FILTER ( ?v > -5 )' would quietly become '?v > 5'
+    val re = "<[^>\\s]*>|\"[^\"]*\"|\\?[A-Za-z_][A-Za-z0-9_]*|!=|<=|>=|-?[0-9]+|[{}().+|/^*!?]|[=<>]|[A-Za-z_][A-Za-z0-9_]*".r
     re.findAllIn(text).toSeq
   }
 

@@ -77,8 +77,14 @@ object QuantileHist {
     * point anywhere, so the result replays bit-exactly.
     */
   def quantiles(values: DataFrame, valueCol: String,
-      qs: Seq[Int]): DataFrame = {
-    val hist = histogram(values, valueCol)
+      qs: Seq[Int]): DataFrame =
+    quantilesOfHistogram(histogram(values, valueCol), qs)
+
+  /** Quantile read-off from an ALREADY-BUILT (bucket, cnt) histogram —
+    * callers holding a materialized or merged sketch (streaming sink,
+    * shard union) read quantiles without re-scanning the corpus.
+    */
+  def quantilesOfHistogram(hist: DataFrame, qs: Seq[Int]): DataFrame = {
     // bounded-histogram windows (≤1024 rows; see object doc)
     val wCum = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

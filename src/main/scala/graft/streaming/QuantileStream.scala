@@ -21,9 +21,7 @@ object QuantileStream {
     * [[graft.sketch.QuantileHist.histogram]].
     */
   def histogram(values: DataFrame, valueCol: String): DataFrame =
-    values
-      .select(graft.sketch.QuantileHist.bucket(col(valueCol)).as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    graft.sketch.QuantileHist.histogram(values, valueCol)
 
   /** Convenience: memory-sink update-mode query over a streaming value
     * source.

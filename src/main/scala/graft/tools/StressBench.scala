@@ -685,12 +685,15 @@ object StressBench {
         val d = spark.read.parquet(s"$dir/documents.parquet")
         val v = d.select(size(split(col("text"), " ")).cast("long").as("v"))
         val ((nb, tot, los), secs) = time {
+          // ONE corpus scan: quantiles read off the checkpointed
+          // histogram, not rebuilt from the raw values
           val hist = graft.sketch.QuantileHist.histogram(v, "v")
             .localCheckpoint()
           val nb = hist.count()
           val tot = hist.agg(sum("cnt")).head.getLong(0)
           val los = graft.sketch.QuantileHist
-            .quantiles(v, "v", Seq(50, 90, 99)).orderBy("q").collect()
+            .quantilesOfHistogram(hist, Seq(50, 90, 99))
+            .orderBy("q").collect()
             .map(_.getLong(2)).mkString("[", ",", "]")
           (nb, tot, los)
         }

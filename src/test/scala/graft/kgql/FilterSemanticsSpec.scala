@@ -35,6 +35,21 @@ class FilterSemanticsSpec extends SparkSpec {
       Seq(Seq("a"), Seq("b"), Seq("c")))
   }
 
+  test("negative integer literals keep their sign") {
+    // regression: the tokenizer used to DROP unmatched '-' silently,
+    // which would have turned '> -5' into '> 5'
+    val t = Seq(("a", "n", "-3"), ("b", "n", "2"), ("c", "n", "-10"))
+      .toDF("s", "p", "o")
+    val out = Sparql.query(t,
+      "SELECT ?s WHERE { ?s <n> ?v . FILTER ( ?v > -5 ) }")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(out == Seq("a", "b"))
+    val eq = Sparql.query(t,
+      "SELECT ?s WHERE { ?s <n> ?v . FILTER ( ?v = -10 ) }")
+      .collect().map(_.getString(0)).toSeq
+    assert(eq == Seq("c"))
+  }
+
   test("quoted literals keep string ordering") {
     // lexical: "10" < "9" is TRUE as strings
     assert(rows(

@@ -81,6 +81,14 @@ class SubqueryDescribeSpec extends SparkSpec {
     assert(out == Seq(Seq("2")))
   }
 
+  test("ASK accepts a subquery-only block, like the other forms") {
+    assert(rows("ASK { { SELECT ?e WHERE { ?d <m> ?e } } }") ==
+      Seq(Seq("true")))
+    assert(rows(
+      "ASK { { SELECT ?e WHERE { ?d <nope> ?e } } }") ==
+      Seq(Seq("false")))
+  }
+
   test("DESCRIBE <iri>: subject- and object-side triples, distinct") {
     val out = rows("DESCRIBE <a>")
     assert(out == Seq(Seq("a", "k", "b"), Seq("d1", "m", "a"),
