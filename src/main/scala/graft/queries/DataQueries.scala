@@ -443,6 +443,21 @@ object DataQueries {
       .orderBy("q")
   }
 
+  /** Per-source token-count percentiles — the keyed form of
+    * sketch_quantile (per-domain / per-language distribution
+    * monitoring). One map-side-combined (source, bucket) aggregation;
+    * the cumulative walk partitions by source, so no task ever holds
+    * more than one bounded histogram.
+    */
+  def sketchQuantileSrc(spark: SparkSession, dir: String): DataFrame = {
+    val v = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("v"))
+    graft.sketch.QuantileHist.quantilesByKey(v, "source", "v",
+        Seq(50, 90, 99))
+      .orderBy("source", "q")
+  }
+
   /** Per-doc top-5 tf-idf keywords (integer-proxy score, bounded
     * WindowGroupLimit shape — see [[TextAnalysis.keywords]]).
     */
@@ -625,6 +640,7 @@ object DataQueries {
     "sketch_bloom" -> sketchBloom,
     "sketch_ams" -> sketchAms,
     "sketch_quantile" -> sketchQuantile,
+    "sketch_quantile_src" -> sketchQuantileSrc,
     "txt_keywords" -> txtKeywords,
     "txt_chunk" -> txtChunk,
     "txt_bm25" -> txtBm25,
@@ -744,6 +760,35 @@ object DataQueries {
         |  ON (c.cum - c.cnt) * 100 < q.q * c.total
         | AND q.q * c.total <= c.cum * 100
         |ORDER BY q.q""".stripMargin,
+    // keyed quantile sketch: identical bucket/bound formulas, windows
+    // partitioned by source
+    "sketch_quantile_src" ->
+      """WITH v AS (SELECT source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+        |  FROM documents),
+        |b AS (SELECT source, CASE WHEN v < 32 THEN v
+        |  ELSE (length(bin(v)) - 1) * 16
+        |     + ((v >> (length(bin(v)) - 1 - 4)) & 15) END AS bucket FROM v),
+        |h AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM b GROUP BY source, bucket),
+        |c AS (SELECT source, bucket, cnt,
+        |  SUM(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+        |  SUM(cnt) OVER (PARTITION BY source) AS total FROM h)
+        |SELECT c.source, q.q, c.bucket,
+        |  CASE WHEN c.bucket < 32 THEN c.bucket
+        |    ELSE (CAST(1 AS BIGINT) << CAST(c.bucket // 16 AS INT))
+        |       + (c.bucket % 16)
+        |         * (CAST(1 AS BIGINT) << CAST(c.bucket // 16 - 4 AS INT))
+        |  END AS lo,
+        |  CASE WHEN c.bucket < 32 THEN c.bucket
+        |    ELSE (CAST(1 AS BIGINT) << CAST(c.bucket // 16 AS INT))
+        |       + ((c.bucket % 16) + 1)
+        |         * (CAST(1 AS BIGINT) << CAST(c.bucket // 16 - 4 AS INT)) - 1
+        |  END AS hi
+        |FROM c JOIN (VALUES (50), (90), (99)) q(q)
+        |  ON (c.cum - c.cnt) * 100 < q.q * c.total
+        | AND q.q * c.total <= c.cum * 100
+        |ORDER BY c.source, q.q""".stripMargin,
     // tf-idf keywords: integer-proxy score and total-order tie-break
     // replayed verbatim; ROW_NUMBER is BIGINT on both sides
     "txt_keywords" ->

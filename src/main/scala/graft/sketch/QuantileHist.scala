@@ -70,6 +70,40 @@ object QuantileHist {
     values.select(bucket(col(valueCol)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
 
+  /** Keyed sketch: one ≤1024-bucket histogram per key (per-domain /
+    * per-language distribution monitoring — the realistic corpus-audit
+    * shape). Still ONE map-side-combined aggregation; result rows ≤
+    * |keys| × 1024.
+    */
+  def histogramBy(values: DataFrame, keyCol: String,
+      valueCol: String): DataFrame =
+    values.select(col(keyCol), bucket(col(valueCol)).as("bucket"))
+      .groupBy(keyCol, "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Per-key quantiles: the [[quantilesOfHistogram]] read-off with the
+    * cumulative window PARTITIONED BY the key — each key's walk is over
+    * its own ≤1024 buckets, so the window never concentrates more than
+    * a bounded histogram on one task (unlike the global variant's
+    * deliberate single-partition walk).
+    */
+  def quantilesByKey(values: DataFrame, keyCol: String,
+      valueCol: String, qs: Seq[Int]): DataFrame = {
+    val hist = histogramBy(values, keyCol, valueCol)
+    val wCum = Window.partitionBy(keyCol).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCol)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("total", sum(col("cnt")).over(wAll))
+    val qarr = typedLit(qs.sorted)
+    val covered = cum.withColumn("q", explode(filter(qarr, q =>
+      (col("cum") - col("cnt")) * 100 < q * col("total") &&
+        q * col("total") <= col("cum") * 100)))
+    val (lo, hi) = bounds(col("bucket"))
+    covered.select(col(keyCol), col("q"), col("bucket"),
+      lo.as("lo"), hi.as("hi"))
+  }
+
   /** Quantile estimates at integer percentiles `qs` (e.g. 50, 90, 99):
     * for each q, the first bucket whose cumulative count reaches
     * ceil(q·total/100), reported with its exact value bounds. All

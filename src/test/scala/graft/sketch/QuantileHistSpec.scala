@@ -77,6 +77,23 @@ class QuantileHistSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("keyed quantiles ≡ per-key global quantiles") {
+    val vals = (1 to 12000).map(i =>
+      (s"k${i % 3}", ((i * 13L) % (800 * (i % 3 + 1))) + 1))
+    val df = vals.toDF("k", "v")
+    val keyed = QuantileHist.quantilesByKey(df, "k", "v", Seq(50, 90, 99))
+      .collect().map(r => ((r.getString(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    for (key <- Seq("k0", "k1", "k2")) {
+      val global = QuantileHist.quantiles(
+        df.filter(col("k") === key).select("v"), "v", Seq(50, 90, 99))
+        .collect().map(r => (r.getInt(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      for (q <- Seq(50, 90, 99))
+        assert(keyed((key, q)) == global(q), s"$key q$q")
+    }
+  }
+
   test("histogram merge law: shard histograms sum to the whole") {
     val vals = (1 to 9999).map(i => ((i * 17L) % 2048) + 1)
     val (l, r) = vals.splitAt(4000)
