@@ -660,8 +660,10 @@ object DataQueries {
   private val Two64 = "18446744073709551616"
 
   /** HUGEINT expression: fold FNV-1a over the chars of `strExpr`,
-    * starting from unsigned `initUnsigned`. */
-  private def fnvFoldSql(strExpr: String, initUnsigned: String): String = {
+    * starting from unsigned `initUnsigned`. `private[queries]` so
+    * KgQueries' oracles (kg_negatives) can replay the same fold. */
+  private[queries] def fnvFoldSql(strExpr: String,
+      initUnsigned: String): String = {
     val hSigned =
       s"CAST(h - (CASE WHEN h >= CAST('$Two63' AS HUGEINT) THEN CAST('$Two64' AS HUGEINT) ELSE 0 END) AS BIGINT)"
     val x = s"xor($hSigned, CAST(c AS BIGINT))"

@@ -621,6 +621,44 @@ object KgQueries {
     graft.canon.GraphAlgs.kCore(und, k = 3, rounds = 4).orderBy("node")
   }
 
+  /** Deterministic negative sampling for KG-embedding training
+    * (TransE-style corrupted triples; Bordes et al. 2013, public
+    * formulation): for every true (doc, mentions, entity) triple, k=2
+    * candidate corruptions replace the object with a dictionary entity
+    * drawn by FNV-1a over (s, o, i) — reproducible across reruns and
+    * partitionings — then candidates that hit the true object or any
+    * OTHER true triple of the same subject are dropped (negatives must
+    * be false). Plan: one codegen'd projection per candidate (the
+    * native FnvHash expression + the unsigned-mod identity, no typed
+    * kernel) and ONE left-anti self-join on (s, o_neg) — narrow keys,
+    * no text through any exchange. The oracle replays the byte-exact
+    * FNV fold in HUGEINT and the same anti filter.
+    */
+  def kgNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val m = MentionScan.mentions(pagesDf(spark, dir), Gazetteer(gaz))
+    val mt = m.select(concat(lit("urn:doc:"), col("doc_id")).as("s"),
+      concat(lit("urn:ent:"), col("entity")).as("o"))
+    val e = gazSorted.length
+    val cand0 = mt.select(col("s"), col("o"),
+      explode(typedLit(Seq(0L, 1L))).as("i"))
+    val h = graft.functions.FnvHash(
+      concat(col("s"), lit("|"), col("o"), lit("|"),
+        col("i").cast("string")))
+    // unsigned mod (the Mix.mixture identity): ((h >>> 1) % e · 2 +
+    // (h & 1)) % e — every intermediate fits a signed long (ANSI-safe)
+    val idx = (shiftrightunsigned(h, 1) % e * 2 +
+      h.bitwiseAND(lit(1L))) % e
+    val cand = cand0.select(col("s"), col("o"), col("i"),
+      concat(lit("urn:ent:"),
+        element_at(typedLit(gazSorted), idx.cast("int") + 1))
+        .as("o_neg"))
+      .filter(col("o_neg") =!= col("o"))
+    cand.join(mt.withColumnRenamed("o", "o_neg"), Seq("s", "o_neg"),
+        "left_anti")
+      .select(col("s"), col("o"), col("i"), col("o_neg"))
+      .orderBy("s", "o", "i")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_extract_text" -> kgExtractText,
     "kg_mentions" -> kgMentions,
@@ -656,7 +694,8 @@ object KgQueries {
     "kg_subquery" -> kgSubquery,
     "kg_describe" -> kgDescribe,
     "kg_hits" -> kgHits,
-    "kg_kcore" -> kgKcore
+    "kg_kcore" -> kgKcore,
+    "kg_negatives" -> kgNegatives
   )
 
   /** Unrolled Bellman-Ford SQL: d{k} from d{k-1} via the identical
@@ -753,6 +792,28 @@ object KgQueries {
        |$rounds
        |SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
        |FROM e4 GROUP BY src ORDER BY node""".stripMargin
+  }
+
+  /** Negative-sampling oracle: the byte-exact HUGEINT FNV-1a fold over
+    * the (s, o, i) draw key, the same unsigned modulus, the same
+    * true-triple anti filter.
+    */
+  private lazy val negativesSql: String = {
+    val e = gazSorted.length
+    val arrLit = gazSorted.map(x => s"'$x'").mkString("[", ", ", "]")
+    val key = "(c0.s || '|' || c0.o || '|' || CAST(c0.i AS VARCHAR))"
+    val fold = DataQueries.fnvFoldSql(key, "14695981039346656037")
+    s"""WITH $tokensCte,
+       |mt AS (SELECT 'urn:doc:' || doc_id AS s, 'urn:ent:' || entity AS o FROM m),
+       |c0 AS (SELECT s, o, i FROM mt,
+       |  (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) t(i)),
+       |hx AS (SELECT s, o, i, CAST(($fold) % $e AS INT) AS idx FROM c0),
+       |cand AS (SELECT s, o, i,
+       |  'urn:ent:' || ($arrLit)[idx + 1] AS o_neg FROM hx)
+       |SELECT s, o, i, o_neg FROM cand c
+       |WHERE o_neg <> o AND NOT EXISTS (
+       |  SELECT 1 FROM mt x WHERE x.s = c.s AND x.o = c.o_neg)
+       |ORDER BY s, o, i""".stripMargin
   }
 
   private lazy val pagerankSql: String = {
@@ -1037,6 +1098,7 @@ object KgQueries {
          |ORDER BY s, p, o""".stripMargin,
     "kg_hits" -> hitsSql,
     "kg_kcore" -> kcoreSql,
+    "kg_negatives" -> negativesSql,
     // replays PageGen's closed-form crawl-time scatter directly
     "kg_timeline" ->
       s"""WITH $tokensCte,
