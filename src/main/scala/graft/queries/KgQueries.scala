@@ -659,6 +659,37 @@ object KgQueries {
       .orderBy("s", "o", "i")
   }
 
+  /** Entity-association strength via pointwise mutual information over
+    * co-mention counts (Church & Hanks 1990, the classic distributional
+    * signal) — ranks which co-occurrence edges carry real signal vs
+    * frequency artifact, the standard edge-weighting step before
+    * embedding or community detection. PMI = ln(N·c12 / (c1·c2)),
+    * integer micro-nat quantized per the txt_perplexity convention
+    * (ONE libm call over exact integer products — hash-exact across
+    * engines). Plan: the fused co-occurrence aggregation (no doc-keyed
+    * shuffle) joined twice against the dictionary-sized entity counts
+    * (AQE broadcasts); N is a 1-number driver scalar like the
+    * front-end's TF-IDF normalizer.
+    */
+  def kgPmi(spark: SparkSession, dir: String): DataFrame = {
+    val pages = pagesDf(spark, dir)
+    val n = pages.count()
+    val m = MentionScan.mentions(pages, Gazetteer(gaz))
+    val co = MentionScan.coOccurrenceTriples(m)
+    val cnt = m.groupBy("entity").agg(count(lit(1)).as("c"))
+    val c1 = cnt.select(
+      concat(lit("urn:ent:"), col("entity")).as("s"), col("c").as("c1"))
+    val c2 = cnt.select(
+      concat(lit("urn:ent:"), col("entity")).as("o"), col("c").as("c2"))
+    co.join(c1, "s").join(c2, "o")
+      .filter(col("n_docs") >= 2)
+      .select(col("s").as("e1"), col("o").as("e2"),
+        col("n_docs").as("c12"),
+        round((log(col("n_docs") * n) - log(col("c1") * col("c2")))
+          * 1e6).cast("long").as("pmi_micro"))
+      .orderBy("e1", "e2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_extract_text" -> kgExtractText,
     "kg_mentions" -> kgMentions,
@@ -695,7 +726,8 @@ object KgQueries {
     "kg_describe" -> kgDescribe,
     "kg_hits" -> kgHits,
     "kg_kcore" -> kgKcore,
-    "kg_negatives" -> kgNegatives
+    "kg_negatives" -> kgNegatives,
+    "kg_pmi" -> kgPmi
   )
 
   /** Unrolled Bellman-Ford SQL: d{k} from d{k-1} via the identical
@@ -1099,6 +1131,22 @@ object KgQueries {
     "kg_hits" -> hitsSql,
     "kg_kcore" -> kcoreSql,
     "kg_negatives" -> negativesSql,
+    // PMI replay: same integer products inside ONE quantized ln each
+    "kg_pmi" ->
+      s"""WITH $tokensCte,
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |cnt AS (SELECT entity, CAST(COUNT(*) AS BIGINT) AS c FROM m
+         |  GROUP BY entity),
+         |co AS (SELECT a.entity AS x1, b.entity AS x2,
+         |  CAST(COUNT(*) AS BIGINT) AS c12
+         |  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.entity < b.entity
+         |  GROUP BY 1, 2)
+         |SELECT 'urn:ent:' || x1 AS e1, 'urn:ent:' || x2 AS e2, c12,
+         |  CAST(ROUND((ln(c12 * nn.n) - ln(ca.c * cb.c)) * 1e6) AS BIGINT)
+         |    AS pmi_micro
+         |FROM co CROSS JOIN nn
+         |JOIN cnt ca ON ca.entity = x1 JOIN cnt cb ON cb.entity = x2
+         |WHERE c12 >= 2 ORDER BY e1, e2""".stripMargin,
     // replays PageGen's closed-form crawl-time scatter directly
     "kg_timeline" ->
       s"""WITH $tokensCte,
