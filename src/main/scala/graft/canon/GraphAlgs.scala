@@ -134,6 +134,62 @@ object GraphAlgs {
       .select(col("src").as("node"), col("deg"))
   }
 
+  /** Link prediction over an undirected simple graph given as canonical
+    * edges (a < b, distinct): for every NON-adjacent pair with at least
+    * one common neighbour, the three classic neighborhood scores —
+    * common-neighbour count, Adamic-Adar (Adamic & Adar 2003,
+    * Σ_z 1/ln(deg z) over common neighbours z), and neighbourhood
+    * Jaccard |Γa∩Γb| / |Γa∪Γb|. The standard candidate-edge ranker an
+    * extracted entity graph runs before human/LLM triple verification.
+    *
+    * Determinism: Adamic-Adar is a float SUM, which is order-dependent
+    * in doubles — so each term is quantized to integer micro-nats
+    * (round(1e6/ln deg)) BEFORE the sum; integer sums are partitioning-
+    * invariant and the oracle replays the identical quantization.
+    * Jaccard is one post-aggregation division, quantized the same way.
+    *
+    * Scale shape: the wedge self-join fans out C(deg z, 2) pairs per
+    * common neighbour z, so hubs explode quadratically — `maxHubDegree`
+    * excludes them from EVIDENCE (not from the pair universe), the
+    * standard practice since a hub's 1/ln(deg) ≈ 0 contributes noise,
+    * not signal; with the cap, wedge output is ≤ C(cap,2)·|V| and every
+    * shuffle carries fixed-width (node, node, long) rows. Degree-one
+    * neighbours produce no wedge, so the ln(1)=0 pole is structurally
+    * unreachable even before the deg ≥ 2 filter. The final anti-join
+    * (drop existing edges) and the two degree joins are node-cardinality
+    * — AQE broadcasts them when the graph fits.
+    */
+  def linkPrediction(edges: DataFrame, maxHubDegree: Int): DataFrame = {
+    // re-orient by the engine's own string order: the wedge join below
+    // orients candidate pairs by `<` on node ids, and the existing-edge
+    // anti-join only excludes correctly when both sides share one
+    // orientation convention (callers may orient by numeric id instead)
+    val e = edges.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct().localCheckpoint()
+    val und = e.select(col("a").as("z"), col("b").as("n"))
+      .union(e.select(col("b").as("z"), col("a").as("n")))
+    val deg = und.groupBy("z").agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // feeds evidence filter + both endpoint joins
+    val zw = und.join(
+        deg.filter(col("deg") >= 2 && col("deg") <= maxHubDegree), "z")
+      .select(col("z"), col("n"),
+        round(lit(1e6) / log(col("deg"))).cast("long").as("w"))
+    val pairs = zw.alias("l").join(zw.alias("r"),
+        col("l.z") === col("r.z") && col("l.n") < col("r.n"))
+      .select(col("l.n").as("a"), col("r.n").as("b"), col("l.w").as("w"))
+    val scored = pairs.groupBy("a", "b")
+      .agg(count(lit(1)).as("common"), sum(col("w")).as("aa_micro"))
+      .join(e, Seq("a", "b"), "left_anti") // predict NON-edges only
+    scored
+      .join(deg.select(col("z").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("z").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"), col("common"), col("aa_micro"),
+        round(col("common") * lit(1e6) /
+          (col("da") + col("db") - col("common")))
+          .cast("long").as("jac_micro"))
+  }
+
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src"))

@@ -690,6 +690,30 @@ object KgQueries {
       .orderBy("e1", "e2")
   }
 
+  /** Link-prediction candidate scoring over the part–part "ordered
+    * together" graph (same slice as kg_triangles): non-adjacent pairs
+    * ranked by common-neighbour count, integer-quantized Adamic-Adar
+    * and neighbourhood Jaccard. The candidate-edge ranker a constructed
+    * KG runs before admitting new triples; see
+    * [[graft.canon.GraphAlgs.linkPrediction]] for the hub-cap scale
+    * shape and the micro-nat quantization that keeps the float scores
+    * partitioning-invariant. Oracle replays wedge join, quantization
+    * and anti filter verbatim.
+    */
+  def kgAdamicAdar(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_orderkey") < 300)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e = li.alias("x").join(li.alias("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(concat(lit("p"), col("x.p")).as("a"),
+        concat(lit("p"), col("y.p")).as("b"))
+      .distinct()
+    graft.canon.GraphAlgs.linkPrediction(e, maxHubDegree = 64)
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_extract_text" -> kgExtractText,
     "kg_mentions" -> kgMentions,
@@ -727,7 +751,8 @@ object KgQueries {
     "kg_hits" -> kgHits,
     "kg_kcore" -> kgKcore,
     "kg_negatives" -> kgNegatives,
-    "kg_pmi" -> kgPmi
+    "kg_pmi" -> kgPmi,
+    "kg_adamic_adar" -> kgAdamicAdar
   )
 
   /** Unrolled Bellman-Ford SQL: d{k} from d{k-1} via the identical
@@ -1147,6 +1172,28 @@ object KgQueries {
          |FROM co CROSS JOIN nn
          |JOIN cnt ca ON ca.entity = x1 JOIN cnt cb ON cb.entity = x2
          |WHERE c12 >= 2 ORDER BY e1, e2""".stripMargin,
+    // link-prediction replay: wedge self-join over hub-capped weighted
+    // neighbour lists, integer micro-nat terms, NOT EXISTS anti filter
+    "kg_adamic_adar" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_orderkey < 300),
+        |e AS (SELECT DISTINCT least('p' || x.p, 'p' || y.p) AS a,
+        |    greatest('p' || x.p, 'p' || y.p) AS b
+        |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+        |und AS (SELECT a AS z, b AS n FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY z),
+        |zw AS (SELECT u.z, u.n, CAST(ROUND(1e6 / ln(d.deg)) AS BIGINT) AS w
+        |  FROM und u JOIN deg d ON d.z = u.z WHERE d.deg BETWEEN 2 AND 64),
+        |sc AS (SELECT l.n AS a, r.n AS b, CAST(COUNT(*) AS BIGINT) AS common,
+        |    CAST(SUM(l.w) AS BIGINT) AS aa_micro
+        |  FROM zw l JOIN zw r ON l.z = r.z AND l.n < r.n GROUP BY 1, 2),
+        |cand AS (SELECT * FROM sc WHERE NOT EXISTS (
+        |  SELECT 1 FROM e WHERE e.a = sc.a AND e.b = sc.b))
+        |SELECT c.a, c.b, c.common, c.aa_micro,
+        |  CAST(ROUND(c.common * 1e6 / (da.deg + db.deg - c.common)) AS BIGINT)
+        |    AS jac_micro
+        |FROM cand c JOIN deg da ON da.z = c.a JOIN deg db ON db.z = c.b
+        |ORDER BY a, b""".stripMargin,
     // replays PageGen's closed-form crawl-time scatter directly
     "kg_timeline" ->
       s"""WITH $tokensCte,

@@ -42,6 +42,39 @@ class GraphAlgsSpec extends SparkSpec {
     })
   }
 
+  test("linkPrediction ≡ naive scalar reference (string-ordered pairs)") {
+    check(Prop.forAll(edgeGen) { es =>
+      es.isEmpty || {
+        val cap = 4 // small cap so the hub-exclusion branch is exercised
+        val sEdges = es.map { case (a, b) =>
+          val (x, y) = (s"n$a", s"n$b")
+          if (x < y) (x, y) else (y, x) }.toSet
+        val adj = sEdges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val deg = adj.view.mapValues(_.size).toMap
+        def w(z: String) = math.round(1e6 / math.log(deg(z).toDouble))
+        val nodes = adj.keySet.toSeq
+        val naive = (for {
+          a <- nodes; b <- nodes if a < b && !sEdges((a, b))
+          ev = (adj(a) intersect adj(b))
+            .filter(z => deg(z) >= 2 && deg(z) <= cap)
+          if ev.nonEmpty
+        } yield {
+          val common = ev.size.toLong
+          val aa = ev.toSeq.map(w).sum
+          val jac = math.round(common * 1e6 / (deg(a) + deg(b) - common))
+          (a, b) -> ((common, aa, jac))
+        }).toMap
+        val got = GraphAlgs.linkPrediction(
+            es.map { case (a, b) => (s"n$a", s"n$b") }.toDF("a", "b")
+              .repartition(5), maxHubDegree = cap)
+          .as[(String, String, Long, Long, Long)].collect()
+          .map { case (a, b, c, aa, j) => (a, b) -> ((c, aa, j)) }.toMap
+        got == naive
+      }
+    })
+  }
+
   private val wEdgeGen: Gen[List[(Int, Int, Long)]] =
     Gen.listOfN(50, for {
       a <- Gen.choose(0, 11); b <- Gen.choose(0, 11)
