@@ -190,6 +190,94 @@ object GraphAlgs {
           .cast("long").as("jac_micro"))
   }
 
+  /** Katz centrality (Katz 1953): total attenuated walk count into each
+    * node, the classic complement of PageRank — no degree normalization,
+    * so high-out-degree neighbours pass on their full mass and the score
+    * measures raw reachability volume rather than random-walk share.
+    *
+    *   s_k(v) = Base + (Σ_{(u,v)} s_{k-1}(u)) div Att
+    *
+    * with Base = 10^6 and attenuation α = 1/Att as an integer floor
+    * division — integer sums are order- and partitioning-invariant, so
+    * the result replays bit-exactly in the unrolled DuckDB oracle.
+    * Fixed `iters` keeps the oracle finite; with α < 1/λ_max the
+    * recurrence is a converging geometric series, and the caller bounds
+    * λ_max by choosing Att above the graph's max degree scale (scores
+    * stay ≤ Base·iters·(maxdeg/Att)^iters — long-safe by construction).
+    *
+    * Scale shape: identical to [[PageRank.run]] — the edge list is
+    * partitioned by src once and checkpointed; each round is one
+    * equi-join at (node, long) width plus one map-side-combined sum agg.
+    */
+  def katz(edges: DataFrame, iters: Int, att: Long = 8L): DataFrame = {
+    val base = 1000000L
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .localCheckpoint()
+    var scores = e.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(base).as("score"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      scores = e.join(scores, e("src") === scores("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("score")).as("in"))
+        .select(col("dst").as("node"),
+          (lit(base) + expr(s"in div $att")).cast("long").as("score"))
+        .localCheckpoint()
+    }
+    scores
+  }
+
+  /** Deterministic node2vec-style random walks (Grover & Leskovec 2016,
+    * p = q = 1, i.e. DeepWalk's uniform walker) — the positive-pair
+    * generator for KG-embedding training, the natural companion of the
+    * FNV negative sampler (kg_negatives). True randomness would be
+    * irreproducible across partitionings/engines, so each step draws by
+    * hash instead: from node `cur` at step `t` of the walk started at
+    * `start`, the next node is
+    *
+    *   nbrs(cur)[ fnv1a(start '|' t '|' cur) mod deg(cur) ]
+    *
+    * over the CODE-POINT-sorted neighbour list — a pure function of the
+    * graph, replayed verbatim by the DuckDB oracle (HUGEINT FNV fold +
+    * list indexing). Per-node neighbour lists are capped at `maxDeg`
+    * (keep the sorted prefix): the standard hub guard — an uncapped
+    * collect_list over a 10^6-degree web hub would blow a single row,
+    * while the prefix cap keeps every adjacency row ≤ maxDeg ids and the
+    * walk distribution over non-hub structure intact.
+    *
+    * edges(src, dst): pass both directions for an undirected graph.
+    * Scale shape: one sorted-prefix adjacency build (map-side-combined
+    * collect + slice), then per step ONE equi-join of the (walks ×
+    * fixed-width) frontier against the checkpointed adjacency — never a
+    * per-step shuffle of anything wider than (start, cur, step).
+    * Returns (start, step, node): step 0 is the start itself.
+    */
+  def deterministicWalks(edges: DataFrame, length: Int,
+      maxDeg: Int = 32): DataFrame = {
+    val adj = edges.groupBy(col("src"))
+      .agg(slice(sort_array(collect_set(col("dst"))), 1, maxDeg)
+        .as("nbrs"))
+      .localCheckpoint()
+    var frontier = adj.select(col("src").as("start"), lit(0).as("step"),
+      col("src").as("node"))
+    val out = scala.collection.mutable.ArrayBuffer(frontier)
+    for (t <- 1 to length) {
+      val h = graft.functions.FnvHash(concat(col("start"), lit("|"),
+        lit(t).cast("string"), lit("|"), col("node")))
+      // unsigned mod via the Mix.mixture identity (ANSI-safe longs)
+      val stepped = frontier.join(adj, frontier("node") === adj("src"))
+        .select(col("start"), lit(t).as("step"),
+          element_at(col("nbrs"),
+            ((shiftrightunsigned(h, 1) % size(col("nbrs")) * 2 +
+              h.bitwiseAND(lit(1L))) % size(col("nbrs"))).cast("int") + 1)
+            .as("node"))
+      frontier = stepped.localCheckpoint()
+      out += frontier
+    }
+    out.reduce(_ union _)
+  }
+
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src"))

@@ -1,0 +1,51 @@
+package graft.kgemb
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.FnvHash
+
+/** Translation-based triple scoring (TransE, Bordes et al. 2013): a
+  * triple (s, p, o) is plausible when emb(s) + emb(p) ≈ emb(o), scored
+  * by the L1 distance ‖emb(s) + emb(p) − emb(o)‖₁. This module is the
+  * SCORING side of the KG-embedding loop the engine already feeds —
+  * deterministic walks emit positive pairs, the FNV sampler emits
+  * corrupted negatives (kg_negatives), and this ranks both so the
+  * margin (score_neg − score_pos) measures how separable the graph's
+  * structure is before any gradient step.
+  *
+  * Trained float embeddings are not reproducible across engines, so the
+  * embedding table here is a deterministic hash projection (the
+  * feature-hashing trick, Weinberger et al. 2009): component d of
+  * node/predicate x is
+  *
+  *   emb(x)[d] = (fnv1a(x '#' d) mod (2·Amp+1)) − Amp
+  *
+  * an integer in [−Amp, Amp]. Integer L1 sums are order- and
+  * partitioning-invariant, so every score replays bit-exactly in the
+  * DuckDB oracle (HUGEINT FNV fold + the same centering). The embedding
+  * is computed INLINE as codegen'd Column expressions — at 10^12 triples
+  * there is no materialized embedding table to join, shuffle, or skew:
+  * scoring is a map over the triple scan.
+  */
+object KgEmbed {
+
+  val Dim = 4
+  val Amp = 500L // components in [-500, 500]
+  private val Mod = 2 * Amp + 1
+
+  /** emb(key)[d] as a Column, for a string Column key. */
+  def embComponent(key: Column, d: Int): Column = {
+    val h = FnvHash(concat(key, lit("#"), lit(d.toString)))
+    // unsigned mod via the Mix.mixture identity (ANSI-safe longs)
+    (shiftrightunsigned(h, 1) % Mod * 2 + h.bitwiseAND(lit(1L))) % Mod - Amp
+  }
+
+  /** ‖emb(s) + emb(p) − emb(o)‖₁ over [[Dim]] components — one codegen'd
+    * projection, no joins. `p` is a literal predicate IRI.
+    */
+  def transeScore(s: Column, p: String, o: Column): Column =
+    (0 until Dim).map { d =>
+      abs(embComponent(s, d) + embComponent(lit(p), d) - embComponent(o, d))
+    }.reduce(_ + _)
+}

@@ -714,6 +714,76 @@ object KgQueries {
       .orderBy("a", "b")
   }
 
+  /** The part–part "ordered together" graph shared by the centrality /
+    * walk queries — same slice as kg_triangles, symmetrized. */
+  private def partEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_orderkey") < 300)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e = li.alias("x").join(li.alias("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(concat(lit("p"), col("x.p")).as("a"),
+        concat(lit("p"), col("y.p")).as("b"))
+      .distinct()
+    e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  /** Katz centrality over the part–part graph: attenuated-walk-count
+    * reachability, the degree-unnormalized complement of kg_pagerank
+    * (see [[graft.canon.GraphAlgs.katz]] for the integer fixed point
+    * and scale shape). Oracle unrolls the identical recurrence.
+    */
+  def kgKatz(spark: SparkSession, dir: String): DataFrame =
+    graft.canon.GraphAlgs.katz(partEdges(spark, dir), iters = 4, att = 64L)
+      .orderBy("node")
+
+  /** Deterministic node2vec-style walks (length 4, neighbour cap 8)
+    * over the part–part graph — the positive-pair generator for the
+    * KG-embedding loop; each step is an FNV-addressed pick from the
+    * code-point-sorted capped neighbour list, replayed verbatim by the
+    * oracle's HUGEINT fold + list indexing.
+    */
+  def kgWalks(spark: SparkSession, dir: String): DataFrame =
+    graft.canon.GraphAlgs.deterministicWalks(partEdges(spark, dir),
+        length = 4, maxDeg = 8)
+      .orderBy("start", "step", "node")
+
+  /** TransE-style margin scoring of true mention triples vs their FNV
+    * negatives (the i=0 corruption from kg_negatives): L1 translation
+    * distance under deterministic hash embeddings
+    * ([[graft.kgemb.KgEmbed]]) — one codegen'd projection over the
+    * triple scan, no embedding table join. margin = score_neg −
+    * score_pos: positive ⇒ the graph's structure already separates the
+    * corrupted triple under a structure-free embedding.
+    */
+  def kgTranse(spark: SparkSession, dir: String): DataFrame = {
+    val m = MentionScan.mentions(pagesDf(spark, dir), Gazetteer(gaz))
+    val mt = m.select(concat(lit("urn:doc:"), col("doc_id")).as("s"),
+      concat(lit("urn:ent:"), col("entity")).as("o"))
+    val e = gazSorted.length
+    val h = graft.functions.FnvHash(
+      concat(col("s"), lit("|"), col("o"), lit("|0")))
+    val idx = (shiftrightunsigned(h, 1) % e * 2 +
+      h.bitwiseAND(lit(1L))) % e
+    val cand = mt.select(col("s"), col("o"),
+        concat(lit("urn:ent:"),
+          element_at(typedLit(gazSorted), idx.cast("int") + 1))
+          .as("o_neg"))
+      .filter(col("o_neg") =!= col("o"))
+    val neg = cand.join(mt.withColumnRenamed("o", "o_neg"),
+      Seq("s", "o_neg"), "left_anti")
+    val p = MentionScan.MentionsPred
+    neg.select(col("s"), col("o"), col("o_neg"),
+        graft.kgemb.KgEmbed.transeScore(col("s"), p, col("o"))
+          .as("score_pos"),
+        graft.kgemb.KgEmbed.transeScore(col("s"), p, col("o_neg"))
+          .as("score_neg"))
+      .withColumn("margin", col("score_neg") - col("score_pos"))
+      .orderBy("s", "o")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_extract_text" -> kgExtractText,
     "kg_mentions" -> kgMentions,
@@ -752,7 +822,10 @@ object KgQueries {
     "kg_kcore" -> kgKcore,
     "kg_negatives" -> kgNegatives,
     "kg_pmi" -> kgPmi,
-    "kg_adamic_adar" -> kgAdamicAdar
+    "kg_adamic_adar" -> kgAdamicAdar,
+    "kg_katz" -> kgKatz,
+    "kg_walks" -> kgWalks,
+    "kg_transe" -> kgTranse
   )
 
   /** Unrolled Bellman-Ford SQL: d{k} from d{k-1} via the identical
@@ -1194,6 +1267,9 @@ object KgQueries {
         |    AS jac_micro
         |FROM cand c JOIN deg da ON da.z = c.a JOIN deg db ON db.z = c.b
         |ORDER BY a, b""".stripMargin,
+    "kg_katz" -> katzSql,
+    "kg_walks" -> walksSql,
+    "kg_transe" -> transeSql,
     // replays PageGen's closed-form crawl-time scatter directly
     "kg_timeline" ->
       s"""WITH $tokensCte,
@@ -1207,6 +1283,95 @@ object KgQueries {
          |FROM m JOIN ages a ON m.doc_id = a.doc_id
          |GROUP BY m.entity ORDER BY m.entity""".stripMargin
   )
+
+  /** Shared CTE prefix for the part–part graph queries (katz / walks):
+    * the kg_triangles slice, symmetrized. */
+  // lazy: referenced by lazy SQL vals the `oracles` map (declared above)
+  // forces during object init, before this field's declaration runs
+  private lazy val partGraphCte =
+    """li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |  FROM lineitem WHERE l_orderkey < 300),
+      |e0 AS (SELECT DISTINCT 'p' || x.p AS a, 'p' || y.p AS b
+      |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+      |und AS (SELECT a AS src, b AS dst FROM e0
+      |        UNION ALL SELECT b, a FROM e0)""".stripMargin
+
+  /** Katz oracle: the integer attenuated-walk recurrence unrolled
+    * round-per-CTE, same floor division. */
+  private lazy val katzSql: String = {
+    val rounds = (1 to 4).map { k =>
+      s"""s$k AS (SELECT e.dst AS node,
+         |  CAST(1000000 + SUM(s.score) // 64 AS BIGINT) AS score
+         |  FROM und e JOIN s${k - 1} s ON e.src = s.node
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $partGraphCte,
+       |s0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS score
+       |       FROM und),
+       |$rounds
+       |SELECT node, score FROM s4 ORDER BY node""".stripMargin
+  }
+
+  /** Walk oracle: capped code-point-sorted adjacency lists, each step's
+    * FNV draw replayed as the byte-exact HUGEINT fold + 1-based list
+    * indexing. */
+  private lazy val walksSql: String = {
+    val steps = (1 to 4).map { t =>
+      val fold = DataQueries.fnvFoldSql(
+        s"(w.start || '|$t|' || w.node)", "14695981039346656037")
+      s"""w$t AS (SELECT w.start, $t AS step,
+         |  a.nbrs[CAST(($fold) % len(a.nbrs) AS INT) + 1] AS node
+         |  FROM w${t - 1} w JOIN adj a ON a.src = w.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $partGraphCte,
+       |adj AS (SELECT src, list_sort(list(DISTINCT dst))[1:8] AS nbrs
+       |        FROM und GROUP BY src),
+       |w0 AS (SELECT src AS start, 0 AS step, src AS node FROM adj),
+       |$steps
+       |SELECT start, step, node FROM (
+       |  SELECT * FROM w0 UNION ALL SELECT * FROM w1
+       |  UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
+       |  UNION ALL SELECT * FROM w4)
+       |ORDER BY start, step, node""".stripMargin
+  }
+
+  /** One TransE embedding component in SQL: the same FNV fold over
+    * `key || '#d'`, unsigned mod 1001, centered to [-500, 500]. */
+  private def embSql(key: String, d: Int): String = {
+    val fold = DataQueries.fnvFoldSql(s"($key || '#$d')",
+      "14695981039346656037")
+    s"(CAST(($fold) % 1001 AS BIGINT) - 500)"
+  }
+
+  /** TransE oracle: the i=0 negative draw replayed (kg_negatives
+    * machinery), then every embedding component recomputed from the
+    * HUGEINT FNV fold — score and margin are integer-exact. */
+  private lazy val transeSql: String = {
+    val e = gazSorted.length
+    val arrLit = gazSorted.map(x => s"'$x'").mkString("[", ", ", "]")
+    val key = "(mt.s || '|' || mt.o || '|0')"
+    val fold = DataQueries.fnvFoldSql(key, "14695981039346656037")
+    def l1(oKey: String): String = (0 until graft.kgemb.KgEmbed.Dim).map {
+      d => s"abs(${embSql("n.s", d)} + ${embSql("'urn:graft:mentions'", d)}" +
+        s" - ${embSql(oKey, d)})"
+    }.mkString(" + ")
+    s"""WITH $tokensCte,
+       |mt AS (SELECT 'urn:doc:' || doc_id AS s, 'urn:ent:' || entity AS o
+       |       FROM m),
+       |cand AS (SELECT s, o,
+       |  'urn:ent:' || ($arrLit)[CAST(($fold) % $e AS INT) + 1] AS o_neg
+       |  FROM mt),
+       |neg AS (SELECT * FROM cand c
+       |  WHERE o_neg <> o AND NOT EXISTS (
+       |    SELECT 1 FROM mt x WHERE x.s = c.s AND x.o = c.o_neg)),
+       |sc AS (SELECT n.s, n.o, n.o_neg,
+       |  CAST(${l1("n.o")} AS BIGINT) AS score_pos,
+       |  CAST(${l1("n.o_neg")} AS BIGINT) AS score_neg
+       |  FROM neg n)
+       |SELECT s, o, o_neg, score_pos, score_neg,
+       |  score_neg - score_pos AS margin
+       |FROM sc ORDER BY s, o""".stripMargin
+  }
 
   private lazy val canonicalSql: String =
       s"""WITH RECURSIVE $tokensCte,

@@ -131,6 +131,52 @@ class GraphAlgsSpec extends SparkSpec {
     })
   }
 
+  test("katz ≡ naive attenuated-walk recurrence; partitioning-invariant") {
+    check(Prop.forAll(edgeGen) { es =>
+      es.isEmpty || {
+        val und = es.flatMap { case (a, b) =>
+          Seq((s"n$a", s"n$b"), (s"n$b", s"n$a")) }
+        val inN = und.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+        val nodes = und.map(_._1).distinct
+        var s = nodes.map(_ -> 1000000L).toMap
+        for (_ <- 1 to 3)
+          s = nodes.map { v =>
+            v -> (1000000L + inN(v).map(s).sum / 8L)
+          }.toMap
+        val got = GraphAlgs.katz(
+            und.toDF("src", "dst").repartition(7), iters = 3, att = 8L)
+          .as[(String, Long)].collect().toMap
+        got == s
+      }
+    })
+  }
+
+  test("deterministicWalks ≡ naive FNV walker; cap honoured") {
+    check(Prop.forAll(edgeGen) { es =>
+      es.isEmpty || {
+        val cap = 3 // small so the prefix cap is genuinely exercised
+        val und = es.flatMap { case (a, b) =>
+          Seq((s"n$a", s"n$b"), (s"n$b", s"n$a")) }
+        val adj = und.groupBy(_._1).view
+          .mapValues(_.map(_._2).distinct.sorted.take(cap)).toMap
+        val naive = adj.keys.flatMap { start =>
+          var cur = start
+          (start, 0, start) +: (1 to 2).map { t =>
+            val nb = adj(cur)
+            val h = graft.mix.Mix.fnv1a(s"$start|$t|$cur")
+            cur = nb(java.lang.Long.remainderUnsigned(h, nb.size).toInt)
+            (start, t, cur)
+          }
+        }.toSeq.sorted
+        val got = GraphAlgs.deterministicWalks(
+            und.toDF("src", "dst").repartition(7), length = 2,
+            maxDeg = cap)
+          .as[(String, Int, String)].collect().toSeq.sorted
+        got == naive
+      }
+    })
+  }
+
   test("LPA unites a planted two-clique community structure") {
     def clique(off: Int) = for {
       a <- 0 until 5; b <- 0 until 5 if a != b

@@ -1,0 +1,58 @@
+package graft.kgemb
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** TransE hash-embedding scoring vs a naive JVM replay of the same FNV
+  * fold — the invariants the kg_transe oracle relies on.
+  */
+class KgEmbedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def embJvm(key: String, d: Int): Long =
+    java.lang.Long.remainderUnsigned(
+      graft.mix.Mix.fnv1a(s"$key#$d"), 2 * KgEmbed.Amp + 1) - KgEmbed.Amp
+
+  private def scoreJvm(s: String, p: String, o: String): Long =
+    (0 until KgEmbed.Dim).map { d =>
+      math.abs(embJvm(s, d) + embJvm(p, d) - embJvm(o, d))
+    }.sum
+
+  test("embComponent ≡ JVM FNV replay and stays in [-Amp, Amp]") {
+    val keys = Seq("urn:doc:0", "urn:ent:spark", "urn:graft:mentions",
+      "αβγ", "")
+    val df = keys.toDF("k")
+    for (d <- 0 until KgEmbed.Dim) {
+      val got = df.select(col("k"), KgEmbed.embComponent(col("k"), d))
+        .as[(String, Long)].collect().toMap
+      keys.foreach { k =>
+        assert(got(k) == embJvm(k, d), s"key=$k d=$d")
+        assert(math.abs(got(k)) <= KgEmbed.Amp)
+      }
+    }
+  }
+
+  test("transeScore ≡ naive L1 over the hash embeddings; identity is 0") {
+    val rows = Seq(("urn:doc:1", "urn:ent:spark"),
+      ("urn:doc:2", "urn:ent:vector"), ("x", "y"))
+    val got = rows.toDF("s", "o")
+      .select(col("s"), col("o"),
+        KgEmbed.transeScore(col("s"), "urn:graft:mentions", col("o"))
+          .as("sc"))
+      .as[(String, String, Long)].collect()
+    got.foreach { case (s, o, sc) =>
+      assert(sc == scoreJvm(s, "urn:graft:mentions", o))
+      assert(sc >= 0)
+    }
+    // a triple scored against itself translated by a zero predicate:
+    // emb(s) + 0 - emb(s) needs p with all-zero components, which the
+    // hash doesn't guarantee — instead check s==o collapses to the
+    // predicate's own L1 norm
+    val pNorm = (0 until KgEmbed.Dim)
+      .map(d => math.abs(embJvm("urn:graft:mentions", d))).sum
+    val self = Seq(("a", "a")).toDF("s", "o")
+      .select(KgEmbed.transeScore(col("s"), "urn:graft:mentions", col("o")))
+      .as[Long].head()
+    assert(self == pNorm)
+  }
+}
