@@ -43,6 +43,75 @@ object GraphAlgs {
       .agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Per-node local clustering coefficient over an undirected simple
+    * graph given as canonical edges (a < b, distinct):
+    *
+    *   lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1))
+    *
+    * reported in integer micro-units (floor of 10^6·lcc — integer
+    * division replays bit-exactly in the oracle; nodes of degree < 2
+    * report 0). The standard per-entity graph-quality signal on top of
+    * the global triangle count: canonical entities whose neighbourhoods
+    * are cliques (high lcc) are coherent topics, low-lcc hubs are
+    * ambiguous surface forms that over-merged.
+    *
+    * Scale shape: [[triangleCounts]]'s oriented wedge join (see its
+    * degree-orientation notes) plus one map-side-combined degree agg
+    * and a (node, long, long)-width join — nothing wider than ids and
+    * two longs crosses a shuffle.
+    */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.join(triangleCounts(e), Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("lcc_micro",
+        when(col("deg") >= 2,
+          expr("(2000000 * n_tri) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)))
+  }
+
+  /** Hop-bounded closeness centrality: run `rounds` synchronous BFS
+    * relaxation rounds from EVERY node at once (multi-source frontier
+    * join), then per root report how many nodes it reached within the
+    * horizon and the floor of 10^6·reached/Σdist — the harmonic-free
+    * integer closeness that replays bit-exactly in the unrolled oracle.
+    * Hop-bounding is the standard web-scale form (exact closeness is
+    * APSP): at 10^9 nodes you additionally SAMPLE roots — the recurrence
+    * is unchanged, only the d0 seed set shrinks, so the sandbox query
+    * exercises the exact production plan shape.
+    *
+    * Scale shape: state is (root, node, dist) — the multi-source
+    * frontier. Per round one equi-join against the src-partitioned edge
+    * table plus one map-side-combined min-agg; within the hop horizon
+    * the state is ∝ Σ_v |ball(v, rounds)|, which the horizon (and root
+    * sampling) bounds — never |V|² unless the horizon covers the graph.
+    */
+  def hopCloseness(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src"))
+      .localCheckpoint()
+    var d = e.select(col("src").as("root")).distinct()
+      .select(col("root"), col("root").as("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val stepped = d.join(e, d("node") === e("src"))
+        .select(col("root"), col("dst").as("node"),
+          (col("dist") + 1L).as("dist"))
+      d = d.union(stepped)
+        .groupBy("root", "node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    d.filter(col("dist") > 0)
+      .groupBy("root")
+      .agg(count(lit(1)).as("reached"), sum(col("dist")).as("dist_sum"))
+      .select(col("root").as("node"), col("reached"), col("dist_sum"),
+        expr("(1000000 * reached) div dist_sum").as("closeness_micro"))
+  }
+
   /** Bellman-Ford single-source shortest paths, `rounds` synchronous
     * relaxation rounds over directed weighted edges (src, dst, w):
     *

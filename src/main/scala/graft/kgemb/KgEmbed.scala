@@ -48,4 +48,38 @@ object KgEmbed {
     (0 until Dim).map { d =>
       abs(embComponent(s, d) + embComponent(lit(p), d) - embComponent(o, d))
     }.reduce(_ + _)
+
+  /** DistMult bilinear score (Yang et al. 2015): Σ_d s_d·p_d·o_d — the
+    * multiplicative counterpart of [[transeScore]] (higher = more
+    * plausible, vs TransE's lower-distance-is-better). Per-component
+    * magnitude ≤ Amp³ = 1.25·10^8, so the [[Dim]]-term sum stays far
+    * inside a long and the integer products replay bit-exactly in the
+    * oracle's HUGEINT arithmetic. Same plan shape: one codegen'd
+    * projection over the triple scan, no embedding-table join.
+    */
+  def distmultScore(s: Column, p: String, o: Column): Column =
+    (0 until Dim).map { d =>
+      embComponent(s, d) * embComponent(lit(p), d) * embComponent(o, d)
+    }.reduce(_ + _)
+
+  /** ComplEx bilinear score (Trouillon et al. 2016): Re(Σ_d s_d · p_d ·
+    * conj(o_d)) over complex-valued embeddings — the member of the
+    * family that CAN model antisymmetric relations (DistMult's swap law
+    * is broken by the conjugation). Component d uses hash dims 2d
+    * (real) and 2d+1 (imaginary); the real part expands to
+    *
+    *   sr·pr·or + si·pr·oi + sr·pi·oi − si·pi·or
+    *
+    * four integer triple-products per dim, |term| ≤ Amp³, so the sum
+    * stays far inside a long and replays bit-exactly in HUGEINT SQL.
+    * Same zero-join plan shape as [[transeScore]]/[[distmultScore]].
+    */
+  def complexScore(s: Column, p: String, o: Column): Column =
+    (0 until Dim).map { d =>
+      val (sr, si) = (embComponent(s, 2 * d), embComponent(s, 2 * d + 1))
+      val pCol = lit(p)
+      val (pr, pi) = (embComponent(pCol, 2 * d), embComponent(pCol, 2 * d + 1))
+      val (or_, oi) = (embComponent(o, 2 * d), embComponent(o, 2 * d + 1))
+      sr * pr * or_ + si * pr * oi + sr * pi * oi - si * pi * or_
+    }.reduce(_ + _)
 }

@@ -715,17 +715,24 @@ object KgQueries {
   }
 
   /** The part–part "ordered together" graph shared by the centrality /
-    * walk queries — same slice as kg_triangles, symmetrized. */
-  private def partEdges(spark: SparkSession, dir: String): DataFrame = {
+    * walk / clustering queries — same slice as kg_triangles, oriented
+    * a < b. */
+  private def partEdgesOriented(spark: SparkSession, dir: String)
+      : DataFrame = {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .filter(col("l_orderkey") < 300)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
-    val e = li.alias("x").join(li.alias("y"),
+    li.alias("x").join(li.alias("y"),
         col("x.o") === col("y.o") && col("x.p") < col("y.p"))
       .select(concat(lit("p"), col("x.p")).as("a"),
         concat(lit("p"), col("y.p")).as("b"))
       .distinct()
+  }
+
+  /** [[partEdgesOriented]] symmetrized to (src, dst). */
+  private def partEdges(spark: SparkSession, dir: String): DataFrame = {
+    val e = partEdgesOriented(spark, dir)
     e.select(col("a").as("src"), col("b").as("dst"))
       .union(e.select(col("b").as("src"), col("a").as("dst")))
   }
@@ -759,6 +766,24 @@ object KgQueries {
     * corrupted triple under a structure-free embedding.
     */
   def kgTranse(spark: SparkSession, dir: String): DataFrame = {
+    val p = MentionScan.MentionsPred
+    negTriples(spark, dir)
+      .select(col("s"), col("o"), col("o_neg"),
+        graft.kgemb.KgEmbed.transeScore(col("s"), p, col("o"))
+          .as("score_pos"),
+        graft.kgemb.KgEmbed.transeScore(col("s"), p, col("o_neg"))
+          .as("score_neg"))
+      .withColumn("margin", col("score_neg") - col("score_pos"))
+      .orderBy("s", "o")
+  }
+
+  /** The shared positive/negative triple pairs scored by every member
+    * of the embedding-scoring family (kg_transe / kg_distmult /
+    * kg_complex): true mention triples plus their i=0 FNV-drawn object
+    * corruption, true-triple candidates anti-joined away (the
+    * kg_negatives draw).
+    */
+  private def negTriples(spark: SparkSession, dir: String): DataFrame = {
     val m = MentionScan.mentions(pagesDf(spark, dir), Gazetteer(gaz))
     val mt = m.select(concat(lit("urn:doc:"), col("doc_id")).as("s"),
       concat(lit("urn:ent:"), col("entity")).as("o"))
@@ -772,17 +797,95 @@ object KgQueries {
           element_at(typedLit(gazSorted), idx.cast("int") + 1))
           .as("o_neg"))
       .filter(col("o_neg") =!= col("o"))
-    val neg = cand.join(mt.withColumnRenamed("o", "o_neg"),
+    cand.join(mt.withColumnRenamed("o", "o_neg"),
       Seq("s", "o_neg"), "left_anti")
+  }
+
+  /** DistMult bilinear scoring of the same positive/negative triple
+    * pairs as kg_transe — the multiplicative member of the embedding-
+    * scoring family ([[graft.kgemb.KgEmbed.distmultScore]]); margin =
+    * score_pos − score_neg (higher score = more plausible under
+    * DistMult, the reverse of TransE's distance). Same plan: one
+    * codegen'd projection over the triple scan, no embedding-table
+    * join; the oracle replays every FNV component product in HUGEINT.
+    */
+  def kgDistmult(spark: SparkSession, dir: String): DataFrame = {
     val p = MentionScan.MentionsPred
-    neg.select(col("s"), col("o"), col("o_neg"),
-        graft.kgemb.KgEmbed.transeScore(col("s"), p, col("o"))
+    negTriples(spark, dir)
+      .select(col("s"), col("o"), col("o_neg"),
+        graft.kgemb.KgEmbed.distmultScore(col("s"), p, col("o"))
           .as("score_pos"),
-        graft.kgemb.KgEmbed.transeScore(col("s"), p, col("o_neg"))
+        graft.kgemb.KgEmbed.distmultScore(col("s"), p, col("o_neg"))
           .as("score_neg"))
-      .withColumn("margin", col("score_neg") - col("score_pos"))
+      .withColumn("margin", col("score_pos") - col("score_neg"))
       .orderBy("s", "o")
   }
+
+  /** ComplEx bilinear scoring of the same positive/negative pairs —
+    * the antisymmetry-capable member of the embedding family
+    * ([[graft.kgemb.KgEmbed.complexScore]]; margin = score_pos −
+    * score_neg like DistMult). Oracle recomputes all four integer
+    * triple-products per dimension from the HUGEINT FNV folds.
+    */
+  def kgComplex(spark: SparkSession, dir: String): DataFrame = {
+    val p = MentionScan.MentionsPred
+    negTriples(spark, dir)
+      .select(col("s"), col("o"), col("o_neg"),
+        graft.kgemb.KgEmbed.complexScore(col("s"), p, col("o"))
+          .as("score_pos"),
+        graft.kgemb.KgEmbed.complexScore(col("s"), p, col("o_neg"))
+          .as("score_neg"))
+      .withColumn("margin", col("score_pos") - col("score_neg"))
+      .orderBy("s", "o")
+  }
+
+  /** Open-IE surface-relation mining over the corpus: `entity TOKEN
+    * entity` windows proposing predicate vocabulary beyond the fixed
+    * gazetteer relations, aggregated by support
+    * ([[graft.extract.RelationMiner.windowTriples]] — in-row window
+    * enumeration, only dictionary-scale aggregation shuffles). Oracle
+    * replays the positional windows via the 1-based string_split
+    * index (the kg_mentions_ctx pattern).
+    */
+  def kgOpenie(spark: SparkSession, dir: String): DataFrame =
+    graft.extract.RelationMiner.windowTriples(
+        spark.read.parquet(s"$dir/documents.parquet"), gaz,
+        minSupport = 2L)
+      .orderBy("s", "pred", "o")
+
+  /** Fuzzy entity-alias pairs over the part surface-form vocabulary:
+    * all distinct p_name pairs within Levenshtein distance ≤ 2 via
+    * deletion-neighbourhood blocking ([[graft.canon.FuzzyNames]] — the
+    * FastSS/SymSpell family, recall-complete). The oracle computes the
+    * UNBLOCKED quadratic truth, so a hash match proves the blocked
+    * plan loses zero recall (the dd_jaccard verification pattern).
+    */
+  def kgFuzzy(spark: SparkSession, dir: String): DataFrame =
+    graft.canon.FuzzyNames.fuzzyPairs(
+        spark.read.parquet(s"$dir/part.parquet")
+          .select(col("p_name").as("name")), k = 2)
+      .orderBy("a", "b")
+
+  /** Per-node local clustering coefficient over the part–part graph
+    * (see [[graft.canon.GraphAlgs.clusteringCoefficients]]): the
+    * per-entity coherence signal on top of kg_triangles' global count.
+    * Oracle replays the oriented wedge join, degree agg and integer
+    * micro-division verbatim.
+    */
+  def kgClustering(spark: SparkSession, dir: String): DataFrame =
+    graft.canon.GraphAlgs
+      .clusteringCoefficients(partEdgesOriented(spark, dir))
+      .orderBy("node")
+
+  /** Hop-bounded closeness centrality over the part–part graph, 3 BFS
+    * rounds from every node at once (see
+    * [[graft.canon.GraphAlgs.hopCloseness]] for the horizon-bounded
+    * multi-source state shape). Oracle unrolls the identical min-dist
+    * recurrence round-per-CTE.
+    */
+  def kgCloseness(spark: SparkSession, dir: String): DataFrame =
+    graft.canon.GraphAlgs.hopCloseness(partEdges(spark, dir), rounds = 3)
+      .orderBy("node")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_extract_text" -> kgExtractText,
@@ -825,7 +928,13 @@ object KgQueries {
     "kg_adamic_adar" -> kgAdamicAdar,
     "kg_katz" -> kgKatz,
     "kg_walks" -> kgWalks,
-    "kg_transe" -> kgTranse
+    "kg_transe" -> kgTranse,
+    "kg_distmult" -> kgDistmult,
+    "kg_complex" -> kgComplex,
+    "kg_openie" -> kgOpenie,
+    "kg_fuzzy" -> kgFuzzy,
+    "kg_clustering" -> kgClustering,
+    "kg_closeness" -> kgCloseness
   )
 
   /** Unrolled Bellman-Ford SQL: d{k} from d{k-1} via the identical
@@ -1270,6 +1379,35 @@ object KgQueries {
     "kg_katz" -> katzSql,
     "kg_walks" -> walksSql,
     "kg_transe" -> transeSql,
+    "kg_distmult" -> distmultSql,
+    "kg_complex" -> complexSql,
+    // positional replay of the 3-token windows (kg_mentions_ctx pattern)
+    "kg_openie" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM documents),
+         |pos AS (SELECT doc_id, i, w[i] AS t
+         |  FROM toks, unnest(generate_series(1, len(w))) AS g(i)),
+         |tr AS (SELECT a.doc_id, a.t AS s, b.t AS pred, c.t AS o
+         |  FROM pos a
+         |  JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |  JOIN pos c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+         |  WHERE a.t IN $gazList AND c.t IN $gazList AND a.t <> c.t)
+         |SELECT s, pred, o, CAST(COUNT(*) AS BIGINT) AS support,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM tr GROUP BY s, pred, o
+         |HAVING COUNT(*) >= 2
+         |ORDER BY s, pred, o""".stripMargin,
+    // UNBLOCKED quadratic truth: a hash match proves the deletion-
+    // neighbourhood blocking loses zero recall (dd_jaccard pattern)
+    "kg_fuzzy" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+        |SELECT x.name AS a, y.name AS b,
+        |  CAST(levenshtein(x.name, y.name) AS BIGINT) AS dist
+        |FROM n x JOIN n y ON x.name < y.name
+        |WHERE levenshtein(x.name, y.name) <= 2
+        |ORDER BY a, b""".stripMargin,
+    "kg_clustering" -> clusteringSql,
+    "kg_closeness" -> closenessSql,
     // replays PageGen's closed-form crawl-time scatter directly
     "kg_timeline" ->
       s"""WITH $tokensCte,
@@ -1371,6 +1509,115 @@ object KgQueries {
        |SELECT s, o, o_neg, score_pos, score_neg,
        |  score_neg - score_pos AS margin
        |FROM sc ORDER BY s, o""".stripMargin
+  }
+
+  /** DistMult oracle: transeSql's negative draw, components recombined
+    * multiplicatively (Σ_d s_d·p_d·o_d in HUGEINT, cast at the edge). */
+  private lazy val distmultSql: String = {
+    val e = gazSorted.length
+    val arrLit = gazSorted.map(x => s"'$x'").mkString("[", ", ", "]")
+    val key = "(mt.s || '|' || mt.o || '|0')"
+    val fold = DataQueries.fnvFoldSql(key, "14695981039346656037")
+    def bilinear(oKey: String): String =
+      (0 until graft.kgemb.KgEmbed.Dim).map { d =>
+        s"${embSql("n.s", d)} * ${embSql("'urn:graft:mentions'", d)}" +
+          s" * ${embSql(oKey, d)}"
+      }.mkString(" + ")
+    s"""WITH $tokensCte,
+       |mt AS (SELECT 'urn:doc:' || doc_id AS s, 'urn:ent:' || entity AS o
+       |       FROM m),
+       |cand AS (SELECT s, o,
+       |  'urn:ent:' || ($arrLit)[CAST(($fold) % $e AS INT) + 1] AS o_neg
+       |  FROM mt),
+       |neg AS (SELECT * FROM cand c
+       |  WHERE o_neg <> o AND NOT EXISTS (
+       |    SELECT 1 FROM mt x WHERE x.s = c.s AND x.o = c.o_neg)),
+       |sc AS (SELECT n.s, n.o, n.o_neg,
+       |  CAST(${bilinear("n.o")} AS BIGINT) AS score_pos,
+       |  CAST(${bilinear("n.o_neg")} AS BIGINT) AS score_neg
+       |  FROM neg n)
+       |SELECT s, o, o_neg, score_pos, score_neg,
+       |  score_pos - score_neg AS margin
+       |FROM sc ORDER BY s, o""".stripMargin
+  }
+
+  /** ComplEx oracle: the same negative draw, the real-part expansion
+    * sr·pr·or + si·pr·oi + sr·pi·oi − si·pi·or per dimension over hash
+    * dims (2d, 2d+1), all in HUGEINT. */
+  private lazy val complexSql: String = {
+    val e = gazSorted.length
+    val arrLit = gazSorted.map(x => s"'$x'").mkString("[", ", ", "]")
+    val key = "(mt.s || '|' || mt.o || '|0')"
+    val fold = DataQueries.fnvFoldSql(key, "14695981039346656037")
+    def re(oKey: String): String =
+      (0 until graft.kgemb.KgEmbed.Dim).map { d =>
+        val (sr, si) = (embSql("n.s", 2 * d), embSql("n.s", 2 * d + 1))
+        val (pr, pi) = (embSql("'urn:graft:mentions'", 2 * d),
+          embSql("'urn:graft:mentions'", 2 * d + 1))
+        val (or_, oi) = (embSql(oKey, 2 * d), embSql(oKey, 2 * d + 1))
+        s"($sr*$pr*$or_ + $si*$pr*$oi + $sr*$pi*$oi - $si*$pi*$or_)"
+      }.mkString(" + ")
+    s"""WITH $tokensCte,
+       |mt AS (SELECT 'urn:doc:' || doc_id AS s, 'urn:ent:' || entity AS o
+       |       FROM m),
+       |cand AS (SELECT s, o,
+       |  'urn:ent:' || ($arrLit)[CAST(($fold) % $e AS INT) + 1] AS o_neg
+       |  FROM mt),
+       |neg AS (SELECT * FROM cand c
+       |  WHERE o_neg <> o AND NOT EXISTS (
+       |    SELECT 1 FROM mt x WHERE x.s = c.s AND x.o = c.o_neg)),
+       |sc AS (SELECT n.s, n.o, n.o_neg,
+       |  CAST(${re("n.o")} AS BIGINT) AS score_pos,
+       |  CAST(${re("n.o_neg")} AS BIGINT) AS score_neg
+       |  FROM neg n)
+       |SELECT s, o, o_neg, score_pos, score_neg,
+       |  score_pos - score_neg AS margin
+       |FROM sc ORDER BY s, o""".stripMargin
+  }
+
+  /** Clustering-coefficient oracle: kg_triangles' oriented wedge join
+    * credited per corner, degree from the oriented edge list, the same
+    * integer micro-division (deg < 2 ⇒ 0). */
+  private lazy val clusteringSql: String =
+    s"""WITH $partGraphCte,
+       |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e0 e1 JOIN e0 e2 ON e1.b = e2.a
+       |  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |tri AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+       |  SELECT x AS node FROM t UNION ALL SELECT y FROM t
+       |  UNION ALL SELECT z FROM t) GROUP BY node),
+       |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       |  SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+       |  GROUP BY node)
+       |SELECT d.node, d.deg,
+       |  COALESCE(tri.n_tri, CAST(0 AS BIGINT)) AS n_tri,
+       |  CASE WHEN d.deg >= 2 THEN CAST(
+       |    (2000000 * COALESCE(tri.n_tri, CAST(0 AS BIGINT)))
+       |      // (d.deg * (d.deg - 1)) AS BIGINT)
+       |  ELSE CAST(0 AS BIGINT) END AS lcc_micro
+       |FROM deg d LEFT JOIN tri ON d.node = tri.node
+       |ORDER BY d.node""".stripMargin
+
+  /** Hop-closeness oracle: the multi-source BFS min-dist recurrence
+    * unrolled round-per-CTE, then the same integer read-off. */
+  private lazy val closenessSql: String = {
+    val rounds = (1 to 3).map { k =>
+      s"""d$k AS (SELECT root, node, MIN(dist) AS dist FROM (
+         |  SELECT root, node, dist FROM d${k - 1}
+         |  UNION ALL
+         |  SELECT d.root, e.dst AS node, d.dist + 1 AS dist
+         |  FROM d${k - 1} d JOIN und e ON d.node = e.src)
+         |  GROUP BY root, node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $partGraphCte,
+       |d0 AS (SELECT DISTINCT src AS root, src AS node,
+       |       CAST(0 AS BIGINT) AS dist FROM und),
+       |$rounds
+       |SELECT root AS node, CAST(COUNT(*) AS BIGINT) AS reached,
+       |  CAST(SUM(dist) AS BIGINT) AS dist_sum,
+       |  CAST((1000000 * COUNT(*)) // SUM(dist) AS BIGINT)
+       |    AS closeness_micro
+       |FROM d3 WHERE dist > 0 GROUP BY root ORDER BY node""".stripMargin
   }
 
   private lazy val canonicalSql: String =

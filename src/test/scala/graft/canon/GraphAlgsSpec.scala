@@ -177,6 +177,67 @@ class GraphAlgsSpec extends SparkSpec {
     })
   }
 
+  test("clusteringCoefficients ≡ naive per-node lcc; degree<2 is 0") {
+    check(Prop.forAll(edgeGen) { es =>
+      es.isEmpty || {
+        val set = es.toSet
+        val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val naive = adj.map { case (v, nb) =>
+          val deg = nb.size.toLong
+          val nbs = nb.toSeq
+          val tri = (for {
+            x <- nbs; y <- nbs if x < y
+            if set((math.min(x, y), math.max(x, y)))
+          } yield 1).size.toLong
+          v -> ((deg, tri,
+            if (deg >= 2) 2000000L * tri / (deg * (deg - 1)) else 0L))
+        }
+        val got = GraphAlgs.clusteringCoefficients(
+            es.map { case (a, b) => (s"n$a", s"n$b") }.toDF("a", "b")
+              .repartition(5))
+          .as[(String, Long, Long, Long)].collect()
+          .map { case (n, d, t, l) => (n.drop(1).toInt, (d, t, l)) }.toMap
+        got == naive
+      }
+    })
+  }
+
+  test("hopCloseness ≡ naive bounded BFS from every root") {
+    check(Prop.forAll(edgeGen) { es =>
+      es.isEmpty || {
+        val rounds = 3
+        val und = es.flatMap { case (a, b) =>
+          Seq((s"n$a", s"n$b"), (s"n$b", s"n$a")) }
+        val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+          .toMap
+        val naive = adj.keys.flatMap { root =>
+          var dist = Map(root -> 0L)
+          var frontier = Set(root)
+          var lvl = 0L
+          while (lvl < rounds && frontier.nonEmpty) {
+            lvl += 1
+            val next = frontier.flatMap(adj).filterNot(dist.contains)
+            dist ++= next.map(_ -> lvl)
+            frontier = next
+          }
+          val reachable = dist.filter(_._2 > 0)
+          if (reachable.isEmpty) None
+          else {
+            val reached = reachable.size.toLong
+            val sumD = reachable.values.sum
+            Some(root -> ((reached, sumD, 1000000L * reached / sumD)))
+          }
+        }.toMap
+        val got = GraphAlgs.hopCloseness(
+            und.toDF("src", "dst").repartition(7), rounds)
+          .as[(String, Long, Long, Long)].collect()
+          .map { case (n, r, s, c) => (n, (r, s, c)) }.toMap
+        got == naive
+      }
+    })
+  }
+
   test("LPA unites a planted two-clique community structure") {
     def clique(off: Int) = for {
       a <- 0 until 5; b <- 0 until 5 if a != b

@@ -55,4 +55,60 @@ class KgEmbedSpec extends SparkSpec {
       .as[Long].head()
     assert(self == pNorm)
   }
+
+  test("distmultScore ≡ naive bilinear product over the hash embeddings") {
+    def dmJvm(s: String, p: String, o: String): Long =
+      (0 until KgEmbed.Dim).map { d =>
+        embJvm(s, d) * embJvm(p, d) * embJvm(o, d)
+      }.sum
+    val rows = Seq(("urn:doc:1", "urn:ent:spark"),
+      ("urn:doc:2", "urn:ent:vector"), ("x", "y"), ("a", "a"))
+    val got = rows.toDF("s", "o")
+      .select(col("s"), col("o"),
+        KgEmbed.distmultScore(col("s"), "urn:graft:mentions", col("o"))
+          .as("sc"))
+      .as[(String, String, Long)].collect()
+    got.foreach { case (s, o, sc) =>
+      assert(sc == dmJvm(s, "urn:graft:mentions", o), s"s=$s o=$o")
+      // bound check: |sc| ≤ Dim · Amp³
+      assert(math.abs(sc) <= KgEmbed.Dim * KgEmbed.Amp * KgEmbed.Amp *
+        KgEmbed.Amp)
+    }
+    // DistMult is symmetric in s and o (a known expressiveness limit of
+    // the bilinear-diagonal family) — the swap law pins the formula
+    val sym = Seq(("u", "v"), ("v", "u")).toDF("s", "o")
+      .select(KgEmbed.distmultScore(col("s"), "urn:graft:mentions",
+        col("o")))
+      .as[Long].collect()
+    assert(sym(0) == sym(1))
+  }
+
+  test("complexScore ≡ naive real-part expansion; breaks the swap law") {
+    def cxJvm(s: String, p: String, o: String): Long =
+      (0 until KgEmbed.Dim).map { d =>
+        val (sr, si) = (embJvm(s, 2 * d), embJvm(s, 2 * d + 1))
+        val (pr, pi) = (embJvm(p, 2 * d), embJvm(p, 2 * d + 1))
+        val (or_, oi) = (embJvm(o, 2 * d), embJvm(o, 2 * d + 1))
+        sr * pr * or_ + si * pr * oi + sr * pi * oi - si * pi * or_
+      }.sum
+    val rows = Seq(("urn:doc:1", "urn:ent:spark"),
+      ("urn:doc:2", "urn:ent:vector"), ("x", "y"), ("a", "a"))
+    val got = rows.toDF("s", "o")
+      .select(col("s"), col("o"),
+        KgEmbed.complexScore(col("s"), "urn:graft:mentions", col("o"))
+          .as("sc"))
+      .as[(String, String, Long)].collect()
+    got.foreach { case (s, o, sc) =>
+      assert(sc == cxJvm(s, "urn:graft:mentions", o), s"s=$s o=$o")
+    }
+    // unlike DistMult, ComplEx CAN order (s, o): the conjugation makes
+    // the swap inequality possible (antisymmetry capability) — check it
+    // actually differs on a concrete pair
+    val asym = Seq(("u", "v"), ("v", "u")).toDF("s", "o")
+      .select(KgEmbed.complexScore(col("s"), "urn:graft:mentions",
+        col("o")))
+      .as[Long].collect()
+    assert(asym(0) != asym(1),
+      "swap produced equal scores — conjugation not applied?")
+  }
 }
