@@ -34,7 +34,11 @@ object RelationMiner {
   def windowTriples(docs: DataFrame, entities: Seq[String],
       minSupport: Long = 2L): DataFrame = {
     val ents = typedLit(entities.sorted(graft.model.CodePoint.ordering))
-    val t = split(col("text"), " ")
+    // materialize the token array ONCE per row before the higher-order
+    // window enumeration: lambdas block common-subexpression
+    // elimination, so an inline split(text) would re-tokenize the whole
+    // document for EVERY element_at — O(tokens²) character work per doc
+    val t = col("t")
     val n = size(t)
     // windows start at 1-based i, need t[i], t[i+1], t[i+2]
     val idx = when(n >= 3, sequence(lit(1), n - 2))
@@ -47,7 +51,8 @@ object RelationMiner {
       w => array_contains(ents, w.getField("s")) &&
         array_contains(ents, w.getField("o")) &&
         w.getField("s") =!= w.getField("o"))
-    docs.select(col("doc_id"), explode(wins).as("w"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(wins).as("w"))
       .groupBy(col("w.s").as("s"), col("w.pred").as("pred"),
         col("w.o").as("o"))
       .agg(count(lit(1)).as("support"),
