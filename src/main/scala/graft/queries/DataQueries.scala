@@ -87,9 +87,12 @@ object DataQueries {
     */
   private val BoilerplateLine = "subscribe to our newsletter for updates"
   private[graft] def linesCorpus(spark: SparkSession, dir: String): DataFrame = {
+    // token array materialized BEFORE the transform: lambdas block CSE,
+    // so an inline split would re-tokenize the doc per chunk slice —
+    // O(tokens²/10) character work per row (the RelationMiner fix)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .select("doc_id", "text")
-    val toks = split(col("text"), " ")
+      .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+    val toks = col("__toks")
     val nChunks = ceil(size(toks) / lit(10.0)).cast("int")
     val body = array_join(transform(sequence(lit(0), nChunks - 1),
       j => array_join(slice(toks, j * 10 + 1, lit(10)), " ")), "\n")
