@@ -52,7 +52,8 @@ object StressBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sections = sys.env.getOrElse("SPARK_GRAFT_STRESS_SECTIONS",
       "cc,dd,kg,inc,ivf,ivfpq,skew,lines,pagerank,spans,path,asof,range," +
-        "domcap,sketch,bm25,tri,hits,kcore,quantile,chunk,keywords")
+        "domcap,sketch,bm25,tri,hits,kcore,quantile,chunk,keywords," +
+        "fuzzy,closeness,openie")
       .split(",").map(_.trim).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -717,6 +718,77 @@ object StressBench {
       frags += s""""chunk_1x":${cStats(base)}"""
       if (sections("kg") || sections("inc"))
         frags += s""""chunk_Nx":${cStats(s"$out/kg")}"""
+    }
+    if (sections("fuzzy")) {
+      // deletion-neighbourhood blocking law: true pairs (and hence
+      // candidates/verifications) grow ∝ planted near-dups, never
+      // vocab². Replica k's names get a 3-char suffix "~xxx" (letter
+      // 'a'+k repeated) so CROSS-replica variants of the same base name
+      // sit at edit distance 3 > k=2 — the only true pairs are the
+      // per-replica ones and the expected ratio is exactly REP.
+      val names1x = spark.read.parquet(s"$base/part.parquet")
+        .select(col("p_name").as("name"))
+      def fStats(names: DataFrame): String = {
+        val (r, secs) = time {
+          graft.canon.FuzzyNames.fuzzyPairs(names, 2)
+            .agg(count(lit(1))).head.getLong(0)
+        }
+        s"""{"pairs":$r,"sec":$secs}"""
+      }
+      val namesNx = names1x.crossJoin(reps).select(
+        concat(col("name"), lit("~"),
+          // 3× repeated replica letter: ed(base~aaa, base~bbb) = 3 > 2
+          array_join(array_repeat(chr(col("k") + 97), 3), "")).as("name"))
+      frags += s""""fuzzy_1x":${fStats(names1x)}"""
+      frags += s""""fuzzy_Nx":${fStats(namesNx)}"""
+    }
+    if (sections("closeness")) {
+      // hop-bounded multi-source BFS law: frontier state ∝ Σ|ball(v,h)|,
+      // which on a bridged REP× graph grows ∝ REP (the horizon caps each
+      // ball), never |V|². Edge replication reuses the CC bridging shape.
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+        .filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      def closStats(edges: DataFrame): String = {
+        val (r, secs) = time {
+          graft.canon.GraphAlgs.hopCloseness(edges, 3)
+            .agg(count(lit(1)), sum("reached")).head
+        }
+        s"""{"nodes":${r.getLong(0)},"state":${r.getLong(1)},"sec":$secs}"""
+      }
+      def und(e: DataFrame) = e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+      val e1x = li.alias("x").join(li.alias("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(concat(lit("p"), col("x.p")).as("a"),
+          concat(lit("p"), col("y.p")).as("b")).distinct()
+      val liN = li.crossJoin(reps).select(
+        (col("o") + col("k") * 10000000L).as("o"),
+        (col("p") + col("k") * 10000000L).as("p"))
+      val eNx = liN.alias("x").join(liN.alias("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(concat(lit("p"), col("x.p")).as("a"),
+          concat(lit("p"), col("y.p")).as("b")).distinct()
+      frags += s""""closeness_1x":${closStats(und(e1x))}"""
+      frags += s""""closeness_Nx":${closStats(und(eNx))}"""
+    }
+    if (sections("openie")) {
+      // window-mining law over the plain-replicated kg corpus: the
+      // distinct (s, pred, o) vocabulary is IDENTICAL and every support
+      // count is exactly REP× — windows ∝ tokens, enumeration in-row.
+      def oStats(dir: String): String = {
+        val d = spark.read.parquet(s"$dir/documents.parquet")
+        val (r, secs) = time {
+          graft.extract.RelationMiner
+            .windowTriples(d, graft.extract.Gazetteer.DefaultEntities, 2L)
+            .agg(count(lit(1)), sum("support")).head
+        }
+        s"""{"rows":${r.getLong(0)},"support":${r.getLong(1)},"sec":$secs}"""
+      }
+      frags += s""""openie_1x":${oStats(base)}"""
+      if (sections("kg") || sections("inc"))
+        frags += s""""openie_Nx":${oStats(s"$out/kg")}"""
     }
     if (sections("keywords")) {
       def kwStats(dir: String): String = {
