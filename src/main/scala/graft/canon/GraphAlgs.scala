@@ -107,9 +107,15 @@ object GraphAlgs {
     }
     d.filter(col("dist") > 0)
       .groupBy("root")
-      .agg(count(lit(1)).as("reached"), sum(col("dist")).as("dist_sum"))
+      .agg(count(lit(1)).as("reached"), sum(col("dist")).as("dist_sum"),
+        // harmonic centrality rides the same BFS state for free: Σ 1/d
+        // in integer micro-units (per-node floor division, then an
+        // order-invariant integer sum) — the variant that stays defined
+        // on disconnected graphs
+        sum(expr("1000000 div dist")).as("harmonic_micro"))
       .select(col("root").as("node"), col("reached"), col("dist_sum"),
-        expr("(1000000 * reached) div dist_sum").as("closeness_micro"))
+        expr("(1000000 * reached) div dist_sum").as("closeness_micro"),
+        col("harmonic_micro"))
   }
 
   /** Bellman-Ford single-source shortest paths, `rounds` synchronous

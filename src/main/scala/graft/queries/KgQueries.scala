@@ -866,6 +866,29 @@ object KgQueries {
           .select(col("p_name").as("name")), k = 2)
       .orderBy("a", "b")
 
+  /** Canonical surface-form groups: connected components over the
+    * kg_fuzzy alias pairs — THE alias-merge step of entity
+    * canonicalization (typo families collapse to one canonical form =
+    * the code-point-min member, the engine's canonical-label
+    * convention). Composes the two tiers end-to-end: deletion-
+    * neighbourhood blocking feeds the same large-star/small-star CC
+    * that canonicalizes co-mention entities, so the plan inherits both
+    * scale shapes. Names not in any pair keep themselves (left join +
+    * coalesce). Oracle: recursive CTE over the symmetric closure with
+    * MIN-label read-off (the kg_canonical pattern).
+    */
+  def kgAliasGroups(spark: SparkSession, dir: String): DataFrame = {
+    val names = spark.read.parquet(s"$dir/part.parquet")
+      .select(col("p_name").as("name")).distinct()
+    val pairs = graft.canon.FuzzyNames.fuzzyPairs(names, k = 2)
+      .select(col("a"), col("b"))
+    val comp = graft.canon.ConnectedComponents.run(pairs)
+    names.join(comp, names("name") === comp("node"), "left")
+      .select(col("name"),
+        coalesce(col("component"), col("name")).as("canonical"))
+      .orderBy("name")
+  }
+
   /** Per-node local clustering coefficient over the part–part graph
     * (see [[graft.canon.GraphAlgs.clusteringCoefficients]]): the
     * per-entity coherence signal on top of kg_triangles' global count.
@@ -933,6 +956,7 @@ object KgQueries {
     "kg_complex" -> kgComplex,
     "kg_openie" -> kgOpenie,
     "kg_fuzzy" -> kgFuzzy,
+    "kg_alias_groups" -> kgAliasGroups,
     "kg_clustering" -> kgClustering,
     "kg_closeness" -> kgCloseness
   )
@@ -1406,6 +1430,23 @@ object KgQueries {
         |FROM n x JOIN n y ON x.name < y.name
         |WHERE levenshtein(x.name, y.name) <= 2
         |ORDER BY a, b""".stripMargin,
+    // alias-merge canonicalization: recursive symmetric closure over the
+    // UNBLOCKED quadratic pair truth, MIN-label per component
+    "kg_alias_groups" ->
+      """WITH RECURSIVE n AS (SELECT DISTINCT p_name AS name FROM part),
+        |e AS (SELECT x.name AS a, y.name AS b
+        |  FROM n x JOIN n y ON x.name < y.name
+        |  WHERE levenshtein(x.name, y.name) <= 2),
+        |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |reach(s, x) AS (
+        |  SELECT a, a FROM und
+        |  UNION
+        |  SELECT r.s, u.b FROM reach r JOIN und u ON r.x = u.a),
+        |comp AS (SELECT s AS node, MIN(x) AS component FROM reach
+        |         GROUP BY s)
+        |SELECT n.name, COALESCE(c.component, n.name) AS canonical
+        |FROM n LEFT JOIN comp c ON n.name = c.node
+        |ORDER BY n.name""".stripMargin,
     "kg_clustering" -> clusteringSql,
     "kg_closeness" -> closenessSql,
     // replays PageGen's closed-form crawl-time scatter directly
@@ -1616,7 +1657,8 @@ object KgQueries {
        |SELECT root AS node, CAST(COUNT(*) AS BIGINT) AS reached,
        |  CAST(SUM(dist) AS BIGINT) AS dist_sum,
        |  CAST((1000000 * COUNT(*)) // SUM(dist) AS BIGINT)
-       |    AS closeness_micro
+       |    AS closeness_micro,
+       |  CAST(SUM(1000000 // dist) AS BIGINT) AS harmonic_micro
        |FROM d3 WHERE dist > 0 GROUP BY root ORDER BY node""".stripMargin
   }
 

@@ -69,6 +69,21 @@ class FuzzyNamesSpec extends SparkSpec {
     })
   }
 
+  test("alias groups: CC over fuzzy pairs merges typo CHAINS " +
+      "(endpoints beyond k) and leaves singletons canonical-self") {
+    // chain: aaaa ~ aaab ~ aabb ~ abbb (each step ed 1); endpoints at
+    // ed 3 > k=2 — only transitive closure unites them
+    val names = Seq("aaaa", "aaab", "aabb", "abbb", "zzzzzz")
+    val pairs = FuzzyNames.fuzzyPairs(names.toDF("name"), k = 2)
+      .select(col("a"), col("b"))
+    val comp = ConnectedComponents.run(pairs)
+      .as[(String, String)].collect().toMap
+    val chain = Seq("aaaa", "aaab", "aabb", "abbb")
+    assert(chain.map(comp).distinct == Seq("aaaa"),
+      s"chain not united under min label: ${chain.map(comp)}")
+    assert(!comp.contains("zzzzzz")) // isolated: coalesces to itself
+  }
+
   test("planted typo family resolves into the expected alias pairs") {
     val names = Seq("acme corp", "acme crop", "acme corp.", "zenith",
       "zennith", "wholly unrelated")

@@ -226,13 +226,15 @@ class GraphAlgsSpec extends SparkSpec {
           else {
             val reached = reachable.size.toLong
             val sumD = reachable.values.sum
-            Some(root -> ((reached, sumD, 1000000L * reached / sumD)))
+            val harm = reachable.values.map(1000000L / _).sum
+            Some(root -> ((reached, sumD, 1000000L * reached / sumD,
+              harm)))
           }
         }.toMap
         val got = GraphAlgs.hopCloseness(
             und.toDF("src", "dst").repartition(7), rounds)
-          .as[(String, Long, Long, Long)].collect()
-          .map { case (n, r, s, c) => (n, (r, s, c)) }.toMap
+          .as[(String, Long, Long, Long, Long)].collect()
+          .map { case (n, r, s, c, h) => (n, (r, s, c, h)) }.toMap
         got == naive
       }
     })
