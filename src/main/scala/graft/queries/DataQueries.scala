@@ -79,6 +79,37 @@ object DataQueries {
       .select(col("a"), col("b"), col("jaccard"))
       .orderBy("a", "b")
 
+  /** Near-dup CLUSTERS: connected components over the verified MinHash
+    * pair graph, emitting (doc_id, keep_id) for every non-survivor —
+    * dd_exact_clusters' convention lifted to the fuzzy tier (transitive
+    * near-dup families collapse to their min-id member even when the
+    * endpoints' direct Jaccard is below threshold). Plan: the banded
+    * candidate tier (∝ dups) feeds the same large-star/small-star CC
+    * the KG canonicalizer uses; no new shuffle shapes. Oracle: the
+    * exact ≥0.8 pair truth + recursive symmetric closure.
+    */
+  def ddMinhashClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minHashCandidates(minhashCorpus(spark, dir),
+        n = 3, Dedup.MinHashParams(numHashes = 64, bands = 16, seed = 42L),
+        verifyThreshold = 0.8)
+      .select(col("a"), col("b"))
+    graft.canon.ConnectedComponents.run(pairs)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"), col("component").as("keep_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Fixed-weight integer quality classifier (see
+    * [[graft.text.TextAnalysis.classify]]) — the model-based filtering
+    * tier of the curation funnel; features, score and keep decision all
+    * replay exactly (non-negative floor divisions + integer sums).
+    */
+  def txtClassify(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.classify(spark.read.parquet(s"$dir/documents.parquet"))
+      .select(col("doc_id"), col("f_stop"), col("f_punct"), col("f_len"),
+        col("f_mtl"), col("score"), col("keep"))
+      .orderBy("doc_id")
+
   /** Line-bearing corpus for the C4-style line dedup tier: the flat
     * synthetic texts are re-wrapped into 10-token lines, and every 7th
     * doc gets a boilerplate first line — the cross-document repeated-line
@@ -624,6 +655,7 @@ object DataQueries {
     "dd_jaccard" -> ddJaccard,
     "dd_lines" -> ddLines,
     "dd_minhash" -> ddMinhash,
+    "dd_minhash_clusters" -> ddMinhashClusters,
     "dd_simhash" -> ddSimhash,
     "dd_embed" -> ddEmbed,
     "ann_top1" -> annTop1,
@@ -632,6 +664,7 @@ object DataQueries {
     "ann_ivf_topk" -> annIvfTopk,
     "dd_pipeline" -> ddPipeline,
     "txt_quality" -> txtQuality,
+    "txt_classify" -> txtClassify,
     "txt_repetition" -> txtRepetition,
     "txt_fingerprint" -> txtFingerprint,
     "txt_mix" -> txtMix,
@@ -1461,6 +1494,70 @@ object DataQueries {
         |JOIN sizes sb ON p.b = sb.doc_id
         |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.8
         |ORDER BY a, b""".stripMargin,
+    // the exact >=0.8 pair truth (dd_minhash's oracle) + recursive
+    // symmetric closure with MIN-label read-off
+    "dd_minhash_clusters" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(list_slice(string_split(text, ' '), 1,
+        |      greatest(len(string_split(text, ' ')) - 2, 3)), ' ')
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i)
+        |  WHERE len(w) >= 3
+        |  UNION
+        |  SELECT doc_id, array_to_string(w, ' ') FROM toks WHERE len(w) < 3),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sel AS (
+        |  SELECT p.a, p.b
+        |  FROM pairs p JOIN sizes sa ON p.a = sa.doc_id
+        |  JOIN sizes sb ON p.b = sb.doc_id
+        |  WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.8),
+        |und AS (SELECT a, b FROM sel UNION SELECT b, a FROM sel),
+        |reach(n, x) AS (
+        |  SELECT a, a FROM und
+        |  UNION
+        |  SELECT r.n, u.b FROM reach r JOIN und u ON r.x = u.a),
+        |comp AS (SELECT n AS doc_id, MIN(x) AS keep_id FROM reach GROUP BY n)
+        |SELECT doc_id, keep_id FROM comp WHERE doc_id <> keep_id
+        |ORDER BY doc_id""".stripMargin,
+    // feature micro-ratios are NON-NEGATIVE floor divisions (Spark div ≡
+    // DuckDB // there); the score is a pure integer sum so sign-division
+    // semantics never diverge
+    "txt_classify" ->
+      """WITH f AS (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS n_punct,
+        |  CAST(length(list_filter(string_split_regex(trim(text), '\s+'),
+        |    w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) AS BIGINT) AS n_stopwords
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN n_tokens > 0 THEN CAST((1000000 * n_stopwords) // n_tokens AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS f_stop,
+        |  CASE WHEN n_chars > 0 THEN CAST((1000000 * n_punct) // n_chars AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS f_punct,
+        |  least(CAST(1000000 AS BIGINT),
+        |        CAST((1000000 * n_tokens) // 400 AS BIGINT)) AS f_len,
+        |  CASE WHEN n_tokens > 0
+        |       THEN CAST((1000000 * (n_chars - n_tokens + 1)) // (6 * n_tokens) AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS f_mtl
+        |  FROM f)
+        |SELECT doc_id, f_stop, f_punct, f_len, f_mtl,
+        |  3 * f_stop - 4 * f_punct + 2 * f_len + f_mtl - 1500000 AS score,
+        |  (3 * f_stop - 4 * f_punct + 2 * f_len + f_mtl - 1500000) >= 0 AS keep
+        |FROM g ORDER BY doc_id""".stripMargin,
     "ann_top1" ->
       """WITH v AS (
         |  SELECT vec_id, CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q,

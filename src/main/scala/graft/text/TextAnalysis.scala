@@ -168,6 +168,42 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
+  /** Model-based quality filtering with a FIXED-WEIGHT integer linear
+    * model — the classifier tier of an LLM curation funnel (the
+    * fastText/DCLM-style "quality classifier" shape) made fully
+    * deterministic: a real deployment swaps in trained weights, the
+    * operator plan is identical. Features are integer micro-ratios of
+    * [[quality]]'s exact counts (each a NON-NEGATIVE floor division, so
+    * Spark's truncating `div` and the oracle's `//` agree); the score is
+    * their weighted integer sum (no post-division — negative totals
+    * would floor differently across engines) and `keep` thresholds it.
+    * One codegen'd projection per row; nothing shuffles.
+    *
+    * Weights encode the standard prose priors: stopword share up
+    * (connected English prose), punctuation density down (boilerplate /
+    * code soup), saturating length bonus, mean-token-length term
+    * (gibberish has extreme means).
+    */
+  def classify(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val q = quality(docs, textCol)
+    val fStop = when(col("n_tokens") > 0,
+      expr("(1000000 * n_stopwords) div n_tokens")).otherwise(lit(0L))
+    val fPunct = when(col("n_chars_m") > 0,
+      expr("(1000000 * n_punct) div n_chars_m")).otherwise(lit(0L))
+    val fLen = least(lit(1000000L), expr("(1000000 * n_tokens) div 400"))
+    val fMtl = when(col("n_tokens") > 0,
+      expr("(1000000 * (n_chars_m - n_tokens + 1)) div (6 * n_tokens)"))
+      .otherwise(lit(0L))
+    q.withColumn("f_stop", fStop)
+      .withColumn("f_punct", fPunct)
+      .withColumn("f_len", fLen)
+      .withColumn("f_mtl", fMtl)
+      .withColumn("score",
+        lit(3L) * col("f_stop") - lit(4L) * col("f_punct") +
+          lit(2L) * col("f_len") + col("f_mtl") - lit(1500000L))
+      .withColumn("keep", col("score") >= 0L)
+  }
+
   // ---- Language identification (character n-gram heuristic) -----------
 
   /** Tiny deterministic char-trigram profiles per language, derived from
