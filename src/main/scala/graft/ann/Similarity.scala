@@ -206,6 +206,72 @@ object Similarity {
       .select("a", "b", "cos")
   }
 
+  /** SemDedup-style cluster-scoped semantic dedup (Abbas et al. 2023):
+    * partition the embedding space with a coarse quantizer, find
+    * within-CLUSTER cosine near-dup pairs, collapse their transitive
+    * families to the min-id survivor. The defining approximation is the
+    * cluster scope — cross-cluster near-dups are out of reach BY THE
+    * METHOD, so the oracle replays the same cluster-scoped semantics
+    * (the recall/cost trade the paper measures; LSH-scoped recall lives
+    * in [[embeddingNearDupPairs]]).
+    *
+    * Scale shape: centroids are a deterministic modular sample (C ~ √n,
+    * broadcast, same rationale as [[ivfTopK]]); assignment is the same
+    * per-partition argmax (no n×C shuffle); the candidate join is keyed
+    * by cent_id over (cent_id, id)-width rows — within-list pairs are
+    * SemDedup's intrinsic (n/C choose 2)·C cost, embeddings join on
+    * AFTER candidate generation (∝ candidates, never corpus²); survivors
+    * via the canonicalizer's large-star/small-star CC.
+    *
+    * Returns (vec_id, keep_id) for every pruned non-survivor.
+    */
+  def semanticDedup(emb: DataFrame, centroidPred: Column,
+                    threshold: Double): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents: Array[(Long, Array[Float])] =
+      emb.filter(centroidPred).select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect()
+        .map { case (id, v) => (id, v.toArray) }
+        .sortBy(_._1)
+    require(cents.nonEmpty, "semanticDedup: centroidPred selected no rows")
+    val bcC = spark.sparkContext.broadcast(cents)
+    // ties → lower cent_id (cents id-sorted, strict > keeps the first),
+    // the ROW_NUMBER(cos DESC, cent_id) order the oracle replays
+    val asg = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val cs = bcC.value
+        it.map { case (id, v) =>
+          val arr = v.toArray
+          var bestId = cs(0)._1
+          var bestCos = Double.NegativeInfinity
+          var i = 0
+          while (i < cs.length) {
+            val c = centCosStatic(arr, cs(i)._2)
+            if (c > bestCos) { bestCos = c; bestId = cs(i)._1 }
+            i += 1
+          }
+          (id, bestId)
+        }
+      }.toDF("vec_id", "cent_id")
+    val cand = asg.select(col("cent_id"), col("vec_id").as("a"))
+      .join(asg.select(col("cent_id"), col("vec_id").as("b")), Seq("cent_id"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val pairs = cand
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("va")),
+        Seq("a"))
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("vb")),
+        Seq("b"))
+      .filter(cosine(col("va"), col("vb")) >= threshold)
+      .select("a", "b")
+    graft.canon.ConnectedComponents.run(pairs)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("vec_id"), col("component").as("keep_id"))
+  }
+
   /** IVF-Flat approximate top-k — the third ANN tier next to brute force
     * and hyperplane LSH. A coarse quantizer partitions the corpus into
     * inverted lists (every vector assigned to its nearest centroid); a

@@ -186,6 +186,17 @@ object DataQueries {
     Similarity.embeddingNearDupPairs(embedCorpus(spark, dir), 0.99, nBits = 11)
       .orderBy("a", "b")
 
+  /** SemDedup-style semantic dedup over the planted-twin corpus:
+    * √n-sampled coarse quantizer, within-cluster cosine ≥ 0.99 pairs,
+    * min-id survivors (see [[graft.ann.Similarity.semanticDedup]] — the
+    * oracle replays the full quantizer, the cluster-scoped pair search
+    * and the recursive closure).
+    */
+  def ddSemantic(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(embedCorpus(spark, dir),
+        centroidPred = col("vec_id") % 31 === 5, threshold = 0.99)
+      .orderBy("vec_id")
+
   /** Integer-exact nearest neighbor by quantized dot product. */
   def annTop1(spark: SparkSession, dir: String): DataFrame =
     Similarity.quantizedTop1(spark.read.parquet(s"$dir/embeddings.parquet"),
@@ -658,6 +669,7 @@ object DataQueries {
     "dd_minhash_clusters" -> ddMinhashClusters,
     "dd_simhash" -> ddSimhash,
     "dd_embed" -> ddEmbed,
+    "dd_semantic" -> ddSemantic,
     "ann_top1" -> annTop1,
     "ann_brute_topk" -> annBruteTopk,
     "ann_lsh_topk" -> annLshTopk,
@@ -1494,6 +1506,47 @@ object DataQueries {
         |JOIN sizes sb ON p.b = sb.doc_id
         |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.8
         |ORDER BY a, b""".stripMargin,
+    // full quantizer replay (the ann_ivf pattern) + cluster-scoped pair
+    // search + recursive closure — cluster scope is SemDedup's defining
+    // approximation, so the oracle replays it rather than global truth
+    "dd_semantic" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_transform(generate_series(1, len(embedding)),
+         |      i -> CASE WHEN i = 1
+         |        THEN CAST(embedding[i] * CAST(1.1 AS FLOAT) AS FLOAT)
+         |        ELSE embedding[i] END)
+         |  FROM embeddings WHERE vec_id % 40 = 0),
+         |cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM corpus
+         |  WHERE vec_id % 31 = 5),
+         |ac AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |    ${cosineFoldSql("e.embedding", "c.cv")} AS cos
+         |  FROM corpus e CROSS JOIN cent c),
+         |assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+         |    FROM ac) t WHERE rn = 1),
+         |cand AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b
+         |  FROM assign x JOIN assign y
+         |    ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id),
+         |sel AS (
+         |  SELECT c.a, c.b
+         |  FROM cand c JOIN corpus ea ON ea.vec_id = c.a
+         |              JOIN corpus eb ON eb.vec_id = c.b
+         |  WHERE ${cosineFoldSql("ea.embedding", "eb.embedding")} >= 0.99),
+         |und AS (SELECT a, b FROM sel UNION SELECT b, a FROM sel),
+         |reach(n, x) AS (
+         |  SELECT a, a FROM und
+         |  UNION
+         |  SELECT r.n, u.b FROM reach r JOIN und u ON r.x = u.a),
+         |comp AS (SELECT n AS vec_id, MIN(x) AS keep_id FROM reach GROUP BY n)
+         |SELECT vec_id, keep_id FROM comp WHERE vec_id <> keep_id
+         |ORDER BY vec_id""".stripMargin,
     // the exact >=0.8 pair truth (dd_minhash's oracle) + recursive
     // symmetric closure with MIN-label read-off
     "dd_minhash_clusters" ->

@@ -131,6 +131,31 @@ class SimilaritySpec extends SparkSpec {
     assert(trained >= 0.8, s"trained recall $trained below clustered floor")
   }
 
+  test("semanticDedup: prunes within-cluster twin families to min-id; " +
+      "cluster scope documented by a cross-cluster miss") {
+    // two well-separated clusters on orthogonal axes; dups = tiny
+    // per-component perturbations (cosine ~ 1), distinct rows otherwise
+    def v(axis: Int, eps: Float): Seq[Float] =
+      Seq.tabulate(8)(i => (if (i == axis) 1f else 0f) +
+        (if (i == (axis + 1) % 8) eps else 0f))
+    val rows = Seq(
+      (0L, v(0, 0.00f)), (1L, v(0, 0.01f)), (2L, v(0, 0.02f)), // family A
+      (3L, v(0, 0.9f)),                                        // A-ish, far
+      (10L, v(4, 0.00f)), (11L, v(4, 0.01f)),                  // family B
+      (12L, v(4, 0.9f)))
+    val emb2 = rows.toDF("vec_id", "embedding")
+    // centroids: one per cluster (ids 0 and 10) — modular pred replaced
+    // by an explicit id set for the synthetic fixture
+    val got = Similarity.semanticDedup(emb2,
+        centroidPred = col("vec_id").isin(0L, 10L), threshold = 0.995)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 11L -> 10L),
+      s"unexpected prune set: $got")
+    // the far members survive even though they share the cluster —
+    // threshold scoping inside the cluster
+    assert(!got.contains(3L) && !got.contains(12L))
+  }
+
   test("trained IVF on an empty corpus returns empty like the sampled tier") {
     val empty = emb.filter(col("vec_id") < 0)
     assert(Similarity.ivfTopKTrained(empty, col("vec_id") >= 0,
