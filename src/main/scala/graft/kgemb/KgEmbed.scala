@@ -74,6 +74,55 @@ object KgEmbed {
     * stays far inside a long and replays bit-exactly in HUGEINT SQL.
     * Same zero-join plan shape as [[transeScore]]/[[distmultScore]].
     */
+  /** Margin used by [[transeGradUpdates]]: a violated pair satisfies
+    * score_pos + Margin > score_neg (hinge-active region of
+    * max(0, γ + score_pos − score_neg)). Scores sum Dim terms ≤ 3·Amp,
+    * so γ = Amp sits in the distribution's active band.
+    */
+  val Margin = 500L
+
+  private def signum(x: Column): Column =
+    when(x > 0, lit(1L)).when(x < 0, lit(-1L)).otherwise(lit(0L))
+
+  /** ONE deterministic TransE SGD step over the (s, o, o_neg) pair set
+    * — the gradient-AGGREGATION shape that dominates distributed KG-
+    * embedding training at 10^12 triples (per-triple subgradients are a
+    * map; the update is one entity-keyed integer sum, map-side
+    * combined; hot entities are exactly the PageRank-head keys AQE
+    * already splits). For the hinge loss L = max(0, γ + score_pos −
+    * score_neg) with L1 scores, the subgradient per dimension d is
+    * sign-valued:
+    *
+    *   ∂L/∂s_d     = sign(s_d+p_d−o_d) − sign(s_d+p_d−o_neg_d)
+    *   ∂L/∂o_d     = −sign(s_d+p_d−o_d)
+    *   ∂L/∂o_neg_d = +sign(s_d+p_d−o_neg_d)
+    *
+    * applied only on violated pairs; updates are the NEGATED
+    * subgradients at unit step (integer ±1 votes), summed per
+    * (entity, d) — order/partitioning-invariant, bit-exact in the
+    * oracle. Returns (entity, d, upd).
+    */
+  def transeGradUpdates(pairs: DataFrame, p: String): DataFrame = {
+    val (s, o, on) = (col("s"), col("o"), col("o_neg"))
+    val violated = pairs.filter(
+      transeScore(s, p, o) + lit(Margin) > transeScore(s, p, on))
+    val updates = (0 until Dim).flatMap { d =>
+      val posSign = signum(
+        embComponent(s, d) + embComponent(lit(p), d) - embComponent(o, d))
+      val negSign = signum(
+        embComponent(s, d) + embComponent(lit(p), d) - embComponent(on, d))
+      Seq(
+        struct(s.as("entity"), lit(d.toLong).as("d"),
+          (negSign - posSign).as("upd")),
+        struct(o.as("entity"), lit(d.toLong).as("d"), posSign.as("upd")),
+        struct(on.as("entity"), lit(d.toLong).as("d"),
+          (-negSign).as("upd")))
+    }
+    violated.select(explode(array(updates: _*)).as("u"))
+      .groupBy(col("u.entity").as("entity"), col("u.d").as("d"))
+      .agg(sum(col("u.upd")).as("upd"))
+  }
+
   def complexScore(s: Column, p: String, o: Column): Column =
     (0 until Dim).map { d =>
       val (sr, si) = (embComponent(s, 2 * d), embComponent(s, 2 * d + 1))

@@ -839,6 +839,19 @@ object KgQueries {
       .orderBy("s", "o")
   }
 
+  /** One deterministic TransE SGD step over the shared pair set — the
+    * gradient-AGGREGATION query that closes the KG-embedding loop
+    * (walks → negatives → scoring → update): per-dimension ±1
+    * subgradient votes on hinge-violated pairs, summed per (entity, d)
+    * in ONE map-side-combined integer agg
+    * ([[graft.kgemb.KgEmbed.transeGradUpdates]]). Oracle replays the
+    * violation filter, every sign and the sum in HUGEINT.
+    */
+  def kgTranseGrad(spark: SparkSession, dir: String): DataFrame =
+    graft.kgemb.KgEmbed.transeGradUpdates(negTriples(spark, dir),
+        MentionScan.MentionsPred)
+      .orderBy("entity", "d")
+
   /** Open-IE surface-relation mining over the corpus: `entity TOKEN
     * entity` windows proposing predicate vocabulary beyond the fixed
     * gazetteer relations, aggregated by support
@@ -954,6 +967,7 @@ object KgQueries {
     "kg_transe" -> kgTranse,
     "kg_distmult" -> kgDistmult,
     "kg_complex" -> kgComplex,
+    "kg_transe_grad" -> kgTranseGrad,
     "kg_openie" -> kgOpenie,
     "kg_fuzzy" -> kgFuzzy,
     "kg_alias_groups" -> kgAliasGroups,
@@ -1405,6 +1419,7 @@ object KgQueries {
     "kg_transe" -> transeSql,
     "kg_distmult" -> distmultSql,
     "kg_complex" -> complexSql,
+    "kg_transe_grad" -> transeGradSql,
     // positional replay of the 3-token windows (kg_mentions_ctx pattern)
     "kg_openie" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
@@ -1614,6 +1629,48 @@ object KgQueries {
        |SELECT s, o, o_neg, score_pos, score_neg,
        |  score_pos - score_neg AS margin
        |FROM sc ORDER BY s, o""".stripMargin
+  }
+
+  /** TransE-gradient oracle: the negative draw, the hinge-violation
+    * filter, every per-dimension sign and the (entity, d) sum replayed
+    * in HUGEINT. */
+  private lazy val transeGradSql: String = {
+    val e = gazSorted.length
+    val arrLit = gazSorted.map(x => s"'$x'").mkString("[", ", ", "]")
+    val key = "(mt.s || '|' || mt.o || '|0')"
+    val fold = DataQueries.fnvFoldSql(key, "14695981039346656037")
+    def diff(d: Int, oKey: String): String =
+      s"(${embSql("v.s", d)} + ${embSql("'urn:graft:mentions'", d)}" +
+        s" - ${embSql(oKey, d)})"
+    def sgn(x: String): String =
+      s"(CASE WHEN $x > 0 THEN 1 WHEN $x < 0 THEN -1 ELSE 0 END)"
+    def l1(oKey: String): String = (0 until graft.kgemb.KgEmbed.Dim).map {
+      d => s"abs(${embSql("v.s", d)} + ${embSql("'urn:graft:mentions'", d)}" +
+        s" - ${embSql(oKey, d)})"
+    }.mkString(" + ")
+    val dimRows = (0 until graft.kgemb.KgEmbed.Dim).map { d =>
+      val sp = sgn(diff(d, "v.o"))
+      val sn = sgn(diff(d, "v.o_neg"))
+      s"""SELECT v.s AS entity, $d AS d, ($sn - $sp) AS upd FROM viol v
+         |UNION ALL SELECT v.o, $d, $sp FROM viol v
+         |UNION ALL SELECT v.o_neg, $d, -$sn FROM viol v""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $tokensCte,
+       |mt AS (SELECT 'urn:doc:' || doc_id AS s, 'urn:ent:' || entity AS o
+       |       FROM m),
+       |cand AS (SELECT s, o,
+       |  'urn:ent:' || ($arrLit)[CAST(($fold) % $e AS INT) + 1] AS o_neg
+       |  FROM mt),
+       |neg AS (SELECT * FROM cand c
+       |  WHERE o_neg <> o AND NOT EXISTS (
+       |    SELECT 1 FROM mt x WHERE x.s = c.s AND x.o = c.o_neg)),
+       |viol AS (SELECT * FROM neg v
+       |  WHERE ${l1("v.o")} + ${graft.kgemb.KgEmbed.Margin}
+       |      > ${l1("v.o_neg")}),
+       |updates AS (
+       |$dimRows)
+       |SELECT entity, CAST(d AS BIGINT) AS d, CAST(SUM(upd) AS BIGINT) AS upd
+       |FROM updates GROUP BY entity, d ORDER BY entity, d""".stripMargin
   }
 
   /** Clustering-coefficient oracle: kg_triangles' oriented wedge join

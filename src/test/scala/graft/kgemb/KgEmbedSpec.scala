@@ -83,6 +83,38 @@ class KgEmbedSpec extends SparkSpec {
     assert(sym(0) == sym(1))
   }
 
+  test("transeGradUpdates ≡ naive hinge subgradient aggregation") {
+    val p = "urn:graft:mentions"
+    val pairs = Seq(
+      ("urn:doc:1", "urn:ent:spark", "urn:ent:join"),
+      ("urn:doc:2", "urn:ent:vector", "urn:ent:spark"),
+      ("urn:doc:3", "urn:ent:merge", "urn:ent:hash"),
+      ("urn:doc:1", "urn:ent:window", "urn:ent:batch"))
+    def sgn(x: Long): Long = java.lang.Long.signum(x).toLong
+    val naive = pairs.flatMap { case (s, o, on) =>
+      val pos = (0 until KgEmbed.Dim)
+        .map(d => math.abs(embJvm(s, d) + embJvm(p, d) - embJvm(o, d))).sum
+      val neg = (0 until KgEmbed.Dim)
+        .map(d => math.abs(embJvm(s, d) + embJvm(p, d) - embJvm(on, d))).sum
+      if (pos + KgEmbed.Margin > neg)
+        (0 until KgEmbed.Dim).flatMap { d =>
+          val sp = sgn(embJvm(s, d) + embJvm(p, d) - embJvm(o, d))
+          val sn = sgn(embJvm(s, d) + embJvm(p, d) - embJvm(on, d))
+          Seq((s, d.toLong, sn - sp), (o, d.toLong, sp),
+            (on, d.toLong, -sn))
+        }
+      else Seq.empty
+    }.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(_._3).sum).toMap
+    val got = KgEmbed.transeGradUpdates(
+        pairs.toDF("s", "o", "o_neg").repartition(3), p)
+      .as[(String, Long, Long)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    assert(got == naive)
+    // at least one pair must be hinge-active or the test is vacuous
+    assert(naive.nonEmpty, "fixture: no violated pairs — widen it")
+  }
+
   test("complexScore ≡ naive real-part expansion; breaks the swap law") {
     def cxJvm(s: String, p: String, o: String): Long =
       (0 until KgEmbed.Dim).map { d =>
