@@ -53,7 +53,7 @@ object StressBench {
     val sections = sys.env.getOrElse("SPARK_GRAFT_STRESS_SECTIONS",
       "cc,dd,kg,inc,ivf,ivfpq,skew,lines,pagerank,spans,path,asof,range," +
         "domcap,sketch,bm25,tri,hits,kcore,quantile,chunk,keywords," +
-        "fuzzy,closeness,openie")
+        "fuzzy,closeness,openie,zorder")
       .split(",").map(_.trim).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -718,6 +718,79 @@ object StressBench {
       frags += s""""chunk_1x":${cStats(base)}"""
       if (sections("kg") || sections("inc"))
         frags += s""""chunk_Nx":${cStats(s"$out/kg")}"""
+    }
+    if (sections("zorder")) {
+      // multi-column data-skipping law: a conjunctive box predicate over
+      // a z-clustered layout reads a FRACTION of the bytes the
+      // single-column-sorted layout reads — z-order gives every file/row
+      // group a tight min/max envelope on BOTH columns, so parquet
+      // footer stats prune on either; the x-sorted layout prunes on x
+      // only and decodes the full y domain inside the x slice.
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+      val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new SparkListener {
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val n = 2000000L
+      val side = 1024L
+      // deterministic full-grid scatter: x from the low id bits, y from
+      // the high ones, each scrambled by an odd multiplier — (x, y)
+      // covers the plane (a same-modulus scramble of one id would put
+      // every point on a 1-D line and the box would select nothing)
+      val pts = spark.range(n).select(
+        (col("id") * 567L % side).as("x"),
+        (expr(s"id div $side") * 819L % side).as("y"),
+        concat(lit("p"), col("id"), lit("#"),
+          lpad(lit(""), 64, "x")).as("payload"))
+      pts.withColumn("__s", col("x"))
+        .repartitionByRange(64, col("__s")).sortWithinPartitions("__s")
+        .drop("__s")
+        .write.mode("overwrite").parquet(s"$out/zorder/bycol.parquet")
+      graft.sources.ZOrder.cluster(pts, "x", "y", numFiles = 64)
+        .write.mode("overwrite").parquet(s"$out/zorder/zord.parquet")
+      // pruning potential = files whose footer [min,max] envelope
+      // intersects the probe range — exactly what parquet stats pruning
+      // consults. The ASYMMETRY is the law: x-sorted serves an x probe
+      // with 1-2 files but a y probe touches ALL of them; z-order
+      // bounds BOTH probes at ~sqrt(F).
+      def envelopes(path: String): Array[(Long, Long, Long, Long)] =
+        spark.read.parquet(path)
+          .groupBy(input_file_name())
+          .agg(min("x"), max("x"), min("y"), max("y"))
+          .collect().map(r => (r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4)))
+      def touched(env: Array[(Long, Long, Long, Long)],
+          lo: Long, hi: Long, onY: Boolean): Int =
+        env.count { case (xmin, xmax, ymin, ymax) =>
+          if (onY) ymax >= lo && ymin <= hi else xmax >= lo && xmin <= hi }
+      val envB = envelopes(s"$out/zorder/bycol.parquet")
+      val envZ = envelopes(s"$out/zorder/zord.parquet")
+      // timed evidence on the y-only probe — the query the x-sort can't
+      // prune; payload summed so surviving row groups must decode it
+      def yScan(path: String): (Long, Double, Long) = {
+        val d = spark.read.parquet(path)
+          .filter(col("y").between(100, 131))
+          .agg(count(lit(1)).as("rows"),
+            coalesce(sum(length(col("payload"))), lit(0L)).as("bytes"))
+        d.collect() // warm footers
+        bytesRead.set(0)
+        val (rows, secs) = time(d.head.getLong(0))
+        (rows, secs, bytesRead.get())
+      }
+      val (r1, s1, b1) = yScan(s"$out/zorder/bycol.parquet")
+      val (r2, s2, b2) = yScan(s"$out/zorder/zord.parquet")
+      require(r1 == r2, s"layouts disagree: $r1 vs $r2")
+      spark.sparkContext.removeSparkListener(listener)
+      frags += s""""zorder":{"files":${envB.length},""" +
+        s""""bycol_files_xprobe":${touched(envB, 100, 131, onY = false)},""" +
+        s""""bycol_files_yprobe":${touched(envB, 100, 131, onY = true)},""" +
+        s""""zord_files_xprobe":${touched(envZ, 100, 131, onY = false)},""" +
+        s""""zord_files_yprobe":${touched(envZ, 100, 131, onY = true)},""" +
+        s""""yprobe_rows":$r1,"bycol_sec":$s1,"bycol_bytes":$b1,""" +
+        s""""zord_sec":$s2,"zord_bytes":$b2}"""
     }
     if (sections("fuzzy")) {
       // deletion-neighbourhood blocking law: true pairs (and hence
