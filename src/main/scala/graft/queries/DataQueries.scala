@@ -197,6 +197,40 @@ object DataQueries {
         centroidPred = col("vec_id") % 31 === 5, threshold = 0.99)
       .orderBy("vec_id")
 
+  /** Robust per-source corpus audit: MAD outlier counts from TWO levels
+    * of the keyed quantile sketch — med = sketch-P50 of doc token
+    * counts, MAD = sketch-P50 of |v − med|, outliers = docs with
+    * deviation > 3·MAD. The robust-statistics tier of corpus monitoring
+    * (mean/stddev break under the heavy-tailed length distributions web
+    * corpora actually have); both sketch levels are the ≤1024-bucket
+    * integer histogram, the med/MAD joins are dictionary-sized
+    * broadcasts, and every read-off is the bucket lower bound — all
+    * integer, bit-exact in the oracle's bucket-arithmetic replay.
+    */
+  def sketchMad(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sketch.QuantileHist
+    val v = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("v"))
+      .localCheckpoint() // two sketch levels + the outlier agg share it
+    val med = QuantileHist.quantilesByKey(v, "source", "v", Seq(50))
+      .select(col("source"), col("lo").as("med"))
+    val dev = v.join(broadcast(med), Seq("source"))
+      .select(col("source"), abs(col("v") - col("med")).as("dev"))
+      .localCheckpoint()
+    val mad = QuantileHist.quantilesByKey(dev, "source", "dev", Seq(50))
+      .select(col("source"), col("lo").as("mad"))
+    dev.join(broadcast(mad), Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dev") > lit(3L) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .join(med, Seq("source"))
+      .join(mad, Seq("source"))
+      .select(col("source"), col("n"), col("med"), col("mad"),
+        col("n_outliers"))
+      .orderBy("source")
+  }
+
   /** Integer-exact nearest neighbor by quantized dot product. */
   def annTop1(spark: SparkSession, dir: String): DataFrame =
     Similarity.quantizedTop1(spark.read.parquet(s"$dir/embeddings.parquet"),
@@ -689,6 +723,7 @@ object DataQueries {
     "sketch_ams" -> sketchAms,
     "sketch_quantile" -> sketchQuantile,
     "sketch_quantile_src" -> sketchQuantileSrc,
+    "sketch_mad" -> sketchMad,
     "txt_keywords" -> txtKeywords,
     "txt_chunk" -> txtChunk,
     "txt_bm25" -> txtBm25,
@@ -698,6 +733,33 @@ object DataQueries {
     "mm_phash" -> mmPhash,
     "mm_audio_fp" -> mmAudioFp
   )
+
+  /** QuantileHist.bucket in DuckDB SQL (HdrHistogram-style log bucket,
+    * 16 sub-buckets). */
+  private def qBucketSql(v: String): String =
+    s"""CASE WHEN $v < 32 THEN $v
+       |  ELSE (length(bin($v)) - 1) * 16
+       |     + (($v >> (length(bin($v)) - 1 - 4)) & 15) END""".stripMargin
+
+  /** QuantileHist.bounds(...)._1 (inclusive lower bound) in DuckDB SQL. */
+  private def qLoSql(b: String): String =
+    s"""CASE WHEN $b < 32 THEN $b
+       |  ELSE (CAST(1 AS BIGINT) << CAST($b // 16 AS INT))
+       |     + ($b % 16) * (CAST(1 AS BIGINT) << CAST($b // 16 - 4 AS INT))
+       |END""".stripMargin
+
+  /** One keyed sketch-P50 level in SQL: values CTE `src` with columns
+    * (source, v) → per-source P50 bucket lower bound as column `p50`. */
+  private def sketchP50Sql(src: String): String =
+    s"""SELECT source, ${qLoSql("bucket")} AS p50 FROM (
+       |  SELECT source, bucket, cnt,
+       |    SUM(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY source) AS total
+       |  FROM (SELECT source, ${qBucketSql("v")} AS bucket,
+       |        CAST(COUNT(*) AS BIGINT) AS cnt
+       |        FROM $src GROUP BY 1, 2))
+       |WHERE (cum - cnt) * 100 < 50 * total AND 50 * total <= cum * 100"""
+      .stripMargin
 
   // ---- FNV-1a in DuckDB SQL -------------------------------------------
   // The engine's rolling hashes (TextAnalysis.polyHash, Dedup.fnv1a) are
@@ -839,6 +901,25 @@ object DataQueries {
         |  ON (c.cum - c.cnt) * 100 < q.q * c.total
         | AND q.q * c.total <= c.cum * 100
         |ORDER BY c.source, q.q""".stripMargin,
+    // two sketch levels replayed with the identical bucket arithmetic;
+    // outliers = dev > 3·MAD on the exact deviations
+    "sketch_mad" ->
+      s"""WITH v AS (SELECT source,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+         |  FROM documents),
+         |med AS (SELECT source, p50 AS med FROM (${sketchP50Sql("v")})),
+         |dev AS (SELECT v.source, abs(v.v - m.med) AS v
+         |  FROM v JOIN med m ON v.source = m.source),
+         |mad AS (SELECT source, p50 AS mad FROM (${sketchP50Sql("dev")})),
+         |agg AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN d.v > 3 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_outliers
+         |  FROM dev d JOIN mad md ON d.source = md.source
+         |  GROUP BY d.source)
+         |SELECT a.source, a.n, m.med, md.mad, a.n_outliers
+         |FROM agg a JOIN med m ON a.source = m.source
+         |JOIN mad md ON a.source = md.source
+         |ORDER BY a.source""".stripMargin,
     // tf-idf keywords: integer-proxy score and total-order tie-break
     // replayed verbatim; ROW_NUMBER is BIGINT on both sides
     "txt_keywords" ->
