@@ -30,8 +30,16 @@ object GraphAlgs {
     * broadcasts when the edge set is small. No shuffle carries more
     * than (a, b, c) triples ∝ wedges.
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
+  def triangleCounts(edges: DataFrame): DataFrame =
+    triangleCountsCanonical(
+      edges.select(col("a"), col("b")).distinct().localCheckpoint())
+
+  /** [[triangleCounts]] over edges the caller has ALREADY deduped and
+    * materialized — avoids a second full dedup shuffle + checkpoint copy
+    * when the canonical edge set is shared with other aggregates (the
+    * clustering-coefficient path).
+    */
+  private[canon] def triangleCountsCanonical(e: DataFrame): DataFrame = {
     val wedges = e.alias("e1")
       .join(e.alias("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
@@ -65,7 +73,7 @@ object GraphAlgs {
     val deg = e.select(col("a").as("node"))
       .union(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    deg.join(triangleCounts(e), Seq("node"), "left")
+    deg.join(triangleCountsCanonical(e), Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
       .withColumn("lcc_micro",

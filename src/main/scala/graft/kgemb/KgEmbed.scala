@@ -74,6 +74,15 @@ object KgEmbed {
     * stays far inside a long and replays bit-exactly in HUGEINT SQL.
     * Same zero-join plan shape as [[transeScore]]/[[distmultScore]].
     */
+  def complexScore(s: Column, p: String, o: Column): Column =
+    (0 until Dim).map { d =>
+      val (sr, si) = (embComponent(s, 2 * d), embComponent(s, 2 * d + 1))
+      val pCol = lit(p)
+      val (pr, pi) = (embComponent(pCol, 2 * d), embComponent(pCol, 2 * d + 1))
+      val (or_, oi) = (embComponent(o, 2 * d), embComponent(o, 2 * d + 1))
+      sr * pr * or_ + si * pr * oi + sr * pi * oi - si * pi * or_
+    }.reduce(_ + _)
+
   /** Margin used by [[transeGradUpdates]]: a violated pair satisfies
     * score_pos + Margin > score_neg (hinge-active region of
     * max(0, γ + score_pos − score_neg)). Scores sum Dim terms ≤ 3·Amp,
@@ -122,13 +131,4 @@ object KgEmbed {
       .groupBy(col("u.entity").as("entity"), col("u.d").as("d"))
       .agg(sum(col("u.upd")).as("upd"))
   }
-
-  def complexScore(s: Column, p: String, o: Column): Column =
-    (0 until Dim).map { d =>
-      val (sr, si) = (embComponent(s, 2 * d), embComponent(s, 2 * d + 1))
-      val pCol = lit(p)
-      val (pr, pi) = (embComponent(pCol, 2 * d), embComponent(pCol, 2 * d + 1))
-      val (or_, oi) = (embComponent(o, 2 * d), embComponent(o, 2 * d + 1))
-      sr * pr * or_ + si * pr * oi + sr * pi * oi - si * pi * or_
-    }.reduce(_ + _)
 }

@@ -1537,57 +1537,58 @@ object KgQueries {
     s"(CAST(($fold) % 1001 AS BIGINT) - 500)"
   }
 
-  /** TransE oracle: the i=0 negative draw replayed (kg_negatives
-    * machinery), then every embedding component recomputed from the
-    * HUGEINT FNV fold — score and margin are integer-exact. */
-  private lazy val transeSql: String = {
+  /** Shared negative-draw CTE prefix (mt → cand → neg) replayed by every
+    * embedding-family oracle — the SQL twin of [[negTriples]], factored
+    * once so a change to the corruption draw cannot silently diverge
+    * between siblings. Appends to `WITH $tokensCte`.
+    */
+  private lazy val negCteSql: String = {
     val e = gazSorted.length
     val arrLit = gazSorted.map(x => s"'$x'").mkString("[", ", ", "]")
     val key = "(mt.s || '|' || mt.o || '|0')"
     val fold = DataQueries.fnvFoldSql(key, "14695981039346656037")
-    def l1(oKey: String): String = (0 until graft.kgemb.KgEmbed.Dim).map {
-      d => s"abs(${embSql("n.s", d)} + ${embSql("'urn:graft:mentions'", d)}" +
-        s" - ${embSql(oKey, d)})"
-    }.mkString(" + ")
-    s"""WITH $tokensCte,
-       |mt AS (SELECT 'urn:doc:' || doc_id AS s, 'urn:ent:' || entity AS o
+    s"""mt AS (SELECT 'urn:doc:' || doc_id AS s, 'urn:ent:' || entity AS o
        |       FROM m),
        |cand AS (SELECT s, o,
        |  'urn:ent:' || ($arrLit)[CAST(($fold) % $e AS INT) + 1] AS o_neg
        |  FROM mt),
        |neg AS (SELECT * FROM cand c
        |  WHERE o_neg <> o AND NOT EXISTS (
-       |    SELECT 1 FROM mt x WHERE x.s = c.s AND x.o = c.o_neg)),
+       |    SELECT 1 FROM mt x WHERE x.s = c.s AND x.o = c.o_neg))""".stripMargin
+  }
+
+  /** L1 TransE score in SQL over rows bound to `alias` (subject =
+    * alias.s, object = oKey). */
+  private def transeL1Sql(alias: String, oKey: String): String =
+    (0 until graft.kgemb.KgEmbed.Dim).map { d =>
+      s"abs(${embSql(s"$alias.s", d)} + " +
+        s"${embSql("'urn:graft:mentions'", d)} - ${embSql(oKey, d)})"
+    }.mkString(" + ")
+
+  /** TransE oracle: the i=0 negative draw replayed (kg_negatives
+    * machinery), then every embedding component recomputed from the
+    * HUGEINT FNV fold — score and margin are integer-exact. */
+  private lazy val transeSql: String =
+    s"""WITH $tokensCte,
+       |$negCteSql,
        |sc AS (SELECT n.s, n.o, n.o_neg,
-       |  CAST(${l1("n.o")} AS BIGINT) AS score_pos,
-       |  CAST(${l1("n.o_neg")} AS BIGINT) AS score_neg
+       |  CAST(${transeL1Sql("n", "n.o")} AS BIGINT) AS score_pos,
+       |  CAST(${transeL1Sql("n", "n.o_neg")} AS BIGINT) AS score_neg
        |  FROM neg n)
        |SELECT s, o, o_neg, score_pos, score_neg,
        |  score_neg - score_pos AS margin
        |FROM sc ORDER BY s, o""".stripMargin
-  }
 
   /** DistMult oracle: transeSql's negative draw, components recombined
     * multiplicatively (Σ_d s_d·p_d·o_d in HUGEINT, cast at the edge). */
   private lazy val distmultSql: String = {
-    val e = gazSorted.length
-    val arrLit = gazSorted.map(x => s"'$x'").mkString("[", ", ", "]")
-    val key = "(mt.s || '|' || mt.o || '|0')"
-    val fold = DataQueries.fnvFoldSql(key, "14695981039346656037")
     def bilinear(oKey: String): String =
       (0 until graft.kgemb.KgEmbed.Dim).map { d =>
         s"${embSql("n.s", d)} * ${embSql("'urn:graft:mentions'", d)}" +
           s" * ${embSql(oKey, d)}"
       }.mkString(" + ")
     s"""WITH $tokensCte,
-       |mt AS (SELECT 'urn:doc:' || doc_id AS s, 'urn:ent:' || entity AS o
-       |       FROM m),
-       |cand AS (SELECT s, o,
-       |  'urn:ent:' || ($arrLit)[CAST(($fold) % $e AS INT) + 1] AS o_neg
-       |  FROM mt),
-       |neg AS (SELECT * FROM cand c
-       |  WHERE o_neg <> o AND NOT EXISTS (
-       |    SELECT 1 FROM mt x WHERE x.s = c.s AND x.o = c.o_neg)),
+       |$negCteSql,
        |sc AS (SELECT n.s, n.o, n.o_neg,
        |  CAST(${bilinear("n.o")} AS BIGINT) AS score_pos,
        |  CAST(${bilinear("n.o_neg")} AS BIGINT) AS score_neg
@@ -1601,10 +1602,6 @@ object KgQueries {
     * sr·pr·or + si·pr·oi + sr·pi·oi − si·pi·or per dimension over hash
     * dims (2d, 2d+1), all in HUGEINT. */
   private lazy val complexSql: String = {
-    val e = gazSorted.length
-    val arrLit = gazSorted.map(x => s"'$x'").mkString("[", ", ", "]")
-    val key = "(mt.s || '|' || mt.o || '|0')"
-    val fold = DataQueries.fnvFoldSql(key, "14695981039346656037")
     def re(oKey: String): String =
       (0 until graft.kgemb.KgEmbed.Dim).map { d =>
         val (sr, si) = (embSql("n.s", 2 * d), embSql("n.s", 2 * d + 1))
@@ -1614,14 +1611,7 @@ object KgQueries {
         s"($sr*$pr*$or_ + $si*$pr*$oi + $sr*$pi*$oi - $si*$pi*$or_)"
       }.mkString(" + ")
     s"""WITH $tokensCte,
-       |mt AS (SELECT 'urn:doc:' || doc_id AS s, 'urn:ent:' || entity AS o
-       |       FROM m),
-       |cand AS (SELECT s, o,
-       |  'urn:ent:' || ($arrLit)[CAST(($fold) % $e AS INT) + 1] AS o_neg
-       |  FROM mt),
-       |neg AS (SELECT * FROM cand c
-       |  WHERE o_neg <> o AND NOT EXISTS (
-       |    SELECT 1 FROM mt x WHERE x.s = c.s AND x.o = c.o_neg)),
+       |$negCteSql,
        |sc AS (SELECT n.s, n.o, n.o_neg,
        |  CAST(${re("n.o")} AS BIGINT) AS score_pos,
        |  CAST(${re("n.o_neg")} AS BIGINT) AS score_neg
@@ -1635,19 +1625,12 @@ object KgQueries {
     * filter, every per-dimension sign and the (entity, d) sum replayed
     * in HUGEINT. */
   private lazy val transeGradSql: String = {
-    val e = gazSorted.length
-    val arrLit = gazSorted.map(x => s"'$x'").mkString("[", ", ", "]")
-    val key = "(mt.s || '|' || mt.o || '|0')"
-    val fold = DataQueries.fnvFoldSql(key, "14695981039346656037")
     def diff(d: Int, oKey: String): String =
       s"(${embSql("v.s", d)} + ${embSql("'urn:graft:mentions'", d)}" +
         s" - ${embSql(oKey, d)})"
     def sgn(x: String): String =
       s"(CASE WHEN $x > 0 THEN 1 WHEN $x < 0 THEN -1 ELSE 0 END)"
-    def l1(oKey: String): String = (0 until graft.kgemb.KgEmbed.Dim).map {
-      d => s"abs(${embSql("v.s", d)} + ${embSql("'urn:graft:mentions'", d)}" +
-        s" - ${embSql(oKey, d)})"
-    }.mkString(" + ")
+    def l1(oKey: String): String = transeL1Sql("v", oKey)
     val dimRows = (0 until graft.kgemb.KgEmbed.Dim).map { d =>
       val sp = sgn(diff(d, "v.o"))
       val sn = sgn(diff(d, "v.o_neg"))
@@ -1656,14 +1639,7 @@ object KgQueries {
          |UNION ALL SELECT v.o_neg, $d, -$sn FROM viol v""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH $tokensCte,
-       |mt AS (SELECT 'urn:doc:' || doc_id AS s, 'urn:ent:' || entity AS o
-       |       FROM m),
-       |cand AS (SELECT s, o,
-       |  'urn:ent:' || ($arrLit)[CAST(($fold) % $e AS INT) + 1] AS o_neg
-       |  FROM mt),
-       |neg AS (SELECT * FROM cand c
-       |  WHERE o_neg <> o AND NOT EXISTS (
-       |    SELECT 1 FROM mt x WHERE x.s = c.s AND x.o = c.o_neg)),
+       |$negCteSql,
        |viol AS (SELECT * FROM neg v
        |  WHERE ${l1("v.o")} + ${graft.kgemb.KgEmbed.Margin}
        |      > ${l1("v.o_neg")}),

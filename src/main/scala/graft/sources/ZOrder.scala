@@ -33,11 +33,20 @@ object ZOrder {
   }
 
   /** Morton key of two non-negative 32-bit coordinates: a's bits on the
-    * even positions, b's on the odd — lexicographic order on the result
-    * IS the Z-curve walk of the (a, b) plane.
+    * even positions, b's on the odd. The UNSIGNED order of the result is
+    * the Z-curve walk of the (a, b) plane; b ≥ 2³¹ puts b's top bit at
+    * position 63, so the SIGNED long order would visit the plane's top
+    * half first — sort by [[zsort]], which remaps to signed order.
     */
   def zvalue(a: Column, b: Column): Column =
     spread(a).bitwiseOR(shiftleft(spread(b), 1))
+
+  /** [[zvalue]] remapped so SIGNED long comparisons follow the unsigned
+    * Z-curve order (flip the sign bit — the standard order-preserving
+    * unsigned→signed bijection). Use this as the clustering sort key.
+    */
+  def zsort(a: Column, b: Column): Column =
+    zvalue(a, b).bitwiseXOR(lit(Long.MinValue))
 
   /** Rewrite `df` into `numFiles` z-clustered files on (a, b): range
     * partitioning by the Morton key makes every output file a compact
@@ -48,7 +57,7 @@ object ZOrder {
     */
   def cluster(df: DataFrame, a: String, b: String,
               numFiles: Int): DataFrame = {
-    val keyed = df.withColumn("__z", zvalue(col(a), col(b)))
+    val keyed = df.withColumn("__z", zsort(col(a), col(b)))
     keyed
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")

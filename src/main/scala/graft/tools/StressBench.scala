@@ -770,14 +770,24 @@ object StressBench {
       val envZ = envelopes(s"$out/zorder/zord.parquet")
       // timed evidence on the y-only probe — the query the x-sort can't
       // prune; payload summed so surviving row groups must decode it
+      // the listener bus is ASYNC: drain it to a stable reading before
+      // resetting and before reading, or warm-up task-end events bleed
+      // into the timed figure / the timed job's tail events are missed
+      def settle(): Unit = {
+        var prev = -1L
+        while (bytesRead.get() != prev) {
+          prev = bytesRead.get(); Thread.sleep(250)
+        }
+      }
       def yScan(path: String): (Long, Double, Long) = {
         val d = spark.read.parquet(path)
           .filter(col("y").between(100, 131))
           .agg(count(lit(1)).as("rows"),
             coalesce(sum(length(col("payload"))), lit(0L)).as("bytes"))
         d.collect() // warm footers
-        bytesRead.set(0)
+        settle(); bytesRead.set(0)
         val (rows, secs) = time(d.head.getLong(0))
+        settle()
         (rows, secs, bytesRead.get())
       }
       val (r1, s1, b1) = yScan(s"$out/zorder/bycol.parquet")

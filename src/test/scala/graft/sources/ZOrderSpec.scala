@@ -44,6 +44,20 @@ class ZOrderSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("zsort follows the unsigned Z-curve across the sign boundary") {
+    // b >= 2^31 sets zvalue's bit 63; signed order on zvalue would put
+    // those rows FIRST — zsort must keep them after the b < 2^31 rows
+    val pts = Seq((0L, 0L), (5L, 7L), (0L, (1L << 31)),
+      (123L, (1L << 32) - 1L))
+    val got = pts.toDF("a", "b")
+      .select(col("a"), col("b"), ZOrder.zsort(col("a"), col("b")).as("z"))
+      .orderBy("z")
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2))
+    assert(got.toSeq == Seq((0L, 0L), (5L, 7L), (0L, 1L << 31),
+      (123L, (1L << 32) - 1L)),
+      s"unsigned Z walk violated: ${got.toSeq}")
+  }
+
   test("cluster preserves the row multiset and tightens per-file ranges") {
     val n = 4096
     // uniform grid: under id-order each output file spans the full y
