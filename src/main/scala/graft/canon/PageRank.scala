@@ -69,6 +69,42 @@ object PageRank {
     scores
   }
 
+  /** Edge-WEIGHTED PageRank: u's mass flows to v in proportion to the
+    * edge weight out of u's total outgoing weight —
+    *
+    *   s'(v) = T + (85 · Σ_u (s(u)·w(u,v)) div W(u)) div 100
+    *
+    * the salience variant that respects co-mention STRENGTH (an entity
+    * pair seen together in 500 documents should pull harder than one
+    * seen once — unweighted PageRank treats them identically). Same
+    * integer fixed point and plan shape as [[run]]: weight totals are
+    * precomputed onto the src-partitioned edge table, each round is one
+    * co-partitioned join + map-side-combined sum. Overflow headroom:
+    * s(u)·w needs s·w < 2^63; total mass is n·Scale = n·10^12, so the
+    * product is safe while n·max_w < ~9·10^6 per hub — far beyond any
+    * dictionary-sized entity graph, and the weight is bounded by the
+    * corpus doc count regardless.
+    */
+  def runWeighted(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val wtot = edges.groupBy("src")
+      .agg(sum(col("w")).cast("long").as("wtot"))
+    val e = edges.join(wtot, "src")
+      .repartition(col("src"))
+      .localCheckpoint()
+    var scores = wtot.select(col("src").as("node"), lit(Scale).as("score"))
+    for (_ <- 1 to iters) {
+      scores = e.join(scores, e("src") === scores("node"))
+        .select(col("dst"), expr("(score * w) div wtot").as("c"))
+        .groupBy("dst")
+        .agg(sum(col("c")).as("in"))
+        .select(col("dst").as("node"),
+          (lit(Teleport) + expr(s"($DampNum * in) div $DampDen"))
+            .cast("long").as("score"))
+        .localCheckpoint()
+    }
+    scores
+  }
+
   /** Personalized PageRank: the restart (teleport) mass concentrates on
     * `seeds` (a 1-column `node` DataFrame) instead of spreading
     * uniformly — salience RELATIVE to a seed set (Haveliwala 2002,

@@ -221,6 +221,27 @@ object KgQueries {
       .orderBy(col("node"))
   }
 
+  /** Weighted entity salience: edge-weighted PageRank over the entity
+    * co-occurrence graph with co-mention counts as weights — strongly
+    * co-mentioned entities pull proportionally more mass
+    * ([[graft.canon.PageRank.runWeighted]]). Edges come from the fused
+    * dictionary-encoded pair histogram (no doc-keyed shuffle); the
+    * oracle unrolls the identical weighted integer recurrence.
+    */
+  def kgPagerankW(spark: SparkSession, dir: String): DataFrame = {
+    val m = MentionScan.mentionsIdx(pagesDf(spark, dir), Gazetteer(gaz))
+    val sets = m.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("e"))).as("es"))
+    val co = MentionScan.restoreCoOccurStrings(
+      MentionScan.coOccurrencePairsIdx(sets, gazSorted.length), gazSorted)
+    val fwd = co.select(col("s").as("src"), col("o").as("dst"),
+      col("n_docs").cast("long").as("w"))
+    val edges = fwd.union(
+      fwd.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    graft.canon.PageRank.runWeighted(edges, iters = 4)
+      .orderBy(col("node"))
+  }
+
   /** Personalized PageRank seeded on one entity: random-walk-with-
     * restart salience RELATIVE to `urn:ent:spark` over the undirected
     * doc–entity mention graph — "which documents and entities are close
@@ -935,6 +956,7 @@ object KgQueries {
     "kg_canonical_inc" -> kgCanonicalInc,
     "kg_canonical_stream" -> kgCanonicalStream,
     "kg_pagerank" -> kgPagerank,
+    "kg_pagerank_w" -> kgPagerankW,
     "kg_timeline" -> kgTimeline,
     "kg_bgp" -> kgBgp,
     "kg_bgp_opt" -> kgBgpOpt,
@@ -1111,6 +1133,31 @@ object KgQueries {
        |SELECT node, score FROM s5 ORDER BY node""".stripMargin
   }
 
+  /** Unrolled weighted-PageRank SQL: the identical weighted integer
+    * recurrence over the co-mention graph (weights = co-mention doc
+    * counts, symmetrized). */
+  private lazy val pagerankWSql: String = {
+    val iters = (1 to 4).map { k =>
+      s"""s$k AS (
+         |  SELECT u.dst AS node,
+         |    CAST(150000000000 + (85 * SUM((s.score * u.w) // t.wtot)) // 100 AS BIGINT) AS score
+         |  FROM und u JOIN s${k - 1} s ON u.src = s.node
+         |  JOIN wt t ON u.src = t.src
+         |  GROUP BY u.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $tokensCte,
+       |co AS (SELECT 'urn:ent:' || a.entity AS s, 'urn:ent:' || b.entity AS o,
+       |  CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.entity < b.entity
+       |  GROUP BY 1, 2),
+       |und AS (SELECT s AS src, o AS dst, w FROM co
+       |        UNION ALL SELECT o, s, w FROM co),
+       |wt AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wtot FROM und GROUP BY src),
+       |s0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS score FROM wt),
+       |$iters
+       |SELECT node, score FROM s4 ORDER BY node""".stripMargin
+  }
+
   /** Unrolled personalized-PageRank SQL: identical seed-conditional
     * fixed point (teleport mass only on the seed node).
     */
@@ -1199,6 +1246,7 @@ object KgQueries {
     "kg_canonical_inc" -> canonicalSql,
     "kg_canonical_stream" -> canonicalSql,
     "kg_pagerank" -> pagerankSql,
+    "kg_pagerank_w" -> pagerankWSql,
     "kg_ppr" -> pprSql,
     // SPARQL BGP replay: star join on docs mentioning `spark` plus the
     // co-occurrence chain — bag semantics, so no DISTINCT on the outer

@@ -67,6 +67,41 @@ class PageRankSpec extends SparkSpec {
     assert(df.forall { case (n, s) => score(n) == s })
   }
 
+  test("weighted PageRank ≡ naive weighted recurrence; uniform weights" +
+      " ≡ unweighted") {
+    val rnd = new scala.util.Random(11)
+    val raw = (0 until 120).map(_ =>
+      (f"v${rnd.nextInt(16)}%02d", f"v${rnd.nextInt(16)}%02d",
+        (rnd.nextInt(9) + 1).toLong))
+      .filter(p => p._1 != p._2)
+      .groupBy(p => (p._1, p._2)).map { case ((a, b), g) => (a, b, g.head._3) }
+      .toSeq
+    val edges = raw ++ raw.map(t => (t._2, t._1, t._3))
+    val iters = 4
+    // naive replay
+    val wtot = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val in = edges.groupBy(_._2)
+    var s = wtot.keys.map(_ -> PageRank.Scale).toMap
+    for (_ <- 1 to iters)
+      s = wtot.keys.map { v =>
+        val mass = in.getOrElse(v, Seq.empty)
+          .map { case (u, _, w) => s(u) * w / wtot(u) }.sum
+        v -> (PageRank.Teleport + 85L * mass / 100L)
+      }.toMap
+    val got = PageRank.runWeighted(
+        edges.toDF("src", "dst", "w").repartition(5), iters)
+      .as[(String, Long)].collect().toMap
+    assert(got == s)
+    // law: all-equal weights reduce to the unweighted recurrence
+    val uni = edges.map(t => (t._1, t._2, 7L)).distinct
+    val w1 = PageRank.runWeighted(uni.toDF("src", "dst", "w"), 3)
+      .as[(String, Long)].collect().toMap
+    val u1 = PageRank.run(uni.map(t => (t._1, t._2)).distinct
+        .toDF("src", "dst"), 3)
+      .as[(String, Long)].collect().toMap
+    assert(w1 == u1, "uniform weights must reduce to unweighted PageRank")
+  }
+
   test("personalized PageRank: seed-restart recurrence, scala replay") {
     val star = (1 to 5).map(i => ("hub", f"leaf$i"))
     val edges = undirected(star)
