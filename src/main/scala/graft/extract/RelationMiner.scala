@@ -31,8 +31,12 @@ object RelationMiner {
     * `minSupport`. Deterministic: pure integer counts over exact token
     * positions, bit-exact in the DuckDB oracle's positional replay.
     */
-  def windowTriples(docs: DataFrame, entities: Seq[String],
-      minSupport: Long = 2L): DataFrame = {
+  /** One (doc_id, s, pred, o) row per qualifying window — the flat form
+    * shared by the batch aggregate and the streaming update-mode tier.
+    * Works unchanged on a streaming DataFrame (pure projections).
+    */
+  private[graft] def windowRows(docs: DataFrame,
+      entities: Seq[String]): DataFrame = {
     val ents = typedLit(entities.sorted(graft.model.CodePoint.ordering))
     // materialize the token array ONCE per row before the higher-order
     // window enumeration: lambdas block common-subexpression
@@ -53,10 +57,15 @@ object RelationMiner {
         w.getField("s") =!= w.getField("o"))
     docs.select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), explode(wins).as("w"))
-      .groupBy(col("w.s").as("s"), col("w.pred").as("pred"),
+      .select(col("doc_id"), col("w.s").as("s"), col("w.pred").as("pred"),
         col("w.o").as("o"))
+  }
+
+  def windowTriples(docs: DataFrame, entities: Seq[String],
+      minSupport: Long = 2L): DataFrame =
+    windowRows(docs, entities)
+      .groupBy("s", "pred", "o")
       .agg(count(lit(1)).as("support"),
         countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("support") >= minSupport)
-  }
 }

@@ -115,6 +115,39 @@ class KgEmbedSpec extends SparkSpec {
     assert(naive.nonEmpty, "fixture: no violated pairs — widen it")
   }
 
+  test("applying the aggregated gradient step DECREASES total hinge " +
+      "loss (the update actually descends)") {
+    val p = "urn:graft:mentions"
+    // enough pairs that several are hinge-active and entities repeat
+    // (the aggregation path, not just per-pair updates)
+    val ents = Seq("spark", "join", "window", "batch", "vector", "hash")
+    val pairs = for {
+      i <- 0 until 12
+      o = s"urn:ent:${ents(i % 6)}"; on = s"urn:ent:${ents((i + 2) % 6)}"
+      if o != on
+    } yield (s"urn:doc:$i", o, on)
+    def emb(upd: Map[(String, Int), Long])(x: String, d: Int): Long =
+      embJvm(x, d) + upd.getOrElse((x, d), 0L)
+    def loss(upd: Map[(String, Int), Long]): Long = pairs.map {
+      case (s, o, on) =>
+        val e = emb(upd) _
+        def l1(ob: String) = (0 until KgEmbed.Dim)
+          .map(d => math.abs(e(s, d) + embJvm(p, d) - e(ob, d))).sum
+        math.max(0L, KgEmbed.Margin + l1(o) - l1(on))
+    }.sum
+    val updates = KgEmbed.transeGradUpdates(
+        pairs.toDF("s", "o", "o_neg"), p)
+      .as[(String, Long, Long)].collect()
+      .map(r => ((r._1, r._2.toInt), r._3)).toMap
+    assert(updates.nonEmpty, "fixture: no violated pairs — widen it")
+    val before = loss(Map.empty)
+    // unit-step integer SGD: scale the ±votes modestly so one step
+    // moves components without overshooting the hinge geometry
+    val after = loss(updates.view.mapValues(_ * 8L).toMap)
+    assert(after < before,
+      s"aggregated step did not descend: $before -> $after")
+  }
+
   test("complexScore ≡ naive real-part expansion; breaks the swap law") {
     def cxJvm(s: String, p: String, o: String): Long =
       (0 until KgEmbed.Dim).map { d =>
