@@ -126,6 +126,54 @@ object GraphAlgs {
         col("harmonic_micro"))
   }
 
+  /** Time-RESPECTING reachability over temporal edges (src, dst, t):
+    * node v is reached at time t' if there is a path whose edge
+    * timestamps are non-decreasing (Pan & Saramäki 2011's temporal
+    * paths — the temporal-KG primitive: "what could entity A have
+    * influenced, through co-mentions that happened in order?"; static
+    * reachability over a temporal graph OVERCOUNTS by following edges
+    * backwards in time). State per node is the MINIMUM arrival time —
+    * the dominant label: any continuation possible from a later arrival
+    * is possible from an earlier one, so one integer per (root, node)
+    * suffices and the fixed point replays exactly in SQL.
+    *
+    * `seeds`: 1-column `node` DataFrame; seed arrival = Long.MinValue
+    * (any first edge qualifies). Scale shape: identical to
+    * [[hopCloseness]] — per round ONE equi-join of the (root, node, t)
+    * state against the src-partitioned edge table with the t-monotone
+    * filter, plus one map-side-combined min-agg; hop-bounding (and at
+    * 10^9 nodes, seed sampling) bounds the state.
+    *
+    * Returns (node, t_arr, reached_round) — earliest arrival and the
+    * first round it was achieved (seeds excluded).
+    */
+  def temporalReach(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("t")).distinct()
+      .repartition(col("src"))
+      .localCheckpoint()
+    var d = seeds.select(col("node"), lit(Long.MinValue).as("t_arr"),
+        lit(0).as("r"))
+      .localCheckpoint()
+    for (k <- 1 to rounds) {
+      val stepped = d.join(e, d("node") === e("src") &&
+          e("t") >= d("t_arr"))
+        .select(col("dst").as("node"), col("t").as("t_arr"),
+          lit(k).as("r"))
+      // min over (t_arr, r) — struct min orders lexicographically, so
+      // the earliest arrival wins and ties keep the earliest round
+      d = d.union(stepped)
+        .groupBy("node")
+        .agg(min(struct(col("t_arr"), col("r"))).as("m"))
+        .select(col("node"), col("m.t_arr").as("t_arr"),
+          col("m.r").as("r"))
+        .localCheckpoint()
+    }
+    d.filter(col("r") > 0)
+      .select(col("node"), col("t_arr"),
+        col("r").cast("long").as("reached_round"))
+  }
+
   /** Bellman-Ford single-source shortest paths, `rounds` synchronous
     * relaxation rounds over directed weighted edges (src, dst, w):
     *

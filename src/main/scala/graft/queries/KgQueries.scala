@@ -286,6 +286,34 @@ object KgQueries {
       .orderBy(col("entity"))
   }
 
+  /** Time-respecting reachability from `urn:ent:spark` over temporal
+    * co-mention edges (entities sharing a doc are linked AT that doc's
+    * crawl age): which entities the seed could have influenced through
+    * co-mentions happening in chronological order — static reachability
+    * on a temporal graph overcounts by walking edges backwards in time
+    * ([[graft.canon.GraphAlgs.temporalReach]]; min-arrival dominance,
+    * integer seconds). Oracle unrolls the same monotone join with a
+    * (t_arr, round)-lexicographic window argmin per round.
+    */
+  def kgTemporal(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val pages = pagesDf(spark, dir)
+    val age = unix_timestamp(col("warc_ts")) -
+      unix_timestamp(to_timestamp(lit("2024-01-01 00:00:00")))
+    val me = MentionScan.mentionsIdxWith(pages, age, Gazetteer(gaz))
+      .select(col("doc_id"), entCol(col("e")).as("ent"),
+        col("payload").as("t"))
+    val edges = me.alias("x").join(me.alias("y"),
+        col("x.doc_id") === col("y.doc_id") &&
+          col("x.ent") =!= col("y.ent"))
+      .select(col("x.ent").as("src"), col("y.ent").as("dst"),
+        col("x.t").as("t"))
+    val seeds = Seq("urn:ent:spark").toDF("node")
+    graft.canon.GraphAlgs.temporalReach(edges, seeds, rounds = 3)
+      .orderBy("node")
+  }
+
   /** Triple table the SPARQL-subset queries run over: mention triples ∪
     * co-occurrence triples (s, p, o only — the BGP layer is agnostic to
     * side statistics). Deterministic intermediate of the dir; cached so
@@ -958,6 +986,7 @@ object KgQueries {
     "kg_pagerank" -> kgPagerank,
     "kg_pagerank_w" -> kgPagerankW,
     "kg_timeline" -> kgTimeline,
+    "kg_temporal" -> kgTemporal,
     "kg_bgp" -> kgBgp,
     "kg_bgp_opt" -> kgBgpOpt,
     "kg_path" -> kgPath,
@@ -1523,8 +1552,37 @@ object KgQueries {
          |  CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  CAST(COUNT(DISTINCT a.age_s // 86400) AS BIGINT) AS active_days
          |FROM m JOIN ages a ON m.doc_id = a.doc_id
-         |GROUP BY m.entity ORDER BY m.entity""".stripMargin
+         |GROUP BY m.entity ORDER BY m.entity""".stripMargin,
+    "kg_temporal" -> temporalSql
   )
+
+  /** Time-respecting reachability oracle: the monotone join unrolled
+    * round-per-CTE with a (t_arr, round)-lexicographic window argmin
+    * (min-arrival dominance). */
+  private lazy val temporalSql: String = {
+    val rounds = (1 to 3).map { k =>
+      s"""d$k AS (SELECT node, t_arr, r FROM (
+         |  SELECT node, t_arr, r,
+         |    ROW_NUMBER() OVER (PARTITION BY node ORDER BY t_arr, r) AS rn
+         |  FROM (SELECT node, t_arr, r FROM d${k - 1}
+         |        UNION ALL
+         |        SELECT e.dst, e.t, $k FROM d${k - 1} d JOIN te e
+         |          ON d.node = e.src AND e.t >= d.t_arr) u)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $tokensCte,
+       |ages AS (SELECT doc_id,
+       |  CAST((doc_id * 9973) % 2678400 AS BIGINT) AS age_s FROM documents),
+       |te AS (SELECT DISTINCT 'urn:ent:' || x.entity AS src,
+       |  'urn:ent:' || y.entity AS dst, a.age_s AS t
+       |  FROM m x JOIN m y ON x.doc_id = y.doc_id AND x.entity <> y.entity
+       |  JOIN ages a ON a.doc_id = x.doc_id),
+       |d0 AS (SELECT 'urn:ent:spark' AS node,
+       |  CAST(-9223372036854775808 AS BIGINT) AS t_arr, 0 AS r),
+       |$rounds
+       |SELECT node, t_arr, CAST(r AS BIGINT) AS reached_round
+       |FROM d3 WHERE r > 0 ORDER BY node""".stripMargin
+  }
 
   /** Shared CTE prefix for the part–part graph queries (katz / walks):
     * the kg_triangles slice, symmetrized. */

@@ -240,6 +240,50 @@ class GraphAlgsSpec extends SparkSpec {
     })
   }
 
+  test("temporalReach ≡ naive min-arrival temporal BFS; backwards-time " +
+      "paths are NOT followed") {
+    val tEdgeGen: Gen[List[(Int, Int, Long)]] =
+      Gen.listOfN(50, for {
+        a <- Gen.choose(0, 9); b <- Gen.choose(0, 9)
+        t <- Gen.choose(0L, 6L)
+      } yield (a, b, t)).map(_.collect {
+        case (a, b, t) if a != b => (a, b, t) }.distinct)
+    check(Prop.forAll(tEdgeGen) { es =>
+      es.isEmpty || {
+        val rounds = 3
+        val seed = s"n${es.head._1}"
+        val edges = es.map { case (a, b, t) => (s"n$a", s"n$b", t) }
+        // naive: per round, relax all monotone continuations, keep the
+        // (t_arr, round)-lexicographic min per node
+        var d = Map(seed -> ((Long.MinValue, 0)))
+        for (k <- 1 to rounds) {
+          val stepped = for {
+            (node, (tArr, _)) <- d.toSeq
+            (s, t, w) <- edges if s == node && w >= tArr
+          } yield (t, (w, k))
+          d = (d.toSeq ++ stepped).groupBy(_._1).view
+            .mapValues(_.map(_._2).min).toMap
+        }
+        val naive = d.collect { case (n, (t, r)) if r > 0 =>
+          (n, t, r.toLong) }.toSet
+        val got = GraphAlgs.temporalReach(
+            edges.toDF("src", "dst", "t").repartition(5),
+            Seq(seed).toDF("node"), rounds)
+          .as[(String, Long, Long)].collect().toSet
+        got == naive
+      }
+    })
+    // planted overcount: a --(t=5)--> b --(t=2)--> c is STATICALLY a
+    // path but temporally invalid (2 < 5): c must not be reached
+    val planted = Seq(("a", "b", 5L), ("b", "c", 2L))
+    val got = GraphAlgs.temporalReach(planted.toDF("src", "dst", "t"),
+        Seq("a").toDF("node"), 3)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got.contains("b") && !got.contains("c"),
+      s"temporal monotonicity violated: $got")
+  }
+
   test("LPA unites a planted two-clique community structure") {
     def clique(off: Int) = for {
       a <- 0 until 5; b <- 0 until 5 if a != b
