@@ -633,6 +633,30 @@ object KgQueries {
     graft.canon.GraphAlgs.sssp(und, "o0", rounds = 6).orderBy("node")
   }
 
+  /** Strongly connected components over the DIRECTED part-sequence
+    * graph: edge p_a → p_b when p_b follows p_a at consecutive line
+    * numbers of the same order (l_orderkey < 1000) — procurement flow
+    * direction, the directed analogue of kg_cc's connectivity. At this
+    * slice the graph is a textbook web bow-tie: one giant core SCC
+    * (~117 parts at sf0.01) amid ~1 250 singleton tendrils, exactly
+    * the regime [[graft.canon.GraphAlgs.scc]]'s trim-color-collect is
+    * built for. The oracle computes the quadratic transitive-closure
+    * truth (mutual reachability, MIN-label per class), so a hash match
+    * proves the distributed three-phase algorithm loses nothing.
+    */
+  def kgScc(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_orderkey") < 1000)
+      .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        col("l_partkey").as("pk"))
+    val e = li.alias("x").join(li.alias("y"),
+        col("x.ok") === col("y.ok") && col("y.ln") === col("x.ln") + 1 &&
+          col("x.pk") =!= col("y.pk"))
+      .select(concat(lit("p"), col("x.pk")).as("src"),
+        concat(lit("p"), col("y.pk")).as("dst"))
+    graft.canon.GraphAlgs.scc(e).orderBy("node")
+  }
+
   /** Community detection: 4 rounds of deterministic synchronous label
     * propagation over the same bipartite graph as kg_cc — each node
     * adopts its neighbourhood's most frequent label, ties toward the
@@ -1000,6 +1024,7 @@ object KgQueries {
     "kg_str_filter" -> kgStrFilter,
     "kg_triangles" -> kgTriangles,
     "kg_sssp" -> kgSssp,
+    "kg_scc" -> kgScc,
     "kg_lpa" -> kgLpa,
     "kg_having" -> kgHaving,
     "kg_ask" -> kgAsk,
@@ -1390,6 +1415,26 @@ object KgQueries {
         |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
         |FROM n GROUP BY node ORDER BY node""".stripMargin,
     "kg_sssp" -> ssspSql,
+    // quadratic transitive-closure truth: mutual reachability, MIN-label
+    // per class — a hash match proves the distributed trim-color-collect
+    // SCC loses nothing (the kg_fuzzy unblocked-truth pattern)
+    "kg_scc" ->
+      """WITH RECURSIVE li AS (SELECT l_orderkey ok, l_linenumber ln,
+        |    l_partkey pk FROM lineitem WHERE l_orderkey < 1000),
+        |e AS (SELECT DISTINCT 'p' || a.pk AS s, 'p' || b.pk AS o
+        |  FROM li a JOIN li b
+        |  ON a.ok = b.ok AND b.ln = a.ln + 1 AND a.pk <> b.pk),
+        |nodes AS (SELECT s AS v FROM e UNION SELECT o FROM e),
+        |reach(s, x) AS (
+        |  SELECT v, v FROM nodes
+        |  UNION
+        |  SELECT r.s, e.o FROM reach r JOIN e ON r.x = e.s),
+        |scc AS (SELECT a.s AS node, MIN(a.x) AS scc_id
+        |  FROM reach a JOIN reach b ON a.s = b.x AND a.x = b.s
+        |  GROUP BY a.s)
+        |SELECT node, scc_id,
+        |  CAST(COUNT(*) OVER (PARTITION BY scc_id) AS BIGINT) AS scc_size
+        |FROM scc ORDER BY node""".stripMargin,
     "kg_lpa" -> lpaSql,
     // ASK ≡ EXISTS over the two-pattern join
     "kg_ask" ->

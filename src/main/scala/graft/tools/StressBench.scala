@@ -53,7 +53,7 @@ object StressBench {
     val sections = sys.env.getOrElse("SPARK_GRAFT_STRESS_SECTIONS",
       "cc,dd,kg,inc,ivf,ivfpq,skew,lines,pagerank,spans,path,asof,range," +
         "domcap,sketch,bm25,tri,hits,kcore,quantile,chunk,keywords," +
-        "fuzzy,closeness,openie,zorder")
+        "fuzzy,closeness,openie,zorder,scc")
       .split(",").map(_.trim).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -719,6 +719,49 @@ object StressBench {
       if (sections("kg") || sections("inc"))
         frags += s""""chunk_Nx":${cStats(s"$out/kg")}"""
     }
+    // ---- SCC: sizes bound by planted structure, not corpus -------------
+    if (sections("scc")) {
+      // `copies` disjoint bow-ties (50-node core cycle + 4 tendril
+      // singletons per core node). The law: SCC sizes are STRUCTURE-
+      // bound (max stays 50 at any corpus size), counts scale ∝ copies,
+      // and every fixpoint runs in diameter-bound rounds regardless of
+      // how many copies process in parallel — the disjoint-component
+      // shape of a web crawl's host-local link graphs.
+      def plantedSccStats(copies: Int): (Long, Long, Long, Double) = {
+        val m = 50L
+        val core = spark.range(copies * m).select(
+          // integer division: `/` on longs is DOUBLE division in Spark
+          (col("id") / m).cast("long").as("k"), (col("id") % m).as("i"))
+        def nid(tag: String, i: org.apache.spark.sql.Column) =
+          concat(col("k"), lit("_"), lit(tag), i)
+        val cyc = core.select(nid("c", col("i")).as("src"),
+          nid("c", (col("i") + 1) % m).as("dst"))
+        val out1 = core.select(nid("c", col("i")).as("src"),
+          nid("o1_", col("i")).as("dst"))
+        val out2 = core.select(nid("o1_", col("i")).as("src"),
+          nid("o2_", col("i")).as("dst"))
+        val in1 = core.select(nid("i1_", col("i")).as("src"),
+          nid("c", col("i")).as("dst"))
+        val in2 = core.select(nid("i2_", col("i")).as("src"),
+          nid("i1_", col("i")).as("dst"))
+        val edges = cyc.union(out1).union(out2).union(in1).union(in2)
+        // force the DISTRIBUTED trim-color-collect path: the law being
+        // recorded is ITS round structure, not the local Tarjan's
+        spark.conf.set("spark.graft.scc.localThreshold", "0")
+        val (res, secs) = try time {
+          graft.canon.GraphAlgs.scc(edges)
+            .agg(count(lit(1)), countDistinct(col("scc_id")),
+              max(col("scc_size")))
+            .collect()(0)
+        } finally spark.conf.unset("spark.graft.scc.localThreshold")
+        (res.getLong(0), res.getLong(1), res.getLong(2), secs)
+      }
+      val (n1, s1, m1, t1) = plantedSccStats(1)
+      val (nN, sN, mN, tN) = plantedSccStats(rep)
+      frags += s""""scc_1x":{"nodes":$n1,"sccs":$s1,"max_scc":$m1,"sec":$t1}"""
+      frags += s""""scc_Nx":{"nodes":$nN,"sccs":$sN,"max_scc":$mN,"sec":$tN}"""
+    }
+
     if (sections("zorder")) {
       // multi-column data-skipping law: a conjunctive box predicate over
       // a z-clustered layout reads a FRACTION of the bytes the
