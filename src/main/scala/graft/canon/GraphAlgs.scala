@@ -204,6 +204,117 @@ object GraphAlgs {
     dist
   }
 
+  /** Seed-set stress centrality (Shimbel 1953): for every unordered
+    * seed pair s < t, count the shortest s–t paths passing THROUGH each
+    * interior node and sum — the integer-exact sibling of betweenness
+    * (betweenness divides each term by σ_st; stress keeps the raw
+    * count, so every value is a bit-exact BIGINT with no rational
+    * arithmetic to drift between engines). Seed-restricted is the
+    * standard scalable form (Brandes & Pich 2007 pivot sampling):
+    * exact betweenness-family centrality is all-pairs; at 10^9 nodes
+    * you run it from a sampled seed set and the recurrence is
+    * unchanged, so this query exercises the production plan shape.
+    *
+    * Phase 1 — layered multi-seed BFS with path counting:
+    *   frontier_k = nodes FIRST reached at hop k;
+    *   σ(seed, v) = Σ σ(seed, u) over neighbours u in frontier_{k-1}
+    * (the forward half of Brandes' algorithm). State is (seed, node,
+    * dist, sigma) — ∝ |S|·|ball(seed, rounds)|, never |V|²; per round
+    * ONE equi-join against the src-partitioned edge table, one
+    * map-side-combined sum-agg, one (seed, node)-width anti-join to
+    * keep only first arrivals.
+    *
+    * Phase 2 — pair combine, no backward sweep needed at seed scale:
+    * σ_st(v) = σ(s,v)·σ(t,v) iff d(s,v)+d(v,t) = d(s,t) (unit-weight
+    * shortest-path optimal substructure). One self-join of the BFS
+    * state on node (seed pairs s < t) against the broadcast-size
+    * (s, t, d_st) seed-distance relation.
+    *
+    * edges(src, dst): pass both directions for an undirected graph.
+    * seeds: 1-column `node`. Returns (node, stress) for interior nodes
+    * with stress > 0, hop-bounded at `rounds` per leg.
+    */
+  def stressCentrality(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src"))
+      .localCheckpoint()
+    var b = seeds.select(col("node").as("seed"), col("node"),
+        lit(0L).as("dist"), lit(1L).as("sigma"))
+      .localCheckpoint()
+    for (k <- 1 to rounds) {
+      val stepped = b.filter(col("dist") === lit(k - 1L))
+        .join(e, col("node") === e("src"))
+        .groupBy(col("seed"), col("dst"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("seed"), col("dst").as("node"),
+          lit(k.toLong).as("dist"), col("sigma"))
+      val fresh = stepped
+        .join(b.select(col("seed"), col("node")), Seq("seed", "node"),
+          "left_anti")
+      b = b.union(fresh.select("seed", "node", "dist", "sigma"))
+        .localCheckpoint()
+    }
+    // seed-pair distances: rows of the BFS state landing ON a seed
+    val seedSet = seeds.select(col("node").as("t"))
+    val pd = b.join(seedSet, b("node") === col("t"))
+      .filter(col("seed") < col("t"))
+      .select(col("seed").as("s"), col("t"), col("dist").as("d_st"))
+    val x = b.select(col("seed").as("sa"), col("node"),
+      col("dist").as("da"), col("sigma").as("ga"))
+    val y = b.select(col("seed").as("sb"), col("node"),
+      col("dist").as("db"), col("sigma").as("gb"))
+    x.join(y, Seq("node")).filter(col("sa") < col("sb"))
+      .join(broadcast(pd), col("sa") === pd("s") && col("sb") === pd("t")
+        && col("da") + col("db") === pd("d_st"))
+      .filter(col("node") =!= col("sa") && col("node") =!= col("sb"))
+      .groupBy("node")
+      .agg(sum(col("ga") * col("gb")).as("stress"))
+      .filter(col("stress") > 0)
+  }
+
+  /** Newman-Girvan modularity of a given partition, integer-scaled:
+    * per community c with E_c intra-edges and D_c = Σ degrees,
+    *
+    *   q_contrib(c) = 4m·E_c − D_c²   (so Q = Σ_c q_contrib / 4m²)
+    *
+    * — the 4m²-scaled numerator keeps every term a product of exact
+    * BIGINTs (no 1/2m rationals to drift between engines); the global
+    * quality score is one driver-side division away. The standard
+    * acceptance gate on any community detection output (here: the LPA
+    * partition) — communities with q_contrib ≤ 0 are no better than
+    * the degree-preserving random graph.
+    *
+    * oriented(a, b): one row per undirected edge; labels(node, label).
+    * Scale shape: one map-side-combined degree agg, two (node, label)
+    * dictionary-width joins onto the edge table, one per-label agg —
+    * nothing wider than ids crosses a shuffle; m is a single count.
+    * Returns (label, n_nodes, intra_edges, deg_sum, q_contrib).
+    */
+  def modularity(oriented: DataFrame, labels: DataFrame): DataFrame = {
+    val e = oriented.select(col("a"), col("b")).distinct().localCheckpoint()
+    val m = e.count()
+    val lab = labels.select(col("node"), col("label")).localCheckpoint()
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val commDeg = deg.join(lab, Seq("node"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+    val intra = e
+      .join(lab.select(col("node").as("a"), col("label").as("la")), Seq("a"))
+      .join(lab.select(col("node").as("b"), col("label").as("lb")), Seq("b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("intra_edges"))
+    commDeg.join(intra, Seq("label"), "left")
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("deg_sum"),
+        (lit(4L * m) * coalesce(col("intra_edges"), lit(0L))
+          - col("deg_sum") * col("deg_sum")).as("q_contrib"))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007), made
     * deterministic: every node starts labeled with itself; each round
     * every node adopts the label most frequent among its neighbours,

@@ -996,6 +996,55 @@ object KgQueries {
     graft.canon.GraphAlgs.hopCloseness(partEdges(spark, dir), rounds = 3)
       .orderBy("node")
 
+  /** Seed-set stress centrality over the part–part graph: shortest-path
+    * counts through interior nodes between the 8 lexicographically
+    * smallest parts, 4 BFS hops per leg (see
+    * [[graft.canon.GraphAlgs.stressCentrality]] — the integer-exact
+    * betweenness sibling in its scalable seed-sampled form). Oracle
+    * unrolls the layered path-counting BFS round-per-CTE, then replays
+    * the σ(s,v)·σ(t,v) optimal-substructure combine.
+    */
+  def kgStress(spark: SparkSession, dir: String): DataFrame = {
+    // wider order window than the kg_closeness slice: the < 300 part
+    // graph is fragmented enough that the smallest seeds land in
+    // different components (0 interior paths ⇒ a vacuous oracle);
+    // < 1000 puts 16 of the 28 seed pairs within the 4-hop horizon
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_orderkey") < 1000)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e0 = li.alias("x").join(li.alias("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(concat(lit("p"), col("x.p")).as("a"),
+        concat(lit("p"), col("y.p")).as("b"))
+      .distinct()
+    val e = e0.select(col("a").as("src"), col("b").as("dst"))
+      .union(e0.select(col("b").as("src"), col("a").as("dst")))
+    val seeds = e.select(col("src").as("node")).distinct()
+      .orderBy("node").limit(8)
+    graft.canon.GraphAlgs.stressCentrality(e, seeds, rounds = 4)
+      .orderBy("node")
+  }
+
+  /** Modularity scoring of the LPA partition over the same bipartite
+    * graph as kg_lpa — the acceptance gate on community detection
+    * output, 4m²-scaled to stay in exact BIGINTs (see
+    * [[graft.canon.GraphAlgs.modularity]]). Oracle replays the LPA
+    * rounds (shared CTE with kg_lpa) then the per-community
+    * 4m·E_c − D_c² arithmetic.
+    */
+  def kgModularity(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_orderkey") < 500)
+      .select(concat(lit("o"), col("l_orderkey")).as("a"),
+        concat(lit("p"), col("l_partkey")).as("b"))
+      .distinct()
+    val und = e0.select(col("a").as("src"), col("b").as("dst"))
+      .union(e0.select(col("b").as("src"), col("a").as("dst")))
+    val labels = graft.canon.GraphAlgs.labelPropagation(und, rounds = 4)
+    graft.canon.GraphAlgs.modularity(e0, labels).orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_extract_text" -> kgExtractText,
     "kg_mentions" -> kgMentions,
@@ -1025,6 +1074,8 @@ object KgQueries {
     "kg_triangles" -> kgTriangles,
     "kg_sssp" -> kgSssp,
     "kg_scc" -> kgScc,
+    "kg_stress" -> kgStress,
+    "kg_modularity" -> kgModularity,
     "kg_lpa" -> kgLpa,
     "kg_having" -> kgHaving,
     "kg_ask" -> kgAsk,
@@ -1074,7 +1125,10 @@ object KgQueries {
 
   /** Unrolled synchronous LPA SQL: per round a (node, label) count and
     * a window argmax (COUNT DESC, label DESC). */
-  private lazy val lpaSql: String = {
+  /** Shared CTE chain for the LPA partition (e0 / und / l0..l4) —
+    * kg_lpa selects from it directly; kg_modularity replays the same
+    * partition before scoring it. */
+  private lazy val lpaCte: String = {
     val rounds = (1 to 4).map { k =>
       s"""l$k AS (SELECT node, label FROM (
          |  SELECT u.dst AS node, l.label AS label, COUNT(*) AS c,
@@ -1083,14 +1137,76 @@ object KgQueries {
          |  FROM und u JOIN l${k - 1} l ON l.node = u.src
          |  GROUP BY u.dst, l.label) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS (
+    s"""e0 AS (
        |  SELECT DISTINCT 'o' || l_orderkey AS a, 'p' || l_partkey AS b
        |  FROM lineitem WHERE l_orderkey < 500),
        |und AS (SELECT a AS src, b AS dst FROM e0
        |        UNION ALL SELECT b, a FROM e0),
        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private lazy val lpaSql: String =
+    s"""WITH $lpaCte
        |SELECT node, label FROM l4 ORDER BY node""".stripMargin
+
+  /** Modularity oracle: replay the LPA partition (shared CTE), then the
+    * exact-integer 4m·E_c − D_c² per-community arithmetic. */
+  private lazy val modularitySql: String =
+    s"""WITH $lpaCte,
+       |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       |  SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+       |  GROUP BY node),
+       |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+       |cd AS (SELECT l.label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  CAST(SUM(d.deg) AS BIGINT) AS deg_sum
+       |  FROM deg d JOIN l4 l ON d.node = l.node GROUP BY l.label),
+       |ie AS (SELECT la.label, CAST(COUNT(*) AS BIGINT) AS intra_edges
+       |  FROM e0 JOIN l4 la ON e0.a = la.node JOIN l4 lb ON e0.b = lb.node
+       |  WHERE la.label = lb.label GROUP BY la.label)
+       |SELECT cd.label AS label, cd.n_nodes,
+       |  CAST(COALESCE(ie.intra_edges, 0) AS BIGINT) AS intra_edges,
+       |  cd.deg_sum,
+       |  CAST(4 * (SELECT m FROM mm) * COALESCE(ie.intra_edges, 0)
+       |    - cd.deg_sum * cd.deg_sum AS BIGINT) AS q_contrib
+       |FROM cd LEFT JOIN ie ON cd.label = ie.label
+       |ORDER BY 1""".stripMargin
+
+  /** Stress-centrality oracle: the layered path-counting BFS unrolled
+    * round-per-CTE (frontier = first arrivals, σ summed over frontier
+    * predecessors), then the σ(s,v)·σ(t,v) optimal-substructure pair
+    * combine gated on d(s,v)+d(v,t) = d(s,t). */
+  private lazy val stressSql: String = {
+    val rounds = (1 to 4).map { k =>
+      s"""f$k AS (SELECT b.seed, e.dst AS node,
+         |    CAST(SUM(b.sigma) AS BIGINT) AS sigma
+         |  FROM b${k - 1} b JOIN und e ON b.node = e.src
+         |  WHERE b.dist = ${k - 1} GROUP BY b.seed, e.dst),
+         |b$k AS (SELECT * FROM b${k - 1} UNION ALL
+         |  SELECT f.seed, f.node, CAST($k AS BIGINT) AS dist, f.sigma
+         |  FROM f$k f WHERE NOT EXISTS (SELECT 1 FROM b${k - 1} p
+         |    WHERE p.seed = f.seed AND p.node = f.node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |  FROM lineitem WHERE l_orderkey < 1000),
+       |e0 AS (SELECT DISTINCT 'p' || x.p AS a, 'p' || y.p AS b
+       |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+       |und AS (SELECT a AS src, b AS dst FROM e0
+       |        UNION ALL SELECT b, a FROM e0),
+       |seeds AS (SELECT DISTINCT src AS s FROM und ORDER BY s LIMIT 8),
+       |b0 AS (SELECT s AS seed, s AS node, CAST(0 AS BIGINT) AS dist,
+       |  CAST(1 AS BIGINT) AS sigma FROM seeds),
+       |$rounds,
+       |pd AS (SELECT b.seed AS s, b.node AS t, b.dist AS d_st
+       |  FROM b4 b JOIN seeds x ON b.node = x.s WHERE b.seed < b.node)
+       |SELECT a.node AS node,
+       |  CAST(SUM(a.sigma * c.sigma) AS BIGINT) AS stress
+       |FROM b4 a JOIN b4 c ON a.node = c.node AND a.seed < c.seed
+       |JOIN pd ON pd.s = a.seed AND pd.t = c.seed
+       |  AND a.dist + c.dist = pd.d_st
+       |WHERE a.node <> a.seed AND a.node <> c.seed
+       |GROUP BY a.node
+       |ORDER BY 1""".stripMargin
   }
 
   /** Unrolled integer-PageRank SQL: s{k} from s{k-1} via the identical
@@ -1436,6 +1552,8 @@ object KgQueries {
         |  CAST(COUNT(*) OVER (PARTITION BY scc_id) AS BIGINT) AS scc_size
         |FROM scc ORDER BY node""".stripMargin,
     "kg_lpa" -> lpaSql,
+    "kg_stress" -> stressSql,
+    "kg_modularity" -> modularitySql,
     // ASK ≡ EXISTS over the two-pattern join
     "kg_ask" ->
       s"""WITH $tokensCte

@@ -53,7 +53,7 @@ object StressBench {
     val sections = sys.env.getOrElse("SPARK_GRAFT_STRESS_SECTIONS",
       "cc,dd,kg,inc,ivf,ivfpq,skew,lines,pagerank,spans,path,asof,range," +
         "domcap,sketch,bm25,tri,hits,kcore,quantile,chunk,keywords," +
-        "fuzzy,closeness,openie,zorder,scc")
+        "fuzzy,closeness,openie,zorder,scc,central")
       .split(",").map(_.trim).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -760,6 +760,61 @@ object StressBench {
       val (nN, sN, mN, tN) = plantedSccStats(rep)
       frags += s""""scc_1x":{"nodes":$n1,"sccs":$s1,"max_scc":$m1,"sec":$t1}"""
       frags += s""""scc_Nx":{"nodes":$nN,"sccs":$sN,"max_scc":$mN,"sec":$tN}"""
+    }
+
+    // ---- stress/modularity: values structure-bound, counts ∝ corpus ----
+    if (sections("central")) {
+      // `copies` disjoint diamond-chains (a-{b,c}-e-f per copy, seeds
+      // a/f of each copy): every copy contributes the same interior
+      // stress values {1,1,2} regardless of corpus size — seed-pair
+      // path counting never mixes components, so state ∝ |S|·|ball|
+      // and values are graph-local.
+      def plantedStress(copies: Int): (Long, Long, Double) = {
+        val ks = spark.range(copies).select(col("id").as("k"))
+        def nd(tag: String) = concat(col("k"), lit("_" + tag))
+        val es = Seq(("a", "b"), ("a", "c"), ("b", "e"), ("c", "e"),
+          ("e", "f")).map { case (u, v) =>
+          ks.select(nd(u).as("src"), nd(v).as("dst")) }
+          .reduce(_ union _)
+        val sym = es.union(es.select(col("dst").as("src"),
+          col("src").as("dst")))
+        val seeds = ks.select(nd("a").as("node"))
+          .union(ks.select(nd("f").as("node")))
+        val (res, secs) = time {
+          graft.canon.GraphAlgs.stressCentrality(sym, seeds, rounds = 4)
+            .agg(count(lit(1)), max(col("stress"))).collect()(0)
+        }
+        (res.getLong(0), res.getLong(1), secs)
+      }
+      // `copies` disjoint triangles labeled naturally: each community
+      // scores EXACTLY 4m·3 − 6² with m = 3·copies — per-community
+      // arithmetic is a pure function of local counts plus one global
+      // scalar, so the partition quality audit never shuffles corpus-
+      // width rows.
+      def plantedModularity(copies: Int): (Long, Long, Long, Double) = {
+        val ks = spark.range(copies).select(col("id").as("k"))
+        def nd(tag: String) = concat(col("k"), lit("_" + tag))
+        val es = Seq(("a", "b"), ("b", "c"), ("a", "c")).map {
+          case (u, v) => ks.select(nd(u).as("a"), nd(v).as("b")) }
+          .reduce(_ union _)
+        val labels = Seq("a", "b", "c").map { t =>
+          ks.select(nd(t).as("node"), col("k").cast("string").as("label")) }
+          .reduce(_ union _)
+        val (res, secs) = time {
+          graft.canon.GraphAlgs.modularity(es, labels)
+            .agg(count(lit(1)), min(col("q_contrib")),
+              max(col("q_contrib"))).collect()(0)
+        }
+        (res.getLong(0), res.getLong(1), res.getLong(2), secs)
+      }
+      val (sc1, sm1, st1) = plantedStress(100)
+      val (scN, smN, stN) = plantedStress(100 * rep)
+      frags += s""""stress_1x":{"interior":$sc1,"max":$sm1,"sec":$st1}"""
+      frags += s""""stress_Nx":{"interior":$scN,"max":$smN,"sec":$stN}"""
+      val (mc1, mn1, mx1, mt1) = plantedModularity(100)
+      val (mcN, mnN, mxN, mtN) = plantedModularity(100 * rep)
+      frags += s""""modularity_1x":{"comms":$mc1,"q_min":$mn1,"q_max":$mx1,"sec":$mt1}"""
+      frags += s""""modularity_Nx":{"comms":$mcN,"q_min":$mnN,"q_max":$mxN,"sec":$mtN}"""
     }
 
     if (sections("zorder")) {
