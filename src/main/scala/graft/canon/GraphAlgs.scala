@@ -376,6 +376,54 @@ object GraphAlgs {
       .select(col("src").as("node"), col("deg"))
   }
 
+  /** k-truss peeling (Cohen 2008; synchronous distributed form): each
+    * round computes per-EDGE triangle support over the canonical a < b
+    * edge set and drops edges in fewer than k−2 triangles, repeated
+    * `rounds` times — the edge-centric sibling of [[kCore]] (node
+    * degree → edge support) and the stronger cohesion filter: a k-truss
+    * is always inside the (k−1)-core but prunes loosely-attached edges
+    * the core keeps. The graph-quality gate for extracted entity
+    * graphs: a relation edge supported by many closed triangles is
+    * corroborated; support-0 edges are one-off co-mentions.
+    *
+    * Fixed rounds keep the unrolled oracle finite (the kCore
+    * convention — peel depth, not diameter, bounds convergence).
+    * Synchronous peeling is partitioning-invariant: support counts are
+    * commutative sums, membership a threshold on them.
+    *
+    * Scale shape per round: [[triangleCounts]]'s degree-orientation
+    * wedge join (fan-out bounded by forward degree), one explode to
+    * the 3 constituent edges, one map-side-combined (a, b) count agg —
+    * every shuffle carries fixed-width id pairs ∝ wedges, never edges².
+    * Returns (a, b, support) — survivors with support recomputed on
+    * the final surviving graph.
+    */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    def support(ed: DataFrame): DataFrame = {
+      val tris = ed.alias("e1")
+        .join(ed.alias("e2"), col("e1.b") === col("e2.a"))
+        .join(ed.alias("e3"),
+          col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"),
+          col("e2.b").as("z"))
+      tris.select(explode(array(
+          struct(col("x").as("a"), col("y").as("b")),
+          struct(col("y").as("a"), col("z").as("b")),
+          struct(col("x").as("a"), col("z").as("b")))).as("ed"))
+        .select(col("ed.a").as("a"), col("ed.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+    }
+    var e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      e = support(e).filter(col("support") >= k - 2)
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+    }
+    e.join(support(e), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** Link prediction over an undirected simple graph given as canonical
     * edges (a < b, distinct): for every NON-adjacent pair with at least
     * one common neighbour, the three classic neighborhood scores —

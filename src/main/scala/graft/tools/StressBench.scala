@@ -53,7 +53,7 @@ object StressBench {
     val sections = sys.env.getOrElse("SPARK_GRAFT_STRESS_SECTIONS",
       "cc,dd,kg,inc,ivf,ivfpq,skew,lines,pagerank,spans,path,asof,range," +
         "domcap,sketch,bm25,tri,hits,kcore,quantile,chunk,keywords," +
-        "fuzzy,closeness,openie,zorder,scc,central")
+        "fuzzy,closeness,openie,zorder,scc,central,truss")
       .split(",").map(_.trim).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -815,6 +815,34 @@ object StressBench {
       val (mcN, mnN, mxN, mtN) = plantedModularity(100 * rep)
       frags += s""""modularity_1x":{"comms":$mc1,"q_min":$mn1,"q_max":$mx1,"sec":$mt1}"""
       frags += s""""modularity_Nx":{"comms":$mcN,"q_min":$mnN,"q_max":$mxN,"sec":$mtN}"""
+    }
+
+    // ---- k-truss: support structure-bound, chord peel ∝ corpus ---------
+    if (sections("truss")) {
+      // `copies` disjoint K5s, each with a pendant triangle strip
+      // hanging off one edge: at k=5 the strip peels (support < 3),
+      // the K5 survives with support exactly 3 per edge — survivor
+      // support is a property of the planted structure, peeled-edge
+      // count ∝ copies, and the peel depth (2 rounds) is fixed.
+      def plantedTruss(copies: Int): (Long, Long, Long, Double) = {
+        val ks = spark.range(copies).select(col("id").as("k"))
+        def nd(tag: String) = concat(col("k"), lit("_" + tag))
+        val vs = Seq("a", "b", "c", "d", "e")
+        val k5 = (for (x <- vs; y <- vs if x < y) yield (x, y))
+        val strip = Seq(("a", "s1"), ("b", "s1"), ("s1", "s2"))
+        val es = (k5 ++ strip).map { case (u, v) =>
+          ks.select(nd(u).as("a"), nd(v).as("b")) }.reduce(_ union _)
+        val (res, secs) = time {
+          graft.canon.GraphAlgs.kTruss(es, k = 5, rounds = 2)
+            .agg(count(lit(1)), min(col("support")),
+              max(col("support"))).collect()(0)
+        }
+        (res.getLong(0), res.getLong(1), res.getLong(2), secs)
+      }
+      val (te1, tn1, tx1, tt1) = plantedTruss(100)
+      val (teN, tnN, txN, ttN) = plantedTruss(100 * rep)
+      frags += s""""truss_1x":{"edges":$te1,"sup_min":$tn1,"sup_max":$tx1,"sec":$tt1}"""
+      frags += s""""truss_Nx":{"edges":$teN,"sup_min":$tnN,"sup_max":$txN,"sec":$ttN}"""
     }
 
     if (sections("zorder")) {
