@@ -119,18 +119,8 @@ object Dedup {
     // to character BIGRAMS (unigram chars over a small alphabet make
     // unrelated docs look similar); spaced rows keep word unigrams, so
     // existing corpora/oracles are untouched.
-    val t = col("text")
-    val wordHashes = transform(split(t, " "), w => xxhash64(w))
-    val squeezed = regexp_replace(t,
-      graft.text.TextAnalysis.WhitespaceClass + "+", "")
-    val charBigramHashes = when(length(squeezed) < 2,
-        array(xxhash64(squeezed)))
-      .otherwise(transform(sequence(lit(1), length(squeezed) - 1),
-        i => xxhash64(squeezed.substr(i, lit(2)))))
     val toks = docs.select(col("doc_id"), col("lang"), col("source"),
-        array_sort(array_distinct(
-          when(isCjkCol(t), charBigramHashes).otherwise(wordHashes)))
-          .as("tokens"))
+        hashedTokenArray(col("text")).as("tokens"))
       .withColumn("bkt", lengthBucket(size(col("tokens")), threshold))
     // each side emits {bkt, bkt+1}: buckets intersect ⟺ |Δbkt| ≤ 1
     val emitted = toks.select(col("doc_id"), col("lang"), col("source"),
@@ -146,6 +136,110 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .select("a", "b", "inter", "uni", "jaccard")
       .dropDuplicates("a", "b") // adjacent buckets can meet at 2 keys
+  }
+
+  /** Sorted distinct xxhash64'd unigram array for a text column — the
+    * 8-byte-element token-set representation the Jaccard and containment
+    * tiers ship through their shuffles (round-3 verdict #6: hashed
+    * elements ≈ 2.6× fewer exchange bytes than strings; collision odds
+    * INSIDE one pair's union ≈ |union|²/2^64). CJK-routed to character
+    * bigrams (content-based — see the routing note below).
+    */
+  private def hashedTokenArray(t: Column): Column = {
+    val wordHashes = transform(split(t, " "), w => xxhash64(w))
+    val squeezed = regexp_replace(t,
+      graft.text.TextAnalysis.WhitespaceClass + "+", "")
+    val charBigramHashes = when(length(squeezed) < 2,
+        array(xxhash64(squeezed)))
+      .otherwise(transform(sequence(lit(1), length(squeezed) - 1),
+        i => xxhash64(squeezed.substr(i, lit(2)))))
+    array_sort(array_distinct(
+      when(isCjkCol(t), charBigramHashes).otherwise(wordHashes)))
+  }
+
+  /** Asymmetric containment near-dup pairs: C(a→b) = |Sa ∩ Sb| / |Sa| ≥
+    * num/den over distinct 3-GRAM SHINGLE sets, reported for the
+    * SMALLER side contained in the larger (ties: a < b) — the tier
+    * Jaccard structurally misses (a snippet fully inside a page has
+    * J ≈ |snippet|/|page| but containment 1.0; RefinedWeb/CCNet-style
+    * curation deduplicates exactly these quote/excerpt/superset
+    * relations). Shingles, not unigrams: over a bounded vocabulary
+    * unigram-set containment is trivially dense (measured 76 k of
+    * 151 k possible pairs ≥ 0.9 on the sandbox corpus vs 81 at 3-gram
+    * granularity) — word order is the signal that distinguishes a
+    * quote from a bag-of-words coincidence.
+    *
+    * Candidate generation is PREFIX FILTERING (Chaudhuri et al. 2006's
+    * SSJoin family): rank each doc's tokens by global document
+    * frequency ascending (ties by token hash) and emit only its
+    * n − ⌈num·n/den⌉ + 1 RAREST tokens into the probe — if b really
+    * contains ≥ num/den of a's tokens it misses at most n − ⌈num·n/den⌉
+    * of them, so at least one prefix token of a lands in b
+    * (pigeonhole — the filter is lossless, which the unblocked-truth
+    * oracle proves end-to-end). The prefix threshold is computed in
+    * EXACT integer arithmetic: ⌈num·n/den⌉ = (num·n + den − 1) div den;
+    * the float form 1−t under-sizes the prefix at integral multiples
+    * (0.09999…·20 floors to 1, not 2) and silently drops true pairs.
+    *
+    * Scale shape: one (token)-keyed df agg and one per-doc window rank —
+    * both ∝ corpus token count at fixed width; the probe joins the
+    * SHORT prefix side against the full inverted index, so candidates
+    * are bounded by Σ_prefix df(token) — and rarest-first ranking
+    * minimizes exactly that sum (stopword postings never join the
+    * prefix side). Verification ships token arrays only for candidate
+    * pairs. Nothing is ever corpus × corpus.
+    */
+  def containmentPairs(docs: DataFrame, num: Int = 9,
+      den: Int = 10): DataFrame = {
+    // materialize the token array / squeezed text BEFORE the gram
+    // lambdas: higher-order functions block CSE, so an inline split
+    // would re-tokenize the document per element (the RelationMiner /
+    // linesCorpus O(tokens²) lesson)
+    val t = col("text")
+    val pre = docs.select(col("doc_id"), t, split(t, " ").as("w"),
+      regexp_replace(t,
+        graft.text.TextAnalysis.WhitespaceClass + "+", "").as("sq"))
+    val wordGrams = transform(
+      sequence(lit(1), greatest(lit(1), size(col("w")) - 2)),
+      i => xxhash64(array_join(slice(col("w"), i, lit(3)), " ")))
+    // CJK route: character trigrams over the squeezed text (the word
+    // path yields one gram for unspaced scripts — same routing rationale
+    // as the Jaccard/MinHash tiers)
+    val charGrams = when(length(col("sq")) < 3, array(xxhash64(col("sq"))))
+      .otherwise(transform(sequence(lit(1), length(col("sq")) - 2),
+        i => xxhash64(col("sq").substr(i, lit(3)))))
+    val toks = pre.select(col("doc_id"),
+        array_sort(array_distinct(
+          when(isCjkCol(t), charGrams).otherwise(wordGrams)))
+          .as("tokens"))
+      .withColumn("n", size(col("tokens")).cast("long"))
+      .localCheckpoint() // feeds df agg, prefix rank, and both verify sides
+    val tokRows = toks.select(col("doc_id"), col("n"),
+      explode(col("tokens")).as("tok"))
+    val dfreq = tokRows.groupBy("tok").agg(count(lit(1)).as("df"))
+    val pref = tokRows.join(dfreq, Seq("tok"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("df"), col("tok"))))
+      .filter(col("rn") <=
+        expr(s"n - ((n * $num + ${den - 1}) div $den) + 1"))
+      .select(col("doc_id").as("a"), col("tok"))
+    val index = tokRows.select(col("doc_id").as("b"), col("tok"))
+    val cand = pref.join(index, Seq("tok"))
+      .filter(col("a") =!= col("b"))
+      .select("a", "b").distinct()
+    val ta = toks.select(col("doc_id").as("a"), col("tokens").as("tka"),
+      col("n").as("n_a"))
+    val tb = toks.select(col("doc_id").as("b"), col("tokens").as("tkb"),
+      col("n").as("n_b"))
+    cand.join(ta, Seq("a")).join(tb, Seq("b"))
+      .filter(col("n_a") < col("n_b") ||
+        (col("n_a") === col("n_b") && col("a") < col("b")))
+      .withColumn("inter",
+        size(array_intersect(col("tka"), col("tkb"))).cast("long"))
+      .filter(col("inter") * den >= col("n_a") * num)
+      .select(col("a"), col("b"), col("inter"), col("n_a"),
+        (col("inter").cast("double") / col("n_a")).as("containment"))
   }
 
   /** Word n-gram shingles (n consecutive tokens, distinct). */

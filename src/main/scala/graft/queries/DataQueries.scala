@@ -47,6 +47,36 @@ object DataQueries {
         col("uni").cast("long").as("uni"), col("jaccard"))
       .orderBy("a", "b")
 
+  /** Corpus for the containment sweep: the FULL documents table plus
+    * planted snippets — every 10th doc gets a twin (id + 2,000,000)
+    * keeping its first ⌊2n/5⌋ (min 3) tokens. A snippet's
+    * distinct-unigram set is a strict subset of the original's, so its
+    * containment is exactly 1.0 while Jaccard ≈ 0.4 — the
+    * quote/excerpt regime the symmetric tiers structurally miss.
+    */
+  private[graft] def containCorpus(spark: SparkSession,
+      dir: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val planted = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        array_join(slice(toks, lit(1),
+          greatest(lit(3), (size(toks) * 2 / 5).cast("int"))), " ")
+          .as("text"))
+    base.union(planted)
+  }
+
+  /** Asymmetric containment pairs at ≥ 9/10 over the planted-snippet
+    * corpus (see [[graft.dedup.Dedup.containmentPairs]] for the
+    * lossless rarest-token prefix filter). ORACLED against the
+    * quadratic unblocked truth — a hash match proves the prefix filter
+    * loses nothing.
+    */
+  def ddContainment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(containCorpus(spark, dir))
+      .orderBy("a", "b")
+
   /** Corpus for the MinHash sweep: the FULL documents table plus planted
     * near-duplicates — every 20th doc gets a twin (id + 1,000,000) with
     * the last two tokens dropped, giving 3-gram Jaccard ≈ 0.95. This
@@ -698,6 +728,7 @@ object DataQueries {
     "txt_perplexity" -> txtPerplexity,
     "txt_shard" -> txtShard,
     "dd_jaccard" -> ddJaccard,
+    "dd_containment" -> ddContainment,
     "dd_lines" -> ddLines,
     "dd_minhash" -> ddMinhash,
     "dd_minhash_clusters" -> ddMinhashClusters,
@@ -1525,6 +1556,35 @@ object DataQueries {
         |FROM pairs p JOIN sizes sa ON p.a = sa.doc_id
         |JOIN sizes sb ON p.b = sb.doc_id
         |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.8
+        |ORDER BY a, b""".stripMargin,
+    // quadratic unblocked truth over the planted-snippet corpus —
+    // a hash match proves the rarest-token prefix filter is lossless
+    "dd_containment" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, array_to_string(
+        |    list_slice(w, 1, greatest(3, (2 * len(w)) // 5)), ' ')
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |        FROM documents WHERE doc_id % 10 = 0)),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM corpus),
+        |tok AS (SELECT DISTINCT doc_id,
+        |    array_to_string(list_slice(w, i, i + 2), ' ') AS g
+        |  FROM toks, unnest(generate_series(1,
+        |    greatest(1, len(w) - 2))) t(i)),
+        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM tok GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.a, p.b, p.inter, sa.n AS n_a,
+        |  CAST(p.inter AS DOUBLE) / sa.n AS containment
+        |FROM pairs p JOIN sizes sa ON p.a = sa.doc_id
+        |JOIN sizes sb ON p.b = sb.doc_id
+        |WHERE (sa.n < sb.n OR (sa.n = sb.n AND p.a < p.b))
+        |  AND p.inter * 10 >= sa.n * 9
         |ORDER BY a, b""".stripMargin,
     "dd_lines" ->
       s"""WITH toks AS (

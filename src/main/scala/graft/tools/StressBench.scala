@@ -53,7 +53,7 @@ object StressBench {
     val sections = sys.env.getOrElse("SPARK_GRAFT_STRESS_SECTIONS",
       "cc,dd,kg,inc,ivf,ivfpq,skew,lines,pagerank,spans,path,asof,range," +
         "domcap,sketch,bm25,tri,hits,kcore,quantile,chunk,keywords," +
-        "fuzzy,closeness,openie,zorder,scc,central,truss")
+        "fuzzy,closeness,openie,zorder,scc,central,truss,contain")
       .split(",").map(_.trim).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -815,6 +815,35 @@ object StressBench {
       val (mcN, mnN, mxN, mtN) = plantedModularity(100 * rep)
       frags += s""""modularity_1x":{"comms":$mc1,"q_min":$mn1,"q_max":$mx1,"sec":$mt1}"""
       frags += s""""modularity_Nx":{"comms":$mcN,"q_min":$mnN,"q_max":$mxN,"sec":$mtN}"""
+    }
+
+    // ---- containment: pairs ∝ planted snippets, values exact -----------
+    if (sections("contain")) {
+      // `copies` docs with per-copy-unique vocabularies, each with a
+      // planted prefix snippet: exactly one containment pair per copy
+      // (containment 1.0), so found pairs ∝ copies with zero cross-copy
+      // noise — and the rarest-token prefix side stays ∝ corpus while
+      // stopword postings never enter the probe.
+      def plantedContainment(copies: Int): (Long, Long, Double) = {
+        val ks = spark.range(copies).select(col("id").as("k"))
+        def toks(n: Int) = array_join(transform(sequence(lit(1), lit(n)),
+          i => concat(col("k"), lit("w"), i)), " ")
+        val full = ks.select((col("k") * 2).as("doc_id"),
+          toks(12).as("text"))
+        val snip = ks.select((col("k") * 2 + 1).as("doc_id"),
+          toks(5).as("text"))
+        val (res, secs) = time {
+          graft.dedup.Dedup.containmentPairs(full.union(snip))
+            .agg(count(lit(1)),
+              sum(when(col("containment") === 1.0, 1L).otherwise(0L)))
+            .collect()(0)
+        }
+        (res.getLong(0), res.getLong(1), secs)
+      }
+      val (cp1, cf1, ct1) = plantedContainment(2000)
+      val (cpN, cfN, ctN) = plantedContainment(2000 * rep)
+      frags += s""""contain_1x":{"pairs":$cp1,"full":$cf1,"sec":$ct1}"""
+      frags += s""""contain_Nx":{"pairs":$cpN,"full":$cfN,"sec":$ctN}"""
     }
 
     // ---- k-truss: support structure-bound, chord peel ∝ corpus ---------
