@@ -315,6 +315,87 @@ object GraphAlgs {
           - col("deg_sum") * col("deg_sum")).as("q_contrib"))
   }
 
+  /** Louvain phase-1 local moving (Blondel et al. 2008), synchronous
+    * distributed form: starting from singleton communities, every node
+    * simultaneously joins the neighbour community with the highest
+    * modularity insertion gain — in the engine's 4m²-scaled exact
+    * integers,
+    *
+    *   gain(i→c) = 4m·k_{i,c} − 2·deg(i)·D_{c∖i}
+    *
+    * (k_{i,c} = edges from i into c, D_{c∖i} = Σ degrees of c minus i
+    * if i ∈ c; the removal term is constant across i's choices, so
+    * comparing insertion gains — own community included as "stay" — is
+    * the full Louvain comparison). Ties break toward the SMALLEST
+    * community label; synchronous + deterministic tie-break makes every
+    * round a pure function of the previous labeling, replayed
+    * round-per-CTE in SQL. Fixed `rounds` keeps the oracle finite —
+    * the [[labelPropagation]]/[[kCore]] convention. Distributed Louvain
+    * in exactly this synchronous-gain form is the published practice
+    * for billion-edge graphs; the phase-2 graph contraction is one
+    * groupBy away once labels converge.
+    *
+    * Synchronous moving has the classic singleton-SWAP pathology (two
+    * adjacent singletons each see positive gain in the other's label
+    * and exchange forever); the published distributed fix is applied —
+    * Grappolo's swap guard (Lu, Halappanavar & Kalyanaraman 2015): a
+    * node in a singleton community may move to another SINGLETON
+    * community only toward a smaller label, so of two swap partners
+    * exactly one moves and the pair converges.
+    *
+    * edges(src, dst): pass both directions for an undirected graph.
+    * Scale shape per round: one (src, label) count agg for k_{i,c}
+    * (map-side combined), one per-label degree agg + size agg, one
+    * window argmax partitioned by node — everything (node, label,
+    * long)-width; the candidate set per node is its distinct
+    * neighbour-community count, bounded by degree, never |V|.
+    */
+  def louvainMove(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src"))
+      .localCheckpoint()
+    val m = e.count() / 2 // both directions present
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    var lab = deg.select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("i").orderBy(col("gain").desc, col("c").asc)
+    for (_ <- 1 to rounds) {
+      val kic = e.join(lab.select(col("node").as("dst"),
+          col("label").as("c")), Seq("dst"))
+        .groupBy(col("src").as("i"), col("c"))
+        .agg(count(lit(1)).as("kic"))
+      val own = lab.select(col("node").as("i"), col("label").as("c"))
+        .join(kic, Seq("i", "c"), "left")
+        .select(col("i"), col("c"), coalesce(col("kic"), lit(0L)).as("kic"))
+      val cand = kic.union(own).distinct()
+      val commAgg = lab.join(deg, Seq("node"))
+        .groupBy(col("label").as("c"))
+        .agg(sum(col("deg")).as("dc"), count(lit(1)).as("csz"))
+        .localCheckpoint() // feeds both the target and own-side joins
+      lab = cand
+        .join(deg.select(col("node").as("i"), col("deg")), Seq("i"))
+        .join(commAgg, Seq("c"))
+        .join(lab.select(col("node").as("i"), col("label").as("own")),
+          Seq("i"))
+        .join(commAgg.select(col("c").as("own"), col("csz").as("ownSz")),
+          Seq("own"))
+        // Grappolo swap guard: singleton → singleton only toward a
+        // smaller label (the own-community row has c = own, never cut)
+        .filter(!(col("csz") === 1 && col("ownSz") === 1 &&
+          col("c") > col("own")))
+        .withColumn("gain", lit(4L * m) * col("kic") -
+          lit(2L) * col("deg") * (col("dc") -
+            when(col("own") === col("c"), col("deg")).otherwise(lit(0L))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("i").as("node"), col("c").as("label"))
+        .localCheckpoint()
+    }
+    lab
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007), made
     * deterministic: every node starts labeled with itself; each round
     * every node adopts the label most frequent among its neighbours,

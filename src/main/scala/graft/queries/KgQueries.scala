@@ -1037,6 +1037,24 @@ object KgQueries {
         k = 5, rounds = 3)
       .orderBy("a", "b")
 
+  /** Louvain phase-1 local moving over the same bipartite graph as
+    * kg_lpa, 2 synchronous gain-argmax rounds from singletons (see
+    * [[graft.canon.GraphAlgs.louvainMove]] — the modularity-OPTIMIZING
+    * community pass that completes the LPA → modularity family).
+    * Oracle replays each round: k_{i,c} count, community degrees, the
+    * 4m·k − 2·deg·D gain and the (gain DESC, label ASC) argmax window.
+    */
+  def kgLouvain(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_orderkey") < 500)
+      .select(concat(lit("o"), col("l_orderkey")).as("a"),
+        concat(lit("p"), col("l_partkey")).as("b"))
+      .distinct()
+    val und = e0.select(col("a").as("src"), col("b").as("dst"))
+      .union(e0.select(col("b").as("src"), col("a").as("dst")))
+    graft.canon.GraphAlgs.louvainMove(und, rounds = 2).orderBy("node")
+  }
+
   /** Modularity scoring of the LPA partition over the same bipartite
     * graph as kg_lpa — the acceptance gate on community detection
     * output, 4m²-scaled to stay in exact BIGINTs (see
@@ -1088,6 +1106,7 @@ object KgQueries {
     "kg_stress" -> kgStress,
     "kg_modularity" -> kgModularity,
     "kg_truss" -> kgTruss,
+    "kg_louvain" -> kgLouvain,
     "kg_lpa" -> kgLpa,
     "kg_having" -> kgHaving,
     "kg_ask" -> kgAsk,
@@ -1216,6 +1235,48 @@ object KgQueries {
        |  CAST(COALESCE(sf.support, 0) AS BIGINT) AS support
        |FROM te3 e LEFT JOIN sf ON e.a = sf.a AND e.b = sf.b
        |ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Louvain oracle: each synchronous move round replayed — k_{i,c}
+    * edge counts into neighbour communities, per-community degree
+    * sums, the 4m·k_{i,c} − 2·deg_i·D_{c∖i} insertion gain, and the
+    * (gain DESC, label ASC) argmax window. */
+  private lazy val louvainSql: String = {
+    val rounds = (1 to 2).map { r =>
+      s"""kic$r AS (SELECT u.src AS i, l.label AS c,
+         |    CAST(COUNT(*) AS BIGINT) AS kic
+         |  FROM und u JOIN lv${r - 1} l ON l.node = u.dst GROUP BY 1, 2),
+         |own$r AS (SELECT l.node AS i, l.label AS c,
+         |    CAST(COALESCE(k.kic, 0) AS BIGINT) AS kic
+         |  FROM lv${r - 1} l LEFT JOIN kic$r k
+         |    ON k.i = l.node AND k.c = l.label),
+         |cand$r AS (SELECT * FROM kic$r UNION SELECT * FROM own$r),
+         |cd$r AS (SELECT l.label AS c, CAST(SUM(d.deg) AS BIGINT) AS dc,
+         |    CAST(COUNT(*) AS BIGINT) AS csz
+         |  FROM lv${r - 1} l JOIN deg d ON d.node = l.node GROUP BY 1),
+         |lv$r AS (SELECT i AS node, c AS label FROM (
+         |  SELECT cc.i, cc.c, ROW_NUMBER() OVER (PARTITION BY cc.i
+         |    ORDER BY (4 * (SELECT m FROM mm) * cc.kic
+         |      - 2 * d.deg * (cd.dc - CASE WHEN lb.label = cc.c
+         |        THEN d.deg ELSE 0 END)) DESC, cc.c ASC) AS rn
+         |  FROM cand$r cc JOIN deg d ON d.node = cc.i
+         |  JOIN cd$r cd ON cd.c = cc.c
+         |  JOIN lv${r - 1} lb ON lb.node = cc.i
+         |  JOIN cd$r co ON co.c = lb.label
+         |  WHERE NOT (cd.csz = 1 AND co.csz = 1 AND cc.c > lb.label))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT 'o' || l_orderkey AS a, 'p' || l_partkey AS b
+       |  FROM lineitem WHERE l_orderkey < 500),
+       |und AS (SELECT a AS src, b AS dst FROM e0
+       |        UNION ALL SELECT b, a FROM e0),
+       |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+       |  FROM und GROUP BY src),
+       |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+       |lv0 AS (SELECT node, node AS label FROM deg),
+       |$rounds
+       |SELECT node, label FROM lv2 ORDER BY node""".stripMargin
   }
 
   /** Stress-centrality oracle: the layered path-counting BFS unrolled
@@ -1601,6 +1662,7 @@ object KgQueries {
     "kg_stress" -> stressSql,
     "kg_modularity" -> modularitySql,
     "kg_truss" -> trussSql,
+    "kg_louvain" -> louvainSql,
     // ASK ≡ EXISTS over the two-pattern join
     "kg_ask" ->
       s"""WITH $tokensCte

@@ -811,6 +811,29 @@ object StressBench {
       val (scN, smN, stN) = plantedStress(100 * rep)
       frags += s""""stress_1x":{"interior":$sc1,"max":$sm1,"sec":$st1}"""
       frags += s""""stress_Nx":{"interior":$scN,"max":$smN,"sec":$stN}"""
+      // Louvain local moving on the same planted triangles, started
+      // from singletons: 2 synchronous gain rounds recover exactly one
+      // community per triangle at any corpus size — the move is
+      // graph-local, so community count ∝ copies and sizes stay 3.
+      def plantedLouvain(copies: Int): (Long, Long, Double) = {
+        val ks = spark.range(copies).select(col("id").as("k"))
+        def nd(tag: String) = concat(col("k"), lit("_" + tag))
+        val es = Seq(("a", "b"), ("b", "c"), ("a", "c")).map {
+          case (u, v) => ks.select(nd(u).as("a"), nd(v).as("b")) }
+          .reduce(_ union _)
+        val sym = es.select(col("a").as("src"), col("b").as("dst"))
+          .union(es.select(col("b").as("src"), col("a").as("dst")))
+        val (res, secs) = time {
+          graft.canon.GraphAlgs.louvainMove(sym, rounds = 2)
+            .groupBy("label").agg(count(lit(1)).as("sz"))
+            .agg(count(lit(1)), max(col("sz"))).collect()(0)
+        }
+        (res.getLong(0), res.getLong(1), secs)
+      }
+      val (lv1, ls1, lt1) = plantedLouvain(100)
+      val (lvN, lsN, ltN) = plantedLouvain(100 * rep)
+      frags += s""""louvain_1x":{"comms":$lv1,"max_sz":$ls1,"sec":$lt1}"""
+      frags += s""""louvain_Nx":{"comms":$lvN,"max_sz":$lsN,"sec":$ltN}"""
       val (mc1, mn1, mx1, mt1) = plantedModularity(100)
       val (mcN, mnN, mxN, mtN) = plantedModularity(100 * rep)
       frags += s""""modularity_1x":{"comms":$mc1,"q_min":$mn1,"q_max":$mx1,"sec":$mt1}"""
