@@ -802,6 +802,50 @@ object GraphAlgs {
       count(lit(1)).over(w).as("scc_size"))
   }
 
+  /** Condensation of a digraph: contract each SCC (via [[scc]]) to one
+    * node, keep the distinct cross-SCC edges — acyclic by construction
+    * (Kosaraju's classic corollary) — then assign every SCC its
+    * longest-path-from-source LEVEL by `rounds` synchronous max-
+    * propagation rounds (exact once rounds ≥ condensation depth; fixed
+    * rounds keep the unrolled oracle finite, the engine convention).
+    * The DAG schedule view of a web-crawl dependency graph: level 0 =
+    * pure sources, the giant core SCC sits mid-chain, and levels give
+    * the parallel-wavefront order any downstream propagation
+    * (authority, freshness, recrawl) should process components in.
+    *
+    * Scale shape: two dictionary-width label joins contract the edge
+    * list (∝ edges, fixed width); per level round one equi-join of the
+    * (scc, lvl) state against the cs-partitioned condensed edges plus
+    * one map-side-combined max-agg — the SSSP shape with max instead
+    * of min. Returns (scc_id, scc_size, level), one row per SCC.
+    */
+  def condensation(edges: DataFrame, rounds: Int): DataFrame = {
+    val sc = scc(edges).localCheckpoint()
+    val lab = sc.select(col("node"), col("scc_id"))
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val ce = e
+      .join(lab.withColumnRenamed("node", "src")
+        .withColumnRenamed("scc_id", "cs"), Seq("src"))
+      .join(lab.withColumnRenamed("node", "dst")
+        .withColumnRenamed("scc_id", "cd"), Seq("dst"))
+      .filter(col("cs") =!= col("cd"))
+      .select(col("cs"), col("cd")).distinct()
+      .repartition(col("cs"))
+      .localCheckpoint()
+    var lvl = sc.select(col("scc_id").as("c")).distinct()
+      .withColumn("lvl", lit(0L)).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val stepped = lvl.join(ce, lvl("c") === ce("cs"))
+        .select(col("cd").as("c"), (col("lvl") + 1L).as("lvl"))
+      lvl = lvl.union(stepped)
+        .groupBy("c").agg(max(col("lvl")).as("lvl"))
+        .localCheckpoint()
+    }
+    sc.select(col("scc_id"), col("scc_size")).distinct()
+      .join(lvl.withColumnRenamed("c", "scc_id"), Seq("scc_id"))
+      .select(col("scc_id"), col("scc_size"), col("lvl").as("level"))
+  }
+
   /** Driver-side iterative Tarjan for dictionary-scale digraphs (the
     * [[ConnectedComponents.localUnionFind]] convention): scc_id = min
     * member UNDER THE INPUT TYPE'S NATIVE ORDERING — strings by code

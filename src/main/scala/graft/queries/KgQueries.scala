@@ -644,18 +644,36 @@ object KgQueries {
     * truth (mutual reachability, MIN-label per class), so a hash match
     * proves the distributed three-phase algorithm loses nothing.
     */
-  def kgScc(spark: SparkSession, dir: String): DataFrame = {
+  /** The directed part-sequence edges shared by kg_scc / kg_condense:
+    * p_a → p_b when p_b follows p_a at consecutive line numbers of the
+    * same order (l_orderkey < 1000). */
+  private def partSeqEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .filter(col("l_orderkey") < 1000)
       .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
         col("l_partkey").as("pk"))
-    val e = li.alias("x").join(li.alias("y"),
+    li.alias("x").join(li.alias("y"),
         col("x.ok") === col("y.ok") && col("y.ln") === col("x.ln") + 1 &&
           col("x.pk") =!= col("y.pk"))
       .select(concat(lit("p"), col("x.pk")).as("src"),
         concat(lit("p"), col("y.pk")).as("dst"))
-    graft.canon.GraphAlgs.scc(e).orderBy("node")
   }
+
+  def kgScc(spark: SparkSession, dir: String): DataFrame =
+    graft.canon.GraphAlgs.scc(partSeqEdges(spark, dir)).orderBy("node")
+
+  /** Condensation of the part-sequence digraph: SCCs contracted to a
+    * DAG with longest-path-from-source levels, 6 max-propagation
+    * rounds (see [[graft.canon.GraphAlgs.condensation]]) — the bow-tie
+    * rendered as a schedule: IN-tendrils at level 0, the giant core
+    * mid-chain, OUT-tendrils after it. Oracle reuses kg_scc's
+    * transitive-closure truth, contracts in SQL, unrolls the max
+    * recurrence round-per-CTE.
+    */
+  def kgCondense(spark: SparkSession, dir: String): DataFrame =
+    graft.canon.GraphAlgs.condensation(partSeqEdges(spark, dir),
+        rounds = 6)
+      .orderBy("scc_id")
 
   /** Community detection: 4 rounds of deterministic synchronous label
     * propagation over the same bipartite graph as kg_cc — each node
@@ -1103,6 +1121,7 @@ object KgQueries {
     "kg_triangles" -> kgTriangles,
     "kg_sssp" -> kgSssp,
     "kg_scc" -> kgScc,
+    "kg_condense" -> kgCondense,
     "kg_stress" -> kgStress,
     "kg_modularity" -> kgModularity,
     "kg_truss" -> kgTruss,
@@ -1235,6 +1254,49 @@ object KgQueries {
        |  CAST(COALESCE(sf.support, 0) AS BIGINT) AS support
        |FROM te3 e LEFT JOIN sf ON e.a = sf.a AND e.b = sf.b
        |ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Shared CTE chain for the kg_scc/kg_condense oracles: the directed
+    * part-sequence graph, its recursive transitive closure and the
+    * mutual-reachability SCC labeling `scc(node, scc_id)`. */
+  private lazy val sccCte: String =
+    """li AS (SELECT l_orderkey ok, l_linenumber ln,
+      |    l_partkey pk FROM lineitem WHERE l_orderkey < 1000),
+      |e AS (SELECT DISTINCT 'p' || a.pk AS s, 'p' || b.pk AS o
+      |  FROM li a JOIN li b
+      |  ON a.ok = b.ok AND b.ln = a.ln + 1 AND a.pk <> b.pk),
+      |nodes AS (SELECT s AS v FROM e UNION SELECT o FROM e),
+      |reach(s, x) AS (
+      |  SELECT v, v FROM nodes
+      |  UNION
+      |  SELECT r.s, e.o FROM reach r JOIN e ON r.x = e.s),
+      |scc AS (SELECT a.s AS node, MIN(a.x) AS scc_id
+      |  FROM reach a JOIN reach b ON a.s = b.x AND a.x = b.s
+      |  GROUP BY a.s)""".stripMargin
+
+  /** Condensation oracle: the scc truth contracted in SQL, then the
+    * longest-path max recurrence unrolled round-per-CTE. */
+  private lazy val condenseSql: String = {
+    val rounds = (1 to 6).map { k =>
+      s"""lv$k AS (SELECT c, MAX(lvl) AS lvl FROM (
+         |  SELECT c, lvl FROM lv${k - 1}
+         |  UNION ALL
+         |  SELECT ce.cd AS c, l.lvl + 1 AS lvl
+         |  FROM lv${k - 1} l JOIN ce ON ce.cs = l.c) GROUP BY c)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE $sccCte,
+       |ce AS (SELECT DISTINCT sa.scc_id AS cs, sb.scc_id AS cd
+       |  FROM e JOIN scc sa ON e.s = sa.node
+       |  JOIN scc sb ON e.o = sb.node
+       |  WHERE sa.scc_id <> sb.scc_id),
+       |lv0 AS (SELECT DISTINCT scc_id AS c, CAST(0 AS BIGINT) AS lvl
+       |  FROM scc),
+       |$rounds,
+       |sz AS (SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS scc_size
+       |  FROM scc GROUP BY scc_id)
+       |SELECT s.scc_id, s.scc_size, l.lvl AS level
+       |FROM sz s JOIN lv6 l ON l.c = s.scc_id
+       |ORDER BY s.scc_id""".stripMargin
   }
 
   /** Louvain oracle: each synchronous move round replayed — k_{i,c}
@@ -1642,22 +1704,11 @@ object KgQueries {
     // per class — a hash match proves the distributed trim-color-collect
     // SCC loses nothing (the kg_fuzzy unblocked-truth pattern)
     "kg_scc" ->
-      """WITH RECURSIVE li AS (SELECT l_orderkey ok, l_linenumber ln,
-        |    l_partkey pk FROM lineitem WHERE l_orderkey < 1000),
-        |e AS (SELECT DISTINCT 'p' || a.pk AS s, 'p' || b.pk AS o
-        |  FROM li a JOIN li b
-        |  ON a.ok = b.ok AND b.ln = a.ln + 1 AND a.pk <> b.pk),
-        |nodes AS (SELECT s AS v FROM e UNION SELECT o FROM e),
-        |reach(s, x) AS (
-        |  SELECT v, v FROM nodes
-        |  UNION
-        |  SELECT r.s, e.o FROM reach r JOIN e ON r.x = e.s),
-        |scc AS (SELECT a.s AS node, MIN(a.x) AS scc_id
-        |  FROM reach a JOIN reach b ON a.s = b.x AND a.x = b.s
-        |  GROUP BY a.s)
-        |SELECT node, scc_id,
-        |  CAST(COUNT(*) OVER (PARTITION BY scc_id) AS BIGINT) AS scc_size
-        |FROM scc ORDER BY node""".stripMargin,
+      s"""WITH RECURSIVE $sccCte
+         |SELECT node, scc_id,
+         |  CAST(COUNT(*) OVER (PARTITION BY scc_id) AS BIGINT) AS scc_size
+         |FROM scc ORDER BY node""".stripMargin,
+    "kg_condense" -> condenseSql,
     "kg_lpa" -> lpaSql,
     "kg_stress" -> stressSql,
     "kg_modularity" -> modularitySql,

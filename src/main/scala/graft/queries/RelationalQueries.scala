@@ -271,6 +271,29 @@ object RelationalQueries {
         coalesce(col("P").cast("double"), lit(0.0)).as("p_rev"))
       .orderBy("yr")
 
+  /** CUBE over (nation, order status) with an explicit grouping id —
+    * the full 2^k grouping-sets lattice q9's ROLLUP only walks one
+    * chain of, plus the GROUPING() disambiguator that separates a
+    * genuine NULL group key from a subtotal row (the semantics
+    * downstream BI relies on). Money sums through DECIMAL(18,2) per
+    * the q1 exactness convention; gid = grouping(n_name)·2 +
+    * grouping(status) replays verbatim in DuckDB.
+    */
+  def q16Cube(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .cube(col("n_name"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+        (grouping(col("n_name")) * 2 + grouping(col("o_orderstatus")))
+          .cast("long").as("gid"))
+      .orderBy(col("gid"), col("n_name").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg,
     "q2_join_agg" -> q2JoinAgg,
@@ -286,7 +309,8 @@ object RelationalQueries {
     "q12_asof_outer" -> q12AsofOuter,
     "q13_session" -> q13Session,
     "q14_range" -> q14Range,
-    "q15_pivot" -> q15Pivot
+    "q15_pivot" -> q15Pivot,
+    "q16_cube" -> q16Cube
   )
 
   val oracles: Map[String, String] = Map(
@@ -406,6 +430,14 @@ object RelationalQueries {
       """SELECT (CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) AS bucket,
         |event_type, COUNT(*) AS n,
         |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    "q16_cube" ->
+      """SELECT n_name, o_orderstatus, COUNT(*) AS n_orders,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |CAST(GROUPING(n_name) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE(n_name, o_orderstatus)
+        |ORDER BY gid, n_name ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin
   )
 }

@@ -95,6 +95,41 @@ class SccSpec extends SparkSpec {
     }, n = 4)
   }
 
+  test("condensation of the bow-tie: core at level 1, tendril chain" +
+      " after it") {
+    val es = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("c", "d"), ("d", "e"), ("e", "f"), ("f", "e"))
+    val got = GraphAlgs.condensation(es.toDF("src", "dst"), rounds = 5)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("a", 3L, 0L), ("d", 1L, 1L), ("e", 2L, 2L)),
+      got.toString)
+  }
+
+  test("condensation laws: levels strictly increase along condensed" +
+      " edges; level 0 ⟺ no incoming condensed edge") {
+    val gen: Gen[List[(Int, Int)]] = Gen.listOfN(35, for {
+      a <- Gen.choose(0, 9); b <- Gen.choose(0, 9)
+    } yield (a, b)).map(_.filter(e => e._1 != e._2).distinct)
+    check(Prop.forAll(gen) { es0 =>
+      es0.isEmpty || {
+        val es = es0.map { case (a, b) => (s"n$a", s"n$b") }
+        val df = es.toDF("src", "dst")
+        val lvl = GraphAlgs.condensation(df, rounds = 12)
+          .as[(String, Long, Long)].collect()
+          .map(r => r._1 -> r._3).toMap
+        val lab = GraphAlgs.scc(df).as[(String, String, Long)]
+          .collect().map(r => r._1 -> r._2).toMap
+        val ce = es.map { case (u, v) => (lab(u), lab(v)) }
+          .filter(e => e._1 != e._2).distinct
+        val monotone = ce.forall { case (cs, cd) => lvl(cs) < lvl(cd) }
+        val hasIn = ce.map(_._2).toSet
+        val sources = lvl.forall { case (c, l) =>
+          (l == 0L) == !hasIn.contains(c) }
+        monotone && sources
+      }
+    }, n = 8)
+  }
+
   test("scc over a symmetrized graph ≡ connected components") {
     val es = Seq(("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"),
       ("q", "r"), ("r", "a"))
