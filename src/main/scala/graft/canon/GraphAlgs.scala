@@ -480,6 +480,10 @@ object GraphAlgs {
     * the final surviving graph.
     */
   def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    // k ≤ 2 is degenerate (every edge is a 2-truss) and the support
+    // relation only carries edges in ≥ 1 triangle, so the peel below
+    // would wrongly drop triangle-free edges — reject rather than lie
+    require(k >= 3, s"kTruss needs k >= 3 (got $k)")
     def support(ed: DataFrame): DataFrame = {
       val tris = ed.alias("e1")
         .join(ed.alias("e2"), col("e1.b") === col("e2.a"))

@@ -49,10 +49,11 @@ object DataQueries {
 
   /** Corpus for the containment sweep: the FULL documents table plus
     * planted snippets — every 10th doc gets a twin (id + 2,000,000)
-    * keeping its first ⌊2n/5⌋ (min 3) tokens. A snippet's
-    * distinct-unigram set is a strict subset of the original's, so its
-    * containment is exactly 1.0 while Jaccard ≈ 0.4 — the
-    * quote/excerpt regime the symmetric tiers structurally miss.
+    * keeping its first ⌊2n/5⌋ (min 3) tokens. Every 3-gram SHINGLE of
+    * a prefix snippet is a shingle of the original (the window never
+    * crosses the cut), so snippet containment is exactly 1.0 while
+    * shingle-Jaccard ≈ (2n/5−2)/(n−2) ≈ 0.4 — the quote/excerpt
+    * regime the symmetric tiers structurally miss.
     */
   private[graft] def containCorpus(spark: SparkSession,
       dir: String): DataFrame = {
@@ -1558,7 +1559,10 @@ object DataQueries {
         |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.8
         |ORDER BY a, b""".stripMargin,
     // quadratic unblocked truth over the planted-snippet corpus —
-    // a hash match proves the rarest-token prefix filter is lossless
+    // a hash match proves the rarest-token prefix filter is lossless.
+    // Word 3-grams only: the sandbox corpus is entirely spaced, so the
+    // engine's CJK char-trigram route never fires here; that branch is
+    // covered by ContainmentSpec's planted CJK snippet instead.
     "dd_containment" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

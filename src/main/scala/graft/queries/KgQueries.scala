@@ -681,16 +681,26 @@ object KgQueries {
     * larger label. The oracle replays every round with a window argmax
     * (COUNT DESC, label DESC).
     */
-  def kgLpa(spark: SparkSession, dir: String): DataFrame = {
-    val e0 = spark.read.parquet(s"$dir/lineitem.parquet")
+  /** The bipartite order–part graph shared by kg_lpa / kg_louvain /
+    * kg_modularity, oriented (a = order, b = part). One builder so a
+    * slice change can't silently break the "same graph as kg_lpa"
+    * contract those queries' docs promise. */
+  private def lpaEdges(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
       .filter(col("l_orderkey") < 500)
       .select(concat(lit("o"), col("l_orderkey")).as("a"),
         concat(lit("p"), col("l_partkey")).as("b"))
       .distinct()
-    val und = e0.select(col("a").as("src"), col("b").as("dst"))
+
+  /** [[lpaEdges]] symmetrized to (src, dst). */
+  private def lpaUnd(e0: DataFrame): DataFrame =
+    e0.select(col("a").as("src"), col("b").as("dst"))
       .union(e0.select(col("b").as("src"), col("a").as("dst")))
-    graft.canon.GraphAlgs.labelPropagation(und, rounds = 4).orderBy("node")
-  }
+
+  def kgLpa(spark: SparkSession, dir: String): DataFrame =
+    graft.canon.GraphAlgs
+      .labelPropagation(lpaUnd(lpaEdges(spark, dir)), rounds = 4)
+      .orderBy("node")
 
   /** Dense-substructure mining: 4 synchronous peel rounds toward the
     * 3-core of the same bipartite graph as kg_lpa/kg_cc — the graph-
@@ -1062,16 +1072,10 @@ object KgQueries {
     * Oracle replays each round: k_{i,c} count, community degrees, the
     * 4m·k − 2·deg·D gain and the (gain DESC, label ASC) argmax window.
     */
-  def kgLouvain(spark: SparkSession, dir: String): DataFrame = {
-    val e0 = spark.read.parquet(s"$dir/lineitem.parquet")
-      .filter(col("l_orderkey") < 500)
-      .select(concat(lit("o"), col("l_orderkey")).as("a"),
-        concat(lit("p"), col("l_partkey")).as("b"))
-      .distinct()
-    val und = e0.select(col("a").as("src"), col("b").as("dst"))
-      .union(e0.select(col("b").as("src"), col("a").as("dst")))
-    graft.canon.GraphAlgs.louvainMove(und, rounds = 2).orderBy("node")
-  }
+  def kgLouvain(spark: SparkSession, dir: String): DataFrame =
+    graft.canon.GraphAlgs
+      .louvainMove(lpaUnd(lpaEdges(spark, dir)), rounds = 2)
+      .orderBy("node")
 
   /** Modularity scoring of the LPA partition over the same bipartite
     * graph as kg_lpa — the acceptance gate on community detection
@@ -1081,14 +1085,9 @@ object KgQueries {
     * 4m·E_c − D_c² arithmetic.
     */
   def kgModularity(spark: SparkSession, dir: String): DataFrame = {
-    val e0 = spark.read.parquet(s"$dir/lineitem.parquet")
-      .filter(col("l_orderkey") < 500)
-      .select(concat(lit("o"), col("l_orderkey")).as("a"),
-        concat(lit("p"), col("l_partkey")).as("b"))
-      .distinct()
-    val und = e0.select(col("a").as("src"), col("b").as("dst"))
-      .union(e0.select(col("b").as("src"), col("a").as("dst")))
-    val labels = graft.canon.GraphAlgs.labelPropagation(und, rounds = 4)
+    val e0 = lpaEdges(spark, dir)
+    val labels = graft.canon.GraphAlgs
+      .labelPropagation(lpaUnd(e0), rounds = 4)
     graft.canon.GraphAlgs.modularity(e0, labels).orderBy("label")
   }
 
@@ -1175,6 +1174,16 @@ object KgQueries {
 
   /** Unrolled synchronous LPA SQL: per round a (node, label) count and
     * a window argmax (COUNT DESC, label DESC). */
+  /** The kg_lpa bipartite graph as SQL (e0 / und) — one fragment
+    * shared by the LPA, modularity and Louvain oracles so a slice
+    * change can't leave one of them scoring a different graph. */
+  private lazy val lpaGraphCte: String =
+    """e0 AS (
+      |  SELECT DISTINCT 'o' || l_orderkey AS a, 'p' || l_partkey AS b
+      |  FROM lineitem WHERE l_orderkey < 500),
+      |und AS (SELECT a AS src, b AS dst FROM e0
+      |        UNION ALL SELECT b, a FROM e0)""".stripMargin
+
   /** Shared CTE chain for the LPA partition (e0 / und / l0..l4) —
     * kg_lpa selects from it directly; kg_modularity replays the same
     * partition before scoring it. */
@@ -1187,11 +1196,7 @@ object KgQueries {
          |  FROM und u JOIN l${k - 1} l ON l.node = u.src
          |  GROUP BY u.dst, l.label) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""e0 AS (
-       |  SELECT DISTINCT 'o' || l_orderkey AS a, 'p' || l_partkey AS b
-       |  FROM lineitem WHERE l_orderkey < 500),
-       |und AS (SELECT a AS src, b AS dst FROM e0
-       |        UNION ALL SELECT b, a FROM e0),
+    s"""$lpaGraphCte,
        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
        |$rounds""".stripMargin
   }
@@ -1328,11 +1333,7 @@ object KgQueries {
          |  WHERE NOT (cd.csz = 1 AND co.csz = 1 AND cc.c > lb.label))
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS (
-       |  SELECT DISTINCT 'o' || l_orderkey AS a, 'p' || l_partkey AS b
-       |  FROM lineitem WHERE l_orderkey < 500),
-       |und AS (SELECT a AS src, b AS dst FROM e0
-       |        UNION ALL SELECT b, a FROM e0),
+    s"""WITH $lpaGraphCte,
        |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
        |  FROM und GROUP BY src),
        |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),

@@ -95,8 +95,8 @@ class SccSpec extends SparkSpec {
     }, n = 4)
   }
 
-  test("condensation of the bow-tie: core at level 1, tendril chain" +
-      " after it") {
+  test("condensation of the bow-tie: source core at level 0, tendril" +
+      " chain after it") {
     val es = Seq(("a", "b"), ("b", "c"), ("c", "a"),
       ("c", "d"), ("d", "e"), ("e", "f"), ("f", "e"))
     val got = GraphAlgs.condensation(es.toDF("src", "dst"), rounds = 5)
