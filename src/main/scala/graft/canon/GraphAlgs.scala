@@ -273,6 +273,60 @@ object GraphAlgs {
       .filter(col("stress") > 0)
   }
 
+  /** Deterministic handshake matching (the symmetric-proposal round of
+    * Israeli & Itai's distributed maximal-matching family): each round
+    * every unmatched node proposes to its SMALLEST unmatched neighbour;
+    * mutual proposals (i→j ∧ j→i) become matched pairs and leave the
+    * graph with their incident edges. Synchronous + min-label proposals
+    * make every round a pure function of the remaining graph — the
+    * oracle replays rounds verbatim. Fixed `rounds` returns a partial
+    * matching sized to the rounds budget (the kCore convention);
+    * production deployments salt proposal priorities with a per-run
+    * hash to get the O(log n)-round randomized guarantee — label order
+    * is kept here because the DuckDB replay is then exact, and the
+    * worst case (a monotone chain matching one pair per round) is a
+    * planted-structure StressBench law, not a hidden cliff. Matching
+    * is the coarsening primitive of multilevel graph partitioning —
+    * the step before the contracted graph re-enters CC/Louvain here.
+    *
+    * edges(src, dst): pass both directions for an undirected graph.
+    * Scale shape per round: one map-side-combined min-agg keyed on src
+    * (the proposal), one (node, node)-width self-join for mutuality,
+    * two anti-joins confining edges to survivors — fixed-width id rows
+    * throughout, nothing ∝ edges². Returns matched pairs (a, b), a < b.
+    */
+  def maximalMatching(edges: DataFrame, rounds: Int): DataFrame = {
+    var e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .repartition(col("src"))
+      .localCheckpoint()
+    var out: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val prop = e.groupBy("src").agg(min(col("dst")).as("p"))
+        .localCheckpoint()
+      val mutual = prop.alias("x").join(prop.alias("y"),
+          col("x.p") === col("y.src") && col("y.p") === col("x.src"))
+        .filter(col("x.src") < col("y.src"))
+        .select(col("x.src").as("a"), col("y.src").as("b"))
+        .localCheckpoint()
+      out = if (out == null) mutual
+        else out.union(mutual).localCheckpoint()
+      val matched = mutual.select(col("a").as("node"))
+        .union(mutual.select(col("b").as("node")))
+        .localCheckpoint()
+      e = e.join(matched.withColumnRenamed("node", "src"),
+          Seq("src"), "left_anti")
+        .join(matched.withColumnRenamed("node", "dst"),
+          Seq("dst"), "left_anti")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+    }
+    if (out == null)
+      edges.sparkSession.emptyDataFrame
+        .select(lit("").as("a"), lit("").as("b")).limit(0)
+    else out
+  }
+
   /** Newman-Girvan modularity of a given partition, integer-scaled:
     * per community c with E_c intra-edges and D_c = Σ degrees,
     *

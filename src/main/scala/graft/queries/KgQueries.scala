@@ -1032,11 +1032,13 @@ object KgQueries {
     * unrolls the layered path-counting BFS round-per-CTE, then replays
     * the σ(s,v)·σ(t,v) optimal-substructure combine.
     */
-  def kgStress(spark: SparkSession, dir: String): DataFrame = {
-    // wider order window than the kg_closeness slice: the < 300 part
-    // graph is fragmented enough that the smallest seeds land in
-    // different components (0 interior paths ⇒ a vacuous oracle);
-    // < 1000 puts 16 of the 28 seed pairs within the 4-hop horizon
+  /** The symmetric part–part graph on the wider < 1000 order window,
+    * shared by kg_stress / kg_matching. Wider than the kg_closeness
+    * slice because the < 300 graph is fragmented enough that the
+    * smallest seeds land in different components (0 interior stress
+    * paths ⇒ a vacuous oracle); < 1000 puts 16 of the 28 seed pairs
+    * within the 4-hop horizon. */
+  private def partEdges1000(spark: SparkSession, dir: String): DataFrame = {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .filter(col("l_orderkey") < 1000)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
@@ -1046,13 +1048,28 @@ object KgQueries {
       .select(concat(lit("p"), col("x.p")).as("a"),
         concat(lit("p"), col("y.p")).as("b"))
       .distinct()
-    val e = e0.select(col("a").as("src"), col("b").as("dst"))
+    e0.select(col("a").as("src"), col("b").as("dst"))
       .union(e0.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  def kgStress(spark: SparkSession, dir: String): DataFrame = {
+    val e = partEdges1000(spark, dir)
     val seeds = e.select(col("src").as("node")).distinct()
       .orderBy("node").limit(8)
     graft.canon.GraphAlgs.stressCentrality(e, seeds, rounds = 4)
       .orderBy("node")
   }
+
+  /** Handshake matching over the same part graph, 3 synchronous
+    * propose-and-agree rounds (see
+    * [[graft.canon.GraphAlgs.maximalMatching]] — the multilevel-
+    * coarsening primitive). Oracle replays each round: min-proposal,
+    * mutuality self-join, matched-node anti-join.
+    */
+  def kgMatching(spark: SparkSession, dir: String): DataFrame =
+    graft.canon.GraphAlgs.maximalMatching(partEdges1000(spark, dir),
+        rounds = 3)
+      .orderBy("a", "b")
 
   /** 5-truss peeling over the part–part graph (same canonical slice as
     * kg_triangles): three synchronous support-peel rounds dropping
@@ -1122,6 +1139,7 @@ object KgQueries {
     "kg_scc" -> kgScc,
     "kg_condense" -> kgCondense,
     "kg_stress" -> kgStress,
+    "kg_matching" -> kgMatching,
     "kg_modularity" -> kgModularity,
     "kg_truss" -> kgTruss,
     "kg_louvain" -> kgLouvain,
@@ -1342,6 +1360,38 @@ object KgQueries {
        |SELECT node, label FROM lv2 ORDER BY node""".stripMargin
   }
 
+  /** The kg_stress/kg_matching part graph (< 1000 window) as SQL —
+    * shared so both oracles score the same graph as [[partEdges1000]]. */
+  private lazy val part1000Cte: String =
+    """li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |  FROM lineitem WHERE l_orderkey < 1000),
+      |e0 AS (SELECT DISTINCT 'p' || x.p AS a, 'p' || y.p AS b
+      |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+      |und AS (SELECT a AS src, b AS dst FROM e0
+      |        UNION ALL SELECT b, a FROM e0)""".stripMargin
+
+  /** Handshake-matching oracle: each round replayed verbatim —
+    * min-proposal per node, mutuality self-join, matched-node
+    * anti-joins confining the next round's edges. */
+  private lazy val matchingSql: String = {
+    val rounds = (1 to 3).map { r =>
+      s"""p$r AS (SELECT src, MIN(dst) AS p FROM me${r - 1} GROUP BY src),
+         |m$r AS (SELECT x.src AS a, y.src AS b FROM p$r x JOIN p$r y
+         |  ON x.p = y.src AND y.p = x.src WHERE x.src < y.src),
+         |n$r AS (SELECT a AS v FROM m$r UNION SELECT b FROM m$r),
+         |me$r AS (SELECT src, dst FROM me${r - 1}
+         |  WHERE src NOT IN (SELECT v FROM n$r)
+         |    AND dst NOT IN (SELECT v FROM n$r))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $part1000Cte,
+       |me0 AS (SELECT src, dst FROM und),
+       |$rounds
+       |SELECT a, b FROM (SELECT a, b FROM m1
+       |  UNION ALL SELECT a, b FROM m2
+       |  UNION ALL SELECT a, b FROM m3)
+       |ORDER BY a, b""".stripMargin
+  }
+
   /** Stress-centrality oracle: the layered path-counting BFS unrolled
     * round-per-CTE (frontier = first arrivals, σ summed over frontier
     * predecessors), then the σ(s,v)·σ(t,v) optimal-substructure pair
@@ -1357,12 +1407,7 @@ object KgQueries {
          |  FROM f$k f WHERE NOT EXISTS (SELECT 1 FROM b${k - 1} p
          |    WHERE p.seed = f.seed AND p.node = f.node))""".stripMargin
     }.mkString(",\n")
-    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-       |  FROM lineitem WHERE l_orderkey < 1000),
-       |e0 AS (SELECT DISTINCT 'p' || x.p AS a, 'p' || y.p AS b
-       |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
-       |und AS (SELECT a AS src, b AS dst FROM e0
-       |        UNION ALL SELECT b, a FROM e0),
+    s"""WITH $part1000Cte,
        |seeds AS (SELECT DISTINCT src AS s FROM und ORDER BY s LIMIT 8),
        |b0 AS (SELECT s AS seed, s AS node, CAST(0 AS BIGINT) AS dist,
        |  CAST(1 AS BIGINT) AS sigma FROM seeds),
@@ -1712,6 +1757,7 @@ object KgQueries {
     "kg_condense" -> condenseSql,
     "kg_lpa" -> lpaSql,
     "kg_stress" -> stressSql,
+    "kg_matching" -> matchingSql,
     "kg_modularity" -> modularitySql,
     "kg_truss" -> trussSql,
     "kg_louvain" -> louvainSql,

@@ -830,6 +830,29 @@ object StressBench {
         }
         (res.getLong(0), res.getLong(1), secs)
       }
+      // Handshake matching on planted K4s: two rounds produce the
+      // perfect matching of every clique ((a,b) then (c,d)) — pairs
+      // exactly 2 × copies, rounds structure-bound, zero cross-copy
+      // proposals (per-copy vocabularies).
+      def plantedMatching(copies: Int): (Long, Double) = {
+        val ks = spark.range(copies).select(col("id").as("k"))
+        def nd(tag: String) = concat(col("k"), lit("_" + tag))
+        val vs = Seq("a", "b", "c", "d")
+        val es = (for (x <- vs; y <- vs if x < y) yield (x, y)).map {
+          case (u, v) => ks.select(nd(u).as("src"), nd(v).as("dst")) }
+          .reduce(_ union _)
+        val sym = es.union(es.select(col("dst").as("src"),
+          col("src").as("dst")))
+        val (res, secs) = time {
+          graft.canon.GraphAlgs.maximalMatching(sym, rounds = 2)
+            .count()
+        }
+        (res, secs)
+      }
+      val (mp1, mt1s) = plantedMatching(500)
+      val (mpN, mtNs) = plantedMatching(500 * rep)
+      frags += s""""matching_1x":{"pairs":$mp1,"sec":$mt1s}"""
+      frags += s""""matching_Nx":{"pairs":$mpN,"sec":$mtNs}"""
       val (lv1, ls1, lt1) = plantedLouvain(100)
       val (lvN, lsN, ltN) = plantedLouvain(100 * rep)
       frags += s""""louvain_1x":{"comms":$lv1,"max_sz":$ls1,"sec":$lt1}"""
