@@ -984,6 +984,231 @@ object GraphAlgs {
     }
   }
 
+  /** Deterministic Luby-style maximal independent set: each round the
+    * nodes that are a LOCAL MINIMUM among their still-active neighbours
+    * join the set, then they and their neighbours retire. Luby (1986)
+    * salts priorities per round for the O(log n) expected-round
+    * guarantee; the id-priority variant here is the same algorithm with
+    * a fixed priority draw, kept because every round is then a pure
+    * function of the remaining graph and the DuckDB oracle replays it
+    * verbatim (the kCore/maximalMatching convention — fixed `rounds`
+    * yields the partial set the budget reaches, and the worst case is a
+    * planted-structure StressBench law, not a hidden cliff). MIS is the
+    * symmetry-breaking primitive under distributed coloring/scheduling —
+    * the dual of [[maximalMatching]] on the node side.
+    *
+    * edges(src, dst): both directions for an undirected graph. Scale
+    * shape per round: one map-side-combined min agg (the local-min
+    * test), one edge-semi-join fan-out for retired neighbours, two
+    * anti-joins confining the graph — id-width rows only, nothing
+    * ∝ edges². Returns (node) rows, the set members found in-budget.
+    */
+  def maximalIndependentSet(edges: DataFrame, rounds: Int): DataFrame = {
+    var e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .repartition(col("src"))
+      .localCheckpoint()
+    var act = e.select(col("src").as("node")).distinct().localCheckpoint()
+    var out: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val minN = e.groupBy("src").agg(min(col("dst")).as("mn"))
+      val win = act.join(minN, act("node") === minN("src"), "left")
+        .filter(col("mn").isNull || col("node") < col("mn"))
+        .select(col("node"))
+        .localCheckpoint()
+      out = if (out == null) win else out.union(win).localCheckpoint()
+      val nbr = e.join(win.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"))
+      val removed = win.union(nbr).distinct().localCheckpoint()
+      act = act.join(removed, Seq("node"), "left_anti").localCheckpoint()
+      e = e.join(removed.withColumnRenamed("node", "src"),
+          Seq("src"), "left_anti")
+        .join(removed.withColumnRenamed("node", "dst"),
+          Seq("dst"), "left_anti")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+    }
+    out
+  }
+
+  /** Borůvka minimum spanning forest over a weighted undirected graph
+    * (Borůvka 1926; the MapReduce MST of Lattanzi et al. 2011's
+    * filtering family): each round every component selects its
+    * lightest out-edge under the TOTAL order (w, a, b) — the classic
+    * tie-break that makes the forest unique without assuming distinct
+    * weights — the chosen edges join the forest, and touched
+    * components contract via connected components (min-label, the same
+    * semantics as [[ConnectedComponents.run]], so both engines agree).
+    * O(log n) rounds connect any graph; fixed `rounds` returns the
+    * partial forest the budget reaches (kCore convention). MSF is the
+    * clustering backbone — single-linkage dendrograms and Karger-style
+    * contraction both start here.
+    *
+    * wedges(a, b, w): canonical a < b rows, one per undirected edge.
+    * Scale shape per round: two dictionary-width comp-label joins onto
+    * the edge table, one map-side-combined min-struct agg keyed on
+    * component, a CC over the chosen ≤|components| edges (log-round
+    * star algorithm), one relabel join — nothing ∝ edges² and the
+    * chosen set shrinks geometrically. Returns (a, b, w, round).
+    */
+  def boruvkaForest(wedges: DataFrame, rounds: Int): DataFrame = {
+    val e0 = wedges.select(col("a"), col("b"), col("w"))
+      .distinct().localCheckpoint()
+    var comp = e0.select(col("a").as("node"))
+      .union(e0.select(col("b").as("node"))).distinct()
+      .select(col("node"), col("node").as("comp"))
+      .localCheckpoint()
+    var out: DataFrame = null
+    for (r <- 1 to rounds) {
+      val ca = comp.select(col("node").as("a"), col("comp").as("ca"))
+      val cb = comp.select(col("node").as("b"), col("comp").as("cb"))
+      val lab = e0.join(ca, "a").join(cb, "b")
+        .filter(col("ca") =!= col("cb"))
+      val st = struct(col("w"), col("a"), col("b"),
+        col("ca"), col("cb"))
+      val chosen = lab.select(col("ca").as("c"), st.as("e"))
+        .union(lab.select(col("cb").as("c"), st.as("e")))
+        .groupBy("c").agg(min(col("e")).as("e"))
+        .select(col("e.w").as("w"), col("e.a").as("a"),
+          col("e.b").as("b"), col("e.ca").as("ca"), col("e.cb").as("cb"))
+        .distinct()
+        .localCheckpoint()
+      val f = chosen.select(col("a"), col("b"), col("w"),
+        lit(r).as("round"))
+      out = if (out == null) f.localCheckpoint()
+        else out.union(f).localCheckpoint()
+      val merged = ConnectedComponents.run(
+          chosen.select(col("ca").as("a"), col("cb").as("b")))
+        .select(col("node").as("comp"), col("component").as("nc"))
+      comp = comp.join(merged, Seq("comp"), "left")
+        .select(col("node"), coalesce(col("nc"), col("comp")).as("comp"))
+        .localCheckpoint()
+    }
+    out
+  }
+
+  /** Densest-subgraph 2(1+ε)-approximation by parallel greedy peeling
+    * (Charikar 2000's greedy, in the O(log n)-round batched form of
+    * Bahmani, Kumar & Vassilvitskii, VLDB 2012): each round drops every
+    * node whose degree is below (1+ε)·avg-degree, ε = 1/2 — the
+    * integer-exact gate deg(v)·|V| ≤ 3·|E| (cross-multiplied, no
+    * rationals) — and the surviving subgraph with the best edge/node
+    * density across rounds is returned. Density comparison uses IEEE
+    * BIGINT→double division (correctly rounded, so equal rationals
+    * compare equal in both engines), ties to the earliest round. The
+    * standard "find the core worth keeping" primitive over extraction
+    * graphs — spam link farms and boilerplate-mention cliques surface
+    * as the densest component.
+    *
+    * edges(src, dst): both directions. Scale shape per round: one
+    * map-side-combined degree agg, one |V|-width filter against two
+    * driver scalars (the counts — dictionary-scale, the modularity-m
+    * convention), two semi-joins confining edges. Returns the best
+    * round's nodes as (node, n_nodes, n_edges, best_round).
+    */
+  def densestSubgraph(edges: DataFrame, rounds: Int): DataFrame = {
+    var e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .repartition(col("src"))
+      .localCheckpoint()
+    var v = e.select(col("src").as("node")).distinct().localCheckpoint()
+    var best = v
+    var bestR = 0
+    var bestNe = e.count() / 2
+    var bestNv = v.count()
+    var bestD = if (bestNv == 0) -1.0 else bestNe.toDouble / bestNv
+    for (r <- 1 to rounds) {
+      val ne = e.count() / 2
+      val nv = v.count()
+      if (nv > 0) {
+        val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        v = v.join(deg, v("node") === deg("src"), "left")
+          .filter(coalesce(col("deg"), lit(0L)) * nv > lit(3L) * ne)
+          .select(col("node"))
+          .localCheckpoint()
+        e = e.join(v.withColumnRenamed("node", "src"), Seq("src"),
+            "left_semi")
+          .join(v.withColumnRenamed("node", "dst"), Seq("dst"),
+            "left_semi")
+          .select(col("src"), col("dst"))
+          .localCheckpoint()
+        val ne2 = e.count() / 2
+        val nv2 = v.count()
+        val d = if (nv2 == 0) -1.0 else ne2.toDouble / nv2
+        if (d > bestD) {
+          bestD = d; best = v; bestR = r; bestNe = ne2; bestNv = nv2
+        }
+      }
+    }
+    best.select(col("node"), lit(bestNv).as("n_nodes"),
+      lit(bestNe).as("n_edges"), lit(bestR).as("best_round"))
+  }
+
+  /** Jones–Plassmann greedy coloring (Jones & Plassmann 1993), the
+    * id-priority deterministic variant: each round the uncolored nodes
+    * that are a local minimum among their UNCOLORED neighbours pick the
+    * smallest color absent from their already-colored neighbourhood.
+    * Independent local minima can color simultaneously without
+    * conflict (they are an MIS of the uncolored subgraph — this is
+    * [[maximalIndependentSet]] driving a color assignment, the classic
+    * reduction). Colors are bounded by max-degree + 1. Fixed `rounds`
+    * colors the prefix the budget reaches (kCore convention);
+    * production salts priorities per the JP paper for O(log n / log
+    * log n) expected rounds.
+    *
+    * edges(src, dst): both directions. Scale shape per round: one min
+    * agg over uncolored neighbours (the local-min test), one
+    * collect_set of ≤deg colored-neighbour colors, the
+    * smallest-missing-color computed in-row over that bounded array
+    * (sequence + filter + array_min, codegen'd) — id-width shuffles
+    * only. Returns (node, color) for nodes colored in-budget.
+    */
+  def jpColoring(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .repartition(col("src"))
+      .localCheckpoint()
+    var colored: DataFrame = null
+    var unc = e.select(col("src").as("node")).distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val eu = e.join(unc.withColumnRenamed("node", "dst"), Seq("dst"),
+          "left_semi")
+        .join(unc.withColumnRenamed("node", "src"), Seq("src"),
+          "left_semi")
+      val minU = eu.groupBy("src").agg(min(col("dst")).as("mn"))
+      val win = unc.join(minU, unc("node") === minU("src"), "left")
+        .filter(col("mn").isNull || col("node") < col("mn"))
+        .select(col("node"))
+        .localCheckpoint()
+      val nbrColors =
+        if (colored == null)
+          win.select(col("node"),
+            array().cast("array<int>").as("used"))
+        else {
+          val agg = e.join(win.withColumnRenamed("node", "src"),
+              Seq("src"), "left_semi")
+            .join(colored.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src").agg(collect_set(col("color")).as("used"))
+            .select(col("src").as("node"), col("used"))
+          win.join(agg, Seq("node"), "left")
+            .select(col("node"),
+              coalesce(col("used"), array().cast("array<int>"))
+                .as("used"))
+        }
+      // smallest non-negative color absent from `used`: scan
+      // 0..size(used) — one of those values must be free.
+      val pick = nbrColors.select(col("node"),
+        array_min(filter(sequence(lit(0), size(col("used"))),
+          c => !array_contains(col("used"), c))).as("color"))
+        .localCheckpoint()
+      colored = if (colored == null) pick
+        else colored.union(pick).localCheckpoint()
+      unc = unc.join(pick.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint()
+    }
+    colored
+  }
+
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src"))

@@ -1071,6 +1071,69 @@ object KgQueries {
         rounds = 3)
       .orderBy("a", "b")
 
+  /** Deterministic Luby MIS over the same part graph, 3 local-min
+    * rounds (see [[graft.canon.GraphAlgs.maximalIndependentSet]] — the
+    * node-side dual of the handshake matching). Oracle replays each
+    * round: min-neighbour test, winner ∪ neighbour retirement,
+    * confined edges.
+    */
+  def kgMis(spark: SparkSession, dir: String): DataFrame =
+    graft.canon.GraphAlgs.maximalIndependentSet(
+        partEdges1000(spark, dir), rounds = 3)
+      .orderBy("node")
+
+  /** Borůvka minimum spanning forest over the weighted part graph
+    * (edge weight = shared-order count, ties broken by the (w, a, b)
+    * total order), 2 choose-and-contract rounds (see
+    * [[graft.canon.GraphAlgs.boruvkaForest]]). Oracle replays each
+    * round verbatim: per-component lightest out-edge via a (w, a, b)
+    * window argmin, contraction via recursive-CTE min-reachable — the
+    * same min-label semantics as the engine's CC.
+    */
+  def kgMsf(spark: SparkSession, dir: String): DataFrame =
+    graft.canon.GraphAlgs.boruvkaForest(
+        partWeighted1000(spark, dir), rounds = 2)
+      .orderBy("round", "a", "b")
+
+  /** Densest-subgraph greedy peeling over the same part graph, 4
+    * Bahmani rounds at ε = 1/2 (integer gate deg·|V| ≤ 3·|E|), best
+    * round by exact density (see
+    * [[graft.canon.GraphAlgs.densestSubgraph]]). Oracle replays the
+    * peel rounds and picks the argmax-density round with the identical
+    * IEEE BIGINT→double division and earliest-round tie-break.
+    */
+  def kgDensest(spark: SparkSession, dir: String): DataFrame =
+    graft.canon.GraphAlgs.densestSubgraph(
+        partEdges1000(spark, dir), rounds = 4)
+      .orderBy("node")
+
+  /** Jones–Plassmann greedy coloring over the same part graph, 3
+    * local-min rounds, each winner taking the smallest color absent
+    * from its colored neighbourhood (see
+    * [[graft.canon.GraphAlgs.jpColoring]]). Oracle replays each round:
+    * the MIS winner test, a colored-neighbour color list, and the
+    * smallest-missing-color scan over 0..|list|.
+    */
+  def kgColoring(spark: SparkSession, dir: String): DataFrame =
+    graft.canon.GraphAlgs.jpColoring(partEdges1000(spark, dir),
+        rounds = 3)
+      .orderBy("node")
+
+  /** [[partEdges1000]] with shared-order counts as weights — the
+    * Borůvka input. Canonical a < b rows, one per undirected edge. */
+  private def partWeighted1000(spark: SparkSession,
+      dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_orderkey") < 1000)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    li.alias("x").join(li.alias("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(concat(lit("p"), col("x.p")).as("a"),
+        concat(lit("p"), col("y.p")).as("b"))
+      .agg(count(lit(1)).as("w"))
+  }
+
   /** 5-truss peeling over the part–part graph (same canonical slice as
     * kg_triangles): three synchronous support-peel rounds dropping
     * edges in fewer than 3 triangles — the edge-centric cohesion gate
@@ -1140,6 +1203,10 @@ object KgQueries {
     "kg_condense" -> kgCondense,
     "kg_stress" -> kgStress,
     "kg_matching" -> kgMatching,
+    "kg_mis" -> kgMis,
+    "kg_msf" -> kgMsf,
+    "kg_densest" -> kgDensest,
+    "kg_coloring" -> kgColoring,
     "kg_modularity" -> kgModularity,
     "kg_truss" -> kgTruss,
     "kg_louvain" -> kgLouvain,
@@ -1390,6 +1457,137 @@ object KgQueries {
        |  UNION ALL SELECT a, b FROM m2
        |  UNION ALL SELECT a, b FROM m3)
        |ORDER BY a, b""".stripMargin
+  }
+
+  /** Luby-MIS oracle: each round replayed verbatim — local-min winner
+    * test (NOT EXISTS smaller active neighbour), winner ∪ neighbour
+    * retirement, edges confined to survivors. */
+  private lazy val misSql: String = {
+    val rounds = (1 to 3).map { r =>
+      s"""w$r AS (SELECT node FROM ma${r - 1} x WHERE NOT EXISTS
+         |  (SELECT 1 FROM mie${r - 1} e
+         |   WHERE e.src = x.node AND e.dst < x.node)),
+         |rm$r AS (SELECT node AS v FROM w$r UNION
+         |  SELECT e.dst FROM mie${r - 1} e JOIN w$r w ON e.src = w.node),
+         |ma$r AS (SELECT node FROM ma${r - 1}
+         |  WHERE node NOT IN (SELECT v FROM rm$r)),
+         |mie$r AS (SELECT src, dst FROM mie${r - 1}
+         |  WHERE src NOT IN (SELECT v FROM rm$r)
+         |    AND dst NOT IN (SELECT v FROM rm$r))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $part1000Cte,
+       |ma0 AS (SELECT DISTINCT src AS node FROM und),
+       |mie0 AS (SELECT src, dst FROM und),
+       |$rounds
+       |SELECT node FROM (SELECT node FROM w1
+       |  UNION ALL SELECT node FROM w2
+       |  UNION ALL SELECT node FROM w3)
+       |ORDER BY node""".stripMargin
+  }
+
+  /** Jones–Plassmann coloring oracle: per round the MIS winner test
+    * over uncolored-confined edges, the colored-neighbour color list,
+    * and the smallest-missing-color scan over 0..|list|. */
+  private lazy val coloringSql: String = {
+    val rounds = (1 to 3).map { r =>
+      s"""eu$r AS (SELECT e.src, e.dst FROM und e
+         |  JOIN u${r - 1} x ON e.src = x.node
+         |  JOIN u${r - 1} y ON e.dst = y.node),
+         |w$r AS (SELECT node FROM u${r - 1} x WHERE NOT EXISTS
+         |  (SELECT 1 FROM eu$r e
+         |   WHERE e.src = x.node AND e.dst < x.node)),
+         |used$r AS (SELECT w.node, list(DISTINCT c.color) AS used
+         |  FROM w$r w JOIN und e ON e.src = w.node
+         |  JOIN c${r - 1} c ON c.node = e.dst GROUP BY w.node),
+         |pick$r AS (SELECT w.node, CAST(CASE WHEN u.used IS NULL THEN 0
+         |  ELSE list_aggregate(list_filter(
+         |    generate_series(0, len(u.used)),
+         |    x -> NOT list_contains(u.used, x)), 'min') END AS INTEGER)
+         |  AS color
+         |  FROM w$r w LEFT JOIN used$r u ON u.node = w.node),
+         |c$r AS (SELECT node, color FROM c${r - 1}
+         |  UNION ALL SELECT node, color FROM pick$r),
+         |u$r AS (SELECT node FROM u${r - 1}
+         |  WHERE node NOT IN (SELECT node FROM pick$r))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $part1000Cte,
+       |u0 AS (SELECT DISTINCT src AS node FROM und),
+       |c0 AS (SELECT CAST(NULL AS VARCHAR) AS node,
+       |  CAST(NULL AS INTEGER) AS color WHERE 1 = 0),
+       |$rounds
+       |SELECT node, color FROM c3 ORDER BY node""".stripMargin
+  }
+
+  /** Densest-peel oracle: Bahmani rounds (deg·|V| > 3·|E| survivor
+    * gate) unrolled, per-round (ne, nv) summary, argmax density with
+    * the identical IEEE division and earliest-round tie-break. */
+  private lazy val densestSql: String = {
+    val rounds = (1 to 4).map { r =>
+      s"""dg$r AS (SELECT src, COUNT(*) AS d FROM s${r - 1} GROUP BY src),
+         |v$r AS MATERIALIZED (SELECT x.node FROM v${r - 1} x
+         |  LEFT JOIN dg$r d ON d.src = x.node
+         |  WHERE COALESCE(d.d, 0) * (SELECT COUNT(*) FROM v${r - 1})
+         |    > 3 * ((SELECT COUNT(*) FROM s${r - 1}) // 2)),
+         |s$r AS MATERIALIZED (SELECT src, dst FROM s${r - 1}
+         |  WHERE src IN (SELECT node FROM v$r)
+         |    AND dst IN (SELECT node FROM v$r))""".stripMargin
+    }.mkString(",\n")
+    val summ = (0 to 4).map { r =>
+      s"SELECT $r AS r, (SELECT COUNT(*) FROM s$r) // 2 AS ne, " +
+        s"(SELECT COUNT(*) FROM v$r) AS nv"
+    }.mkString("\n  UNION ALL ")
+    val allv = (0 to 4).map(r => s"SELECT $r AS r, node FROM v$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $part1000Cte,
+       |v0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM und),
+       |s0 AS MATERIALIZED (SELECT src, dst FROM und),
+       |$rounds,
+       |summ AS ($summ),
+       |best AS (SELECT r, ne, nv FROM summ WHERE nv > 0
+       |  ORDER BY CAST(ne AS DOUBLE) / nv DESC, r ASC LIMIT 1),
+       |allv AS ($allv)
+       |SELECT a.node, CAST(b.nv AS BIGINT) AS n_nodes,
+       |  CAST(b.ne AS BIGINT) AS n_edges, CAST(b.r AS INTEGER) AS best_round
+       |FROM allv a JOIN best b ON a.r = b.r
+       |ORDER BY a.node""".stripMargin
+  }
+
+  /** Borůvka oracle: per round the component-labelled out-edges, the
+    * per-component (w, a, b) window argmin, and contraction via the
+    * recursive-CTE min-reachable closure — the same min-label
+    * semantics the engine's CC produces. */
+  private lazy val msfSql: String = {
+    val rounds = (1 to 2).map { r =>
+      s"""lab$r AS (SELECT e.a, e.b, e.w, x.comp AS pa, y.comp AS pb
+         |  FROM we e JOIN cmp${r - 1} x ON x.node = e.a
+         |  JOIN cmp${r - 1} y ON y.node = e.b WHERE x.comp <> y.comp),
+         |ori$r AS (SELECT pa AS c, w, a, b, pa, pb FROM lab$r
+         |  UNION ALL SELECT pb, w, a, b, pa, pb FROM lab$r),
+         |ch$r AS (SELECT DISTINCT w, a, b, pa, pb FROM (
+         |  SELECT w, a, b, pa, pb,
+         |    ROW_NUMBER() OVER (PARTITION BY c ORDER BY w, a, b) AS rn
+         |  FROM ori$r) WHERE rn = 1),
+         |chu$r AS (SELECT pa AS a, pb AS b FROM ch$r
+         |  UNION SELECT pb, pa FROM ch$r),
+         |reach$r(n, x) AS (
+         |  SELECT a, a FROM chu$r
+         |  UNION
+         |  SELECT rr.n, u.b FROM reach$r rr JOIN chu$r u ON rr.x = u.a),
+         |mrg$r AS (SELECT n AS comp, MIN(x) AS nc FROM reach$r GROUP BY n),
+         |cmp$r AS (SELECT c.node, COALESCE(m.nc, c.comp) AS comp
+         |  FROM cmp${r - 1} c LEFT JOIN mrg$r m ON m.comp = c.comp)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS o,
+       |    l_partkey AS p FROM lineitem WHERE l_orderkey < 1000),
+       |we AS (SELECT 'p' || x.p AS a, 'p' || y.p AS b,
+       |    COUNT(*) AS w FROM li x JOIN li y
+       |    ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+       |cmp0 AS (SELECT node, node AS comp FROM
+       |  (SELECT a AS node FROM we UNION SELECT b FROM we)),
+       |$rounds
+       |SELECT a, b, w, CAST(1 AS INTEGER) AS "round" FROM ch1
+       |UNION ALL SELECT a, b, w, CAST(2 AS INTEGER) FROM ch2
+       |ORDER BY "round", a, b""".stripMargin
   }
 
   /** Stress-centrality oracle: the layered path-counting BFS unrolled
@@ -1758,6 +1956,10 @@ object KgQueries {
     "kg_lpa" -> lpaSql,
     "kg_stress" -> stressSql,
     "kg_matching" -> matchingSql,
+    "kg_mis" -> misSql,
+    "kg_msf" -> msfSql,
+    "kg_densest" -> densestSql,
+    "kg_coloring" -> coloringSql,
     "kg_modularity" -> modularitySql,
     "kg_truss" -> trussSql,
     "kg_louvain" -> louvainSql,
