@@ -1209,6 +1209,36 @@ object GraphAlgs {
     colored
   }
 
+  /** Per-node butterfly counts over a bipartite graph summarized as a
+    * same-side pair histogram: `pairs(a, b, c)` = canonical a < b rows
+    * with c = the number of opposite-side nodes adjacent to BOTH. A
+    * butterfly (the bipartite 4-cycle, the smallest bipartite motif —
+    * Sanei-Mehri, Sariyüce & Tirthapura, KDD 2018) exists for every
+    * unordered pair of shared neighbours, so the pair contributes
+    * C(c, 2) = c·(c−1)/2 butterflies to each endpoint. Butterfly
+    * density is the bipartite clustering signal: over the doc–entity
+    * mention graph, boilerplate/template pages and spam mention-farms
+    * surface as butterfly-heavy entities long before they close
+    * same-side triangles.
+    *
+    * Scale shape: the input histogram is the engine's fused map-side
+    * pair count (≤K²/2 dictionary-scale rows regardless of corpus
+    * size); this adds one unionAll (no shuffle) and one
+    * map-side-combined agg keyed on the node — the per-doc quadratic
+    * explode never happens. Integer-exact: c·(c−1) is even, so the
+    * `div 2` is lossless and the oracle replays it with `//`.
+    *
+    * Returns (node, n_partners, butterflies): co-neighbour partner
+    * count and Σ C(c, 2) over the node's pairs.
+    */
+  def butterflyCounts(pairs: DataFrame): DataFrame = {
+    val sides = pairs.select(col("a").as("node"), col("c"))
+      .unionAll(pairs.select(col("b").as("node"), col("c")))
+    sides.groupBy("node")
+      .agg(count(lit(1)).as("n_partners"),
+        sum(expr("c * (c - 1) div 2")).as("butterflies"))
+  }
+
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src"))

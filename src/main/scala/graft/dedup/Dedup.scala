@@ -725,4 +725,66 @@ object Dedup {
       }
       .toDF("doc_id", "n_hits", "n_windows")
   }
+
+  // ---- Winnowing fingerprints (MOSS) ---------------------------------
+
+  /** Winnowing fingerprints per document (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every k-token gram, slide a
+    * w-window over the hash sequence, keep each window's MINIMUM hash.
+    * The guarantee: any shared token run of ≥ k+w−1 tokens yields at
+    * least one shared fingerprint, at expected density 2/(w+1) — a
+    * sparse, position-robust alternative to the exact-substring tier
+    * (`dd_spans`) when only overlap DETECTION is needed, not spans.
+    *
+    * All in-row Column kernels: the token array is materialized BEFORE
+    * the gram lambdas (higher-order functions block CSE — the
+    * RelationMiner re-split lesson), gram hashes use the native
+    * [[graft.functions.FnvHash]] expression (codegen'd, oracle-replayed
+    * via `fnvFoldSql`), window minima via `slice`+`array_min` over the
+    * bounded hash array. Docs with fewer grams than w collapse to one
+    * global-min fingerprint (the txt_fingerprint semantics). Tokens
+    * split on spaces — unspaced CJK text yields few tokens and hence
+    * one coarse fingerprint; route such corpora through the char-gram
+    * shingle tiers (`shinglesAuto`) instead.
+    *
+    * Returns (idCol, fp): distinct signed-long fingerprints per doc.
+    */
+  def winnowed(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text", k: Int = 4,
+               w: Int = 4): DataFrame = {
+    val toksDf = docs.select(col(idCol),
+      filter(split(col(textCol), " "), t => t =!= "").as("tk"))
+      .filter(size(col("tk")) >= k)
+    val gramsDf = toksDf.select(col(idCol),
+      transform(sequence(lit(1), size(col("tk")) - (k - 1)),
+        i => graft.functions.FnvHash(
+          array_join(slice(col("tk"), i, lit(k)), " "))).as("h"))
+    val minsCol = when(size(col("h")) <= w, array(array_min(col("h"))))
+      .otherwise(transform(sequence(lit(1), size(col("h")) - (w - 1)),
+        i => array_min(slice(col("h"), i, lit(w)))))
+    gramsDf.select(col(idCol), explode(array_distinct(minsCol)).as("fp"))
+  }
+
+  /** Document pairs sharing ≥ `minShared` winnowing fingerprints, the
+    * MOSS overlap report. Scale shape: one fingerprint-keyed
+    * aggregation drops "stop fingerprints" seen in more than `cap`
+    * docs (boilerplate grams — the unbounded-bucket guard, same role
+    * as the SimHash hot-bucket cap), then the pair join fans out at
+    * most cap per fingerprint, so candidates stay ∝ true overlaps —
+    * never corpus². Returns (d1, d2, shared) with d1 < d2.
+    */
+  def winnowPairs(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", k: Int = 4, w: Int = 4,
+                  minShared: Int = 2, cap: Int = 50): DataFrame = {
+    val fps = winnowed(docs, idCol, textCol, k, w).localCheckpoint()
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= cap).select(col("fp"))
+    val fpd = fps.join(keep, Seq("fp"), "left_semi")
+    fpd.alias("x").join(fpd.alias("y"),
+        col("x.fp") === col("y.fp") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .groupBy(col(s"x.$idCol").as("d1"), col(s"y.$idCol").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

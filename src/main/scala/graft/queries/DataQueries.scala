@@ -172,6 +172,19 @@ object DataQueries {
     Dedup.dedupLines(linesCorpus(spark, dir), minDocs = 2)
       .orderBy("doc_id")
 
+  /** Winnowing-fingerprint overlap pairs (MOSS — see
+    * [[graft.dedup.Dedup.winnowPairs]]): doc pairs sharing ≥2 window-min
+    * 4-gram FNV fingerprints, stop-fingerprints capped at 50 docs.
+    * ORACLED end-to-end: DuckDB re-hashes every 4-token gram with the
+    * HUGEINT FNV fold, replays the w=4 window minima via a ROWS frame,
+    * applies the same cap, and re-joins — fingerprint SELECTION (not
+    * just the pair report) is hash-checked.
+    */
+  def ddWinnow(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowPairs(spark.read.parquet(s"$dir/documents.parquet"),
+        k = 4, w = 4, minShared = 2, cap = 50)
+      .orderBy("d1", "d2")
+
   /** SimHash fingerprints + per-lang collision stats (hamming-0 pairs are
     * exact-text or near-exact duplicates).
     */
@@ -436,6 +449,20 @@ object DataQueries {
     graft.sketch.Kmv.distinctSketch(
         spark.read.parquet(s"$dir/documents.parquet"), k = 16)
       .orderBy("source")
+
+  /** Theta-style set operations between per-source KMV sketches:
+    * union/intersection cardinality estimates (and exact match counts)
+    * for every source pair — the cross-corpus overlap audit (shared
+    * vocabulary between crawl slices) that exact COUNT(DISTINCT)
+    * set-ops would shuffle the whole corpus for. k=16 as in
+    * sketch_distinct so the estimator branch (not just the exact
+    * below-k path) is driver-gated; the oracle replays the bottom-k
+    * ranks, the union re-rank, theta, and both integer estimators.
+    */
+  def sketchTheta(spark: SparkSession, dir: String): DataFrame =
+    graft.sketch.Kmv.thetaPairs(
+        spark.read.parquet(s"$dir/documents.parquet"), k = 16)
+      .orderBy("src_a", "src_b")
 
   /** Media table shared by the three mm_* queries — encoding ~n real
     * BMP/WAV/Y4M containers is the dominant cost, so synthesize once per
@@ -731,6 +758,7 @@ object DataQueries {
     "dd_jaccard" -> ddJaccard,
     "dd_containment" -> ddContainment,
     "dd_lines" -> ddLines,
+    "dd_winnow" -> ddWinnow,
     "dd_minhash" -> ddMinhash,
     "dd_minhash_clusters" -> ddMinhashClusters,
     "dd_simhash" -> ddSimhash,
@@ -749,6 +777,7 @@ object DataQueries {
     "txt_pii" -> txtPii,
     "txt_pack" -> txtPack,
     "sketch_distinct" -> sketchDistinct,
+    "sketch_theta" -> sketchTheta,
     "sketch_cms" -> sketchCms,
     "sketch_hll" -> sketchHll,
     "sketch_bloom" -> sketchBloom,
@@ -1343,6 +1372,60 @@ object DataQueries {
          |      CAST('9223372036854775807' AS HUGEINT)) END AS BIGINT)
          |    AS est_distinct
          |FROM kk ORDER BY source""".stripMargin,
+    // theta set-ops replay: per-source bottom-16 hash sets (same mix
+    // chain as sketch_distinct), pair union re-ranked for theta, match
+    // count via membership in BOTH sketches, then the two integer
+    // estimators — est_union = 15·2^64 // theta (clamped), est_int =
+    // n_match·est_union // 16 — recomputed in HUGEINT
+    "sketch_theta" ->
+      s"""WITH tk AS (
+         |  SELECT source, unnest(list_filter(string_split(text, ' '),
+         |    t -> t <> '')) AS tok
+         |  FROM documents),
+         |h0 AS (SELECT DISTINCT source,
+         |    ${fnvFoldSql("tok", "14695981039346656037")} AS hu
+         |  FROM tk),
+         |m1 AS (SELECT source, ${xorShrSql("hu", "1073741824")} AS hu FROM h0),
+         |m2 AS (SELECT source, ${mulSql("hu", "13787848793156543929")} AS hu FROM m1),
+         |m3 AS (SELECT source, ${xorShrSql("hu", "134217728")} AS hu FROM m2),
+         |m4 AS (SELECT source, ${mulSql("hu", "10723151780598845931")} AS hu FROM m3),
+         |h AS (SELECT source, ${xorShrSql("hu", "2147483648")} AS hu FROM m4),
+         |sk AS (SELECT source, hu FROM (
+         |    SELECT source, hu,
+         |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY hu) AS rk
+         |    FROM h) WHERE rk <= 16),
+         |srcs AS (SELECT DISTINCT source FROM sk),
+         |prs AS (SELECT s1.source AS sa, s2.source AS sb
+         |  FROM srcs s1 JOIN srcs s2 ON s1.source < s2.source),
+         |uh AS (SELECT DISTINCT p.sa, p.sb, s.hu
+         |  FROM prs p JOIN sk s ON s.source = p.sa OR s.source = p.sb),
+         |uu AS (SELECT sa, sb, hu,
+         |    ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY hu) AS rk
+         |  FROM uh),
+         |un AS (SELECT sa, sb, hu, rk FROM uu WHERE rk <= 16),
+         |th AS (SELECT sa, sb, COUNT(*) AS n_union,
+         |    MAX(CASE WHEN rk = 16 THEN hu END) AS theta
+         |  FROM un GROUP BY sa, sb),
+         |mt AS (SELECT u.sa, u.sb, COUNT(*) AS m
+         |  FROM un u
+         |  JOIN sk x ON x.source = u.sa AND x.hu = u.hu
+         |  JOIN sk y ON y.source = u.sb AND y.hu = u.hu
+         |  GROUP BY u.sa, u.sb),
+         |est AS (SELECT t.sa, t.sb, t.n_union, t.theta,
+         |    COALESCE(m.m, 0) AS n_match,
+         |    CASE WHEN t.theta IS NULL THEN CAST(t.n_union AS HUGEINT)
+         |      ELSE LEAST(CAST('15' AS HUGEINT) * CAST('$Two64' AS HUGEINT) // t.theta,
+         |        CAST('9223372036854775807' AS HUGEINT)) END AS est_u
+         |  FROM th t LEFT JOIN mt m ON m.sa = t.sa AND m.sb = t.sb)
+         |SELECT sa AS src_a, sb AS src_b,
+         |  CAST(n_union AS BIGINT) AS n_union,
+         |  CAST(COALESCE(${signedSql("theta")}, 0) AS BIGINT) AS kth_union,
+         |  CAST(est_u AS BIGINT) AS est_union,
+         |  CAST(n_match AS BIGINT) AS n_match,
+         |  CAST(CASE WHEN theta IS NULL THEN CAST(n_match AS HUGEINT)
+         |    ELSE CAST(n_match AS HUGEINT) * est_u // 16 END AS BIGINT)
+         |    AS est_intersect
+         |FROM est ORDER BY src_a, src_b""".stripMargin,
     // every HLL register replayed: same mix chain as sketch_distinct,
     // bucket = hu % 64, rho = bit_count((w & -w) - 1) + 1 on the
     // BIGINT suffix word, MAX per (source, bucket); then the exact
@@ -1623,6 +1706,36 @@ object DataQueries {
          |  COALESCE(a.text, '') AS text
          |FROM tot t LEFT JOIN agg a USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
+    // winnowing replay: 4-gram FNV (HUGEINT fold, signed for the MIN),
+    // w=4 window minima via a ROWS frame over full windows only
+    // (GREATEST(m-3,1) keeps the single global window for short docs),
+    // stop-fingerprint cap, pair re-join
+    "dd_winnow" ->
+      s"""WITH tks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '),
+         |    t -> t <> '') AS tk
+         |  FROM documents),
+         |tok AS (SELECT doc_id, tk FROM tks WHERE len(tk) >= 4),
+         |gr AS (SELECT doc_id, i,
+         |    array_to_string(list_slice(tk, i, i + 3), ' ') AS g
+         |  FROM tok, unnest(generate_series(1, len(tk) - 3)) t(i)),
+         |hu AS (SELECT doc_id, i,
+         |    ${fnvFoldSql("g", "14695981039346656037")} AS h FROM gr),
+         |hs AS (SELECT doc_id, i, ${signedSql("h")} AS h FROM hu),
+         |wm AS (SELECT doc_id, i,
+         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+         |    COUNT(*) OVER (PARTITION BY doc_id) AS m
+         |  FROM hs),
+         |fp AS (SELECT DISTINCT doc_id, mh AS fp FROM wm
+         |  WHERE i <= GREATEST(m - 3, 1)),
+         |keep AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= 50),
+         |fpd AS (SELECT doc_id, fp FROM fp
+         |  WHERE fp IN (SELECT fp FROM keep))
+         |SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+         |FROM fpd a JOIN fpd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |ORDER BY d1, d2""".stripMargin,
     "dd_minhash" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -92,6 +92,25 @@ object KgQueries {
       .orderBy(col("s"), col("o"))
   }
 
+  /** Per-entity butterfly counts (bipartite 4-cycles of the doc–entity
+    * mention graph — see [[graft.canon.GraphAlgs.butterflyCounts]]):
+    * each co-mention pair sharing c docs contributes C(c, 2)
+    * butterflies to both endpoints. Rides the same fused int-keyed pair
+    * histogram as kg_cooccur (zero extra corpus passes); the oracle
+    * recomputes the pair counts by self-join and replays Σ c·(c−1)//2.
+    */
+  def kgButterflies(spark: SparkSession, dir: String): DataFrame = {
+    val m = MentionScan.mentionsIdx(pagesDf(spark, dir), Gazetteer(gaz))
+    val sets = m.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("e"))).as("es"))
+    val pairs = MentionScan.coOccurrencePairsIdx(sets, gazSorted.length)
+      .select(col("e1").as("a"), col("e2").as("b"), col("n_docs").as("c"))
+    graft.canon.GraphAlgs.butterflyCounts(pairs)
+      .select(entCol(col("node")).as("entity"),
+        col("n_partners"), col("butterflies"))
+      .orderBy("entity")
+  }
+
   /** Shape validation over candidate triples plus a deterministic batch of
     * corrupted rows (doc/entity endpoints swapped for doc_id % 7 == 0) —
     * exercises domain/range violations; output = issue histogram.
@@ -1177,6 +1196,7 @@ object KgQueries {
     "kg_mentions_ctx" -> kgMentionsCtx,
     "kg_entity_stats" -> kgEntityStats,
     "kg_cooccur" -> kgCooccur,
+    "kg_butterflies" -> kgButterflies,
     "kg_shape" -> kgShape,
     "kg_cc" -> kgCc,
     "kg_canonical" -> kgCanonical,
@@ -1804,6 +1824,17 @@ object KgQueries {
          |'urn:ent:' || b.entity AS o, COUNT(*) AS n_docs
          |FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.entity < b.entity
          |GROUP BY 1, 2, 3 ORDER BY s, o""".stripMargin,
+    // butterfly replay: pair histogram by self-join, then Σ C(c,2)
+    // credited to both endpoints — c·(c−1) is even so // is lossless
+    "kg_butterflies" ->
+      s"""WITH $tokensCte,
+         |pr AS (SELECT a.entity AS s, b.entity AS o, COUNT(*) AS c
+         |  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.entity < b.entity
+         |  GROUP BY 1, 2),
+         |sides AS (SELECT s AS e, c FROM pr UNION ALL SELECT o, c FROM pr)
+         |SELECT 'urn:ent:' || e AS entity, COUNT(*) AS n_partners,
+         |  CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS butterflies
+         |FROM sides GROUP BY 1 ORDER BY entity""".stripMargin,
     "kg_shape" ->
       s"""WITH $tokensCte,
          |hist AS (

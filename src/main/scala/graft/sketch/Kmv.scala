@@ -129,6 +129,83 @@ object Kmv {
     override def outputEncoder: Encoder[KmvSummary] = Encoders.product[KmvSummary]
   }
 
+  /** [[KmvAgg]] that finishes with the raw minima (the mergeable state
+    * itself) instead of the scalar summary — the form the theta-style
+    * set operations below consume. Same bounded k·8-byte state, same
+    * map-side partial aggregation.
+    */
+  class KmvMinsAgg(k: Int) extends Aggregator[Long, KmvState, KmvState] {
+    private val inner = new KmvAgg(k)
+    override def zero: KmvState = inner.zero
+    override def reduce(b: KmvState, h: Long): KmvState = inner.reduce(b, h)
+    override def merge(x: KmvState, y: KmvState): KmvState = inner.merge(x, y)
+    override def finish(s: KmvState): KmvState = s
+    override def bufferEncoder: Encoder[KmvState] = Encoders.product[KmvState]
+    override def outputEncoder: Encoder[KmvState] = Encoders.product[KmvState]
+  }
+
+  /** Theta-style KMV set operations for one sketch pair (Dasgupta et
+    * al.'s theta-sketch framework specialized to fixed-k KMV): the
+    * union sketch is the k smallest of the combined minima; with
+    * theta = its k-th minimum, every stored hash ≤ theta is a uniform
+    * sample of the union, so |A∩B| is estimated by the match count
+    * scaled by est_union/k. All arithmetic is unsigned-integer /
+    * BigInt — bit-exact under any merge order, replayed verbatim by
+    * the DuckDB oracle (HUGEINT `//`). Below k everything is exact
+    * (the sketches hold the full sets).
+    *
+    * Returns (n_union, kth_union signed bits or 0, est_union, n_match,
+    * est_intersect).
+    */
+  private[graft] def thetaOps(a: Array[Long], b: Array[Long],
+                              k: Int): (Long, Long, Long, Long, Long) = {
+    val mask = (BigInt(1) << 64) - 1
+    val union = (a ++ b).distinct
+      .sortBy(_ ^ Long.MinValue) // sign-flip: signed order ≡ unsigned
+      .take(k)
+    val inA = a.toSet
+    val inB = b.toSet
+    val matches = union.count(h => inA(h) && inB(h)).toLong
+    if (union.length < k)
+      (union.length.toLong, 0L, union.length.toLong, matches, matches)
+    else {
+      val theta = union(k - 1)
+      val thetaU = BigInt(theta) & mask
+      val estU = ((BigInt(k - 1) << 64) / thetaU)
+        .min(BigInt(Long.MaxValue)).toLong
+      val estI = (BigInt(matches) * estU / k).toLong
+      (k.toLong, theta, estU, matches, estI)
+    }
+  }
+
+  /** Pairwise source set-operation estimates: per-source KMV minima
+    * (bounded agg, shuffle ≤ k longs per partition×source), then the
+    * dictionary-scale source-pair self-join computes union/intersection
+    * estimates in-row via [[thetaOps]]. At 100 TB the corpus is touched
+    * once; everything after the agg is O(|sources|²) sketch-width rows.
+    */
+  def thetaPairs(docs: DataFrame, k: Int = 64,
+                 groupCol: String = "source",
+                 textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val agg = udaf(new KmvMinsAgg(k))
+    val sk = tokenHashes(docs, groupCol, textCol)
+      .groupBy(col(groupCol))
+      .agg(agg(col("h")).as("s"))
+      .select(col(groupCol).as("src"), col("s.mins").as("mins"))
+    sk.alias("x").join(sk.alias("y"), col("x.src") < col("y.src"))
+      .select(col("x.src").as("src_a"), col("y.src").as("src_b"),
+        col("x.mins").as("ma"), col("y.mins").as("mb"))
+      .as[(String, String, Array[Long], Array[Long])]
+      .map { case (sa, sb, ma, mb) =>
+        val (nU, kth, estU, m, estI) = thetaOps(ma, mb, k)
+        (sa, sb, nU, kth, estU, m, estI)
+      }
+      .toDF("src_a", "src_b", "n_union", "kth_union", "est_union",
+        "n_match", "est_intersect")
+  }
+
   /** (group, h) token-hash pairs — one typed flatMap over the corpus
     * (duplicate hashes are fine; the aggregator dedups in-state, so no
     * corpus-wide DISTINCT shuffle precedes the bounded agg).

@@ -60,4 +60,54 @@ class KmvSpec extends SparkSpec {
     val seq = xs.foldLeft(agg.zero)(agg.reduce)
     assert(merged.mins.toSeq === seq.mins.toSeq)
   }
+
+  // ---- theta set operations ------------------------------------------
+
+  test("theta ops exact below k: union/intersection are the true sets") {
+    val df = docsOf(
+      ("a", "x y z shared1 shared2"), ("b", "p q shared1 shared2"))
+    val r = Kmv.thetaPairs(df, k = 64).head()
+    assert(r.getAs[Long]("n_union") === 7L)     // x y z p q shared1 shared2
+    assert(r.getAs[Long]("kth_union") === 0L)   // not full
+    assert(r.getAs[Long]("est_union") === 7L)
+    assert(r.getAs[Long]("n_match") === 2L)
+    assert(r.getAs[Long]("est_intersect") === 2L)
+  }
+
+  test("theta estimators within 40% on 2000-token vocabularies, 50% overlap") {
+    val shared = (0 until 1000).map(i => s"s$i")
+    val ta = (shared ++ (0 until 1000).map(i => s"a$i")).mkString(" ")
+    val tb = (shared ++ (0 until 1000).map(i => s"b$i")).mkString(" ")
+    val r = Kmv.thetaPairs(docsOf(("a", ta), ("b", tb)), k = 128).head()
+    val eu = r.getAs[Long]("est_union")       // true 3000
+    val ei = r.getAs[Long]("est_intersect")   // true 1000
+    assert(eu > 1800 && eu < 4200, s"est_union=$eu")
+    assert(ei > 600 && ei < 1400, s"est_intersect=$ei")
+    assert(ei <= eu)
+  }
+
+  test("theta ops match a brute-force replay of the definition") {
+    // ground truth recomputed from the definition on the raw hash sets
+    val ha = (0 until 300).map(i => Kmv.tokenHash(s"w${i % 97}")).distinct
+    val hb = (0 until 300).map(i => Kmv.tokenHash(s"w${(i % 83) + 40}")).distinct
+    val k = 16
+    def bottomK(xs: Seq[Long]) =
+      xs.distinct.sortBy(_ ^ Long.MinValue).take(k).toArray
+    val (sa, sb) = (bottomK(ha), bottomK(hb))
+    val got = Kmv.thetaOps(sa, sb, k)
+    val union = (sa ++ sb).distinct.sortBy(_ ^ Long.MinValue).take(k)
+    val theta = union(k - 1)
+    val thetaU = BigInt(theta) & ((BigInt(1) << 64) - 1)
+    val estU = ((BigInt(k - 1) << 64) / thetaU).toLong
+    val m = union.count(h => sa.contains(h) && sb.contains(h)).toLong
+    assert(got === (k.toLong, theta, estU, m, (BigInt(m) * estU / k).toLong))
+  }
+
+  test("theta pairs partitioning-invariant and symmetric in content") {
+    val rows = (0 until 400).map(i => (if (i % 2 == 0) "a" else "b", s"t${i % 151}"))
+    val x = Kmv.thetaPairs(docsOf(rows: _*), k = 16).collect().toSeq
+    val y = Kmv.thetaPairs(docsOf(rows.reverse: _*).repartition(7), k = 16)
+      .collect().toSeq
+    assert(x.map(_.toSeq) === y.map(_.toSeq))
+  }
 }
