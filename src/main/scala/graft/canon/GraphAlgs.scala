@@ -1239,6 +1239,70 @@ object GraphAlgs {
         sum(expr("c * (c - 1) div 2")).as("butterflies"))
   }
 
+  /** Degree-assortativity joint moments (Newman, PRL 2002): over the
+    * symmetrized edge multiset, the six exact-integer moments of the
+    * per-edge endpoint-degree pairs (x, y) = (deg(src), deg(dst)) —
+    * m = |edges|, Σx, Σy, Σxy, Σx², Σy². Pearson's r =
+    * (m·Σxy − Σx·Σy) / √((m·Σx² − (Σx)²)(m·Σy² − (Σy)²)) is one float
+    * division over them ([[assortativityOf]], ScalaTested) — the
+    * integer core is what the oracle replays, the kg_entity_stats
+    * convention. Hub-heavy webgraphs are strongly disassortative
+    * (r < 0); a sign flip after a pipeline change is the classic
+    * canary for accidental hub duplication.
+    *
+    * Scale shape: one map-side-combined degree agg (|V| rows), two
+    * node-keyed joins decorating the edge list (shuffle ∝ |E|, AQE
+    * handles hub skew), one global agg — no quadratic step. BIGINT
+    * bounds: deg ≤ |V|, so m·Σx² ≤ |E|²·max_deg² — overflow-safe
+    * through ~10^4 max-degree at 10^6 edges; beyond that the moments
+    * themselves still fit (only the DERIVED products need care, and
+    * those live driver-side in BigInt inside [[assortativityOf]]).
+    */
+  def assortativityMoments(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    e.join(deg.select(col("node"), col("deg").as("dx")),
+        e("src") === col("node")).drop("node")
+      .join(deg.select(col("node"), col("deg").as("dy")),
+        col("dst") === col("node")).drop("node")
+      .agg(count(lit(1)).as("m"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+  }
+
+  /** Pearson's r from the [[assortativityMoments]] row — exact BigInt
+    * products, one final float division (None when a variance is 0:
+    * regular graphs have undefined assortativity). */
+  def assortativityOf(m: Long, sx: Long, sy: Long, sxy: Long,
+                      sxx: Long, syy: Long): Option[Double] = {
+    val num = BigInt(m) * sxy - BigInt(sx) * sy
+    val vx = BigInt(m) * sxx - BigInt(sx) * sx
+    val vy = BigInt(m) * syy - BigInt(sy) * sy
+    if (vx == 0 || vy == 0) None
+    else Some(num.toDouble / math.sqrt(vx.toDouble * vy.toDouble))
+  }
+
+  /** Digraph reciprocity: of the distinct directed edges, how many have
+    * their reverse present — (n_edges, n_reciprocal) in one row;
+    * r = n_reciprocal/n_edges is the classic webgraph link-symmetry
+    * statistic (near 1 for social graphs, near 0 for the web's
+    * hierarchy). One distinct + one self-semi-join on the reversed key
+    * — shuffle ∝ |E|, no quadratic step.
+    */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    // flag-join (not semi + cross of two scalar aggs): both counts fall
+    // out of ONE aggregation, so the plan has no 1-row nested loop
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"),
+      lit(1L).as("rev"))
+    e.join(rev, Seq("src", "dst"), "left")
+      .agg(count(lit(1)).as("n_edges"), count(col("rev")).as("n_reciprocal"))
+  }
+
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src"))

@@ -854,13 +854,13 @@ object DataQueries {
     * halves — the direct product of two ~2^64 values overflows DuckDB's
     * signed INT128: (hi·2^32+lo)·c ≡ lo·c + ((hi·c) mod 2^32)·2^32.
     */
-  private def mulSql(hu: String, c: String): String = {
+  private[queries] def mulSql(hu: String, c: String): String = {
     val C = s"CAST('$c' AS HUGEINT)"
     s"((($hu % 4294967296) * $C + (($hu // 4294967296) * $C % 4294967296)" +
       s" * 4294967296) % CAST('$Two64' AS HUGEINT))"
   }
 
-  private def xorShrSql(hu: String, d: String): String = {
+  private[queries] def xorShrSql(hu: String, d: String): String = {
     val x = s"xor(${signedSql(hu)}, ${signedSql(s"($hu // $d)")})"
     s"(CASE WHEN $x < 0 THEN CAST($x AS HUGEINT) + CAST('$Two64' AS HUGEINT)" +
       s" ELSE CAST($x AS HUGEINT) END)"

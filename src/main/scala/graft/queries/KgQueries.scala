@@ -666,9 +666,10 @@ object KgQueries {
   /** The directed part-sequence edges shared by kg_scc / kg_condense:
     * p_a → p_b when p_b follows p_a at consecutive line numbers of the
     * same order (l_orderkey < 1000). */
-  private def partSeqEdges(spark: SparkSession, dir: String): DataFrame = {
+  private def partSeqEdges(spark: SparkSession, dir: String,
+                           cap: Int = 1000): DataFrame = {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
-      .filter(col("l_orderkey") < 1000)
+      .filter(col("l_orderkey") < cap)
       .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
         col("l_partkey").as("pk"))
     li.alias("x").join(li.alias("y"),
@@ -1190,7 +1191,48 @@ object KgQueries {
     graft.canon.GraphAlgs.modularity(e0, labels).orderBy("label")
   }
 
+  /** Approximate neighbourhood function (HyperANF) over the same
+    * bipartite graph as kg_lpa: per (node, radius ≤ 3) an HLL register
+    * sketch of the distance-≤t ball, emitted as the exact integer
+    * summary (n_regs, n_zero, sum_pow, checksum) the sketch family
+    * oracles — the distance-distribution / effective-diameter primitive
+    * for web-scale graphs (see [[graft.canon.Anf]] for the scale
+    * shape: |V|·m state, one join + one max-agg per round). The oracle
+    * replays node hashes (FNV∘splitmix staged in HUGEINT, shared with
+    * sketch_hll), every register max-merge round per CTE, then the
+    * sketch_hll summary arithmetic per (node, t).
+    */
+  def kgAnf(spark: SparkSession, dir: String): DataFrame =
+    graft.canon.Anf
+      .neighborhoodFunction(lpaUnd(lpaEdges(spark, dir)), rounds = 3)
+      .orderBy("node", "t")
+
+  /** Degree-assortativity moments of the kg_lpa bipartite graph: the
+    * six exact-integer joint moments of per-edge endpoint degrees
+    * (see [[graft.canon.GraphAlgs.assortativityMoments]]); Pearson's r
+    * derives driver-side ([[graft.canon.GraphAlgs.assortativityOf]],
+    * ScalaTested). Oracle replays degree decoration + the global agg.
+    */
+  def kgAssortativity(spark: SparkSession, dir: String): DataFrame =
+    graft.canon.GraphAlgs.assortativityMoments(
+      lpaUnd(lpaEdges(spark, dir)))
+
+  /** Reciprocity of the directed part-sequence digraph (the kg_scc
+    * construction at a 20× wider slice — l_orderkey < 20 000 puts a
+    * nonzero reciprocal population in the driver data, 182 of 29 074
+    * edges at sf0.01, so the oracle exercises BOTH counts): distinct
+    * directed edges vs those whose reverse exists — the link-symmetry
+    * statistic separating hierarchy-shaped webgraphs from social
+    * graphs (see [[graft.canon.GraphAlgs.reciprocity]]).
+    */
+  def kgReciprocity(spark: SparkSession, dir: String): DataFrame =
+    graft.canon.GraphAlgs.reciprocity(
+      partSeqEdges(spark, dir, cap = 20000))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg_anf" -> kgAnf,
+    "kg_assortativity" -> kgAssortativity,
+    "kg_reciprocity" -> kgReciprocity,
     "kg_extract_text" -> kgExtractText,
     "kg_mentions" -> kgMentions,
     "kg_mentions_ctx" -> kgMentionsCtx,
@@ -1794,6 +1836,35 @@ object KgQueries {
         .mkString("(", ",", ")"))
 
   val oracles: Map[String, String] = Map(
+    "kg_anf" -> anfSql,
+    // degree decoration + one global agg over the symmetrized kg_lpa
+    // graph — every moment an exact BIGINT
+    "kg_assortativity" ->
+      s"""WITH $lpaGraphCte,
+         |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM und GROUP BY src),
+         |de AS (SELECT dx.deg AS dx, dy.deg AS dy FROM und u
+         |  JOIN deg dx ON u.src = dx.node
+         |  JOIN deg dy ON u.dst = dy.node)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         |  CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+         |  CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+         |  CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         |  CAST(SUM(dy * dy) AS BIGINT) AS syy
+         |FROM de""".stripMargin,
+    // the kg_scc part-sequence digraph: distinct directed edges vs
+    // edges whose reverse exists
+    "kg_reciprocity" ->
+      """WITH li AS (SELECT l_orderkey ok, l_linenumber ln,
+        |    l_partkey pk FROM lineitem WHERE l_orderkey < 20000),
+        |e AS (SELECT DISTINCT 'p' || a.pk AS src, 'p' || b.pk AS dst
+        |  FROM li a JOIN li b
+        |  ON a.ok = b.ok AND b.ln = a.ln + 1 AND a.pk <> b.pk)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+        |  CAST(COUNT(CASE WHEN EXISTS (SELECT 1 FROM e y
+        |    WHERE y.src = x.dst AND y.dst = x.src) THEN 1 END) AS BIGINT)
+        |    AS n_reciprocal
+        |FROM e x""".stripMargin,
     "kg_extract_text" ->
       "SELECT doc_id, text AS extracted FROM documents ORDER BY doc_id",
     "kg_mentions" ->
@@ -2185,6 +2256,51 @@ object KgQueries {
        |$rounds
        |SELECT node, t_arr, CAST(r AS BIGINT) AS reached_round
        |FROM d3 WHERE r > 0 ORDER BY node""".stripMargin
+  }
+
+  /** HyperANF oracle: node hashes via the engine's FNV∘splitmix chain
+    * (staged HUGEINT, identical constants to sketch_hll's oracle), the
+    * t=0 registers (bucket = hu%64, rho = trailing zeros of the suffix
+    * word + 1), then every max-merge round replayed as one
+    * self-∪-neighbours MAX per (node, bucket), and the sketch_hll exact
+    * integer summary per (node, t). */
+  private lazy val anfSql: String = {
+    import DataQueries.{fnvFoldSql, mulSql, xorShrSql}
+    val rounds = (1 to 3).map { t =>
+      s"""g$t AS (SELECT node, b, MAX(r) AS r FROM (
+         |  SELECT node, b, r FROM g${t - 1}
+         |  UNION ALL
+         |  SELECT u.dst AS node, g.b, g.r
+         |  FROM und u JOIN g${t - 1} g ON g.node = u.src)
+         |  GROUP BY node, b)""".stripMargin
+    }.mkString(",\n")
+    val summaries = (0 to 3).map { t =>
+      s"""s$t AS (SELECT node, $t AS t, CAST(COUNT(*) AS BIGINT) AS n_regs,
+         |  CAST(64 - COUNT(*) AS BIGINT) AS n_zero,
+         |  CAST(SUM(CAST(1 AS BIGINT) << CAST(57 - LEAST(r, 57) AS INT))
+         |    + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 57) AS BIGINT) AS sum_pow,
+         |  CAST(SUM((b + 1) * r) AS BIGINT) AS checksum
+         |FROM g$t GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $lpaGraphCte,
+       |nd AS (SELECT DISTINCT src AS node FROM und),
+       |h0 AS (SELECT node, ${fnvFoldSql("node", "14695981039346656037")} AS hu FROM nd),
+       |m1 AS (SELECT node, ${xorShrSql("hu", "1073741824")} AS hu FROM h0),
+       |m2 AS (SELECT node, ${mulSql("hu", "13787848793156543929")} AS hu FROM m1),
+       |m3 AS (SELECT node, ${xorShrSql("hu", "134217728")} AS hu FROM m2),
+       |m4 AS (SELECT node, ${mulSql("hu", "10723151780598845931")} AS hu FROM m3),
+       |hh AS (SELECT node, ${xorShrSql("hu", "2147483648")} AS hu FROM m4),
+       |rb AS (SELECT node, CAST(hu % 64 AS BIGINT) AS b,
+       |    CAST(hu // 64 AS BIGINT) AS w FROM hh),
+       |g0 AS (SELECT node, b,
+       |    CASE WHEN w = 0 THEN 59
+       |         ELSE bit_count((w & -w) - 1) + 1 END AS r FROM rb),
+       |$rounds,
+       |$summaries
+       |SELECT node, CAST(t AS INT) AS t, n_regs, n_zero, sum_pow, checksum
+       |FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+       |      UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+       |ORDER BY node, t""".stripMargin
   }
 
   /** Shared CTE prefix for the part–part graph queries (katz / walks):

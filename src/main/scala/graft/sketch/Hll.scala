@@ -94,19 +94,40 @@ object Hll {
     * it (r > FullExp: see the checksum note in the scaladoc).
     */
   def summary(docs: DataFrame, groupCol: String = "source",
-              textCol: String = "text"): DataFrame = {
+              textCol: String = "text"): DataFrame =
+    registerSummary(registers(docs, groupCol, textCol), Seq(groupCol))
+
+  /** The integer register-vector summary keyed by arbitrary columns —
+    * shared by [[summary]] (key = source) and [[graft.canon.Anf]]
+    * (key = node, radius). Input rows are present registers
+    * (keys..., b, r); absent buckets mean register 0 and contribute a
+    * whole 2^FullExp unit to sum_pow.
+    */
+  def registerSummary(regs: DataFrame, keys: Seq[String]): DataFrame = {
     val full = lit(1L << FullExp) // the r = 0 contribution
-    registers(docs, groupCol, textCol)
-      .groupBy(col(groupCol))
+    regs.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_regs"),
         sum(expr(s"shiftleft(1L, cast($FullExp - least(r, $FullExp) as int))"))
           .as("present_pow"),
         sum((col("b") + 1) * col("r")).as("checksum"))
-      .select(col(groupCol), col("n_regs"),
+      .select(keys.map(col) ++ Seq(col("n_regs"),
         (lit(M.toLong) - col("n_regs")).as("n_zero"),
         (col("present_pow") + (lit(M.toLong) - col("n_regs")) * full)
           .as("sum_pow"),
-        col("checksum"))
+        col("checksum")): _*)
+  }
+
+  /** The classic estimate straight from a summary row's exact integers:
+    * Σ 2^-r = sum_pow / 2^FullExp (lossless for r ≤ FullExp), zeros =
+    * n_zero; small-range linear counting below 2.5m. Driver-side float
+    * math — ScalaTested, never oracled.
+    */
+  def estimateFromSummary(nZero: Long, sumPow: Long): Double = {
+    val alpha = 0.709 // α_64
+    val s = sumPow.toDouble / (1L << FullExp).toDouble
+    val raw = alpha * M * M / s
+    if (raw <= 2.5 * M && nZero > 0) M * math.log(M.toDouble / nZero)
+    else raw
   }
 
   /** The classic HLL estimate from a full m-register vector (register 0

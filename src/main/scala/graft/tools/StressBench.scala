@@ -53,7 +53,7 @@ object StressBench {
     val sections = sys.env.getOrElse("SPARK_GRAFT_STRESS_SECTIONS",
       "cc,dd,kg,inc,ivf,ivfpq,skew,lines,pagerank,spans,path,asof,range," +
         "domcap,sketch,bm25,tri,hits,kcore,quantile,chunk,keywords," +
-        "fuzzy,closeness,openie,zorder,scc,central,truss,contain")
+        "fuzzy,closeness,openie,zorder,scc,central,truss,contain,anf")
       .split(",").map(_.trim).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -1073,6 +1073,43 @@ object StressBench {
       frags += s""""openie_1x":${oStats(base)}"""
       if (sections("kg") || sections("inc"))
         frags += s""""openie_Nx":${oStats(s"$out/kg")}"""
+    }
+    if (sections("anf")) {
+      // HyperANF law: register state is EXACTLY |V|·m-bounded no matter
+      // how dense the balls get — on a bridged REP× graph the final
+      // per-round relation (n_regs summed over nodes at t=3) grows ∝
+      // REP while per-node rows stay ≤ m = 64; output rows are exactly
+      // |V|·(T+1). Contrast with exact ANF whose frontier state is
+      // Σ|ball| (the closeness section's law) — the sketch's whole
+      // point at web scale.
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+        .filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      def anfStats(edges: DataFrame): String = {
+        val (r, secs) = time {
+          graft.canon.Anf.neighborhoodFunction(edges, 3)
+            .filter(col("t") === 3)
+            .agg(count(lit(1)), sum("n_regs"), max("n_regs")).head
+        }
+        s"""{"nodes":${r.getLong(0)},"regs":${r.getLong(1)},""" +
+          s""""max_regs":${r.getLong(2)},"sec":$secs}"""
+      }
+      def und(e: DataFrame) = e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+      val e1x = li.alias("x").join(li.alias("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(concat(lit("p"), col("x.p")).as("a"),
+          concat(lit("p"), col("y.p")).as("b")).distinct()
+      val liN = li.crossJoin(reps).select(
+        (col("o") + col("k") * 10000000L).as("o"),
+        (col("p") + col("k") * 10000000L).as("p"))
+      val eNx = liN.alias("x").join(liN.alias("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(concat(lit("p"), col("x.p")).as("a"),
+          concat(lit("p"), col("y.p")).as("b")).distinct()
+      frags += s""""anf_1x":${anfStats(und(e1x))}"""
+      frags += s""""anf_Nx":${anfStats(und(eNx))}"""
     }
     if (sections("keywords")) {
       def kwStats(dir: String): String = {

@@ -16,14 +16,20 @@ import graft.SparkSpec
   *    (`queries/DataQueries.scala` popcount), broadcast 1 row;
   *  - kg_hits: per-half-round max-normalization — node scores × the
   *    1-row MAX(raw) scalar (`canon/Hits.scala` normalize).
+  * One further category is allowed: ALL-PAIRS-BY-SEMANTICS joins over
+  * dictionary-scale sketch relations, where the OUTPUT is O(n²) rows
+  * by definition so no join algorithm beats a broadcast nested loop —
+  *  - sketch_theta: per-source KMV sketches paired src_a < src_b
+  *    (`sketch/Kmv.scala` thetaPairs); |sources| rows a side, corpus
+  *    touched once upstream by the bounded agg.
   * Any new query whose join degenerates to a nested loop over real
-  * relations fails here before it can reach the driver.
+  * (corpus-scale) relations fails here before it can reach the driver.
   */
 class PlanGuardSpec extends SparkSpec {
 
   private val scalarBnljAllowed =
     Set("onto_limits", "txt_perplexity", "txt_bm25", "sketch_bloom",
-      "kg_hits")
+      "kg_hits", "sketch_theta")
 
   test("no cartesian products; BNLJ only for 1-row scalar broadcasts") {
     val dir = "/root/testdata/sf0.001"
