@@ -43,26 +43,60 @@ object Anf {
     * every t in 0..rounds. `edges(src, dst)`: pass both directions for
     * an undirected graph; nodes are taken from src (symmetrized input
     * covers every non-isolated node).
+    *
+    * Rounds are SEMI-NAIVE (the systolic form of HyperANF §4 /
+    * Datalog's delta evaluation): only registers that ROSE last round
+    * are forwarded — an unchanged register was already forwarded the
+    * round it last rose, the receiver max'd it then, and registers
+    * never decrease, so re-sending it cannot change anything. On a
+    * web graph most register mass converges within the effective
+    * diameter, so late rounds ship the o(|V|) frontier still rising
+    * rather than the full |V|·m relation; when a round's delta is
+    * EMPTY the sketch is at its fixpoint and remaining radii are
+    * emitted without another join. The extra per-round cost is one
+    * (node, b)-keyed anti-join of bounded register relations — same
+    * key, same partitioning as the max-agg it follows.
     */
   def neighborhoodFunction(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0: $rounds")
     val e = edges.select(col("src"), col("dst")).distinct()
-      .repartition(col("src"))
+      .repartition(col("dst")) // the propagation join's edge-side key
       .localCheckpoint()
     val h = MixHash(col("node"))
-    // ball(v, 0) = {v}: exactly one present register per node
-    var regs = e.select(col("src").as("node")).distinct()
+    // ball(v, 0) = {v}: exactly one present register per node. Nodes
+    // are seeded from BOTH endpoints so a directed pure-sink still
+    // counts itself (symmetrized input makes the union a no-op).
+    var regs = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
       .select(col("node"), Hll.bucketCol(h).as("b"), Hll.rhoCol(h).as("r"))
       .localCheckpoint()
+    var delta = regs // round 0: everything is new
     val out = Seq.newBuilder[DataFrame]
     out += summarize(regs, 0)
-    for (t <- 1 to rounds) {
-      val inherited = e.join(regs, e("src") === regs("node"))
-        .select(col("dst").as("node"), col("b"), col("r"))
-      regs = regs.unionAll(inherited)
+    var t = 1
+    var fixpoint = false
+    while (t <= rounds && !fixpoint) {
+      // OUT-balls, exactly as documented: v → w means v inherits w's
+      // ball, so registers flow dst → src (on symmetrized input the
+      // two orientations coincide)
+      val inherited = e.join(delta, e("dst") === delta("node"))
+        .select(e("src").as("node"), col("b"), col("r"))
+      val merged = regs.unionAll(inherited)
         .groupBy("node", "b").agg(max(col("r")).as("r"))
         .localCheckpoint()
+      // rows that rose or appeared: set-minus on the (node, b, r)
+      // triples (r is functionally determined by (node, b), so a
+      // changed r makes the whole row new)
+      delta = merged.except(regs).localCheckpoint()
+      fixpoint = delta.isEmpty
+      regs = merged
       out += summarize(regs, t)
+      t += 1
+    }
+    // past the fixpoint every remaining radius reads the same registers
+    while (t <= rounds) {
+      out += summarize(regs, t)
+      t += 1
     }
     out.result().reduce(_ unionAll _)
   }
@@ -73,16 +107,24 @@ object Anf {
 
   /** N(t) = Σ_v est|ball(v, t)| from the integer summaries — the
     * neighbourhood function, driver-side over ≤ |V|·(T+1) exact-integer
-    * rows. Returns t → N(t), t ascending.
+    * rows. Returns t → N(t), t ascending, MONOTONIZED by running max:
+    * the true N is non-decreasing (balls only grow) but a per-node
+    * estimate can dip when it crosses the linear-counting → raw-HLL
+    * boundary, and a dipping N would let [[effectiveDiameter]] fire at
+    * a spurious earlier t (the standard HyperANF regularization).
     */
-  def nf(summaries: DataFrame): Seq[(Int, Double)] =
-    summaries.select(col("t"), col("n_zero"), col("sum_pow"))
+  def nf(summaries: DataFrame): Seq[(Int, Double)] = {
+    val raw = summaries.select(col("t"), col("n_zero"), col("sum_pow"))
       .collect()
       .groupBy(_.getInt(0))
       .map { case (t, rows) =>
         t -> rows.map(r => Hll.estimateFromSummary(r.getLong(1), r.getLong(2))).sum
       }
       .toSeq.sortBy(_._1)
+    raw.scanLeft((0, Double.NegativeInfinity)) { case ((_, m), (t, v)) =>
+      (t, math.max(m, v))
+    }.drop(1)
+  }
 
   /** Effective diameter at quantile q: the smallest t with
     * N(t) ≥ q·N(T) (T = the largest computed radius). The classic
@@ -97,14 +139,16 @@ object Anf {
   }
 
   /** [[Hll.estimateFromSummary]] as a Column over (n_zero, sum_pow) —
-    * the same α_64·m²/Σ2^-r with small-range linear counting, so the
-    * distributed readouts below never collect per-node rows.
+    * same [[Hll.Alpha]]/[[Hll.LinearCutoff]] constants, same
+    * left-associated float order, JVM `Math.log` on both paths, so the
+    * two forms agree BIT-EXACTLY (AnfSpec asserts it row-by-row) and
+    * the distributed readouts below never collect per-node rows.
     */
-  private def estCol: Column = {
+  private[canon] def estCol: Column = {
     val m = lit(Hll.M.toDouble)
     val s = col("sum_pow").cast("double") / lit((1L << Hll.FullExp).toDouble)
-    val raw = lit(0.709) * m * m / s
-    when(raw <= lit(2.5) * m && col("n_zero") > 0,
+    val raw = lit(Hll.Alpha) * m * m / s
+    when(raw <= lit(Hll.LinearCutoff) * m && col("n_zero") > 0,
       m * log(m / col("n_zero").cast("double"))).otherwise(raw)
   }
 

@@ -1260,12 +1260,19 @@ object GraphAlgs {
     */
   def assortativityMoments(edges: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
+    // deg(v) = occurrences of v as src — the degree iff the input is
+    // symmetrized (the documented domain); on raw directed input this
+    // is the OUT-degree, and the decorations below are LEFT joins with
+    // missing-as-zero so a pure-sink endpoint reads deg 0 rather than
+    // silently dropping its edges from the moments
     val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
     e.join(deg.select(col("node"), col("deg").as("dx")),
-        e("src") === col("node")).drop("node")
+        e("src") === col("node"), "left").drop("node")
       .join(deg.select(col("node"), col("deg").as("dy")),
-        col("dst") === col("node")).drop("node")
+        col("dst") === col("node"), "left").drop("node")
+      .select(coalesce(col("dx"), lit(0L)).as("dx"),
+        coalesce(col("dy"), lit(0L)).as("dy"))
       .agg(count(lit(1)).as("m"),
         sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
         sum(col("dx") * col("dy")).as("sxy"),

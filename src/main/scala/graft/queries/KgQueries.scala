@@ -1843,9 +1843,10 @@ object KgQueries {
       s"""WITH $lpaGraphCte,
          |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
          |  FROM und GROUP BY src),
-         |de AS (SELECT dx.deg AS dx, dy.deg AS dy FROM und u
-         |  JOIN deg dx ON u.src = dx.node
-         |  JOIN deg dy ON u.dst = dy.node)
+         |de AS (SELECT COALESCE(dx.deg, 0) AS dx, COALESCE(dy.deg, 0) AS dy
+         |  FROM und u
+         |  LEFT JOIN deg dx ON u.src = dx.node
+         |  LEFT JOIN deg dy ON u.dst = dy.node)
          |SELECT CAST(COUNT(*) AS BIGINT) AS m,
          |  CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
          |  CAST(SUM(dx * dy) AS BIGINT) AS sxy,
@@ -2270,8 +2271,8 @@ object KgQueries {
       s"""g$t AS (SELECT node, b, MAX(r) AS r FROM (
          |  SELECT node, b, r FROM g${t - 1}
          |  UNION ALL
-         |  SELECT u.dst AS node, g.b, g.r
-         |  FROM und u JOIN g${t - 1} g ON g.node = u.src)
+         |  SELECT u.src AS node, g.b, g.r
+         |  FROM und u JOIN g${t - 1} g ON g.node = u.dst)
          |  GROUP BY node, b)""".stripMargin
     }.mkString(",\n")
     val summaries = (0 to 3).map { t =>
@@ -2283,7 +2284,7 @@ object KgQueries {
          |FROM g$t GROUP BY node)""".stripMargin
     }.mkString(",\n")
     s"""WITH $lpaGraphCte,
-       |nd AS (SELECT DISTINCT src AS node FROM und),
+       |nd AS (SELECT src AS node FROM und UNION SELECT dst FROM und),
        |h0 AS (SELECT node, ${fnvFoldSql("node", "14695981039346656037")} AS hu FROM nd),
        |m1 AS (SELECT node, ${xorShrSql("hu", "1073741824")} AS hu FROM h0),
        |m2 AS (SELECT node, ${mulSql("hu", "13787848793156543929")} AS hu FROM m1),

@@ -117,16 +117,27 @@ object Hll {
         col("checksum")): _*)
   }
 
+  /** α_64 (Flajolet et al., constants table for m = 64) — the ONE
+    * definition shared by every estimator form (scalar, register-vector
+    * and Column: [[graft.canon.Anf]]); a geometry change (P) must
+    * change it here and nowhere else. */
+  val Alpha = 0.709
+  /** Small-range cutoff: linear counting below LinearCutoff·m. */
+  val LinearCutoff = 2.5
+
   /** The classic estimate straight from a summary row's exact integers:
     * Σ 2^-r = sum_pow / 2^FullExp (lossless for r ≤ FullExp), zeros =
     * n_zero; small-range linear counting below 2.5m. Driver-side float
     * math — ScalaTested, never oracled.
     */
   def estimateFromSummary(nZero: Long, sumPow: Long): Double = {
-    val alpha = 0.709 // α_64
     val s = sumPow.toDouble / (1L << FullExp).toDouble
-    val raw = alpha * M * M / s
-    if (raw <= 2.5 * M && nZero > 0) M * math.log(M.toDouble / nZero)
+    val raw = Alpha * M * M / s
+    // StrictMath.log, not Math.log: Spark's Log Column (the Anf.estCol
+    // twin) evaluates via StrictMath, and the two forms are asserted
+    // bit-equal (AnfSpec)
+    if (raw <= LinearCutoff * M && nZero > 0)
+      M * StrictMath.log(M.toDouble / nZero)
     else raw
   }
 
@@ -137,11 +148,11 @@ object Hll {
     */
   def estimate(regs: Seq[Int]): Double = {
     require(regs.length == M, s"need $M registers, got ${regs.length}")
-    val alpha = 0.709 // α_64 (Flajolet et al., table for m = 64)
     val s = regs.map(r => math.pow(2.0, -r)).sum
-    val raw = alpha * M * M / s
+    val raw = Alpha * M * M / s
     val zeros = regs.count(_ == 0)
-    if (raw <= 2.5 * M && zeros > 0) M * math.log(M.toDouble / zeros)
+    if (raw <= LinearCutoff * M && zeros > 0)
+      M * StrictMath.log(M.toDouble / zeros)
     else raw
   }
 }

@@ -140,6 +140,38 @@ class AnfSpec extends SparkSpec {
     assert(ed >= 0 && ed <= 3)
   }
 
+  test("directed input: OUT-balls, and a pure sink still counts itself") {
+    // a -> b -> c, plus d -> b: out-balls differ from in-balls on
+    // every node, and c is a pure sink (never a src)
+    val edges = Seq("a" -> "b", "b" -> "c", "d" -> "b")
+    val adjOut = Map("a" -> Set("b"), "b" -> Set("c"), "d" -> Set("b"),
+      "c" -> Set.empty[String])
+    val got = collect(
+      Anf.neighborhoodFunction(edges.toDF("src", "dst"), rounds = 2))
+    val want = (for {
+      v <- adjOut.keys; t <- 0 to 2
+    } yield {
+      val ball = Iterator.iterate(Set(v))(b => b ++ b.flatMap(adjOut(_)))
+        .drop(t).next()
+      (v, t) -> summarize(ball)
+    }).toMap
+    assert(got === want)
+  }
+
+  test("estCol equals Hll.estimateFromSummary bit-exactly per row") {
+    val rnd = new scala.util.Random(5)
+    val edges = (0 until 200).map(_ =>
+      (s"v${rnd.nextInt(80)}", s"v${rnd.nextInt(80)}"))
+      .filter { case (a, b) => a != b }.distinct
+    val df = run(edges, rounds = 3)
+    val rows = df.withColumn("est", Anf.estCol)
+      .select("n_zero", "sum_pow", "est").collect()
+    rows.foreach { r =>
+      val want = Hll.estimateFromSummary(r.getLong(0), r.getLong(1))
+      assert(r.getDouble(2) == want, s"$r vs $want")
+    }
+  }
+
   test("HyperBall centralities track exact BFS harmonic/closeness") {
     val rnd = new scala.util.Random(23)
     val n = 200
