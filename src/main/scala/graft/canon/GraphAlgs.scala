@@ -1258,26 +1258,69 @@ object GraphAlgs {
     * themselves still fit (only the DERIVED products need care, and
     * those live driver-side in BigInt inside [[assortativityOf]]).
     */
-  def assortativityMoments(edges: DataFrame): DataFrame = {
+  /** deg(v) = occurrences of v as src — the degree iff the input is
+    * symmetrized (the documented domain of the statistics below); on
+    * raw directed input this is the OUT-degree, and the edge
+    * decorations are LEFT joins with missing-as-zero so a pure-sink
+    * endpoint reads deg 0 rather than silently dropping its edges.
+    * Returns ([deg relation], [per-edge (dx, dy) endpoint degrees]).
+    */
+  private def degreeDecorated(edges: DataFrame): (DataFrame, DataFrame) = {
     val e = edges.select(col("src"), col("dst"))
-    // deg(v) = occurrences of v as src — the degree iff the input is
-    // symmetrized (the documented domain); on raw directed input this
-    // is the OUT-degree, and the decorations below are LEFT joins with
-    // missing-as-zero so a pure-sink endpoint reads deg 0 rather than
-    // silently dropping its edges from the moments
     val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
-    e.join(deg.select(col("node"), col("deg").as("dx")),
+    val dec = e.join(deg.select(col("node"), col("deg").as("dx")),
         e("src") === col("node"), "left").drop("node")
       .join(deg.select(col("node"), col("deg").as("dy")),
         col("dst") === col("node"), "left").drop("node")
       .select(coalesce(col("dx"), lit(0L)).as("dx"),
         coalesce(col("dy"), lit(0L)).as("dy"))
+    (deg, dec)
+  }
+
+  def assortativityMoments(edges: DataFrame): DataFrame =
+    degreeDecorated(edges)._2
       .agg(count(lit(1)).as("m"),
         sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
         sum(col("dx") * col("dy")).as("sxy"),
         sum(col("dx") * col("dx")).as("sxx"),
         sum(col("dy") * col("dy")).as("syy"))
+
+  /** Rich-club connectivity (Zhou & Mondragón 2004): for each degree
+    * threshold k, how many nodes have deg > k and how many (directed
+    * multiset — symmetrized input counts each undirected edge twice)
+    * edges run BETWEEN them. φ(k) = n_edges / (n_nodes·(n_nodes−1)) is
+    * then exactly the classic 2E/(N(N−1)) — derived from the emitted
+    * integers, never computed in floats. The "do hubs form an elite
+    * core?" statistic completing the degree-correlation family next to
+    * [[assortativityMoments]].
+    *
+    * Scale shape: the corpus-scale work is the shared degree agg + two
+    * decorations ([[degreeDecorated]]); everything after runs on
+    * DEGREE HISTOGRAMS (≤ |distinct degree values| rows — dictionary
+    * scale), exploded in-row per threshold (no join, no nested loop).
+    * A k whose rich club is empty yields no row (no histogram mass
+    * passes the filter).
+    */
+  def richClub(edges: DataFrame, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty, "need at least one threshold")
+    val (deg, dec) = degreeDecorated(edges)
+    val nodeHist = deg.groupBy(col("deg").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .select(lit("n").as("kind"), col("v"), col("c"))
+    // an edge is inside the k-club iff min(dx, dy) > k
+    val edgeHist = dec.groupBy(least(col("dx"), col("dy")).as("v"))
+      .agg(count(lit(1)).as("c"))
+      .select(lit("e").as("kind"), col("v"), col("c"))
+    nodeHist.unionAll(edgeHist)
+      .select(col("kind"), col("v"), col("c"),
+        explode(typedLit(ks.map(_.toLong))).as("k"))
+      .filter(col("v") > col("k"))
+      .groupBy("k")
+      .agg(sum(when(col("kind") === "n", col("c")).otherwise(0L))
+          .as("n_nodes"),
+        sum(when(col("kind") === "e", col("c")).otherwise(0L))
+          .as("n_edges"))
   }
 
   /** Pearson's r from the [[assortativityMoments]] row — exact BigInt

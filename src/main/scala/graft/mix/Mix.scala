@@ -112,4 +112,35 @@ object Mix {
         F.explode(F.sequence(F.lit(0L), col("n_copies") - 1)))
       .drop("n_copies")
   }
+
+  /** Deterministic per-group k-sample: the k documents with the
+    * smallest avalanche hash of their id win (order by the SIGNED
+    * hash — one total order both engines share — with doc_id as the
+    * collision tiebreak). The stable "draw a heldout/eval slice"
+    * primitive: re-running over a grown corpus keeps every surviving
+    * doc's membership decision unchanged (a doc is displaced only by a
+    * smaller hash arriving, never by reordering), unlike
+    * `TABLESAMPLE`/`rand()` which reshuffle per run.
+    *
+    * Scale shape: rank = row_number over (group, hash) — the
+    * InsertWindowGroupLimits rewrite (SPARK-37099) truncates every map
+    * partition to k rows per group BEFORE the exchange
+    * (WindowGroupLimitSpec proves the partial node on this exact
+    * shape), so the shuffle carries ≈ groups × k × partitions rows,
+    * never the corpus. [[graft.functions.MixHash]] (splitmix∘FNV)
+    * rather than raw FNV: consecutive decimal ids must not
+    * adjacency-bias the sample.
+    */
+  def sample(docs: DataFrame, k: Int,
+             groupCol: String = "source"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val h = graft.functions.MixHash(col("doc_id").cast("string"))
+    docs.select(col(groupCol), col("doc_id"), h.as("h"))
+      .withColumn("rank", F.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCol).orderBy(col("h"), col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col("doc_id"),
+        col("rank").cast("long").as("rk"))
+  }
 }

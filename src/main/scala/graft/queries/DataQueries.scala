@@ -746,7 +746,31 @@ object DataQueries {
         spark.read.parquet(s"$dir/documents.parquet"), nShards = 16)
       .orderBy("doc_id")
 
+  /** Deterministic per-source 5-sample by avalanche-hash rank — the
+    * stable heldout/eval draw (see [[graft.mix.Mix.sample]]; the
+    * shuffle carries ≈ sources × k × partitions rows via
+    * InsertWindowGroupLimits, never the corpus). Oracle replays the
+    * mix chain per doc_id and the signed-order ROW_NUMBER.
+    */
+  def mixSample(spark: SparkSession, dir: String): DataFrame =
+    graft.mix.Mix.sample(
+        spark.read.parquet(s"$dir/documents.parquet"), k = 5)
+      .orderBy("source", "rk")
+
+  /** Per-document Shannon token entropy in deterministic micro-nats
+    * (see [[graft.text.TextAnalysis.entropy]] — ln only over small
+    * integer counts, scaled before the multiply, so every quantization
+    * decision is engine-stable). Oracle replays histogram,
+    * per-count quantization, integer sum and floor division.
+    */
+  def txtEntropy(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.entropy(
+        spark.read.parquet(s"$dir/documents.parquet"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_sample" -> mixSample,
+    "txt_entropy" -> txtEntropy,
     "dd_exact" -> ddExact,
     "dd_exact_clusters" -> ddExactClusters,
     "dd_decontam" -> ddDecontam,
@@ -905,6 +929,42 @@ object DataQueries {
       s"(acc, x) -> acc + x)"
 
   val oracles: Map[String, String] = Map(
+    // the mix chain over the decimal doc_id, ranked in the SIGNED
+    // 64-bit order Spark's orderBy(h) uses, doc_id tiebreak
+    "mix_sample" ->
+      s"""WITH h0 AS (SELECT source, doc_id,
+         |    ${fnvFoldSql("CAST(doc_id AS VARCHAR)", "14695981039346656037")} AS hu
+         |  FROM documents),
+         |m1 AS (SELECT source, doc_id, ${xorShrSql("hu", "1073741824")} AS hu FROM h0),
+         |m2 AS (SELECT source, doc_id, ${mulSql("hu", "13787848793156543929")} AS hu FROM m1),
+         |m3 AS (SELECT source, doc_id, ${xorShrSql("hu", "134217728")} AS hu FROM m2),
+         |m4 AS (SELECT source, doc_id, ${mulSql("hu", "10723151780598845931")} AS hu FROM m3),
+         |m5 AS (SELECT source, doc_id, ${xorShrSql("hu", "2147483648")} AS hu FROM m4),
+         |hh AS (SELECT source, doc_id, ${signedSql("hu")} AS h FROM m5),
+         |fin AS (SELECT source, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id)
+         |      AS rn
+         |  FROM hh)
+         |SELECT source, doc_id, CAST(rn AS BIGINT) AS rk
+         |FROM fin WHERE rn <= 5 ORDER BY source, rk""".stripMargin,
+    // per-doc token histogram -> per-count micro-nat quantization ->
+    // exact integer sum -> floor division, mirroring TextAnalysis.entropy
+    "txt_entropy" ->
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+        |      AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tk GROUP BY 1, 2),
+        |ag AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    CAST(SUM(c * CAST(ROUND(ln(c) * 1e6) AS BIGINT)) AS BIGINT)
+        |      AS s_micro
+        |  FROM tf GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  CAST(CAST(ROUND(ln(n_tokens) * 1e6) AS BIGINT)
+        |    - s_micro // n_tokens AS BIGINT) AS entropy_micro
+        |FROM ag ORDER BY doc_id""".stripMargin,
     // log-bucketed quantile sketch replayed bit-exactly: the bucket
     // function (bin()-derived msb + 4 mantissa bits), the cumulative
     // walk and the bound formulas are all integer — see QuantileHist

@@ -1229,10 +1229,24 @@ object KgQueries {
     graft.canon.GraphAlgs.reciprocity(
       partSeqEdges(spark, dir, cap = 20000))
 
+  /** Rich-club connectivity of the kg_lpa graph at thresholds
+    * k ∈ {1, 2, 4, 8, 16}: per k, nodes with deg > k and the directed
+    * multiset of edges between them (see
+    * [[graft.canon.GraphAlgs.richClub]] — all post-degree work runs on
+    * degree HISTOGRAMS, dictionary scale). Oracle replays decoration,
+    * both histograms, the in-row threshold explode and the
+    * conditional-sum rollup.
+    */
+  def kgRichclub(spark: SparkSession, dir: String): DataFrame =
+    graft.canon.GraphAlgs
+      .richClub(lpaUnd(lpaEdges(spark, dir)), Seq(1, 2, 4, 8, 16))
+      .orderBy("k")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_anf" -> kgAnf,
     "kg_assortativity" -> kgAssortativity,
     "kg_reciprocity" -> kgReciprocity,
+    "kg_richclub" -> kgRichclub,
     "kg_extract_text" -> kgExtractText,
     "kg_mentions" -> kgMentions,
     "kg_mentions_ctx" -> kgMentionsCtx,
@@ -1853,6 +1867,28 @@ object KgQueries {
          |  CAST(SUM(dx * dx) AS BIGINT) AS sxx,
          |  CAST(SUM(dy * dy) AS BIGINT) AS syy
          |FROM de""".stripMargin,
+    // decoration + node/edge degree histograms + in-row threshold
+    // unnest + conditional rollup, mirroring GraphAlgs.richClub
+    "kg_richclub" ->
+      s"""WITH $lpaGraphCte,
+         |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM und GROUP BY src),
+         |dc AS (SELECT COALESCE(dx.deg, 0) AS dx, COALESCE(dy.deg, 0) AS dy
+         |  FROM und u
+         |  LEFT JOIN deg dx ON u.src = dx.node
+         |  LEFT JOIN deg dy ON u.dst = dy.node),
+         |nh AS (SELECT 'n' AS kind, deg AS v, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM deg GROUP BY deg),
+         |eh AS (SELECT 'e' AS kind, LEAST(dx, dy) AS v,
+         |  CAST(COUNT(*) AS BIGINT) AS c FROM dc GROUP BY 1, 2),
+         |hist AS (SELECT * FROM nh UNION ALL SELECT * FROM eh),
+         |ex AS (SELECT kind, v, c, unnest([1, 2, 4, 8, 16]) AS k FROM hist)
+         |SELECT CAST(k AS BIGINT) AS k,
+         |  CAST(SUM(CASE WHEN kind = 'n' THEN c ELSE 0 END) AS BIGINT)
+         |    AS n_nodes,
+         |  CAST(SUM(CASE WHEN kind = 'e' THEN c ELSE 0 END) AS BIGINT)
+         |    AS n_edges
+         |FROM ex WHERE v > k GROUP BY k ORDER BY k""".stripMargin,
     // the kg_scc part-sequence digraph: distinct directed edges vs
     // edges whose reverse exists
     "kg_reciprocity" ->

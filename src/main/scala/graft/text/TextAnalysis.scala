@@ -143,6 +143,42 @@ object TextAnalysis {
       .drop("__toks")
   }
 
+  /** Shannon token entropy per document, in deterministic micro-nats —
+    * the gibberish/boilerplate signal (near-zero entropy = one token
+    * repeated; high entropy at given length = diverse vocabulary) the
+    * quality funnel thresholds alongside [[repetition]]'s counts.
+    * H = ln n − (Σ c·ln c)/n over the per-doc token histogram,
+    * quantized so BOTH engines agree bit-exactly: ln is taken ONLY
+    * over small integer counts and scaled to micro-nats BEFORE the
+    * multiply — `c · round(ln(c)·1e6)` is integer arithmetic, the sum
+    * is an exact BIGINT (order-invariant, unlike a float Σ whose
+    * last-ulp depends on reduce order), and the final `div` is floor
+    * division. A raw `round(c·ln(c)·1e6)` would put the rounding
+    * boundary at magnitude ~1e9 where the two libms' 1-ulp
+    * disagreements flip it with probability ~1e-6 PER TERM — at 1e6
+    * (doc, token) terms that flakes every other run; over integer-only
+    * ln args (≤ max token count) the set of rounding decisions is
+    * small, fixed, and verified once by the driver's oracle compare.
+    *
+    * Scale shape: one explode + one (doc, token)-keyed
+    * map-side-combined agg + one doc-keyed agg — the repetition/BM25
+    * shape, no O(tokens²) work. Docs with zero tokens are absent (no
+    * histogram rows), matching the SQL replay.
+    */
+  def entropy(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = filter(split(col(textCol), " "), w => w =!= "")
+    docs.select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * round(log(col("c")) * 1e6).cast("long"))
+          .as("s_micro"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (round(log(col("n_tokens")) * 1e6).cast("long") -
+          expr("s_micro div n_tokens")).as("entropy_micro"))
+  }
+
   /** Quality features per document: lengths, ratios, stopword share —
     * integer counts + single final divisions (cross-engine exact).
     */

@@ -63,6 +63,32 @@ class GraphStatsSpec extends SparkSpec {
       mm._6).isEmpty)
   }
 
+  test("rich club equals the naive replay; star closed form") {
+    check(Prop.forAll(genEdges) { es =>
+      es.isEmpty || {
+        val und = es.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+        val deg = und.groupBy(_._1).map { case (v, e) => v -> e.size.toLong }
+        val ks = Seq(1, 2, 4)
+        val want = ks.flatMap { k =>
+          val nodes = deg.count(_._2 > k).toLong
+          val inner = und.count { case (a, b) => deg(a) > k && deg(b) > k }
+          if (nodes == 0 && inner == 0) None
+          else Some(k.toLong -> (nodes, inner.toLong))
+        }.toMap
+        val got = GraphAlgs.richClub(und.toDF("src", "dst"), ks)
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+        got == want
+      }
+    })
+    // star K1,6: only the hub (deg 6) passes k=1, and no edge has both
+    // endpoints in the club
+    val star = (1 to 6).flatMap(i => Seq(("h", s"l$i"), (s"l$i", "h")))
+    val got = GraphAlgs.richClub(star.toDF("src", "dst"), Seq(1, 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet === Set((1L, 1L, 0L), (2L, 1L, 0L)))
+  }
+
   test("reciprocity equals the naive replay; symmetrized graph reads 1") {
     check(Prop.forAll(genEdges) { es =>
       es.isEmpty || {
