@@ -143,4 +143,57 @@ object Mix {
       .select(col(groupCol), col("doc_id"),
         col("rank").cast("long").as("rk"))
   }
+
+  /** Exact integer square root as a Column: floor(√x) for
+    * 0 ≤ x < 2^62. The float candidate from `sqrt` is within ±1 of the
+    * truth; the two integer CASE adjustments then make the result
+    * exact REGARDLESS of the engine's libm — the same belt-and-braces
+    * trick both sides of the `mix_temperature` oracle replay. The
+    * domain cap keeps `(s+1)²` inside a signed long (ANSI mode throws
+    * on overflow).
+    */
+  def isqrt(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s0 = F.floor(F.sqrt(x.cast("double"))).cast("long")
+    val s1 = F.when(s0 * s0 > x, s0 - 1).otherwise(s0)
+    F.when((s1 + 1) * (s1 + 1) <= x, s1 + 1).otherwise(s1)
+  }
+
+  /** Temperature-scaled mixture weights (the multilingual/multi-corpus
+    * sampling recipe of mT5/XLM-R: p_i ∝ c_i^α with α = 1/2): per
+    * source, basis points out of `totalBp` proportional to √(doc
+    * count), in EXACT integer arithmetic — w_i = isqrt(c_i · 10^6)
+    * (a 1000·√c fixed point), base share by floor division, and the
+    * leftover `totalBp − Σ base` distributed by largest remainder
+    * (source name as the deterministic tie-break). Σ bp == totalBp
+    * ALWAYS (spec'd), and every decision replays bit-exactly in the
+    * oracle — no float share ever materializes.
+    *
+    * Scale shape: one map-side-combined count per source, then all
+    * arithmetic on the DICTIONARY-sized aggregate (the empty-frame
+    * windows move ≤ |sources| rows to one task — the same
+    * dictionary-scale pattern as the codebook/skew-stat steps). The
+    * fixed point keeps c_i · 10^6 inside [[isqrt]]'s 2^62 domain for
+    * any c_i ≤ 4.6 · 10^12 docs per source — past any real corpus.
+    *
+    * Output: (source, n_docs, w, bp), one row per source.
+    */
+  def temperatureBp(docs: DataFrame, totalBp: Long = 10000L,
+                    groupCol: String = "source"): DataFrame = {
+    require(totalBp > 0, s"totalBp must be positive: $totalBp")
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    val counts = docs.groupBy(col(groupCol).as("source"))
+      .agg(F.count(F.lit(1)).as("n_docs"))
+      .withColumn("w", isqrt(col("n_docs") * F.lit(1000000L)))
+    counts
+      .withColumn("tw", F.sum("w").over(all))
+      .withColumn("base", F.expr("w * " + totalBp + " div tw"))
+      .withColumn("rem", (col("w") * totalBp) % col("tw"))
+      .withColumn("deficit", F.lit(totalBp) - F.sum("base").over(all))
+      .withColumn("rk", F.row_number().over(
+        Window.orderBy(F.desc("rem"), col("source"))))
+      .select(col("source"), col("n_docs"), col("w"),
+        (col("base") +
+          F.when(col("rk") <= col("deficit"), 1L).otherwise(0L)).as("bp"))
+  }
 }

@@ -768,9 +768,38 @@ object DataQueries {
         spark.read.parquet(s"$dir/documents.parquet"))
       .orderBy("doc_id")
 
+  /** Exact heavy hitters (tokens with ≥ 1/30 of corpus mass) via the
+    * two-pass Misra–Gries candidates + exact-recount shape (see
+    * [[graft.sketch.HeavyHitters]] — pass 1 shuffles nothing, pass 2
+    * aggregates candidate keys only; the output depends ONLY on the
+    * data, so the oracle is the plain HAVING query).
+    */
+  def txtHeavyhitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(filter(split(col("text"), " "), w => w =!= ""))
+        .as("tok"))
+      .as[String]
+    graft.sketch.HeavyHitters.exact(toks, k = 30)
+      .orderBy(desc("c"), col("tok"))
+  }
+
+  /** Temperature-scaled mixture weights (p_i ∝ √c_i, the mT5/XLM-R
+    * α = 1/2 recipe) in exact integer basis points with
+    * largest-remainder rounding — see [[graft.mix.Mix.temperatureBp]].
+    * Oracle replays isqrt fixed point, floor shares and the remainder
+    * ranking.
+    */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame =
+    graft.mix.Mix.temperatureBp(
+        spark.read.parquet(s"$dir/documents.parquet"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mix_sample" -> mixSample,
+    "mix_temperature" -> mixTemperature,
     "txt_entropy" -> txtEntropy,
+    "txt_heavyhitters" -> txtHeavyhitters,
     "dd_exact" -> ddExact,
     "dd_exact_clusters" -> ddExactClusters,
     "dd_decontam" -> ddDecontam,
@@ -929,6 +958,43 @@ object DataQueries {
       s"(acc, x) -> acc + x)"
 
   val oracles: Map[String, String] = Map(
+    // the plain exact HAVING query — the two-pass MG stage is a pure
+    // optimization whose candidate superset never changes the answer
+    "txt_heavyhitters" ->
+      """WITH tk AS (SELECT
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+        |      AS tok
+        |  FROM documents),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tk),
+        |ht AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tk GROUP BY tok)
+        |SELECT ht.tok, ht.c, n.n_tokens FROM ht, n
+        |WHERE ht.c * 30 >= n.n_tokens ORDER BY ht.c DESC, ht.tok""".stripMargin,
+    // isqrt fixed point (float candidate + two exact CASE adjustments),
+    // floor shares, largest-remainder ranking — mirrors Mix.temperatureBp
+    "mix_temperature" ->
+      """WITH cs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY source),
+        |s0 AS (SELECT source, n_docs, n_docs * 1000000 AS x,
+        |    CAST(FLOOR(SQRT(CAST(n_docs * 1000000 AS DOUBLE))) AS BIGINT)
+        |      AS s
+        |  FROM cs),
+        |s1 AS (SELECT source, n_docs, x,
+        |    CASE WHEN s * s > x THEN s - 1 ELSE s END AS s FROM s0),
+        |wv AS (SELECT source, n_docs,
+        |    CASE WHEN (s + 1) * (s + 1) <= x THEN s + 1 ELSE s END AS w
+        |  FROM s1),
+        |ag AS (SELECT source, n_docs, w, SUM(w) OVER () AS tw FROM wv),
+        |bs AS (SELECT source, n_docs, w,
+        |    w * 10000 // tw AS base, (w * 10000) % tw AS rem,
+        |    10000 - SUM(w * 10000 // tw) OVER () AS deficit,
+        |    ROW_NUMBER() OVER (ORDER BY (w * 10000) % tw DESC, source)
+        |      AS rk
+        |  FROM ag)
+        |SELECT source, n_docs, w,
+        |  CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+        |    AS bp
+        |FROM bs ORDER BY source""".stripMargin,
     // the mix chain over the decimal doc_id, ranked in the SIGNED
     // 64-bit order Spark's orderBy(h) uses, doc_id tiebreak
     "mix_sample" ->
