@@ -1323,6 +1323,101 @@ object GraphAlgs {
           .as("n_edges"))
   }
 
+  /** Exact 4-node graphlet census (non-induced counts, the ESCAPE
+    * decomposition — Pinar, Seshadhri & Vishal, WWW 2017): one row of
+    * global motif counts over an undirected simple graph —
+    *
+    *   n_nodes, n_edges,
+    *   n_wedges     = Σ_v C(deg v, 2)
+    *   n_triangles  = |apex rows| / 3 (each triangle seen once per edge)
+    *   n_paths3     = Σ_e (deg a − 1)(deg b − 1) − 3·triangles
+    *   n_tailed     = Σ_{(edge, apex)} (deg apex − 2)
+    *   n_diamonds   = Σ_e C(t_e, 2)      (triangle pairs sharing edge e)
+    *   n_cycles4    = Σ_{x<y} C(codeg(x,y), 2) / 2 (two diagonals each)
+    *   n_cliques4   = |adjacent apex pairs per edge| / 6 (six edges each)
+    *
+    * — the structural fingerprint (motif signature) of the canonical
+    * entity graph; every quantity is an exact integer replayed verbatim
+    * by the `kg_motifs` oracle. Input edges are re-canonicalized
+    * internally (least/greatest, self-loops dropped, distinct) so the
+    * apex probe's (x, y) orientation always matches the edge table's.
+    *
+    * Scale shape: the wedge join fans out Σ_v C(deg v, 2) rows — the
+    * irreducible cost of exact codegree/4-cycle counting (on skewed
+    * graphs, cap hubs first: [[linkPrediction]]'s maxHubDegree guard
+    * composes — census the capped graph and report the cap). Wedge rows
+    * are deliberately RECOMPUTED for the codegree and apex branches
+    * rather than materialized (two shuffles beat persisting a
+    * wedge-scale table); apex rows (3 per triangle) ARE checkpointed and
+    * reused four times. The apex-pair stage is Σ_e C(t_e, 2) =
+    * n_diamonds rows — triangle-density-bounded, never |V|². Scalars
+    * assemble via a 9-row metric union + ONE aggregate (no 1-row
+    * nested-loop joins).
+    */
+  def motifCensus(edges: DataFrame): DataFrame = {
+    val e = edges.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    val und = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+    val deg = und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+
+    def wedgeRows = und.alias("u1").join(und.alias("u2"),
+        col("u1.src") === col("u2.src") && col("u1.dst") < col("u2.dst"))
+      .select(col("u1.dst").as("x"), col("u2.dst").as("y"),
+        col("u1.src").as("z"))
+
+    // (edge (x,y), apex z): one row per (triangle, edge) — 3 per triangle
+    val apex = wedgeRows.join(e,
+        col("x") === col("a") && col("y") === col("b"))
+      .select(col("x"), col("y"), col("z")).localCheckpoint()
+
+    def metric(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("m"),
+        col(df.columns.head).cast("long").as("v"))
+
+    val p3w = e.join(deg.select(col("node"), col("deg").as("da")),
+        col("a") === col("node")).drop("node")
+      .join(deg.select(col("node"), col("deg").as("db")),
+        col("b") === col("node")).drop("node")
+      .agg(coalesce(sum((col("da") - 1) * (col("db") - 1)), lit(0L)))
+    val apexPairs = apex.join(
+        apex.select(col("x"), col("y"), col("z").as("z2")), Seq("x", "y"))
+      .filter(col("z") < col("z2"))
+    val parts = Seq(
+      metric("n_nodes", deg.agg(count(lit(1)))),
+      metric("n_edges", e.agg(count(lit(1)))),
+      metric("n_wedges",
+        deg.agg(coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L)))),
+      metric("t3", apex.agg(count(lit(1)))),
+      metric("p3w", p3w),
+      metric("n_tailed", apex.join(deg, col("z") === col("node"))
+        .agg(coalesce(sum(col("deg") - 2), lit(0L)))),
+      metric("n_diamonds",
+        apex.groupBy("x", "y").agg(count(lit(1)).as("t"))
+          .agg(coalesce(sum(expr("t * (t - 1) div 2")), lit(0L)))),
+      metric("c4x2",
+        wedgeRows.groupBy("x", "y").agg(count(lit(1)).as("cd"))
+          .agg(coalesce(sum(expr("cd * (cd - 1) div 2")), lit(0L)))),
+      metric("k6", apexPairs.join(e,
+          col("z") === col("a") && col("z2") === col("b"))
+        .agg(count(lit(1)))))
+
+    def pick(name: String) =
+      coalesce(sum(when(col("m") === name, col("v"))), lit(0L)).as(name)
+    parts.reduce(_ unionAll _)
+      .agg(pick("n_nodes"), pick("n_edges"), pick("n_wedges"), pick("t3"),
+        pick("p3w"), pick("n_tailed"), pick("n_diamonds"), pick("c4x2"),
+        pick("k6"))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        expr("t3 div 3").as("n_triangles"),
+        (col("p3w") - col("t3")).as("n_paths3"),
+        col("n_tailed"), col("n_diamonds"),
+        expr("c4x2 div 2").as("n_cycles4"),
+        expr("k6 div 6").as("n_cliques4"))
+  }
+
   /** Pearson's r from the [[assortativityMoments]] row — exact BigInt
     * products, one final float division (None when a variance is 0:
     * regular graphs have undefined assortativity). */

@@ -1242,11 +1242,23 @@ object KgQueries {
       .richClub(lpaUnd(lpaEdges(spark, dir)), Seq(1, 2, 4, 8, 16))
       .orderBy("k")
 
+  /** Exact 4-node graphlet census of the part graph — the motif
+    * signature (wedges / triangles / paths / tailed triangles /
+    * diamonds / 4-cycles / 4-cliques, all non-induced exact integers;
+    * see [[graft.canon.GraphAlgs.motifCensus]] for the ESCAPE-style
+    * formulas and the wedge-join scale shape). Oracle replays every
+    * branch: canonicalization, wedge rows, apex rows, the codegree and
+    * triangle-support histograms, and the apex-pair adjacency probe.
+    */
+  def kgMotifs(spark: SparkSession, dir: String): DataFrame =
+    graft.canon.GraphAlgs.motifCensus(partEdgesOriented(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_anf" -> kgAnf,
     "kg_assortativity" -> kgAssortativity,
     "kg_reciprocity" -> kgReciprocity,
     "kg_richclub" -> kgRichclub,
+    "kg_motifs" -> kgMotifs,
     "kg_extract_text" -> kgExtractText,
     "kg_mentions" -> kgMentions,
     "kg_mentions_ctx" -> kgMentionsCtx,
@@ -1889,6 +1901,55 @@ object KgQueries {
          |  CAST(SUM(CASE WHEN kind = 'e' THEN c ELSE 0 END) AS BIGINT)
          |    AS n_edges
          |FROM ex WHERE v > k GROUP BY k ORDER BY k""".stripMargin,
+    // full ESCAPE-style replay: canonicalized edges, wedge rows, apex
+    // rows, codegree/support histograms, apex-pair adjacency probe —
+    // mirrors GraphAlgs.motifCensus branch by branch
+    "kg_motifs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_orderkey < 300),
+        |e0 AS (SELECT DISTINCT 'p' || x.p AS u, 'p' || y.p AS v
+        |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+        |e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+        |  FROM e0 WHERE u <> v),
+        |und AS (SELECT a AS src, b AS dst FROM e
+        |        UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM und GROUP BY src),
+        |wr AS (SELECT u1.dst AS x, u2.dst AS y, u1.src AS z
+        |  FROM und u1 JOIN und u2
+        |    ON u1.src = u2.src AND u1.dst < u2.dst),
+        |apex AS (SELECT wr.x, wr.y, wr.z FROM wr
+        |  JOIN e ON wr.x = e.a AND wr.y = e.b),
+        |cd AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cd
+        |  FROM wr GROUP BY x, y),
+        |ts AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS t
+        |  FROM apex GROUP BY x, y),
+        |ap2 AS (SELECT p1.x, p1.y, p1.z AS z1, p2.z AS z2 FROM apex p1
+        |  JOIN apex p2 ON p1.x = p2.x AND p1.y = p2.y AND p1.z < p2.z),
+        |scal AS (SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+        |  (SELECT CAST(COALESCE(SUM(deg * (deg - 1) // 2), 0) AS BIGINT)
+        |     FROM deg) AS n_wedges,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM apex) AS t3,
+        |  (SELECT CAST(COALESCE(SUM((da.deg - 1) * (db.deg - 1)), 0)
+        |       AS BIGINT)
+        |     FROM e JOIN deg da ON e.a = da.node
+        |       JOIN deg db ON e.b = db.node) AS p3w,
+        |  (SELECT CAST(COALESCE(SUM(d.deg - 2), 0) AS BIGINT)
+        |     FROM apex a JOIN deg d ON a.z = d.node) AS n_tailed,
+        |  (SELECT CAST(COALESCE(SUM(t * (t - 1) // 2), 0) AS BIGINT)
+        |     FROM ts) AS n_diamonds,
+        |  (SELECT CAST(COALESCE(SUM(cd * (cd - 1) // 2), 0) AS BIGINT)
+        |     FROM cd) AS c4x2,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ap2
+        |     JOIN e ON ap2.z1 = e.a AND ap2.z2 = e.b) AS k6)
+        |SELECT n_nodes, n_edges, n_wedges,
+        |  CAST(t3 // 3 AS BIGINT) AS n_triangles,
+        |  CAST(p3w - t3 AS BIGINT) AS n_paths3, n_tailed, n_diamonds,
+        |  CAST(c4x2 // 2 AS BIGINT) AS n_cycles4,
+        |  CAST(k6 // 6 AS BIGINT) AS n_cliques4
+        |FROM scal""".stripMargin,
     // the kg_scc part-sequence digraph: distinct directed edges vs
     // edges whose reverse exists
     "kg_reciprocity" ->

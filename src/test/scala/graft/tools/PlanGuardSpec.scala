@@ -15,7 +15,9 @@ import graft.SparkSpec
   *  - sketch_bloom: probe verdicts × the filter-popcount scalar
   *    (`queries/DataQueries.scala` popcount), broadcast 1 row;
   *  - kg_hits: per-half-round max-normalization — node scores × the
-  *    1-row MAX(raw) scalar (`canon/Hits.scala` normalize).
+  *    1-row MAX(raw) scalar (`canon/Hits.scala` normalize);
+  *  - txt_heavyhitters: candidate exact counts × the corpus-total
+  *    scalar (`sketch/HeavyHitters.scala` exact), broadcast 1 row.
   * One further category is allowed: ALL-PAIRS-BY-SEMANTICS joins over
   * dictionary-scale sketch relations, where the OUTPUT is O(n²) rows
   * by definition so no join algorithm beats a broadcast nested loop —
@@ -29,7 +31,7 @@ class PlanGuardSpec extends SparkSpec {
 
   private val scalarBnljAllowed =
     Set("onto_limits", "txt_perplexity", "txt_bm25", "sketch_bloom",
-      "kg_hits", "sketch_theta")
+      "kg_hits", "sketch_theta", "txt_heavyhitters")
 
   test("no cartesian products; BNLJ only for 1-row scalar broadcasts") {
     val dir = "/root/testdata/sf0.001"
