@@ -650,16 +650,119 @@ object Multimodal {
     }
   }
 
+  // --------------------------------------------------------------- JPEG
+
+  /** JPEG SOF metadata: frame dims/components, baseline-vs-progressive,
+    * and the header-segment count (through SOS). */
+  final case class JpegInfo(width: Int, height: Int, channels: Int,
+                            progressive: Boolean, nSegments: Int)
+
+  /** Synthesize a structurally valid JFIF stream: SOI, APP0(JFIF), DQT,
+    * SOF0/SOF2 carrying the dims, a stub DHT, SOS, then an
+    * entropy-coded payload of ⌊w·h/16⌋ gradient bytes (values < 0xFF so
+    * no byte-stuffing ambiguity), EOI. Total size is the closed form
+    * 146 + ⌊w·h/16⌋ the `mm_jpeg` oracle recomputes (JpegSpec pins the
+    * constant). The entropy data is NOT a decodable scan (a Huffman
+    * coder is out of scope — the STUBBED step per the brief); every
+    * header byte is real, which is all [[decodeJpegInfo]] reads.
+    */
+  def encodeJpeg(width: Int, height: Int,
+                 progressive: Boolean): Array[Byte] = {
+    require(width > 0 && width <= 0xffff && height > 0 && height <= 0xffff,
+      s"JPEG dims out of 16-bit range: ${width}x$height")
+    val k = width * height / 16
+    val bb = ByteBuffer.allocate(146 + k) // JPEG is big-endian
+    bb.putShort(0xFFD8.toShort) // SOI
+    bb.putShort(0xFFE0.toShort); bb.putShort(16) // APP0
+    bb.put("JFIF".getBytes(StandardCharsets.US_ASCII)); bb.put(0.toByte)
+    bb.put(1.toByte); bb.put(1.toByte) // version 1.1
+    bb.put(0.toByte) // aspect-ratio units
+    bb.putShort(1); bb.putShort(1) // density
+    bb.put(0.toByte); bb.put(0.toByte) // no thumbnail
+    bb.putShort(0xFFDB.toShort); bb.putShort(67); bb.put(0.toByte) // DQT
+    var i = 0
+    while (i < 64) { bb.put(((i % 254) + 1).toByte); i += 1 }
+    bb.putShort((if (progressive) 0xFFC2 else 0xFFC0).toShort) // SOF
+    bb.putShort(17); bb.put(8.toByte)
+    bb.putShort(height.toShort); bb.putShort(width.toShort)
+    bb.put(3.toByte) // YCbCr
+    bb.put(1.toByte); bb.put(0x22.toByte); bb.put(0.toByte) // Y 2x2
+    bb.put(2.toByte); bb.put(0x11.toByte); bb.put(0.toByte) // Cb
+    bb.put(3.toByte); bb.put(0x11.toByte); bb.put(0.toByte) // Cr
+    bb.putShort(0xFFC4.toShort); bb.putShort(20); bb.put(0.toByte) // DHT
+    val counts = new Array[Byte](16); counts(1) = 1
+    bb.put(counts); bb.put(0.toByte)
+    bb.putShort(0xFFDA.toShort); bb.putShort(12); bb.put(3.toByte) // SOS
+    bb.put(1.toByte); bb.put(0.toByte)
+    bb.put(2.toByte); bb.put(0x11.toByte)
+    bb.put(3.toByte); bb.put(0x11.toByte)
+    bb.put(0.toByte); bb.put(63.toByte); bb.put(0.toByte)
+    i = 0
+    while (i < k) { bb.put((i % 251).toByte); i += 1 } // no 0xFF bytes
+    bb.putShort(0xFFD9.toShort) // EOI
+    bb.array()
+  }
+
+  /** Marker-walking JPEG header parse — what `file(1)`/exiftool do:
+    * skip 0xFF fill bytes, step length-delimited segments, read the
+    * frame header from any SOF0–SOF15 (except the non-frame C4/C8/CC),
+    * stop at SOS (entropy data is not length-delimited) or EOI. Returns
+    * None on truncation, a missing SOF, zero dims, or a component
+    * count the segment length can't hold — the same
+    * hostile-input hardening as [[decodeBmp]]/[[decodeWav]]. Works on
+    * real-world JPEGs, not just [[encodeJpeg]]'s: fill bytes, extra
+    * APPn/COM segments and restart markers all walk correctly
+    * (JpegSpec splices a COM segment in and checks the count).
+    */
+  def decodeJpegInfo(bytes: Array[Byte]): Option[JpegInfo] = {
+    if (bytes == null || bytes.length < 4 ||
+        (bytes(0) & 0xff) != 0xFF || (bytes(1) & 0xff) != 0xD8) return None
+    def u8(p: Int) = bytes(p) & 0xff
+    def u16(p: Int) = (u8(p) << 8) | u8(p + 1)
+    var off = 2
+    var segs = 0
+    var sof: Option[(Int, Int, Int, Boolean)] = None
+    while (off + 1 < bytes.length) {
+      if (u8(off) != 0xFF) return None
+      var m = off + 1
+      while (m < bytes.length && u8(m) == 0xFF) m += 1 // fill bytes
+      if (m >= bytes.length) return None
+      val marker = u8(m)
+      if (marker == 0xD9) off = bytes.length // EOI
+      else if ((marker >= 0xD0 && marker <= 0xD7) || marker == 0x01)
+        off = m + 1 // standalone RSTn / TEM
+      else {
+        if (m + 2 >= bytes.length) return None
+        val len = u16(m + 1)
+        if (len < 2 || m + 1 + len > bytes.length) return None
+        segs += 1
+        if (marker >= 0xC0 && marker <= 0xCF && marker != 0xC4 &&
+            marker != 0xC8 && marker != 0xCC) {
+          if (len < 8) return None
+          val h = u16(m + 4); val w = u16(m + 6); val nc = u8(m + 8)
+          if (w == 0 || h == 0 || nc == 0 || len < 8 + 3 * nc) return None
+          sof = Some((w, h, nc, marker == 0xC2))
+        }
+        if (marker == 0xDA) off = bytes.length // SOS: entropy follows
+        else off = m + 1 + len
+      }
+    }
+    sof.map { case (w, h, nc, prog) => JpegInfo(w, h, nc, prog, segs) }
+  }
+
   // ------------------------------------------------------------ dispatch
 
-  /** Decode any supported container by magic: BMP / WAV / Y4M (real
-    * formats) plus the legacy GFT1 synthetic container.
+  /** Decode any supported container by magic: BMP / PNG / JPEG / WAV /
+    * Y4M (real formats) plus the legacy GFT1 synthetic container.
     */
   def decode(bytes: Array[Byte]): Option[Meta] = {
     if (bytes == null || bytes.length < 4) return None
     if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
     else if (bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' &&
              bytes(3) == 'G') decodePng(bytes)
+    else if ((bytes(0) & 0xff) == 0xFF && (bytes(1) & 0xff) == 0xD8)
+      decodeJpegInfo(bytes).map(j =>
+        Meta("image", j.width, j.height, j.channels, 1, 0))
     else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
              bytes(3) == 'F') decodeWav(bytes)
     else if (bytes(0) == 'Y' && bytes(1) == 'U' && bytes(2) == 'V') decodeY4m(bytes)

@@ -480,6 +480,32 @@ object DataQueries {
     Multimodal.decodeMeta(media(spark, dir))
       .orderBy("doc_id")
 
+  /** JPEG tier: synthesize a JFIF container per image doc_id (SOF0 for
+    * odd ids, progressive SOF2 for even) and marker-walk the header
+    * back out ([[graft.multimodal.Multimodal.decodeJpegInfo]]) — dims,
+    * component count, baseline/progressive flag, segment census, byte
+    * size. Oracle recomputes every field from doc_id via the container
+    * closed forms, so a parser reading anything but the real SOF
+    * segment hash-fails. Same mapPartitions batch shape as mm_meta.
+    */
+  def mmJpeg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 3 == 0)
+      .mapPartitions(_.map { id =>
+        val w = (64 + id % 64).toInt
+        val h = (64 + (id / 2) % 64).toInt
+        val bytes = Multimodal.encodeJpeg(w, h, progressive = id % 2 == 0)
+        val info = Multimodal.decodeJpegInfo(bytes).get
+        (id, info.width, info.height, info.channels, info.progressive,
+          info.nSegments.toLong, bytes.length.toLong)
+      })
+      .toDF("doc_id", "width", "height", "channels", "progressive",
+        "n_segments", "n_bytes")
+      .orderBy("doc_id")
+  }
+
   /** Multimodal: resize to a 96px longest side (integer floor scaling,
     * aspect preserved) and RE-ENCODE in the real container — the oracle
     * recomputes the resized dims AND the re-encoded byte size from the
@@ -795,11 +821,59 @@ object DataQueries {
         spark.read.parquet(s"$dir/documents.parquet"))
       .orderBy("source")
 
+  /** Top-20 bigram collocations by Dunning's G² in micro-nats (see
+    * [[graft.text.TextAnalysis.collocations]] — ln only over integer
+    * counts, the txt_entropy quantization; bigrams explode in-row, the
+    * marginals aggregate the checkpointed bigram-TYPE table). Oracle
+    * replays the contingency table and all nine quantized terms.
+    */
+  def txtCollocations(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.collocations(
+      spark.read.parquet(s"$dir/documents.parquet"), topK = 20)
+
+  /** WARC/1.0 round trip feeding the byte-identical extraction
+    * invariant: pages serialize into Content-Length-framed records
+    * (32 per archive — bounded groups, archive count grows with the
+    * corpus), the archives parse back ([[graft.sources.Warc]]), and
+    * [[graft.extract.ExtractMainText]] recovers `documents.text`
+    * byte-for-byte — the oracle IS the source table, so a framing slip
+    * of even one byte hash-fails. WARC-Date survives as a real
+    * timestamp (ISO format + to_timestamp).
+    */
+  def srcWarc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.pages.PageGen.pages(spark, dir)
+      .select(col("doc_id"), col("url"),
+        // ISO WARC-Date rendered engine-side (UTC session TZ) — a
+        // DateTimeFormatter in the closure is not serializable
+        date_format(col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+          .as("date_iso"),
+        col("html"))
+      .as[(Long, String, String, Array[Byte])]
+      .groupByKey(_._1 / 32)
+      .mapGroups { (_, it) =>
+        graft.sources.Warc.encode(it.toSeq.sortBy(_._1)
+          .map { case (_, url, iso, html) =>
+            graft.sources.Warc.Rec(url, iso, html)
+          })
+      }
+      .flatMap(graft.sources.Warc.parse(_)
+        .map(r => (r.url, r.dateIso, r.payload)))
+      .toDF("url", "date_iso", "html")
+      .select(col("url"),
+        to_timestamp(col("date_iso"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+          .as("warc_ts"),
+        graft.extract.ExtractMainText(col("html")).as("extracted"))
+      .orderBy("url")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mix_sample" -> mixSample,
     "mix_temperature" -> mixTemperature,
     "txt_entropy" -> txtEntropy,
     "txt_heavyhitters" -> txtHeavyhitters,
+    "txt_collocations" -> txtCollocations,
+    "src_warc" -> srcWarc,
     "dd_exact" -> ddExact,
     "dd_exact_clusters" -> ddExactClusters,
     "dd_decontam" -> ddDecontam,
@@ -842,6 +916,7 @@ object DataQueries {
     "txt_chunk" -> txtChunk,
     "txt_bm25" -> txtBm25,
     "mm_meta" -> mmMeta,
+    "mm_jpeg" -> mmJpeg,
     "mm_resize" -> mmResize,
     "mm_frames" -> mmFrames,
     "mm_phash" -> mmPhash,
@@ -957,7 +1032,47 @@ object DataQueries {
       s"list_transform(generate_series(1, len($v)), i -> CAST($v[i] AS DOUBLE) * $p[i])), " +
       s"(acc, x) -> acc + x)"
 
+  /** `x·lnq(x)` (micro-nat quantized, 0 at x ≤ 0) in DuckDB SQL — the
+    * txt_entropy/txt_collocations shared term. */
+  private def sLnSql(x: String): String =
+    s"CASE WHEN ($x) > 0 THEN ($x) * " +
+      s"CAST(ROUND(ln($x) * 1e6) AS BIGINT) ELSE 0 END"
+
   val oracles: Map[String, String] = Map(
+    // contingency table from in-row bigrams, nine quantized c·ln(c)
+    // terms, deterministic (g2 DESC, a, b) top-20 — mirrors
+    // TextAnalysis.collocations
+    "txt_collocations" -> {
+      s"""WITH tk AS (SELECT
+         |    list_filter(string_split(text, ' '), t -> t <> '') AS w
+         |  FROM documents),
+         |bi AS (SELECT w[i] AS a, w[i + 1] AS b
+         |  FROM (SELECT w, unnest(range(1, len(w))) AS i
+         |        FROM tk WHERE len(w) >= 2)),
+         |bc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS k11
+         |  FROM bi GROUP BY a, b),
+         |r AS (SELECT a, CAST(SUM(k11) AS BIGINT) AS ra FROM bc GROUP BY a),
+         |c AS (SELECT b, CAST(SUM(k11) AS BIGINT) AS cb FROM bc GROUP BY b),
+         |n AS (SELECT CAST(SUM(k11) AS BIGINT) AS n FROM bc),
+         |j AS (SELECT bc.a, bc.b, k11, ra, cb, n.n
+         |  FROM bc JOIN r ON bc.a = r.a JOIN c ON bc.b = c.b CROSS JOIN n)
+         |SELECT a, b, k11,
+         |  CAST(2 * (${sLnSql("k11")} + ${sLnSql("ra - k11")}
+         |    + ${sLnSql("cb - k11")} + ${sLnSql("n - ra - cb + k11")}
+         |    - ${sLnSql("ra")} - ${sLnSql("n - ra")}
+         |    - ${sLnSql("cb")} - ${sLnSql("n - cb")}
+         |    + ${sLnSql("n")}) AS BIGINT) AS g2_micro
+         |FROM j ORDER BY g2_micro DESC, a, b LIMIT 20""".stripMargin
+    },
+    // the oracle IS the source table: url/ts closed forms + the text
+    // the WARC->html->extract loop must recover byte-identically
+    "src_warc" ->
+      """SELECT 'https://example.org/doc/' || doc_id AS url,
+        |  TIMESTAMP '2024-01-01 00:00:00'
+        |    + to_seconds(CAST((doc_id * 9973) % 2678400 AS BIGINT))
+        |    AS warc_ts,
+        |  text AS extracted
+        |FROM documents ORDER BY url""".stripMargin,
     // the plain exact HAVING query — the two-pass MG stage is a pure
     // optimization whose candidate superset never changes the answer
     "txt_heavyhitters" ->
@@ -2060,6 +2175,19 @@ object DataQueries {
     // WAV's 44-byte RIFF/fmt/data framing + 16-bit mono payload, Y4M's
     // ASCII stream header + FRAME-delimited C444 planes — while the Spark
     // side parses the actual bytes, so any header-math drift breaks the hash
+    // JFIF closed forms: dims from doc_id, 3 YCbCr components, SOF2 iff
+    // even id, 5 header segments (APP0/DQT/SOF/DHT/SOS), size
+    // 146 + w*h//16 (the encodeJpeg constant JpegSpec pins)
+    "mm_jpeg" ->
+      """SELECT doc_id,
+        |  CAST(64 + doc_id % 64 AS INTEGER) AS width,
+        |  CAST(64 + (doc_id // 2) % 64 AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS channels,
+        |  (doc_id % 2 = 0) AS progressive,
+        |  CAST(5 AS BIGINT) AS n_segments,
+        |  CAST(146 + ((64 + doc_id % 64) * (64 + (doc_id // 2) % 64)) // 16
+        |    AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin,
     "mm_meta" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -898,6 +898,68 @@ object KgQueries {
       .orderBy("s", "o")
   }
 
+  /** Filtered link-prediction ranking of the TransE scores — the
+    * standard KG-embedding evaluation (Bordes et al. 2013 protocol):
+    * for every true triple (s, mentions, o), rank score(s, o) among
+    * score(s, o′) over EVERY candidate entity o′, with other TRUE
+    * triples of s removed from the candidate list (the "filtered"
+    * setting); report MRR, mean rank and hits@{1,3,10} — reciprocal
+    * ranks in exact micro-units (10^6 div rank, floor), so the whole
+    * readout is integer.
+    *
+    * Determinism: score ties broken by (score, candidate) — rank =
+    * 1 + #{candidates strictly better ∨ equal-but-earlier}, a pure
+    * aggregate (no window). The true triple's own score is a
+    * PROJECTION per row (hash embeddings are functions of the key), so
+    * ranking is one explode + one (s, o)-keyed map-side-combined agg.
+    *
+    * Scale shape: candidates explode from a `typedLit` of the
+    * dictionary-scale entity vocabulary — in-row, no join, no nested
+    * loop; candidate rows ∝ |triples| · |vocab|. At web scale (vocab
+    * beyond broadcast) the protocol downgrades to ranking against the
+    * FNV-drawn corruption sample (kg_negatives) — same recurrence,
+    * smaller candidate list, as in every large-KG eval harness.
+    */
+  def kgMrr(spark: SparkSession, dir: String): DataFrame = {
+    val m = MentionScan.mentions(pagesDf(spark, dir), Gazetteer(gaz))
+    mrrOf(m.select(concat(lit("urn:doc:"), col("doc_id")).as("s"),
+      concat(lit("urn:ent:"), col("entity")).as("o")))
+  }
+
+  /** The kg_mrr core over an arbitrary true-triple table (s, o):
+    * per-triple filtered rank (pure aggregate, no window), then the
+    * single-row integer readout. Factored out so specs can drive it
+    * with synthetic triple sets (MrrSpec's all-entities closed form).
+    */
+  private[queries] def mrrOf(mt: DataFrame): DataFrame = {
+    val p = MentionScan.MentionsPred
+    val ex = mt.select(col("s"), col("o"),
+      explode(typedLit(gazSorted.map("urn:ent:" + _))).as("cand"))
+    val truth = mt.select(col("s"), col("o").as("cand"),
+      lit(1).as("is_true"))
+    ex.join(truth, Seq("s", "cand"), "left")
+      .filter(col("cand") === col("o") || col("is_true").isNull)
+      .select(col("s"), col("o"), col("cand"),
+        graft.kgemb.KgEmbed.transeScore(col("s"), p, col("cand"))
+          .as("sc"),
+        graft.kgemb.KgEmbed.transeScore(col("s"), p, col("o"))
+          .as("sc_true"))
+      .groupBy("s", "o")
+      .agg((sum(when(col("sc") < col("sc_true") ||
+            (col("sc") === col("sc_true") && col("cand") < col("o")), 1L)
+          .otherwise(0L)) + 1L).as("rank"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(expr("1000000 div rank")).as("rr_sum"),
+        sum(col("rank")).as("rank_sum"),
+        sum(when(col("rank") <= 1, 1L).otherwise(0L)).as("hits1"),
+        sum(when(col("rank") <= 3, 1L).otherwise(0L)).as("hits3"),
+        sum(when(col("rank") <= 10, 1L).otherwise(0L)).as("hits10"))
+      .select(col("n_queries"),
+        expr("rr_sum div n_queries").as("mrr_micro"),
+        expr("rank_sum div n_queries").as("mean_rank"),
+        col("hits1"), col("hits3"), col("hits10"))
+  }
+
   /** The shared positive/negative triple pairs scored by every member
     * of the embedding-scoring family (kg_transe / kg_distmult /
     * kg_complex): true mention triples plus their i=0 FNV-drawn object
@@ -1314,6 +1376,7 @@ object KgQueries {
     "kg_katz" -> kgKatz,
     "kg_walks" -> kgWalks,
     "kg_transe" -> kgTranse,
+    "kg_mrr" -> kgMrr,
     "kg_distmult" -> kgDistmult,
     "kg_complex" -> kgComplex,
     "kg_transe_grad" -> kgTranseGrad,
@@ -2266,6 +2329,7 @@ object KgQueries {
     "kg_katz" -> katzSql,
     "kg_walks" -> walksSql,
     "kg_transe" -> transeSql,
+    "kg_mrr" -> mrrSql,
     "kg_distmult" -> distmultSql,
     "kg_complex" -> complexSql,
     "kg_transe_grad" -> transeGradSql,
@@ -2501,6 +2565,42 @@ object KgQueries {
        |SELECT s, o, o_neg, score_pos, score_neg,
        |  score_neg - score_pos AS margin
        |FROM sc ORDER BY s, o""".stripMargin
+
+  /** MRR oracle: candidate explosion from the gazetteer literal, the
+    * filtered-protocol NOT EXISTS, every TransE component refolded in
+    * HUGEINT, the (score, candidate) tie-broken rank as a pure
+    * aggregate, and the integer micro-unit readouts. */
+  private lazy val mrrSql: String = {
+    val arrLit = gazSorted.map(x => s"'urn:ent:$x'")
+      .mkString("[", ", ", "]")
+    s"""WITH $tokensCte,
+       |mt AS (SELECT 'urn:doc:' || doc_id AS s, 'urn:ent:' || entity AS o
+       |       FROM m),
+       |ex AS (SELECT mt.s, mt.o, g.cand
+       |  FROM mt CROSS JOIN (SELECT unnest($arrLit) AS cand) g),
+       |fl AS (SELECT ex.s, ex.o, ex.cand FROM ex
+       |  WHERE ex.cand = ex.o OR NOT EXISTS (
+       |    SELECT 1 FROM mt x WHERE x.s = ex.s AND x.o = ex.cand)),
+       |sc AS (SELECT fl.s, fl.o, fl.cand,
+       |  CAST(${transeL1Sql("fl", "fl.cand")} AS BIGINT) AS sc,
+       |  CAST(${transeL1Sql("fl", "fl.o")} AS BIGINT) AS sc_true
+       |  FROM fl),
+       |rk AS (SELECT s, o,
+       |  CAST(1 + SUM(CASE WHEN sc < sc_true
+       |      OR (sc = sc_true AND cand < o) THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS rnk
+       |  FROM sc GROUP BY s, o)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       |  CAST(SUM(1000000 // rnk) // COUNT(*) AS BIGINT) AS mrr_micro,
+       |  CAST(SUM(rnk) // COUNT(*) AS BIGINT) AS mean_rank,
+       |  CAST(SUM(CASE WHEN rnk <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS hits1,
+       |  CAST(SUM(CASE WHEN rnk <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS hits3,
+       |  CAST(SUM(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS hits10
+       |FROM rk""".stripMargin
+  }
 
   /** DistMult oracle: transeSql's negative draw, components recombined
     * multiplicatively (Σ_d s_d·p_d·o_d in HUGEINT, cast at the edge). */

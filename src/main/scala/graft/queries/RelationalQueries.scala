@@ -294,7 +294,40 @@ object RelationalQueries {
         col("o_orderstatus").asc_nulls_first)
   }
 
+  /** Per-nation customer-spend quartiles: NTILE(4) plus an integer
+    * percent-rank replay over the (spend DESC, custkey) total order —
+    * the deterministic tie-break makes both engines' standard NTILE
+    * (first buckets take the remainder) assign identically, and
+    * pr_micro = (rn−1)·10^6 div (cnt−1) avoids PERCENT_RANK's float.
+    *
+    * Scale shape: one map-side-combined spend agg, one broadcast dim
+    * join, one nation-PARTITIONED window (no global sort — the global
+    * quantile readout at corpus scale is sketch_quantile's job); the
+    * final orderBy is the driver-compare convention only.
+    */
+  def q17Ntile(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val spend = o.groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).as("spend"))
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("spend").desc, col("c_custkey"))
+    val wn = Window.partitionBy(col("c_nationkey"))
+    spend.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("spend"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(wn))
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("spend").cast("double").as("spend"), col("quartile"),
+        when(col("cnt") > 1,
+            expr("(rn - 1) * 1000000 div (cnt - 1)"))
+          .otherwise(0L).as("pr_micro"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_ntile" -> q17Ntile,
     "q1_agg" -> q1Agg,
     "q2_join_agg" -> q2JoinAgg,
     "q3_topk_window" -> q3TopkWindow,
@@ -314,6 +347,24 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q17_ntile" ->
+      """WITH sp AS (SELECT o_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY o_custkey),
+        |j AS (SELECT c_custkey, c_nationkey, spend
+        |  FROM sp JOIN customer ON o_custkey = c_custkey),
+        |wnd AS (SELECT c_custkey, c_nationkey, spend,
+        |    CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    COUNT(*) OVER (PARTITION BY c_nationkey) AS cnt
+        |  FROM j
+        |  WINDOW w AS (PARTITION BY c_nationkey
+        |               ORDER BY spend DESC, c_custkey))
+        |SELECT c_custkey, c_nationkey, CAST(spend AS DOUBLE) AS spend,
+        |  quartile,
+        |  CAST(CASE WHEN cnt > 1 THEN (rn - 1) * 1000000 // (cnt - 1)
+        |       ELSE 0 END AS BIGINT) AS pr_micro
+        |FROM wnd ORDER BY c_custkey""".stripMargin,
     "q13_session" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id, value,

@@ -179,6 +179,56 @@ object TextAnalysis {
           expr("s_micro div n_tokens")).as("entropy_micro"))
   }
 
+  /** Bigram collocations by Dunning's log-likelihood ratio (G², the
+    * standard collocation statistic — Dunning 1993): over the corpus
+    * bigram contingency table (k11 = count(a b), row sum R = a-as-left
+    * count, column sum C = b-as-right count, N = total bigrams),
+    *
+    *   G² = 2·[Σ k·ln k − R·ln R − (N−R)·ln(N−R)
+    *            − C·ln C − (N−C)·ln(N−C) + N·ln N]
+    *
+    * — every term is c·ln c over an INTEGER count, so the
+    * [[entropy]] micro-nat quantization applies verbatim: ln over
+    * integers only, scaled before the multiply, exact BIGINT sums,
+    * engine-stable. Output: top-k pairs by (g2_micro DESC, a, b) — a
+    * total order, so LIMIT is deterministic on both engines.
+    *
+    * Scale shape: bigrams explode IN-ROW (adjacent array elements — no
+    * self-join on position), one (a, b)-keyed map-side-combined count;
+    * the bigram-TYPE table is then checkpointed and reused for the
+    * row/column/total marginals (type counts, not token counts — the
+    * standard collocation working set). N is a 1-row scalar broadcast
+    * (PlanGuard's allowlisted category). Top-k is TakeOrdered, no
+    * global sort.
+    */
+  def collocations(docs: DataFrame, topK: Int,
+                   textCol: String = "text"): DataFrame = {
+    val toks = filter(split(col(textCol), " "), w => w =!= "")
+    val bc = docs.select(toks.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), " +
+          "i -> struct(w[i] AS a, w[i + 1] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("k11"))
+      .localCheckpoint()
+    val r = bc.groupBy("a").agg(sum("k11").as("ra"))
+    val c = bc.groupBy("b").agg(sum("k11").as("cb"))
+    val n = bc.agg(sum("k11").as("n"))
+    def s(x: org.apache.spark.sql.Column) =
+      when(x > 0, x * round(log(x) * 1e6).cast("long")).otherwise(0L)
+    bc.join(r, Seq("a")).join(c, Seq("b")).crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("k11"),
+        (lit(2L) * (s(col("k11")) + s(col("ra") - col("k11")) +
+          s(col("cb") - col("k11")) +
+          s(col("n") - col("ra") - col("cb") + col("k11")) -
+          s(col("ra")) - s(col("n") - col("ra")) -
+          s(col("cb")) - s(col("n") - col("cb")) + s(col("n"))))
+          .as("g2_micro"))
+      .orderBy(desc("g2_micro"), col("a"), col("b"))
+      .limit(topK)
+  }
+
   /** Quality features per document: lengths, ratios, stopword share —
     * integer counts + single final divisions (cross-engine exact).
     */

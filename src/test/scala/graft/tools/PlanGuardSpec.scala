@@ -17,7 +17,9 @@ import graft.SparkSpec
   *  - kg_hits: per-half-round max-normalization — node scores × the
   *    1-row MAX(raw) scalar (`canon/Hits.scala` normalize);
   *  - txt_heavyhitters: candidate exact counts × the corpus-total
-  *    scalar (`sketch/HeavyHitters.scala` exact), broadcast 1 row.
+  *    scalar (`sketch/HeavyHitters.scala` exact), broadcast 1 row;
+  *  - txt_collocations: bigram contingency rows × the total-bigrams
+  *    scalar (`text/TextAnalysis.scala` collocations), broadcast 1 row.
   * One further category is allowed: ALL-PAIRS-BY-SEMANTICS joins over
   * dictionary-scale sketch relations, where the OUTPUT is O(n²) rows
   * by definition so no join algorithm beats a broadcast nested loop —
@@ -31,7 +33,7 @@ class PlanGuardSpec extends SparkSpec {
 
   private val scalarBnljAllowed =
     Set("onto_limits", "txt_perplexity", "txt_bm25", "sketch_bloom",
-      "kg_hits", "sketch_theta", "txt_heavyhitters")
+      "kg_hits", "sketch_theta", "txt_heavyhitters", "txt_collocations")
 
   test("no cartesian products; BNLJ only for 1-row scalar broadcasts") {
     val dir = "/root/testdata/sf0.001"
