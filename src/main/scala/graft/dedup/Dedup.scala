@@ -381,6 +381,40 @@ object Dedup {
     h
   }
 
+  /** Content-defined chunking (the LBFS/rsync/casync boundary rule):
+    * hash every `gram`-char window; a window whose FNV is ≡ 0 mod
+    * `maskMod` ends a chunk at its last char. Boundaries are decided by
+    * CONTENT, not offsets, so an insertion early in a document only
+    * re-chunks its neighbourhood — every later chunk keeps its identity
+    * (the property that makes chunk-level storage dedup work; CdcSpec's
+    * prefix-shift law). Expected chunk length ≈ maskMod chars. Returns
+    * (chunkHash, chunkLen) per chunk in order; empty text → no chunks.
+    *
+    * Deterministic and local: a pure per-document scalar kernel — at
+    * corpus scale it runs inside one typed projection, no shuffle, and
+    * the cross-doc dedup that follows keys on the 16-byte
+    * (hash, len) pair, never the text.
+    */
+  def cdcChunks(text: String, gram: Int = 8,
+                maskMod: Long = 64L): Seq[(Long, Int)] = {
+    if (text == null || text.isEmpty) return Nil
+    val n = text.length
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+    var start = 0
+    var i = 0
+    while (i + gram <= n) {
+      val h = fnv1a(text.substring(i, i + gram))
+      if (java.lang.Long.remainderUnsigned(h, maskMod) == 0L) {
+        val end = i + gram // exclusive
+        out += ((fnv1a(text.substring(start, end)), end - start))
+        start = end
+      }
+      i += 1
+    }
+    if (start < n) out += ((fnv1a(text.substring(start, n)), n - start))
+    out.toSeq
+  }
+
   /** `(doc_id, sh, sig)` — per-doc shingle hash array + MinHash signature
     * in ONE typed pass per document (the shingle scan is the dominant
     * cost; signature derives from the same hashes).

@@ -763,6 +763,34 @@ object DataQueries {
   private val SpanChorus = "the quick brown fox jumps over the lazy dog " +
     "while the eager crawler indexes every page on the open web"
 
+  /** Content-defined chunk dedup over the dd_spans planted corpus (the
+    * chorus is longer than the ~64-char expected chunk, so its chunks
+    * recur across every fifth doc): chunks from
+    * [[graft.dedup.Dedup.cdcChunks]] (one typed projection, no
+    * shuffle), then one (hash, len)-keyed agg — chunks shared by ≥ 2
+    * docs with occurrence counts, the storage-dedup report. Oracle
+    * refolds every 8-gram AND every chunk in HUGEINT and replays the
+    * boundary split.
+    */
+  def ddCdc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(SpanChorus + " "), col("text"), lit(" " + SpanChorus)))
+          .otherwise(col("text")).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        Dedup.cdcChunks(t).map { case (h, len) => (id, h, len.toLong) }
+      }
+      .toDF("doc_id", "chunk_hash", "chunk_len")
+      .groupBy("chunk_hash", "chunk_len")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("chunk_hash", "chunk_len")
+  }
+
   /** Deterministic 16-way shard assignment + pseudorandom sort key —
     * the global-shuffle/sharding step of training-data prep as a pure
     * map (no global sort); oracle replays the FNV fold.
@@ -874,6 +902,7 @@ object DataQueries {
     "txt_heavyhitters" -> txtHeavyhitters,
     "txt_collocations" -> txtCollocations,
     "src_warc" -> srcWarc,
+    "dd_cdc" -> ddCdc,
     "dd_exact" -> ddExact,
     "dd_exact_clusters" -> ddExactClusters,
     "dd_decontam" -> ddDecontam,
@@ -1063,6 +1092,52 @@ object DataQueries {
          |    - ${sLnSql("cb")} - ${sLnSql("n - cb")}
          |    + ${sLnSql("n")}) AS BIGINT) AS g2_micro
          |FROM j ORDER BY g2_micro DESC, a, b LIMIT 20""".stripMargin
+    },
+    // full CDC replay: every 8-gram FNV-folded in HUGEINT, boundary
+    // hits (unsigned mod 64) sorted per doc, chunk substrings rebuilt
+    // and refolded, signed-bridged, (hash, len)-keyed rollup
+    "dd_cdc" -> {
+      // the position column must NOT be named `i`: fnvFoldSql's
+      // list_transform lambda binds `i` and would shadow it
+      val gramFold = fnvFoldSql("substr(text, CAST(pos AS INT), 8)",
+        "14695981039346656037")
+      val chunkFold = fnvFoldSql("chunk", "14695981039346656037")
+      s"""WITH pl AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0
+         |      THEN '$SpanChorus ' || text || ' $SpanChorus'
+         |      ELSE text END AS text
+         |  FROM documents),
+         |g AS (SELECT doc_id, pos, $gramFold AS h
+         |  FROM (SELECT doc_id, text,
+         |          unnest(range(1, length(text) - 6)) AS pos
+         |        FROM pl WHERE length(text) >= 8)),
+         |hits AS (SELECT doc_id, CAST(pos + 7 AS BIGINT) AS e
+         |  FROM g WHERE h % 64 = 0),
+         |bl AS (SELECT p.doc_id, COALESCE(b.es, []::BIGINT[]) AS es,
+         |    CAST(length(p.text) AS BIGINT) AS n, p.text
+         |  FROM pl p LEFT JOIN (SELECT doc_id, list_sort(list(e)) AS es
+         |    FROM hits GROUP BY doc_id) b USING (doc_id)),
+         |se AS (SELECT doc_id, text,
+         |    CASE WHEN k = 1 THEN 1 ELSE es[CAST(k - 1 AS INT)] + 1 END
+         |      AS s,
+         |    CASE WHEN k <= len(es) THEN es[CAST(k AS INT)] ELSE n END
+         |      AS e
+         |  FROM (SELECT doc_id, text, n, es,
+         |          unnest(range(1, len(es) + 2)) AS k
+         |        FROM bl)),
+         |ch AS (SELECT doc_id,
+         |    substr(text, CAST(s AS INT), CAST(e - s + 1 AS INT)) AS chunk
+         |  FROM se WHERE e >= s),
+         |ck AS (SELECT doc_id, $chunkFold AS hu,
+         |    CAST(length(chunk) AS BIGINT) AS chunk_len
+         |  FROM ch),
+         |sg AS (SELECT doc_id, ${signedSql("hu")} AS chunk_hash, chunk_len
+         |  FROM ck)
+         |SELECT chunk_hash, chunk_len,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) AS BIGINT) AS n_occ
+         |FROM sg GROUP BY 1, 2 HAVING COUNT(DISTINCT doc_id) >= 2
+         |ORDER BY chunk_hash, chunk_len""".stripMargin
     },
     // the oracle IS the source table: url/ts closed forms + the text
     // the WARC->html->extract loop must recover byte-identically
