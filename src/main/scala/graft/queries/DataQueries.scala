@@ -321,6 +321,31 @@ object DataQueries {
         col("cand_id"), col("cos"))
       .orderBy("query_id", "rank")
 
+  /** IVF-PQ top-k — the compressed-vector ANN tier
+    * ([[graft.ann.Similarity.ivfPqTopK]]: coarse IVF lists, ADC scan
+    * over m=8 one-byte codes, exact rerank of 32 survivors). The driver
+    * query uses the SAMPLED sub-codebooks (iters = 0 — init slices, no
+    * Lloyd's) so the ENTIRE pipeline replays in SQL: code assignment
+    * (sub-space L2 argmin), per-query ADC dot/norm tables, the approx
+    * ranking that picks the survivors, and the exact rerank. The
+    * trained-codebook path is covered by IvfPqSpec (partitioning
+    * invariance + recall).
+    */
+  def annPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = emb.filter(col("vec_id") % 31 === 5)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().map { case (id, v) => (id, v.toArray) }.sortBy(_._1)
+    val pq = Similarity.trainPq(emb, col("vec_id") % 40 === 3,
+      m = 8, ksub = 8, iters = 0)
+    Similarity.ivfPqTopK(emb, col("vec_id") % 50 === 0, cents, pq,
+        k = 5, nProbe = 4, rerank = 32)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
   /** End-to-end curation funnel — the composition a training-data run
     * executes: quality gate (n_tokens ≥ 20, stopword_ratio > 0.02) →
     * exact dedup (keep smallest id per text) → near-dup removal (drop the
@@ -924,6 +949,7 @@ object DataQueries {
     "ann_brute_topk" -> annBruteTopk,
     "ann_lsh_topk" -> annLshTopk,
     "ann_ivf_topk" -> annIvfTopk,
+    "ann_pq_topk" -> annPqTopk,
     "dd_pipeline" -> ddPipeline,
     "txt_quality" -> txtQuality,
     "txt_classify" -> txtClassify,
@@ -1066,6 +1092,27 @@ object DataQueries {
   private def sLnSql(x: String): String =
     s"CASE WHEN ($x) > 0 THEN ($x) * " +
       s"CAST(ROUND(ln($x) * 1e6) AS BIGINT) ELSE 0 END"
+
+  /** Squared-L2 fold matching `pqNearestStatic`: FLOAT subtraction
+    * (pinned with an explicit cast — the exact float diff fits a
+    * double, so CAST(a−b AS FLOAT) ≡ the JVM's float subtraction
+    * regardless of DuckDB's internal promotion), then double square and
+    * sequential double accumulation. */
+  private def l2FoldSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, len($b)), i -> " +
+      s"CAST(CAST(($a)[i] - ($b)[i] AS FLOAT) AS DOUBLE) * " +
+      s"CAST(CAST(($a)[i] - ($b)[i] AS FLOAT) AS DOUBLE))), " +
+      s"(acc, x) -> acc + x)"
+
+  /** double(a)·double(b) product fold — the ADC table convention
+    * (`x.toDouble * y` in the kernel: both operands promoted BEFORE the
+    * multiply, unlike cosineFoldSql's float·float products). */
+  private def dotDDFoldSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, len($b)), i -> " +
+      s"CAST(($a)[i] AS DOUBLE) * CAST(($b)[i] AS DOUBLE))), " +
+      s"(acc, x) -> acc + x)"
 
   val oracles: Map[String, String] = Map(
     // contingency table from in-row bigrams, nine quantized c·ln(c)
@@ -1484,6 +1531,80 @@ object DataQueries {
     // replays the full IVF quantizer: one shared cosine CTE feeds both
     // the assignment argmax and the query probes (the Spark loop computes
     // the identical folds), then exact rerank within probed lists
+    // full IVF-PQ replay: sampled sub-codebooks (init slices), per-code
+    // sub-space L2 argmin, coarse assignment + probes, per-(query, code)
+    // ADC dot/norm table entries summed in subspace order, the approx
+    // ranking that picks the 32 survivors, exact-cosine rerank
+    "ann_pq_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |init AS (SELECT vec_id, embedding AS v FROM e
+         |  WHERE vec_id % 40 = 3 ORDER BY vec_id LIMIT 8),
+         |books AS (SELECT g.s,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY g.s ORDER BY vec_id) - 1
+         |      AS BIGINT) AS j,
+         |    v[g.s * 8 + 1 : g.s * 8 + 8] AS bk
+         |  FROM init, (SELECT unnest(range(0, 8)) AS s) g),
+         |l2 AS (SELECT e.vec_id, b.s, b.j,
+         |    ${l2FoldSql("e.embedding[b.s * 8 + 1 : b.s * 8 + 8]", "b.bk")}
+         |      AS d
+         |  FROM e CROSS JOIN books b),
+         |codes AS (SELECT vec_id, s, j FROM (
+         |    SELECT vec_id, s, j, ROW_NUMBER() OVER (
+         |      PARTITION BY vec_id, s ORDER BY d, j) AS rn FROM l2)
+         |  WHERE rn = 1),
+         |cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM e
+         |  WHERE vec_id % 31 = 5),
+         |ac AS (SELECT e.vec_id, c.cent_id,
+         |    ${cosineFoldSql("e.embedding", "c.cv")} AS cos
+         |  FROM e CROSS JOIN cent c),
+         |assign AS (SELECT vec_id AS cand_id, cent_id FROM (
+         |    SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+         |      PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+         |    FROM ac) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e
+         |  WHERE vec_id % 50 = 0),
+         |probes AS (SELECT query_id, cent_id FROM (
+         |    SELECT q.query_id, c.cent_id, ROW_NUMBER() OVER (
+         |      PARTITION BY q.query_id
+         |      ORDER BY ${cosineFoldSql("q.qv", "c.cv")} DESC, c.cent_id)
+         |      AS rn
+         |    FROM q CROSS JOIN cent c) WHERE rn <= 4),
+         |cand AS (SELECT p.query_id, a.cand_id
+         |  FROM probes p JOIN assign a USING (cent_id)
+         |  WHERE p.query_id <> a.cand_id),
+         |qn AS (SELECT query_id, sqrt(${dotDDFoldSql("qv", "qv")})
+         |    AS qnorm FROM q),
+         |adcterm AS (SELECT cd.query_id, cd.cand_id, ck.s,
+         |    ${dotDDFoldSql("q.qv[ck.s * 8 + 1 : ck.s * 8 + 8]", "b.bk")}
+         |      AS dt,
+         |    ${dotDDFoldSql("b.bk", "b.bk")} AS nt
+         |  FROM cand cd
+         |  JOIN codes ck ON ck.vec_id = cd.cand_id
+         |  JOIN books b ON b.s = ck.s AND b.j = ck.j
+         |  JOIN q ON q.query_id = cd.query_id),
+         |adc AS (SELECT query_id, cand_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(dt ORDER BY s)), (acc, x) -> acc + x) AS dot,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(nt ORDER BY s)), (acc, x) -> acc + x) AS rnorm
+         |  FROM adcterm GROUP BY query_id, cand_id),
+         |appr AS (SELECT adc.query_id, cand_id,
+         |    adc.dot / (qn.qnorm * sqrt(adc.rnorm)) AS approx
+         |  FROM adc JOIN qn USING (query_id)),
+         |surv AS (SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY approx DESC, cand_id) AS rn
+         |    FROM appr) WHERE rn <= 32),
+         |fin AS (SELECT s.query_id, s.cand_id,
+         |    ${cosineFoldSql("qe.embedding", "ce.embedding")} AS cos
+         |  FROM surv s JOIN e qe ON qe.vec_id = s.query_id
+         |  JOIN e ce ON ce.vec_id = s.cand_id)
+         |SELECT query_id, rank, cand_id, cos FROM (
+         |  SELECT query_id, cand_id, cos, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, cand_id) AS BIGINT)
+         |    AS rank
+         |  FROM fin) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
     "ann_ivf_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM e
