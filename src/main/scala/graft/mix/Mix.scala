@@ -71,6 +71,39 @@ object Mix {
       h.as("sort_key"))
   }
 
+  /** Deterministic multi-epoch shuffle schedule: each epoch draws a
+    * FRESH pseudorandom permutation (the training-data rule that data
+    * order must differ across epochs, yet replay identically across
+    * restarts and cluster sizes). Epoch e's key is
+    * mix(doc_id ":" e) — the epoch is salted INTO the hash, not added
+    * onto it, so epoch permutations are pairwise independent; shard =
+    * key mod nShards and `pos` is the rank within (epoch, shard).
+    *
+    * Scale shape: a pure codegen'd projection plus ONE
+    * (epoch, shard)-keyed window — shards bound each sort to
+    * corpus/nShards rows, so there is no global sort; at cluster scale
+    * this is `repartitionByRange` straight into per-epoch shard files
+    * (same layout contract as [[shardAssign]]).
+    */
+  def epochSchedule(docs: DataFrame, epochs: Int, nShards: Int): DataFrame = {
+    require(nShards > 0 && (nShards & (nShards - 1)) == 0,
+      "nShards must be a power of two")
+    require(epochs >= 1, "epochs >= 1")
+    val mask = (nShards - 1).toLong
+    val keyed = docs.select(col("doc_id"),
+      F.explode(F.sequence(F.lit(0L), F.lit((epochs - 1).toLong)))
+        .as("epoch"))
+    val h = graft.functions.MixHash(F.concat(
+      col("doc_id").cast("string"), F.lit(":"),
+      col("epoch").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("sort_key"), col("doc_id"))
+    keyed.select(col("epoch"), col("doc_id"),
+        h.bitwiseAND(F.lit(mask)).as("shard"), h.as("sort_key"))
+      .withColumn("pos", F.row_number().over(w).cast("long"))
+  }
+
   /** Per-document mixture decisions: (doc_id, source, n_copies).
     * `n_copies` may be 0 (dropped), 1 (kept) or k ≥ 2 (upsampled).
     *

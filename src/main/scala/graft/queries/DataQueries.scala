@@ -825,6 +825,19 @@ object DataQueries {
         spark.read.parquet(s"$dir/documents.parquet"), nShards = 16)
       .orderBy("doc_id")
 
+  /** Deterministic 3-epoch shuffle schedule over 16 shards (see
+    * [[graft.mix.Mix.epochSchedule]] — fresh permutation per epoch,
+    * reproducible across restarts AND cluster sizes, no global sort).
+    * Oracle replays the FNV fold over `doc_id ":" epoch`, the splitmix
+    * finalizer chain, the power-of-two shard modulus and the
+    * (epoch, shard)-ranked ROW_NUMBER.
+    */
+  def mixEpochs(spark: SparkSession, dir: String): DataFrame =
+    graft.mix.Mix.epochSchedule(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        epochs = 3, nShards = 16)
+      .orderBy("epoch", "doc_id")
+
   /** Deterministic per-source 5-sample by avalanche-hash rank — the
     * stable heldout/eval draw (see [[graft.mix.Mix.sample]]; the
     * shuffle carries ≈ sources × k × partitions rows via
@@ -936,6 +949,7 @@ object DataQueries {
     "dd_domain_cap" -> ddDomainCap,
     "txt_perplexity" -> txtPerplexity,
     "txt_shard" -> txtShard,
+    "mix_epochs" -> mixEpochs,
     "dd_jaccard" -> ddJaccard,
     "dd_containment" -> ddContainment,
     "dd_lines" -> ddLines,
@@ -1457,6 +1471,25 @@ object DataQueries {
          |FROM lagd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // shard assignment: FNV fold replayed, unsigned mod 16 (= signed
     // bitmask for a power of two), signed bridge for the sort key
+    "mix_epochs" ->
+      s"""WITH de AS (SELECT doc_id, CAST(e AS BIGINT) AS epoch
+         |  FROM documents, unnest(generate_series(0, 2)) t(e)),
+         |h0 AS (SELECT doc_id, epoch,
+         |    ${fnvFoldSql("CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)",
+              "14695981039346656037")} AS hu
+         |  FROM de),
+         |m1 AS (SELECT doc_id, epoch, ${xorShrSql("hu", "1073741824")} AS hu FROM h0),
+         |m2 AS (SELECT doc_id, epoch, ${mulSql("hu", "13787848793156543929")} AS hu FROM m1),
+         |m3 AS (SELECT doc_id, epoch, ${xorShrSql("hu", "134217728")} AS hu FROM m2),
+         |m4 AS (SELECT doc_id, epoch, ${mulSql("hu", "10723151780598845931")} AS hu FROM m3),
+         |h AS (SELECT doc_id, epoch, ${xorShrSql("hu", "2147483648")} AS hu FROM m4),
+         |k AS (SELECT epoch, doc_id, CAST(hu % 16 AS BIGINT) AS shard,
+         |    CAST(${signedSql("hu")} AS BIGINT) AS sort_key
+         |  FROM h)
+         |SELECT epoch, doc_id, shard, sort_key,
+         |  ROW_NUMBER() OVER (PARTITION BY epoch, shard
+         |    ORDER BY sort_key, doc_id) AS pos
+         |FROM k ORDER BY epoch, doc_id""".stripMargin,
     "txt_shard" ->
       s"""WITH h0 AS (SELECT doc_id,
          |    ${fnvFoldSql("CAST(doc_id AS VARCHAR)", "14695981039346656037")} AS hu

@@ -326,8 +326,95 @@ object RelationalQueries {
       .orderBy("c_custkey")
   }
 
+  /** LAG inter-event gaps: per-user summary of the time deltas between
+    * consecutive events (the session-cadence profile q13's sessionizer
+    * cuts on). Gap arithmetic is exact epoch-microsecond integers
+    * (`unix_micros` ↔ DuckDB `epoch_us`), so min/max/sum replay
+    * bit-for-bit; a single-event user keeps NULL gap stats on both
+    * engines.
+    *
+    * Scale shape: ONE user-keyed exchange end-to-end — the groupBy
+    * reuses the lag window's hashpartitioning(user_id) (the q13
+    * subset-of-clustering-keys rule), so corpus-scale event history
+    * shuffles exactly once.
+    */
+  def q18Lag(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    // ts is TIMESTAMP_NTZ in the parquet; with the session TZ pinned to
+    // UTC the cast is identity and matches DuckDB's epoch_us
+    e.withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("gap_us")).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        sum(col("gap_us")).as("sum_gap_us"))
+      .orderBy("user_id")
+  }
+
+  /** Exact per-group median without an engine `median()` (whose
+    * interpolation/typing rules differ across engines): the two middle
+    * rows are selected by ROW_NUMBER against the group count —
+    * rn = (cnt+1) div 2 and (cnt+2) div 2 coincide for odd groups —
+    * and the median is reassembled as SUM(mid)·(3−|mid|)/2, exact in
+    * DECIMAL(18,2) until the final halving (a power-of-two double op,
+    * also exact). Ties on price are broken by orderkey; the tiebreak
+    * cannot change the selected VALUES, only which duplicate carries
+    * them.
+    *
+    * Scale shape: one segment-keyed exchange (window + filter); the
+    * middle-row filter is rank-based, so Spark 4's
+    * InsertWindowGroupLimits cannot bound it — at corpus scale the
+    * exact-median operator necessarily sorts each group once, which is
+    * why the streaming/monitoring tier uses sketch_quantile instead.
+    */
+  def q19Median(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val j = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_mktsegment"), dec(col("o_totalprice")).as("tp"),
+        col("o_orderkey"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("tp"), col("o_orderkey"))
+    val wn = Window.partitionBy(col("c_mktsegment"))
+    j.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(wn))
+      .filter(expr("rn = (cnt + 1) div 2 OR rn = (cnt + 2) div 2"))
+      .groupBy(col("c_mktsegment"))
+      .agg(max(col("cnt")).as("n_orders"),
+        (sum(col("tp")) * (lit(3) - count(lit(1)))).as("med2"))
+      .select(col("c_mktsegment"), col("n_orders"),
+        (col("med2").cast("double") / 2.0).as("median"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Set operators INTERSECT / EXCEPT: users who both clicked and
+    * purchased vs users who clicked but never purchased. Catalyst plans
+    * these as aggregate + left-semi / left-anti joins (set semantics,
+    * distinct built in), i.e. the same shuffle shape as q4/q5 with the
+    * dedup fused — no distinct pre-pass needed on either input.
+    */
+  def q20Setops(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val clickers = e.filter(col("event_type") === "click")
+      .select(col("user_id"))
+    val purchasers = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"))
+    val both = clickers.intersect(purchasers)
+      .select(lit("click_and_purchase").as("tag"), col("user_id"))
+    val onlyClick = clickers.except(purchasers)
+      .select(lit("click_only").as("tag"), col("user_id"))
+    both.union(onlyClick).orderBy("tag", "user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_ntile" -> q17Ntile,
+    "q18_lag" -> q18Lag,
+    "q19_median" -> q19Median,
+    "q20_setops" -> q20Setops,
     "q1_agg" -> q1Agg,
     "q2_join_agg" -> q2JoinAgg,
     "q3_topk_window" -> q3TopkWindow,
@@ -347,6 +434,45 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q18_lag" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  COUNT(gap_us) AS n_gaps,
+        |  MIN(gap_us) AS min_gap_us,
+        |  MAX(gap_us) AS max_gap_us,
+        |  CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q19_median" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment, CAST(o_totalprice AS DECIMAL(18,2)) AS tp,
+        |    o_orderkey
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |w AS (
+        |  SELECT c_mktsegment, tp,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY tp, o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS cnt
+        |  FROM j),
+        |mid AS (
+        |  SELECT c_mktsegment, tp, cnt FROM w
+        |  WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2)
+        |SELECT c_mktsegment, MAX(cnt) AS n_orders,
+        |  CAST(SUM(tp) * (3 - COUNT(*)) AS DOUBLE) / 2.0 AS median
+        |FROM mid GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q20_setops" ->
+      """WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT * FROM (
+        |  SELECT 'click_and_purchase' AS tag, user_id
+        |  FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+        |  UNION ALL
+        |  SELECT 'click_only' AS tag, user_id
+        |  FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p))
+        |ORDER BY tag, user_id""".stripMargin,
     "q17_ntile" ->
       """WITH sp AS (SELECT o_custkey,
         |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
