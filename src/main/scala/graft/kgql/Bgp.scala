@@ -172,6 +172,81 @@ object Bgp {
           , ",", ")")).mkString(" vs "))
   }
 
+  /** One GRAPH block — `GRAPH <iri> { ... }` / `GRAPH ?g { ... }` over a
+    * quad table (g, s, p, o). SPARQL semantics: every pattern of the
+    * block must match within the SAME graph; a variable graph term binds
+    * that graph's name into the solution. Blocks hold plain triple
+    * patterns (paths/nested groups inside GRAPH are out of this subset).
+    */
+  final case class GraphBlock(graph: Term,
+      patterns: Seq[TriplePattern], filters: Seq[Column] = Nil) {
+    require(patterns.nonEmpty, "GRAPH block needs >= 1 triple pattern")
+    def vars: Seq[String] =
+      ((graph match { case V(n) => Seq(n); case _ => Nil }) ++
+        patterns.flatMap(_.vars)).distinct
+  }
+
+  /** [[scan]] over a quad table, carrying the graph column as the bound
+    * graph variable — a repeated variable between `?g` and a pattern
+    * position (`GRAPH ?x { ?x <p> ?o }`) becomes a column-equality
+    * filter exactly like an in-pattern repeat.
+    */
+  private def quadScan(quads: DataFrame, tp: TriplePattern,
+      gVar: String): DataFrame = {
+    var df = quads
+    tp.terms.foreach {
+      case (c, C(v)) => df = df.filter(col(c) === v)
+      case _ => ()
+    }
+    val varCols = ("g", gVar) +:
+      tp.terms.collect { case (c, V(n)) => (c, n) }
+    varCols.groupBy(_._2).valuesIterator.filter(_.size > 1).foreach { g =>
+      g.map(_._1).sliding(2).foreach {
+        case Seq(a, b) => df = df.filter(col(a) === col(b))
+        case _ => ()
+      }
+    }
+    val proj = varCols.groupBy(_._2).map { case (n, cs) =>
+      col(cs.head._1).as(n)
+    }.toSeq
+    df.select(proj: _*)
+  }
+
+  /** Evaluate one GRAPH block against a quad table. A CONSTANT graph
+    * term compiles to `g = iri` pushed into the scan (partition/footer
+    * pruning when the store is laid out by graph) and then reuses the
+    * plain triple-pattern compiler; a VARIABLE graph term carries `g`
+    * through every pattern scan, so the shared `?g` column makes each
+    * join same-graph by construction — the spec's semantics with zero
+    * extra machinery. Same broadcast rules as [[compileBlock]].
+    */
+  def graphBlock(quads: DataFrame, gb: GraphBlock): DataFrame =
+    gb.graph match {
+      case C(iri) =>
+        val triples = quads.filter(col("g") === iri)
+          .select(col("s"), col("p"), col("o"))
+        gb.filters.foldLeft(compileBlock(triples, gb.patterns))(
+          _.filter(_))
+      case V(gv) =>
+        val ordered = joinOrder(gb.patterns)
+          .map(_.asInstanceOf[TriplePattern])
+        var first = true
+        val joined = ordered.tail.foldLeft(
+          quadScan(quads, ordered.head, gv)) { (acc0, p) =>
+          val acc = if (first && selective(ordered.head)) broadcast(acc0)
+            else acc0
+          first = false
+          val rhs0 = quadScan(quads, p, gv)
+          val rhs = if (selective(p)) broadcast(rhs0) else rhs0
+          // gv is projected by every quad scan, so `shared` is always
+          // non-empty — the same-graph constraint rides the equi-join
+          val shared = (gv +: p.vars).distinct
+            .filter(acc0.columns.contains)
+          acc.join(rhs, shared, "inner")
+        }
+        gb.filters.foldLeft(joined)(_.filter(_))
+    }
+
   /** One VALUES block: inline bindings for `vars`, one row per entry.
     * Joins the solution set on the shared variables (broadcast — the
     * binding table is query-literal-sized); with no shared variable it

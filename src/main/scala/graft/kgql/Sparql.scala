@@ -29,6 +29,8 @@ import org.apache.spark.sql.functions._
   *           | VALUES ( ?var+ ) { ( const+ )* }
   *           | { item* } UNION { item* } ( UNION { item* } )*
   *           | { select }                    -- subquery (derived table)
+  *           | GRAPH ( <iri> | ?g ) { (triple '.'?)* FILTER?* }
+  *             -- named graphs (quad datasets only: use queryQuads)
   * bexpr    := CONCAT ( term+ ) | STRLEN ( ?var ) | term
   *           | IF ( expr term term ) | COALESCE ( term+ )
   * triple   := term path? term               -- path in predicate position
@@ -108,7 +110,8 @@ object Sparql {
       binds: Seq[BindClause] = Nil,
       subqueries: Seq[Query] = Nil,
       isDescribe: Boolean = false,
-      describeIris: Seq[String] = Nil)
+      describeIris: Seq[String] = Nil,
+      graphs: Seq[GraphBlock] = Nil)
 
   /** Parse and evaluate against a (s, p, o) triple DataFrame.
     * `pathMaxHops` bounds `+` property-path closures (SPARQL's unbounded
@@ -117,13 +120,38 @@ object Sparql {
     */
   def query(triples: DataFrame, text: String,
       pathMaxHops: Int = 8): DataFrame =
-    evalParsed(triples, parse(text, pathMaxHops))
+    evalParsed(triples, parse(text, pathMaxHops), None)
+
+  /** Parse and evaluate against a (g, s, p, o) QUAD DataFrame — the
+    * named-graph dataset form. `GRAPH <iri> { ... }` / `GRAPH ?g
+    * { ... }` blocks evaluate against the quads ([[Bgp.graphBlock]]);
+    * patterns OUTSIDE any GRAPH block match the union default graph
+    * (all quads with `g` projected away — the RDF-dataset configuration
+    * most stores ship for web-corpus workloads, where per-source graphs
+    * partition one logical web graph).
+    */
+  def queryQuads(quads: DataFrame, text: String,
+      pathMaxHops: Int = 8): DataFrame = {
+    val triples = quads.select(col("s"), col("p"), col("o"))
+    evalParsed(triples, parse(text, pathMaxHops), Some(quads))
+  }
 
   /** Evaluate a parsed [[Query]]. Subqueries evaluate first (recursively
     * through this method) and join in as derived tables.
     */
-  private def evalParsed(triples: DataFrame, q: Query): DataFrame = {
-    val derived = q.subqueries.map(sq => evalParsed(triples, sq))
+  private def evalParsed(triples: DataFrame, q: Query,
+      quads: Option[DataFrame]): DataFrame = {
+    // GRAPH blocks evaluate bottom-up like subqueries and join into the
+    // enclosing group as derived solution sets (shared-variable inner
+    // joins — including the graph variable when it is shared)
+    val graphDerived = q.graphs.map { gb =>
+      val qd = quads.getOrElse(throw new IllegalArgumentException(
+        "GRAPH patterns need a quad dataset — use Sparql.queryQuads"))
+      Bgp.graphBlock(qd, gb)
+    }
+    val derived =
+      q.subqueries.map(sq => evalParsed(triples, sq, quads)) ++
+        graphDerived
     if (q.isDescribe) {
       // DESCRIBE: the symmetric concise description of the resource set
       // R — triples with subject or object in R, as a distinct graph.
@@ -155,7 +183,8 @@ object Sparql {
       // instead of materializing the whole solution bag.
       val vars = (q.patterns.flatMap(_.vars) ++
         q.unions.flatMap(_.vars) ++
-        q.subqueries.flatMap(_.projection)).distinct
+        q.subqueries.flatMap(_.projection) ++
+        q.graphs.flatMap(_.vars)).distinct
       require(vars.nonEmpty, "ASK needs at least one variable pattern")
       val bag = Bgp.select(triples, q.patterns, Seq(vars.head),
         q.optionals, q.filters, distinct = false, negations = q.negations,
@@ -305,7 +334,8 @@ object Sparql {
     st.expectKw("WHERE")
     st.expect("{")
     val blk = parseBlock(st, allowOptional = true, pathMaxHops)
-    val Block(pats, opts, fils, negs, vals, unis, exs, binds, subs) = blk
+    val Block(pats, opts, fils, negs, vals, unis, exs, binds, subs,
+      graphs) = blk
     // BIND in-scope rule: each expression variable must be bound by the
     // group's patterns/unions/values/subqueries or an earlier BIND; the
     // bound name must be fresh (SPARQL forbids rebinding an in-scope var)
@@ -316,6 +346,7 @@ object Sparql {
       baseVars ++= vals.flatMap(_.vars)
       baseVars ++= opts.flatMap(_.patterns.flatMap(_.vars))
       baseVars ++= subs.flatMap(_.projection)
+      baseVars ++= graphs.flatMap(_.vars)
       binds.foreach { b =>
         val missing = b.needs.filterNot(baseVars)
         require(missing.isEmpty,
@@ -392,7 +423,8 @@ object Sparql {
     if (!nested)
       require(st.peek.isEmpty,
         s"trailing tokens: ${st.peek.getOrElse("")}")
-    require(pats.nonEmpty || unis.nonEmpty || subs.nonEmpty,
+    require(pats.nonEmpty || unis.nonEmpty || subs.nonEmpty ||
+      graphs.nonEmpty,
       "WHERE block needs at least one triple pattern or subquery")
     if (aggs.nonEmpty || groupVars.nonEmpty) {
       require(aggs.nonEmpty, "GROUP BY without an aggregate in SELECT")
@@ -407,7 +439,7 @@ object Sparql {
       groupVars.toSeq, negations = negs, valuesBlocks = vals,
       orderBy = orderBy.toSeq, limit = limit, unions = unis,
       having = having, offset = offset, existsBlocks = exs,
-      binds = binds, subqueries = subs)
+      binds = binds, subqueries = subs, graphs = graphs)
   }
 
   /** DESCRIBE <iri>+ | DESCRIBE ?var WHERE { ... } — the graph about a
@@ -423,14 +455,17 @@ object Sparql {
       st.expect("}")
       require(st.peek.isEmpty,
         s"trailing tokens: ${st.peek.getOrElse("")}")
-      require(b.pats.nonEmpty || b.unis.nonEmpty || b.subs.nonEmpty,
+      require(b.pats.nonEmpty || b.unis.nonEmpty || b.subs.nonEmpty ||
+        b.graphs.nonEmpty,
         "DESCRIBE ?var needs at least one WHERE pattern")
       val inScope = (b.pats.flatMap(_.vars) ++ b.unis.flatMap(_.vars) ++
-        b.vals.flatMap(_.vars) ++ b.subs.flatMap(_.projection)).toSet
+        b.vals.flatMap(_.vars) ++ b.subs.flatMap(_.projection) ++
+        b.graphs.flatMap(_.vars)).toSet
       require(inScope(v), s"DESCRIBE var ?$v not bound in WHERE")
       Query(Seq(v), distinct = false, b.pats, b.opts, b.fils,
         negations = b.negs, valuesBlocks = b.vals, unions = b.unis,
         existsBlocks = b.exs, binds = b.binds, subqueries = b.subs,
+        graphs = b.graphs,
         isDescribe = true)
     } else {
       val iris = scala.collection.mutable.ArrayBuffer[String]()
@@ -450,15 +485,17 @@ object Sparql {
     st.expectKw("ASK")
     if (st.peekKw("WHERE")) st.next()
     st.expect("{")
-    val Block(pats, opts, fils, negs, vals, unis, exs, binds, subs) =
-      parseBlock(st, allowOptional = true, pathMaxHops)
+    val Block(pats, opts, fils, negs, vals, unis, exs, binds, subs,
+      graphs) = parseBlock(st, allowOptional = true, pathMaxHops)
     st.expect("}")
     require(st.peek.isEmpty, s"trailing tokens: ${st.peek.getOrElse("")}")
-    require(pats.nonEmpty || unis.nonEmpty || subs.nonEmpty,
+    require(pats.nonEmpty || unis.nonEmpty || subs.nonEmpty ||
+      graphs.nonEmpty,
       "ASK block needs at least one triple pattern or subquery")
     Query(Seq("ask"), distinct = false, pats, opts, fils,
       negations = negs, valuesBlocks = vals, unions = unis, isAsk = true,
-      existsBlocks = exs, binds = binds, subqueries = subs)
+      existsBlocks = exs, binds = binds, subqueries = subs,
+      graphs = graphs)
   }
 
   /** CONSTRUCT { tmplTriple* } WHERE { item* } — template triples are
@@ -477,16 +514,17 @@ object Sparql {
     require(tmpl.nonEmpty, "CONSTRUCT needs at least one template triple")
     st.expectKw("WHERE")
     st.expect("{")
-    val Block(pats, opts, fils, negs, vals, unis, exs, binds, subs) =
-      parseBlock(st, allowOptional = true, pathMaxHops)
+    val Block(pats, opts, fils, negs, vals, unis, exs, binds, subs,
+      graphs) = parseBlock(st, allowOptional = true, pathMaxHops)
     st.expect("}")
     require(st.peek.isEmpty, s"trailing tokens: ${st.peek.getOrElse("")}")
-    require(pats.nonEmpty || unis.nonEmpty || subs.nonEmpty,
+    require(pats.nonEmpty || unis.nonEmpty || subs.nonEmpty ||
+      graphs.nonEmpty,
       "WHERE block needs at least one triple pattern or subquery")
     val whereVars = (pats.flatMap(_.vars) ++
       opts.flatMap(_.patterns.flatMap(_.vars)) ++
       unis.flatMap(_.vars) ++ binds.map(_.name) ++
-      subs.flatMap(_.projection)).toSet
+      subs.flatMap(_.projection) ++ graphs.flatMap(_.vars)).toSet
     val tmplVars = tmpl.flatMap { case (s, p, o) =>
       Seq(s, p, o).collect { case V(n) => n }
     }
@@ -496,7 +534,7 @@ object Sparql {
     Query(Seq("s", "p", "o"), distinct = true, pats, opts, fils,
       template = tmpl.toSeq, negations = negs, valuesBlocks = vals,
       unions = unis, existsBlocks = exs, binds = binds,
-      subqueries = subs)
+      subqueries = subs, graphs = graphs)
   }
 
   // ---------------------------------------------------------------- //
@@ -506,7 +544,8 @@ object Sparql {
       opts: Seq[OptionalBlock], fils: Seq[Column],
       negs: Seq[NegationBlock], vals: Seq[ValuesBlock],
       unis: Seq[UnionBlock], exs: Seq[ExistsBlock],
-      binds: Seq[BindClause], subs: Seq[Query])
+      binds: Seq[BindClause], subs: Seq[Query],
+      graphs: Seq[GraphBlock])
 
   private def parseBlock(st: Stream, allowOptional: Boolean,
       pathMaxHops: Int): Block = {
@@ -519,12 +558,13 @@ object Sparql {
     val exs = scala.collection.mutable.ArrayBuffer[ExistsBlock]()
     val binds = scala.collection.mutable.ArrayBuffer[BindClause]()
     val subs = scala.collection.mutable.ArrayBuffer[Query]()
+    val graphs = scala.collection.mutable.ArrayBuffer[GraphBlock]()
     def innerBlock(kind: String): (Seq[Pattern], Seq[Column]) = {
       st.expect("{")
       val b = parseBlock(st, allowOptional = false, pathMaxHops)
       require(b.opts.isEmpty && b.negs.isEmpty && b.vals.isEmpty &&
         b.unis.isEmpty && b.exs.isEmpty && b.binds.isEmpty &&
-        b.subs.isEmpty,
+        b.subs.isEmpty && b.graphs.isEmpty,
         s"nested blocks in $kind")
       require(b.pats.nonEmpty, s"$kind block needs a triple pattern")
       st.expect("}")
@@ -603,6 +643,17 @@ object Sparql {
           st.expect("}")
           vals += ValuesBlock(Seq(v.drop(1)), rows.toSeq)
         }
+      } else if (st.peekKw("GRAPH")) {
+        require(allowOptional, "nested GRAPH is not supported")
+        st.next()
+        val gterm = parseTerm(st)
+        val (p, f) = innerBlock("GRAPH")
+        val tps = p.map {
+          case tp: TriplePattern => tp
+          case other => throw new IllegalArgumentException(
+            s"GRAPH blocks hold plain triple patterns, got $other")
+        }
+        graphs += GraphBlock(gterm, tps, f)
       } else if (st.peekKw("MINUS")) {
         require(allowOptional, "nested MINUS is not supported")
         st.next()
@@ -631,7 +682,7 @@ object Sparql {
       }
     }
     Block(pats.toSeq, opts.toSeq, fils.toSeq, negs.toSeq, vals.toSeq,
-      unis.toSeq, exs.toSeq, binds.toSeq, subs.toSeq)
+      unis.toSeq, exs.toSeq, binds.toSeq, subs.toSeq, graphs.toSeq)
   }
 
   /** BIND ( expr AS ?var ): expr := CONCAT ( term+ ) | STRLEN ( ?v )

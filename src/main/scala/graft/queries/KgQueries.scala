@@ -347,6 +347,34 @@ object KgQueries {
     }
   private val bgpTriplesCache = new DirCache[DataFrame]
 
+  /** SPARQL named graphs over the KG as a QUAD dataset: mention triples
+    * live in per-provenance graphs `urn:graph:(doc_id mod 4)` (the
+    * per-source/per-crawl-segment layout a web-scale quad store uses),
+    * co-occurrence triples in the derived graph `urn:graph:co`. The
+    * query joins a variable-GRAPH mention block (same-graph semantics,
+    * `?g` bound into the solutions) against a constant-GRAPH
+    * co-occurrence block (`g = iri` pushed into the scan) on the shared
+    * entity, then aggregates the bag per graph — GRAPH, cross-block
+    * join, and grouping on a graph variable in one driver-oracled
+    * query (the full semantics matrix is NamedGraphSpec's).
+    */
+  def kgGraph(spark: SparkSession, dir: String): DataFrame = {
+    val t = bgpTriples(spark, dir)
+    val quads = t.withColumn("g",
+      when(col("p") === MentionScan.MentionsPred,
+        concat(lit("urn:graph:"),
+          expr("CAST(substring(s, 9) AS LONG) % 4")))
+        .otherwise(lit("urn:graph:co")))
+      .select(col("g"), col("s"), col("p"), col("o"))
+    graft.kgql.Sparql.queryQuads(quads,
+      """SELECT ?g (COUNT(*) AS ?n) (COUNT(DISTINCT ?d) AS ?docs) WHERE {
+        |  GRAPH ?g { ?d <urn:graft:mentions> ?e }
+        |  GRAPH <urn:graph:co> {
+        |    ?e <urn:graft:coOccursWith> <urn:ent:vector>
+        |  }
+        |} GROUP BY ?g ORDER BY ?g""".stripMargin)
+  }
+
   /** SPARQL BGP over the KG: a star join on documents mentioning a fixed
     * entity plus a co-occurrence chain between the other two mentions.
     * Exercises selectivity ordering (the 2-bound pattern seeds the join
@@ -1338,6 +1366,7 @@ object KgQueries {
     "kg_temporal" -> kgTemporal,
     "kg_bgp" -> kgBgp,
     "kg_bgp_opt" -> kgBgpOpt,
+    "kg_graph" -> kgGraph,
     "kg_path" -> kgPath,
     "kg_path_expr" -> kgPathExpr,
     "kg_construct" -> kgConstruct,
@@ -2096,6 +2125,21 @@ object KgQueries {
     "kg_ppr" -> pprSql,
     // SPARQL BGP replay: star join on docs mentioning `spark` plus the
     // co-occurrence chain — bag semantics, so no DISTINCT on the outer
+    // named graphs: mention quads in per-doc-group graphs, co quads in
+    // urn:graph:co; variable-GRAPH block ⋈ constant-GRAPH block on ?e,
+    // bag count + distinct docs per graph
+    "kg_graph" ->
+      s"""WITH $tokensCte,
+         |md AS (SELECT 'urn:graph:' || (doc_id % 4) AS g,
+         |    'urn:doc:' || doc_id AS d, 'urn:ent:' || entity AS e
+         |  FROM m),
+         |co AS (SELECT DISTINCT 'urn:ent:' || a.entity AS s,
+         |    'urn:ent:' || b.entity AS o
+         |  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.entity < b.entity),
+         |j AS (SELECT md.g, md.d FROM md
+         |  JOIN co ON co.s = md.e AND co.o = 'urn:ent:vector')
+         |SELECT g, COUNT(*) AS n, COUNT(DISTINCT d) AS docs
+         |FROM j GROUP BY g ORDER BY g""".stripMargin,
     "kg_bgp" ->
       s"""WITH $tokensCte,
          |md AS (SELECT 'urn:doc:' || doc_id AS d, 'urn:ent:' || entity AS e FROM m),
