@@ -933,7 +933,122 @@ object DataQueries {
       .orderBy("url")
   }
 
+  /** BPE tokenizer-training trace ([[graft.text.Bpe]], Sennrich et al.
+    * 2016): the first 8 learned merge rules with their winning pair
+    * counts. The corpus is touched ONCE (word-frequency aggregation,
+    * map-side combine); every merge round then runs over the
+    * vocab-scale symbol table with a 1-row argmax to the driver — the
+    * algorithm's inherent sequential dependency, and the standard
+    * corpus/vocab scale split (at 10^12 docs the word dict is orders
+    * of magnitude smaller than the corpus, capped at `maxVocab` by
+    * (freq DESC, word) like production trainer word dicts).
+    * Determinism: pair ties break (count DESC, a, b) in code-point
+    * order on both engines (Spark binary UTF8 asc ≡ DuckDB binary
+    * collation).
+    *
+    * The oracle replays the ENTIRE training loop round-per-CTE: words
+    * are wrapped per code point in sentinel chars (chr30/chr31 around
+    * each symbol), so the merge-apply step becomes a plain
+    * non-overlapping left-to-right `replace('⟨a⟩⟨b⟩' → '⟨ab⟩')` —
+    * exactly Bpe.applyMergeOnce's scan order — and each round's pair
+    * histogram re-derives by splitting the wrapped state. Words
+    * containing either sentinel are excluded on BOTH sides (none occur
+    * in the corpus; the guard keeps the wrapping unambiguous). The
+    * 8 rounds assume ≥8 productive merges — guaranteed for any corpus
+    * with ≥8 distinct repeated-pair merges (sf0.001 has thousands).
+    */
+  def txtBpe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val wc = docs.select(explode(split(col("text"), "\\s+")).as("word"))
+      .filter(col("word") =!= "" &&
+        !col("word").contains("\u001e") && !col("word").contains("\u001f"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    graft.text.Bpe.trainDetailedFromCounts(wc, numMerges = 8,
+        maxVocab = 65536)
+      .zipWithIndex
+      .map { case ((a, b, c), i) => (i + 1L, a, b, c) }
+      .toDF("merge_rank", "a", "b", "cnt")
+  }
+
+  /** Language ID over the corpus ([[TextAnalysis.langId]] — the UDF-free
+    * integer-exact scorer): per-doc predicted language + micro-score.
+    * The oracle carries the ~650-row trigram profile as a VALUES literal
+    * (generated from the same [[TextAnalysis.ProfileCounts]] constants)
+    * and replays the explode → broadcast-join → integer-div → argmax
+    * pipeline verbatim.
+    */
+  def txtLangid(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(spark.read.parquet(s"$dir/documents.parquet"))
+      .orderBy("doc_id")
+
+  private def langidOracleSql: String = {
+    val rows = TextAnalysis.ProfileCounts.toSeq.sortBy(_._1)
+      .flatMap { case (lang, (m, np)) =>
+        m.toSeq.sortBy(_._1).map { case (g, c) =>
+          s"('$lang', '${g.replace("'", "''")}', $c, $np)"
+        }
+      }.mkString(",\n    ")
+    s"""WITH prof(lang, gram, pc, nprof) AS (VALUES
+       |    $rows),
+       |pad AS (SELECT doc_id,
+       |    ' ' || regexp_replace(lower(text), '[^\\p{L} ]', '', 'g') || ' '
+       |      AS p FROM documents),
+       |dg AS (SELECT doc_id, substr(p, i, 3) AS gram, COUNT(*) AS dc
+       |  FROM pad, unnest(generate_series(1, length(p) - 2)) AS g(i)
+       |  GROUP BY 1, 2),
+       |sc AS (SELECT doc_id, lang,
+       |    SUM(pc * dc) * 1000000 // nprof AS score_micro
+       |  FROM dg JOIN prof USING (gram) GROUP BY doc_id, lang, nprof),
+       |best AS (SELECT doc_id, lang, score_micro,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY score_micro DESC, lang) AS rn
+       |  FROM sc)
+       |SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred,
+       |  CAST(COALESCE(b.score_micro, 0) AS BIGINT) AS score_micro
+       |FROM documents d
+       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** txt_bpe oracle: init wraps each code point in sentinels; round k =
+    * split → adjacent-pair weighted histogram → (cnt DESC, a, b) argmax
+    * → LTR non-overlapping replace. */
+  private def bpeOracleSql(numMerges: Int, maxVocab: Int): String = {
+    val rounds = (1 to numMerges).map { k =>
+      s"""s$k AS (SELECT string_split(substr(st, 2, length(st) - 2),
+         |    chr(31)||chr(30)) AS syms, n FROM r${k - 1}),
+         |p$k AS (SELECT syms[i] AS a, syms[i+1] AS b, SUM(n) AS cnt
+         |  FROM s$k, unnest(generate_series(1, len(syms) - 1)) AS g(i)
+         |  GROUP BY 1, 2),
+         |m$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+         |r$k AS (SELECT replace(st,
+         |    chr(30)||a||chr(31)||chr(30)||b||chr(31),
+         |    chr(30)||a||b||chr(31)) AS st, n FROM r${k - 1}, m$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    val sel = (1 to numMerges).map { k =>
+      s"  SELECT CAST($k AS BIGINT) AS merge_rank, a, b," +
+        s" CAST(cnt AS BIGINT) AS cnt FROM m$k"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH wc AS (
+       |  SELECT word, COUNT(*) AS n FROM (
+       |    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word
+       |    FROM documents) t
+       |  WHERE word <> '' AND word NOT LIKE '%'||chr(30)||'%'
+       |    AND word NOT LIKE '%'||chr(31)||'%'
+       |  GROUP BY word ORDER BY n DESC, word LIMIT $maxVocab),
+       |r0 AS (SELECT regexp_replace(word, '(.)',
+       |    chr(30)||'\\1'||chr(31), 'g') AS st, n FROM wc),
+       |$rounds
+       |SELECT merge_rank, a, b, cnt FROM (
+       |$sel)
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_bpe" -> txtBpe,
+    "txt_langid" -> txtLangid,
     "mix_sample" -> mixSample,
     "mix_temperature" -> mixTemperature,
     "txt_entropy" -> txtEntropy,
@@ -1129,6 +1244,10 @@ object DataQueries {
       s"(acc, x) -> acc + x)"
 
   val oracles: Map[String, String] = Map(
+    // full training-loop replay: wrap → (pairs → argmax → replace)×8
+    "txt_bpe" -> bpeOracleSql(8, 65536),
+    // profile VALUES + explode/join/div/argmax replay
+    "txt_langid" -> langidOracleSql,
     // contingency table from in-row bigrams, nine quantized c·ln(c)
     // terms, deterministic (g2 DESC, a, b) top-20 — mirrors
     // TextAnalysis.collocations

@@ -410,7 +410,54 @@ object RelationalQueries {
     both.union(onlyClick).orderBy("tag", "user_id")
   }
 
+  /** Exact distributed Pearson correlation (quantity vs line price per
+    * return flag) via integer moment algebra — the one aggregate family
+    * the engine's built-in `corr()` can't make engine-stable (its
+    * running-covariance update is a float recurrence whose result
+    * depends on partitioning AND differs from DuckDB's). Here both
+    * sides reduce the SAME six exact integer moments over cents
+    * (n, Σx, Σy, Σxy, Σx², Σy² — per-row products fit in BIGINT, the
+    * Σy² sum alone crosses 2^63 at corpus scale so it accumulates in
+    * DECIMAL(38,0)/HUGEINT), and the finishing arithmetic
+    * r = (nΣxy−ΣxΣy) / (√(nΣx²−Σx²ᵀ)·√(nΣy²−Σy²ᵀ)) runs in IEEE
+    * doubles from identical integers — correctly-rounded casts, mul,
+    * sqrt, div — so the DOUBLE result is bit-identical by construction,
+    * not by luck (the kg_assortativity argument, in-engine instead of
+    * driver-side).
+    *
+    * Scale shape: one map-side-combined agg keyed by the 3-value flag —
+    * the q1 shuffle (six extra partials), no second pass.
+    */
+  def q21Corr(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val xc = (dec(col("l_quantity")) * 100).cast("long")
+    val yc = (dec(col("l_extendedprice")) * 100).cast("long")
+    li.select(col("l_returnflag"), xc.as("x"), yc.as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"),
+        sum((col("y") * col("y")).cast(DecimalType(38, 0))).as("syy"))
+      .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+        col("sxy"), col("sxx"), col("syy"))
+      .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+        // every product in DECIMAL(38,0) — sx·sy alone crosses 2^63
+        (((col("n") * col("sxy") -
+            col("sx").cast(DecimalType(38, 0)) * col("sy"))
+            .cast("double")) /
+          (sqrt((col("n") * col("sxx") -
+              col("sx").cast(DecimalType(38, 0)) * col("sx"))
+            .cast("double")) *
+           sqrt((col("n") * col("syy") -
+              col("sy").cast(DecimalType(38, 0)) * col("sy"))
+            .cast("double")))).as("r"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_corr" -> q21Corr,
     "q17_ntile" -> q17Ntile,
     "q18_lag" -> q18Lag,
     "q19_median" -> q19Median,
@@ -434,6 +481,21 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same six integer moments in HUGEINT, same IEEE finishing arithmetic
+    "q21_corr" ->
+      """WITH t AS (SELECT l_returnflag,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |  CAST(CAST(COUNT(*) AS HUGEINT) * SUM(x*y)
+        |       - CAST(SUM(x) AS HUGEINT) * SUM(y) AS DOUBLE) /
+        |  (sqrt(CAST(CAST(COUNT(*) AS HUGEINT) * SUM(x*x)
+        |       - CAST(SUM(x) AS HUGEINT) * SUM(x) AS DOUBLE)) *
+        |   sqrt(CAST(CAST(COUNT(*) AS HUGEINT) * SUM(y*y)
+        |       - CAST(SUM(y) AS HUGEINT) * SUM(y) AS DOUBLE))) AS r
+        |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q18_lag" ->
       """WITH g AS (
         |  SELECT user_id,

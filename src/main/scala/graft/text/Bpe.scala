@@ -63,15 +63,30 @@ object Bpe {
     * so lineage stays O(1) across rounds.
     */
   def train(docs: DataFrame, numMerges: Int,
-      maxVocab: Int = 1000000): Seq[Merge] = {
-    val spark = docs.sparkSession
+      maxVocab: Int = 1000000): Seq[Merge] =
+    trainDetailed(docs, numMerges, maxVocab).map { case (a, b, _) => (a, b) }
+
+  /** [[train]] plus each round's winning pair count — the full training
+    * trace the `txt_bpe` driver oracle replays round-per-CTE in SQL.
+    */
+  def trainDetailed(docs: DataFrame, numMerges: Int,
+      maxVocab: Int = 1000000): Seq[(String, String, Long)] =
+    trainDetailedFromCounts(wordCounts(docs), numMerges, maxVocab)
+
+  /** [[trainDetailed]] over a caller-built (word, n) frequency table —
+    * the driver query pre-filters words there (sentinel guard) so the
+    * SQL replay's wrapped-string representation stays unambiguous.
+    */
+  def trainDetailedFromCounts(wc: DataFrame, numMerges: Int,
+      maxVocab: Int = 1000000): Seq[(String, String, Long)] = {
+    val spark = wc.sparkSession
     import spark.implicits._
-    var vocab: Dataset[(Seq[String], Long)] = wordCounts(docs)
+    var vocab: Dataset[(Seq[String], Long)] = wc
       .orderBy(desc("n"), asc("word")).limit(maxVocab)
       .as[(String, Long)]
       .map { case (w, n) => (codePoints(w), n) }
       .localCheckpoint()
-    val merges = scala.collection.mutable.ArrayBuffer[Merge]()
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     var done = false
     while (merges.length < numMerges && !done) {
       val top = vocab.flatMap { case (syms, n) =>
@@ -86,8 +101,8 @@ object Bpe {
         .collect()
       top.headOption match {
         case None => done = true
-        case Some((a, b, _)) =>
-          merges += ((a, b))
+        case Some((a, b, cnt)) =>
+          merges += ((a, b, cnt))
           vocab = vocab
             .map { case (syms, n) => (applyMergeOnce(syms, a, b), n) }
             .localCheckpoint()

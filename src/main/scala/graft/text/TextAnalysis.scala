@@ -341,6 +341,74 @@ object TextAnalysis {
     docs.withColumn("detected_lang", f(col(textCol)))
   }
 
+  /** Integer trigram profiles: (gram → count, total grams) per language
+    * — the quantized basis [[langId]] scores against. Raw counts, not
+    * the float frequencies [[Profiles]] carries, so scores stay in
+    * exact BIGINT arithmetic end-to-end.
+    */
+  lazy val ProfileCounts: Map[String, (Map[String, Long], Long)] =
+    SeedText.map { case (lang, txt) =>
+      val padded = " " + txt.toLowerCase.replaceAll("[^\\p{L} ]", "") + " "
+      val grams = padded.sliding(3).toSeq
+      lang -> (grams.groupBy(identity).map { case (g, xs) =>
+        g -> xs.size.toLong
+      }, grams.size.toLong)
+    }
+
+  /** UDF-free language ID ([[detectLanguage]]'s declarative sibling):
+    * per-doc char-trigram counts joined to the broadcast profile table,
+    * scored in exact integers —
+    *
+    *   score_micro(doc, lang) = (Σ_g profCount(lang,g)·docCount(doc,g))
+    *                            · 10^6 div nProf(lang)
+    *
+    * (the doc-side 1/nDoc normalization of the float scorer is constant
+    * across languages per doc, so it cannot change the argmax and is
+    * dropped; the lang-side 1/nProf is kept, floor-divided at micro
+    * scale). Argmax ties break by language code; docs with zero
+    * profile-gram hits are "und". Everything is Column arithmetic in
+    * whole-stage codegen — no UDF — and the scores replay bit-exactly
+    * in any engine with integer division.
+    *
+    * Scale shape: trigram explode IN-ROW (one substring per position),
+    * one (doc, gram)-keyed map-side-combined count, one broadcast join
+    * against the ~650-row profile table, one (doc, lang) agg, and a
+    * single-struct min per doc — the repetition/entropy shuffle shape,
+    * nothing corpus-quadratic.
+    */
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val profDf = ProfileCounts.toSeq.flatMap { case (lang, (m, np)) =>
+      m.toSeq.map { case (g, c) => (lang, g, c, np) }
+    }.toDF("lang", "gram", "pc", "nprof")
+    val padded = concat(lit(" "),
+      regexp_replace(lower(col(textCol)), "[^\\p{L} ]", ""), lit(" "))
+    val grams = docs.select(col("doc_id"), padded.as("p"))
+      .withColumn("gs", expr(
+        "CASE WHEN length(p) >= 3 THEN " +
+          "transform(sequence(1, length(p) - 2), i -> substring(p, i, 3)) " +
+          "ELSE CAST(array() AS array<string>) END"))
+      .select(col("doc_id"), explode(col("gs")).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("dc"))
+    val scores = grams
+      .join(broadcast(profDf), Seq("gram"))
+      .groupBy(col("doc_id"), col("lang"), col("nprof"))
+      .agg(sum(col("pc") * col("dc")).as("raw"))
+      .select(col("doc_id"), col("lang"),
+        expr("raw * 1000000 div nprof").as("score_micro"))
+    val best = scores
+      .groupBy("doc_id")
+      .agg(min(struct((-col("score_micro")).as("ns"), col("lang"))).as("m"))
+      .select(col("doc_id"), col("m.lang").as("lang_pred"),
+        (-col("m.ns")).as("score_micro"))
+    docs.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lang_pred"), lit("und")).as("lang_pred"),
+        coalesce(col("score_micro"), lit(0L)).as("score_micro"))
+  }
+
   // ---- Fingerprinting (rolling hash / winnowing) ----------------------
 
   /** Polynomial rolling hashes of token windows; the document fingerprint

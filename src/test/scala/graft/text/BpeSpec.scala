@@ -81,6 +81,17 @@ class BpeSpec extends SparkSpec {
     assert(n8 < n0)
   }
 
+  test("trainDetailed trace: same merges, exact winning counts, " +
+      "non-increasing (merging can only shrink the max pair count)") {
+    val got = Bpe.trainDetailed(docsDf, 8)
+    assert(got.map(t => (t._1, t._2)) == trainRef(wc, 8))
+    // first winner 'es' = newest(6) + widest(3) = 9, second 'est' = 9
+    assert(got.head == ("e", "s", 9L))
+    assert(got(1) == ("es", "t", 9L))
+    val counts = got.map(_._3)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
   test("encode applies merges by rank priority") {
     // ranks: ('a','b') before ('b','c'): "abc" → ["ab", "c"]
     val ranks = Map(("a", "b") -> 0, ("b", "c") -> 1)
