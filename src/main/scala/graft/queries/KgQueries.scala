@@ -375,6 +375,34 @@ object KgQueries {
         |} GROUP BY ?g ORDER BY ?g""".stripMargin)
   }
 
+  /** RDFS entailment rollup: materialize the reflexive-transitive
+    * `rdfs:subClassOf` closure over the fixture TBox (semi-naive
+    * TBox-only iteration — [[graft.ontology.Rdfs.subClassClosure]]),
+    * entail every ancestor type of each gazetteer entity (rule rdfs9),
+    * then aggregate the corpus mentions per entailed class: distinct
+    * entities, distinct docs, total mention tf. The corpus-scale side is
+    * touched exactly once — the closure is schema-scale and broadcast
+    * into the single mention join. The oracle replays the closure with a
+    * recursive CTE over the same VALUES fixture.
+    */
+  def kgRdfs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = MentionScan.mentionsIdx(pagesDf(spark, dir), Gazetteer(gaz))
+      .select(element_at(typedLit(gazSorted), col("e") + 1).as("entity"),
+        col("doc_id"), col("tf"))
+    val clo = graft.ontology.Rdfs.subClassClosure(
+      graft.ontology.Rdfs.SubClassOf.toDF("c", "anc"))
+    val entailed = graft.ontology.Rdfs.entailTypes(
+      graft.ontology.Rdfs.DirectType.toDF("entity", "cls"), clo)
+      .toDF("entity", "cls")
+    m.join(broadcast(entailed), Seq("entity"))
+      .groupBy(col("cls"))
+      .agg(countDistinct(col("entity")).as("n_entities"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("tf")).as("total_tf"))
+      .orderBy(col("cls"))
+  }
+
   /** SPARQL BGP over the KG: a star join on documents mentioning a fixed
     * entity plus a co-occurrence chain between the other two mentions.
     * Exercises selectivity ordering (the 2-bound pattern seeds the join
@@ -1367,6 +1395,7 @@ object KgQueries {
     "kg_bgp" -> kgBgp,
     "kg_bgp_opt" -> kgBgpOpt,
     "kg_graph" -> kgGraph,
+    "kg_rdfs" -> kgRdfs,
     "kg_path" -> kgPath,
     "kg_path_expr" -> kgPathExpr,
     "kg_construct" -> kgConstruct,
@@ -1953,8 +1982,37 @@ object KgQueries {
       .replace("GAZ", Gazetteer.DefaultEntities.map(e => s"'$e'")
         .mkString("(", ",", ")"))
 
+  /** Closure replay for kg_rdfs: the same SubClassOf/DirectType fixtures
+    * serialized as VALUES (one source of truth — the Scala constants),
+    * the reflexive-transitive closure as a recursive CTE, rdfs9 as the
+    * dt ⋈ closure join, then the identical mention rollup.
+    */
+  private lazy val rdfsSql: String = {
+    val subVals = graft.ontology.Rdfs.SubClassOf
+      .map { case (c, p) => s"('$c','$p')" }.mkString(", ")
+    val dtVals = graft.ontology.Rdfs.DirectType
+      .map { case (e, c) => s"('$e','$c')" }.mkString(", ")
+    s"""WITH RECURSIVE $tokensCte,
+       |sub(c, anc) AS (VALUES $subVals),
+       |dt(entity, cls) AS (VALUES $dtVals),
+       |allc AS (SELECT c FROM sub UNION SELECT anc FROM sub),
+       |clo(c, anc) AS (
+       |  SELECT c, c FROM allc UNION SELECT c, anc FROM sub
+       |  UNION
+       |  SELECT clo.c, s.anc FROM clo JOIN sub s ON clo.anc = s.c),
+       |ent AS (SELECT DISTINCT dt.entity, clo.anc AS cls
+       |  FROM dt JOIN clo ON dt.cls = clo.c)
+       |SELECT ent.cls AS cls,
+       |  CAST(COUNT(DISTINCT m.entity) AS BIGINT) AS n_entities,
+       |  CAST(COUNT(DISTINCT m.doc_id) AS BIGINT) AS n_docs,
+       |  CAST(SUM(m.tf) AS BIGINT) AS total_tf
+       |FROM m JOIN ent ON m.entity = ent.entity
+       |GROUP BY 1 ORDER BY cls""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "kg_anf" -> anfSql,
+    "kg_rdfs" -> rdfsSql,
     // degree decoration + one global agg over the symmetrized kg_lpa
     // graph — every moment an exact BIGINT
     "kg_assortativity" ->
