@@ -1448,6 +1448,32 @@ object GraphAlgs {
       .agg(count(lit(1)).as("n_edges"), count(col("rev")).as("n_reciprocal"))
   }
 
+  /** Discrete power-law exponent of the degree distribution by the
+    * Clauset–Shalizi–Newman continuous-approximation MLE at xmin = 1:
+    * α = 1 + n · [Σᵢ ln(dᵢ / (xmin − ½))]⁻¹ = 1 + n / Σ ln(2dᵢ) — the
+    * standard scale-free-ness readout for webgraph degree sequences
+    * (hub-heaviness drives every skew guard in this engine; this is the
+    * statistic that QUANTIFIES it). Exactness: ln is taken only over
+    * the INTEGER 2d (the txt_entropy micro-nat rule), each term rounds
+    * to micro-nats BEFORE the sum, the sum is an exact BIGINT, and the
+    * finishing α = 1 + n·10⁶/s runs in IEEE doubles from identical
+    * integers on both engines (the q21_corr argument).
+    *
+    * Scale shape: degree decoration is one map-side-combined agg; the
+    * MLE is ONE global aggregate over the degree table (node-scale, not
+    * edge-scale). No sort, no histogram materialization.
+    */
+  def powerLawAlpha(und: DataFrame): DataFrame = {
+    val deg = und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("d"))
+    deg.agg(count(lit(1)).as("n_nodes"),
+        max(col("d")).as("d_max"),
+        sum(round(log(col("d") * 2) * 1e6).cast("long")).as("sum_ln_micro"))
+      .select(col("n_nodes"), col("d_max"), col("sum_ln_micro"),
+        (lit(1.0) + col("n_nodes").cast("double") * lit(1e6) /
+          col("sum_ln_micro").cast("double")).as("alpha"))
+  }
+
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src"))

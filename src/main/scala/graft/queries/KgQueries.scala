@@ -403,6 +403,34 @@ object KgQueries {
       .orderBy(col("cls"))
   }
 
+  /** OWL identity materialization (eq-sym / eq-trans / eq-rep + prp-symp
+    * — see [[graft.ontology.Owl]] for the reference anchor: the
+    * reference only REPORTS `owl:sameAs` as unsupported). The sameAs
+    * fixture closes into equivalence classes at dictionary scale; the
+    * corpus-scale eq-rep rewrite is ONE in-row dictionary-array lookup
+    * inside the mention scan's projection (mention index →
+    * representative index — no join, no extra shuffle), and the
+    * canonical co-occurrence histogram re-aggregates in the int domain
+    * (merged entities collapse per doc BEFORE pairing, so counts are of
+    * the canonical graph, not a post-hoc rename of the raw one).
+    * `coOccursWith` is declared symmetric: storage stays canonical
+    * s < o, both directions materialize only at the output boundary.
+    */
+  def kgOwl(spark: SparkSession, dir: String): DataFrame = {
+    val m = MentionScan.mentionsIdx(pagesDf(spark, dir), Gazetteer(gaz))
+    val repArr = graft.ontology.Owl.repIndex(
+      spark, gazSorted, graft.ontology.Owl.SameAs)
+    val sets = m.select(col("doc_id"),
+        element_at(typedLit(repArr), col("e") + 1).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("e"))).as("es"))
+    val tri = MentionScan.restoreCoOccurStrings(
+      MentionScan.coOccurrencePairsIdx(sets, gazSorted.length), gazSorted)
+    tri.union(tri.select(col("o").as("s"), col("p"), col("s").as("o"),
+        col("n_docs")))
+      .orderBy(col("s"), col("o"))
+  }
+
   /** SPARQL BGP over the KG: a star join on documents mentioning a fixed
     * entity plus a co-occurrence chain between the other two mentions.
     * Exercises selectivity ordering (the 2-bound pattern seeds the join
@@ -1335,6 +1363,14 @@ object KgQueries {
     graft.canon.GraphAlgs.assortativityMoments(
       lpaUnd(lpaEdges(spark, dir)))
 
+  /** Power-law exponent MLE of the kg_lpa graph's degree sequence
+    * (see [[graft.canon.GraphAlgs.powerLawAlpha]]): the hub-heaviness
+    * statistic next to kg_assortativity's mixing coefficient — the two
+    * numbers that predict whether the skew guards fire at corpus scale.
+    */
+  def kgPowerlaw(spark: SparkSession, dir: String): DataFrame =
+    graft.canon.GraphAlgs.powerLawAlpha(lpaUnd(lpaEdges(spark, dir)))
+
   /** Reciprocity of the directed part-sequence digraph (the kg_scc
     * construction at a 20× wider slice — l_orderkey < 20 000 puts a
     * nonzero reciprocal population in the driver data, 182 of 29 074
@@ -1374,6 +1410,7 @@ object KgQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_anf" -> kgAnf,
     "kg_assortativity" -> kgAssortativity,
+    "kg_powerlaw" -> kgPowerlaw,
     "kg_reciprocity" -> kgReciprocity,
     "kg_richclub" -> kgRichclub,
     "kg_motifs" -> kgMotifs,
@@ -1396,6 +1433,7 @@ object KgQueries {
     "kg_bgp_opt" -> kgBgpOpt,
     "kg_graph" -> kgGraph,
     "kg_rdfs" -> kgRdfs,
+    "kg_owl" -> kgOwl,
     "kg_path" -> kgPath,
     "kg_path_expr" -> kgPathExpr,
     "kg_construct" -> kgConstruct,
@@ -2010,9 +2048,58 @@ object KgQueries {
        |GROUP BY 1 ORDER BY cls""".stripMargin
   }
 
+  /** Oracle for kg_owl: the same SameAs fixture as VALUES, equivalence
+    * classes via a recursive reachability CTE over the symmetrized
+    * assertion graph (rep = MIN reachable — identical to CC's
+    * lexicographic-min labeling), eq-rep rewrite with per-doc DISTINCT,
+    * then the kg_cooccur pair histogram and the symmetric output union.
+    */
+  private lazy val owlSql: String = {
+    val saVals = graft.ontology.Owl.SameAs
+      .map { case (a, b) => s"('$a','$b')" }.mkString(", ")
+    s"""WITH RECURSIVE $tokensCte,
+       |sa(a, b) AS (VALUES $saVals),
+       |und AS (SELECT a, b FROM sa UNION SELECT b, a FROM sa),
+       |nodes AS (SELECT a AS n FROM und UNION SELECT b FROM und),
+       |reach(n, r) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT reach.n, und.b FROM reach JOIN und ON reach.r = und.a),
+       |comp AS (SELECT n, MIN(r) AS rep FROM reach GROUP BY n),
+       |rw AS (SELECT DISTINCT m.doc_id, COALESCE(c.rep, m.entity) AS entity
+       |  FROM m LEFT JOIN comp c ON m.entity = c.n),
+       |pr AS (SELECT x.entity AS s, y.entity AS o,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM rw x JOIN rw y ON x.doc_id = y.doc_id AND x.entity < y.entity
+       |  GROUP BY 1, 2)
+       |SELECT 'urn:ent:' || s AS s, 'urn:graft:coOccursWith' AS p,
+       |  'urn:ent:' || o AS o, n_docs FROM pr
+       |UNION ALL
+       |SELECT 'urn:ent:' || o, 'urn:graft:coOccursWith', 'urn:ent:' || s,
+       |  n_docs FROM pr
+       |ORDER BY s, o""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "kg_anf" -> anfSql,
     "kg_rdfs" -> rdfsSql,
+    "kg_owl" -> owlSql,
+    // degree decoration + ONE global aggregate; ln only over the
+    // integer 2d (micro-nat rule), α finished in doubles from
+    // identical integers
+    "kg_powerlaw" ->
+      s"""WITH $lpaGraphCte,
+         |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+         |  FROM und GROUP BY src),
+         |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |  CAST(MAX(d) AS BIGINT) AS d_max,
+         |  CAST(SUM(CAST(ROUND(ln(d * 2) * 1000000) AS BIGINT)) AS BIGINT)
+         |    AS sum_ln_micro
+         |  FROM deg)
+         |SELECT n_nodes, d_max, sum_ln_micro,
+         |  1.0 + CAST(n_nodes AS DOUBLE) * 1000000.0 /
+         |    CAST(sum_ln_micro AS DOUBLE) AS alpha
+         |FROM agg""".stripMargin,
     // degree decoration + one global agg over the symmetrized kg_lpa
     // graph — every moment an exact BIGINT
     "kg_assortativity" ->

@@ -456,7 +456,71 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Time-series gap fill + LOCF: per user, the hourly event-count
+    * series densified over that user's [min, max] hour range — missing
+    * hours appear with n_events = 0 and `filled = true`, and the last
+    * observed event value carries forward (last-observation-carried-
+    * forward over the densified spine). Hours are exact integer hour
+    * epochs (`date_trunc` makes the microsecond epoch an exact multiple
+    * of 3.6e9, so the division is engine-identical), the carried value
+    * is the DECIMAL(18,2)-exact value of the (ts, event_id)-max event in
+    * the hour, picked by ONE struct-max aggregate (no second window).
+    *
+    * Scale shape: the corpus is touched once by the (user, hour) hash
+    * agg (map-side combined); the spine derives from the AGGREGATED
+    * table (hours-scale) — min/max per user, `explode(sequence(...))`
+    * generated distributed, never a driver loop; then one left join on
+    * (user, hour) and one user-keyed LOCF window. Every exchange after
+    * the first is on post-aggregation (user × hours) rows.
+    */
+  def q22Gapfill(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val eh = e.select(
+      col("user_id"),
+      (unix_micros(date_trunc("hour", col("ts")).cast("timestamp"))
+        / lit(3600000000L)).cast("long").as("h"),
+      unix_micros(col("ts").cast("timestamp")).as("us"),
+      col("event_id"), dec(col("value")).as("v"))
+    val obs = eh.groupBy(col("user_id"), col("h"))
+      .agg(count(lit(1)).as("n_obs"),
+        max(struct(col("us"), col("event_id"), col("v")))
+          .getField("v").as("v"))
+    val spine = obs.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"))).as("h"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(obs, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h"),
+        coalesce(col("n_obs"), lit(0L)).as("n_events"),
+        col("n_obs").isNull.as("filled"),
+        last(col("v"), ignoreNulls = true).over(w)
+          .cast("double").as("locf_value"))
+      .orderBy("user_id", "h")
+  }
+
+  /** 2-D Pareto frontier over orders: maximize o_totalprice (exact
+    * cents), minimize o_orderdate (epoch days) — "the earliest order at
+    * every achievable price level". See [[graft.plans.Skyline]] for the
+    * grid-pruned two-phase plan (the NOT-EXISTS formulation the oracle
+    * replays is quadratic; the single-sort window formulation funnels
+    * the corpus through one partition — the operator does neither).
+    */
+  def q23Skyline(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("price_cents"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+    graft.plans.Skyline.skyline2d(o, col("price_cents"), col("day"))
+      .select(col("o_orderkey"), col("price_cents"), col("day"))
+      .orderBy("price_cents", "day", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_gapfill" -> q22Gapfill,
+    "q23_skyline" -> q23Skyline,
     "q21_corr" -> q21Corr,
     "q17_ntile" -> q17Ntile,
     "q18_lag" -> q18Lag,
@@ -481,6 +545,56 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // densify with generate_series over the per-user hour range, LOCF
+    // via IGNORE NULLS; the in-hour value pick replays the struct max
+    // as a (ts, event_id) DESC row_number
+    "q22_gapfill" ->
+      """WITH eh AS (
+        |  SELECT user_id,
+        |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+        |    ts, event_id, CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |obs AS (
+        |  SELECT user_id, h, CAST(COUNT(*) AS BIGINT) AS n_obs FROM eh
+        |  GROUP BY 1, 2),
+        |pick AS (
+        |  SELECT user_id, h, v, ROW_NUMBER() OVER (
+        |    PARTITION BY user_id, h ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM eh),
+        |obs2 AS (
+        |  SELECT o.user_id, o.h, o.n_obs, p.v
+        |  FROM obs o JOIN pick p
+        |    ON p.user_id = o.user_id AND p.h = o.h AND p.rn = 1),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(MIN(h), MAX(h))) AS h
+        |  FROM obs GROUP BY user_id),
+        |j AS (
+        |  SELECT s.user_id, s.h,
+        |    COALESCE(o.n_obs, 0) AS n_events,
+        |    o.n_obs IS NULL AS filled, o.v
+        |  FROM spine s LEFT JOIN obs2 o
+        |    ON o.user_id = s.user_id AND o.h = s.h)
+        |SELECT user_id, h, n_events, filled,
+        |  CAST(LAST_VALUE(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS locf_value
+        |FROM j ORDER BY user_id, h""".stripMargin,
+    // the quadratic dominance truth the grid-pruned plan must equal
+    "q23_skyline" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS price_cents,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS day
+        |  FROM orders)
+        |SELECT o_orderkey, price_cents, day FROM o x
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM o y
+        |  WHERE y.price_cents >= x.price_cents AND y.day <= x.day
+        |    AND (y.price_cents > x.price_cents OR y.day < x.day))
+        |ORDER BY price_cents, day, o_orderkey""".stripMargin,
     // same six integer moments in HUGEINT, same IEEE finishing arithmetic
     "q21_corr" ->
       """WITH t AS (SELECT l_returnflag,
