@@ -52,6 +52,28 @@ object Dedup {
       .filter(col(idCol) =!= col("keep_id"))
   }
 
+  /** Soft dedup: REWEIGHT duplicates instead of dropping them — each doc
+    * gets sampling weight ∝ 1/|its exact-duplicate cluster| (in basis
+    * points, floor division, so a 3-cluster's members carry 3333 bp
+    * each). The SoftDeDup insight (Xue et al. 2024, ACL): hard removal
+    * discards the frequency signal entirely, reweighting preserves the
+    * corpus distribution while bounding any one text's influence — the
+    * curation knob BETWEEN keep-all and [[exact]].
+    *
+    * Scale shape: same discipline as [[exact]] — the corpus text never
+    * crosses an exchange. One narrow (hash, id) projection feeds both
+    * the cluster-size aggregate (40-byte rows, map-side combined) and
+    * the size join-back; output is (id, size, weight), never the row.
+    */
+  def softDedupWeights(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val h = docs.select(col(idCol), sha2(col(textCol), 256).as("__h"))
+    val sizes = h.groupBy(col("__h")).agg(count(lit(1)).as("cluster_size"))
+    h.join(sizes, Seq("__h"))
+      .select(col(idCol), col("cluster_size"),
+        expr("CAST(10000 AS BIGINT) div cluster_size").as("weight_bp"))
+  }
+
   private def isCjkCol(t: Column): Column =
     graft.text.TextAnalysis.isCjkCol(t)
 

@@ -577,6 +577,50 @@ object Multimodal {
       .toDF("doc_id", "n_windows", "fp")
   }
 
+  /** Energy-threshold voice-activity detection over the WAV rows:
+    * frames of `frame` samples (last partial kept), a frame is ACTIVE
+    * when its Σ|s| energy exceeds `threshold` (default = frame × 1024,
+    * the sawtooth's mean |sample| — splits frames near 50/50 so the
+    * segment structure is non-trivial), and consecutive active frames
+    * merge into segments (gaps-and-islands). Output per doc:
+    * (n_frames, n_active, n_segments, longest) — the
+    * speech/silence summary a media-curation funnel thresholds on.
+    *
+    * Scale shape: one mapPartitions decode kernel, bounded per-row
+    * work, relational integer output, ZERO shuffles before the
+    * caller's ordering. Integer energies replay exactly in SQL from
+    * the closed-form sawtooth payload (the mm_audio_fp oracle trick).
+    */
+  def vadSegments(media: DataFrame, frame: Int = 256,
+                  threshold: Long = 256L * 1024): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, bytes) =>
+          decodeWavSamples(bytes).map { s =>
+            val nf = (s.length + frame - 1) / frame
+            val en = new Array[Long](nf)
+            var i = 0
+            while (i < s.length) { en(i / frame) += math.abs(s(i).toLong); i += 1 }
+            var active = 0L; var segs = 0L; var longest = 0L
+            var run = 0L
+            var k = 0
+            while (k < nf) {
+              if (en(k) > threshold) {
+                active += 1; run += 1
+                if (run == 1) segs += 1
+                if (run > longest) longest = run
+              } else run = 0
+              k += 1
+            }
+            (id, nf.toLong, active, segs, longest)
+          }
+        }
+      }
+      .toDF("doc_id", "n_frames", "n_active", "n_segments", "longest")
+  }
+
   // ---------------------------------------------------------------- Y4M
 
   private def y4mHeader(width: Int, height: Int): String =

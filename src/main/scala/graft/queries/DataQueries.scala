@@ -565,6 +565,37 @@ object DataQueries {
     Multimodal.audioFingerprint(media(spark, dir))
       .orderBy("doc_id")
 
+  /** Multimodal: energy-threshold voice-activity segmentation over the
+    * WAV rows (see [[graft.multimodal.Multimodal.vadSegments]]). Oracle
+    * replays frame energies from the closed-form sawtooth payload and
+    * the segment merge as gaps-and-islands.
+    */
+  def mmVad(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.vadSegments(media(spark, dir))
+      .orderBy("doc_id")
+
+  /** Corpus for soft dedup: the full documents table plus exact twins —
+    * every 8th doc copied twice (ids + 3e6 and + 6e6), so cluster sizes
+    * are 1 and 3 and the two weight levels (10000 / 3333 bp) both occur.
+    */
+  private[graft] def softDedupCorpus(spark: SparkSession,
+      dir: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    def twin(off: Long) = base.filter(col("doc_id") % 8 === 0)
+      .select((col("doc_id") + off).as("doc_id"), col("text"))
+    base.union(twin(3000000L)).union(twin(6000000L))
+  }
+
+  /** Duplicate REWEIGHTING (SoftDeDup) over the planted-twin corpus —
+    * the keep-everything alternative to dd_exact's removal (see
+    * [[graft.dedup.Dedup.softDedupWeights]] for the narrow-projection
+    * scale shape).
+    */
+  def ddSoftdedup(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.softDedupWeights(softDedupCorpus(spark, dir))
+      .orderBy("doc_id")
+
   /** Multimodal: frame sampling plumbing (video rows, stride 7). */
   def mmFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.frameSample(media(spark, dir), stride = 7)
@@ -1104,7 +1135,9 @@ object DataQueries {
     "mm_resize" -> mmResize,
     "mm_frames" -> mmFrames,
     "mm_phash" -> mmPhash,
-    "mm_audio_fp" -> mmAudioFp
+    "mm_audio_fp" -> mmAudioFp,
+    "mm_vad" -> mmVad,
+    "dd_softdedup" -> ddSoftdedup
   )
 
   /** QuantileHist.bucket in DuckDB SQL (HdrHistogram-style log bucket,
@@ -2666,6 +2699,49 @@ object DataQueries {
         |  CAST(COALESCE(SUM(CASE WHEN pe IS NOT NULL AND en > pe AND w <= 63
         |    THEN CAST(1 AS BIGINT) << CAST(w - 1 AS INTEGER) ELSE 0 END), 0)
         |    AS BIGINT) AS fp
-        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // frame energies from the sawtooth closed form (the mm_audio_fp
+    // trick at frame=256), threshold 256*1024 = the mean |sample|,
+    // segments as gaps-and-islands over the active frame index
+    "mm_vad" ->
+      """WITH a AS (
+        |  SELECT doc_id, CAST(8000 + doc_id % 11 * 1200 AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |e AS (
+        |  SELECT doc_id, i // 256 AS f, SUM(abs((i % 4096) - 2048)) AS en
+        |  FROM a, unnest(generate_series(0, n - 1)) t(i)
+        |  GROUP BY doc_id, i // 256),
+        |nf AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |    CAST(SUM(CASE WHEN en > 262144 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_active
+        |  FROM e GROUP BY doc_id),
+        |isl AS (
+        |  SELECT doc_id, f,
+        |    f - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) AS g
+        |  FROM e WHERE en > 262144),
+        |seg AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM isl GROUP BY doc_id, g),
+        |sg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |  CAST(MAX(len) AS BIGINT) AS longest
+        |  FROM seg GROUP BY doc_id)
+        |SELECT nf.doc_id, nf.n_frames, nf.n_active,
+        |  CAST(COALESCE(sg.n_segments, 0) AS BIGINT) AS n_segments,
+        |  CAST(COALESCE(sg.longest, 0) AS BIGINT) AS longest
+        |FROM nf LEFT JOIN sg ON sg.doc_id = nf.doc_id
+        |ORDER BY nf.doc_id""".stripMargin,
+    // the twin-planting replayed inline; weight = floor basis points
+    "dd_softdedup" ->
+      """WITH c AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 3000000, text FROM documents
+        |    WHERE doc_id % 8 = 0
+        |  UNION ALL SELECT doc_id + 6000000, text FROM documents
+        |    WHERE doc_id % 8 = 0),
+        |s AS (SELECT text, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        |  FROM c GROUP BY text)
+        |SELECT c.doc_id, s.cluster_size,
+        |  CAST(10000 // s.cluster_size AS BIGINT) AS weight_bp
+        |FROM c JOIN s USING (text) ORDER BY doc_id""".stripMargin
   )
 }
