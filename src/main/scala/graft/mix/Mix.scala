@@ -229,4 +229,51 @@ object Mix {
         (col("base") +
           F.when(col("rk") <= col("deficit"), 1L).otherwise(0L)).as("bp"))
   }
+
+  /** Per-source KL divergence from the corpus token distribution —
+    * D(P_s ‖ Q) = Σ_t (c_st/n_s) · ln((c_st/n_s)/(C_t/N)) — the
+    * domain-shift audit behind mixture tuning: a source whose unigram
+    * distribution sits far from the blend is over/under-represented.
+    *
+    * Exactness: the log ratio decomposes into ln c_st + ln N − ln n_s
+    * − ln C_t, every argument an INTEGER count, so the txt_entropy
+    * micro-nat rule applies term-wise; each term multiplies an exact
+    * count and the sum accumulates in DECIMAL(38,0) (c·4·lnM(N) terms
+    * cross 2^63 at corpus scale). The readable double finishes from
+    * identical integers (the q21_corr argument) — no float enters
+    * before the last division.
+    *
+    * Scale shape: one (source, token) hash agg touches the corpus;
+    * everything after is token-TYPE scale — a tok-keyed join against
+    * the corpus marginals, a broadcast source-marginal join, one
+    * source-keyed rollup. The scalar N rides the collocations
+    * crossJoin(broadcast(1-row)) shape.
+    */
+  def klBySource(docs: DataFrame, textCol: String = "text",
+                 groupCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val toks = filter(split(col(textCol), " "), w => w =!= "")
+    val h = docs.select(col(groupCol).as("source"), explode(toks).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val ns = h.groupBy("source")
+      .agg(sum("c").as("n_s"), count(lit(1)).as("n_distinct"))
+    val ct = h.groupBy("tok").agg(sum("c").as("ct"))
+    val n = h.agg(sum("c").as("nn"))
+    def lnM(x: org.apache.spark.sql.Column) =
+      round(log(x) * 1e6).cast("long")
+    h.join(ct, Seq("tok")).join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("n_s"), col("n_distinct"),
+        (col("c").cast(DecimalType(38, 0)) *
+          (lnM(col("c")) + lnM(col("nn")) - lnM(col("n_s")) -
+            lnM(col("ct")))).as("term"))
+      .groupBy("source", "n_s", "n_distinct")
+      .agg(sum("term").as("s"))
+      .select(col("source"), col("n_s").as("n_tokens"), col("n_distinct"),
+        col("s").cast("long").as("kl_sum_micro"),
+        (col("s").cast("double") /
+          (col("n_s").cast("double") * lit(1e6))).as("kl"))
+  }
 }

@@ -596,6 +596,16 @@ object DataQueries {
     graft.dedup.Dedup.softDedupWeights(softDedupCorpus(spark, dir))
       .orderBy("doc_id")
 
+  /** Per-source KL divergence from the corpus unigram distribution —
+    * the domain-shift audit behind mixture tuning (see
+    * [[graft.mix.Mix.klBySource]] for the term-wise micro-nat
+    * decomposition and the token-type-scale plan).
+    */
+  def mixKl(spark: SparkSession, dir: String): DataFrame =
+    graft.mix.Mix.klBySource(
+        spark.read.parquet(s"$dir/documents.parquet"))
+      .orderBy("source")
+
   /** Multimodal: frame sampling plumbing (video rows, stride 7). */
   def mmFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.frameSample(media(spark, dir), stride = 7)
@@ -1137,7 +1147,8 @@ object DataQueries {
     "mm_phash" -> mmPhash,
     "mm_audio_fp" -> mmAudioFp,
     "mm_vad" -> mmVad,
-    "dd_softdedup" -> ddSoftdedup
+    "dd_softdedup" -> ddSoftdedup,
+    "mix_kl" -> mixKl
   )
 
   /** QuantileHist.bucket in DuckDB SQL (HdrHistogram-style log bucket,
@@ -2742,6 +2753,33 @@ object DataQueries {
         |  FROM c GROUP BY text)
         |SELECT c.doc_id, s.cluster_size,
         |  CAST(10000 // s.cluster_size AS BIGINT) AS weight_bp
-        |FROM c JOIN s USING (text) ORDER BY doc_id""".stripMargin
+        |FROM c JOIN s USING (text) ORDER BY doc_id""".stripMargin,
+    // per-term ln over integer counts only (micro-nat rule), HUGEINT
+    // accumulation, double finished from identical integers
+    "mix_kl" ->
+      """WITH tk AS (SELECT source,
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+        |      AS tok
+        |  FROM documents),
+        |h AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tk GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct FROM h GROUP BY source),
+        |ct AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS ct FROM h
+        |  GROUP BY tok),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM h),
+        |terms AS (SELECT h.source, ns.n_s, ns.n_distinct,
+        |    CAST(h.c AS HUGEINT) *
+        |      (CAST(ROUND(ln(h.c) * 1e6) AS BIGINT)
+        |       + CAST(ROUND(ln(n.nn) * 1e6) AS BIGINT)
+        |       - CAST(ROUND(ln(ns.n_s) * 1e6) AS BIGINT)
+        |       - CAST(ROUND(ln(ct.ct) * 1e6) AS BIGINT)) AS term
+        |  FROM h JOIN ct USING (tok) JOIN ns USING (source) CROSS JOIN n)
+        |SELECT source, n_s AS n_tokens, n_distinct,
+        |  CAST(SUM(term) AS BIGINT) AS kl_sum_micro,
+        |  CAST(SUM(term) AS DOUBLE) / (CAST(n_s AS DOUBLE) * 1000000.0)
+        |    AS kl
+        |FROM terms GROUP BY source, n_s, n_distinct
+        |ORDER BY source""".stripMargin
   )
 }

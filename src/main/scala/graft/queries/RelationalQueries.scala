@@ -518,7 +518,49 @@ object RelationalQueries {
       .orderBy("price_cents", "day", "o_orderkey")
   }
 
+  /** Event funnel (view → click → purchase): per user, the greedy
+    * earliest completion of each stage STRICTLY AFTER the previous
+    * stage's chosen event — greedy-earliest is exact for max funnel
+    * depth when stages have no deadline (choosing any later t₁ only
+    * shrinks the suffix available to later stages). Event order is the
+    * per-user (ts, event_id) ROW_NUMBER, so stage positions are total-
+    * order integers and ties never reach float/timestamp semantics.
+    *
+    * Scale shape: ONE user-keyed exchange (the row_number window);
+    * every later step — the three conditional min-aggregates and the
+    * two stage joins — groups/joins on the SAME user key, so Catalyst
+    * reuses the window's hash partitioning end-to-end (no further
+    * exchange; stages after the first also shrink to ≤ |users| rows).
+    */
+  def q24Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))).cast("long"))
+      .select(col("user_id"), col("event_type"), col("rn"))
+      .localCheckpoint()
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("rn")).as("r1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("rn") > col("r1"))
+      .groupBy("user_id").agg(min(col("rn")).as("r2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("rn") > col("r2"))
+      .groupBy("user_id").agg(min(col("rn")).as("r3"))
+    ev.select("user_id").distinct()
+      .join(s1, Seq("user_id"), "left")
+      .join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("r1"), col("r2"), col("r3"),
+        when(col("r3").isNotNull, 3L).when(col("r2").isNotNull, 2L)
+          .when(col("r1").isNotNull, 1L).otherwise(0L).as("level"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_funnel" -> q24Funnel,
     "q22_gapfill" -> q22Gapfill,
     "q23_skyline" -> q23Skyline,
     "q21_corr" -> q21Corr,
@@ -545,6 +587,29 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same greedy stage walk over the same per-user total order
+    "q24_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
+        |  FROM events),
+        |s1 AS (SELECT user_id, MIN(rn) AS r1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.rn) AS r2 FROM ev e
+        |  JOIN s1 ON s1.user_id = e.user_id AND e.rn > s1.r1
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.rn) AS r3 FROM ev e
+        |  JOIN s2 ON s2.user_id = e.user_id AND e.rn > s2.r2
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT u.user_id, s1.r1, s2.r2, s3.r3,
+        |  CAST(CASE WHEN s3.r3 IS NOT NULL THEN 3
+        |    WHEN s2.r2 IS NOT NULL THEN 2
+        |    WHEN s1.r1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS level
+        |FROM (SELECT DISTINCT user_id FROM ev) u
+        |LEFT JOIN s1 ON s1.user_id = u.user_id
+        |LEFT JOIN s2 ON s2.user_id = u.user_id
+        |LEFT JOIN s3 ON s3.user_id = u.user_id
+        |ORDER BY u.user_id""".stripMargin,
     // densify with generate_series over the per-user hour range, LOCF
     // via IGNORE NULLS; the in-hour value pick replays the struct max
     // as a (ts, event_id) DESC row_number
