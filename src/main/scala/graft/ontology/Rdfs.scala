@@ -71,4 +71,54 @@ object Rdfs {
       .join(broadcast(closure.toDF("c", "anc")), col("cls") === col("c"))
       .select(col("x"), col("anc").as("cls"))
       .distinct()
+
+  /** Property TBox fixture: (p, super) — the mention predicate chains
+    * two hops up (rdfs5 transitivity of ⊑) and co-occurrence one.
+    */
+  val SubPropertyOf: Seq[(String, String)] = Seq(
+    "urn:graft:mentions" -> "urn:graft:refersTo",
+    "urn:graft:refersTo" -> "urn:graft:linksTo",
+    "urn:graft:coOccursWith" -> "urn:graft:relatedTo")
+
+  /** rdfs2/rdfs3 fixtures over the ENTAILED predicates — domain/range
+    * constraints attach to the superproperties, so typing only fires
+    * through the rdfs7 closure (the composition the materializer must
+    * get right).
+    */
+  val PropDomain: Seq[(String, String)] = Seq(
+    "urn:graft:refersTo" -> "Document",
+    "urn:graft:relatedTo" -> "Entity")
+  val PropRange: Seq[(String, String)] = Seq(
+    "urn:graft:refersTo" -> "Entity",
+    "urn:graft:linksTo" -> "Resource")
+
+  /** rdfs7: every (s, p, o) with p ⊑* q also holds as (s, q, o). The
+    * ⊑ closure is [[subClassClosure]] over the property TBox (the rule
+    * algebra is identical — reflexive-transitive closure of a
+    * schema-scale relation); the corpus-scale triples see ONE broadcast
+    * join. Reflexivity keeps the original triples in the output, so the
+    * result IS the materialized triple set (bag; callers `.distinct()`
+    * for RDF set semantics).
+    */
+  def entailProperties(triples: DataFrame, subProp: DataFrame): DataFrame = {
+    val clo = subClassClosure(subProp).toDF("p0", "q")
+    triples.join(broadcast(clo), col("p") === col("p0"))
+      .select(col("s"), col("q").as("p"), col("o"))
+  }
+
+  /** rdfs2 + rdfs3 over a materialized triple set: (s p o) ∧
+    * (p domain C) → s : C, and (p range C) → o : C. Both constraint
+    * tables are schema-scale broadcasts; output is the (node, cls)
+    * typing relation (bag — callers dedup).
+    */
+  def typeAssertions(triples: DataFrame, domain: DataFrame,
+                     range: DataFrame): DataFrame = {
+    val d = domain.toDF("pd", "cls")
+    val r = range.toDF("pr", "cls")
+    triples.join(broadcast(d), col("p") === col("pd"))
+      .select(col("s").as("node"), col("cls"))
+      .union(
+        triples.join(broadcast(r), col("p") === col("pr"))
+          .select(col("o").as("node"), col("cls")))
+  }
 }

@@ -431,6 +431,34 @@ object KgQueries {
       .orderBy(col("s"), col("o"))
   }
 
+  /** RDFS property rules over the KG triple set — rdfs7 (subPropertyOf
+    * inheritance through a 2-hop ⊑ chain) then rdfs2/rdfs3 (domain/range
+    * typing over the MATERIALIZED set, so constraints attached to
+    * superproperties only fire through the closure — proper forward
+    * chaining, see [[graft.ontology.Rdfs.entailProperties]]). Output:
+    * per entailed predicate the distinct-triple count, per class the
+    * distinct typed-node count. Closure is schema-scale; the corpus
+    * sees one broadcast join + one narrow (s, p, o) distinct.
+    */
+  def kgRdfsProp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ent = graft.ontology.Rdfs.entailProperties(
+        bgpTriples(spark, dir),
+        graft.ontology.Rdfs.SubPropertyOf.toDF("p", "super"))
+      .distinct()
+    val preds = ent.groupBy(col("p"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("pred").as("kind"), col("p").as("name"), col("n"))
+    val types = graft.ontology.Rdfs.typeAssertions(ent,
+        graft.ontology.Rdfs.PropDomain.toDF("p", "cls"),
+        graft.ontology.Rdfs.PropRange.toDF("p", "cls"))
+      .distinct()
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("type").as("kind"), col("cls").as("name"), col("n"))
+    preds.union(types).orderBy("kind", "name")
+  }
+
   /** SPARQL BGP over the KG: a star join on documents mentioning a fixed
     * entity plus a co-occurrence chain between the other two mentions.
     * Exercises selectivity ordering (the 2-bound pattern seeds the join
@@ -1433,6 +1461,7 @@ object KgQueries {
     "kg_bgp_opt" -> kgBgpOpt,
     "kg_graph" -> kgGraph,
     "kg_rdfs" -> kgRdfs,
+    "kg_rdfs_prop" -> kgRdfsProp,
     "kg_owl" -> kgOwl,
     "kg_path" -> kgPath,
     "kg_path_expr" -> kgPathExpr,
@@ -2080,9 +2109,46 @@ object KgQueries {
        |ORDER BY s, o""".stripMargin
   }
 
+  /** Oracle for kg_rdfs_prop: the triple set rebuilt from tokens, the
+    * same property fixtures as VALUES, the ⊑ closure as a recursive
+    * CTE, rdfs7 as triple ⋈ closure, rdfs2/3 over the materialized set.
+    */
+  private lazy val rdfsPropSql: String = {
+    def vals(xs: Seq[(String, String)]) =
+      xs.map { case (a, b) => s"('$a','$b')" }.mkString(", ")
+    s"""WITH RECURSIVE $tokensCte,
+       |tri AS (
+       |  SELECT 'urn:doc:' || doc_id AS s, 'urn:graft:mentions' AS p,
+       |    'urn:ent:' || entity AS o FROM m
+       |  UNION ALL
+       |  SELECT DISTINCT 'urn:ent:' || a.entity, 'urn:graft:coOccursWith',
+       |    'urn:ent:' || b.entity
+       |  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.entity < b.entity),
+       |sub(c, anc) AS (VALUES ${vals(graft.ontology.Rdfs.SubPropertyOf)}),
+       |allp AS (SELECT c FROM sub UNION SELECT anc FROM sub),
+       |clo(c, anc) AS (
+       |  SELECT c, c FROM allp UNION SELECT c, anc FROM sub
+       |  UNION SELECT clo.c, s2.anc FROM clo JOIN sub s2 ON clo.anc = s2.c),
+       |ent AS (SELECT DISTINCT t.s, clo.anc AS p, t.o
+       |  FROM tri t JOIN clo ON t.p = clo.c),
+       |dom(p, cls) AS (VALUES ${vals(graft.ontology.Rdfs.PropDomain)}),
+       |rng(p, cls) AS (VALUES ${vals(graft.ontology.Rdfs.PropRange)}),
+       |ty AS (SELECT DISTINCT node, cls FROM (
+       |  SELECT e.s AS node, d.cls FROM ent e JOIN dom d ON e.p = d.p
+       |  UNION ALL
+       |  SELECT e.o, r.cls FROM ent e JOIN rng r ON e.p = r.p)),
+       |pr AS (SELECT 'pred' AS kind, p AS name,
+       |  CAST(COUNT(*) AS BIGINT) AS n FROM ent GROUP BY p),
+       |tr AS (SELECT 'type' AS kind, cls AS name,
+       |  CAST(COUNT(*) AS BIGINT) AS n FROM ty GROUP BY cls)
+       |SELECT kind, name, n FROM (SELECT * FROM pr UNION ALL SELECT * FROM tr)
+       |ORDER BY kind, name""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "kg_anf" -> anfSql,
     "kg_rdfs" -> rdfsSql,
+    "kg_rdfs_prop" -> rdfsPropSql,
     "kg_owl" -> owlSql,
     // degree decoration + ONE global aggregate; ln only over the
     // integer 2d (micro-nat rule), α finished in doubles from

@@ -84,4 +84,35 @@ class RdfsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(ent == Set(("x", "A"), ("x", "B")))
   }
+
+  test("rdfs7: a triple materializes under every superproperty of its predicate, nothing else") {
+    val tri = Seq(("d1", "urn:graft:mentions", "e1"),
+      ("e1", "urn:graft:coOccursWith", "e2")).toDF("s", "p", "o")
+    val ent = Rdfs.entailProperties(tri,
+        Rdfs.SubPropertyOf.toDF("p", "super"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(ent == Set(
+      ("d1", "urn:graft:mentions", "e1"),   // reflexive: original kept
+      ("d1", "urn:graft:refersTo", "e1"),   // one hop up
+      ("d1", "urn:graft:linksTo", "e1"),    // rdfs5 transitivity
+      ("e1", "urn:graft:coOccursWith", "e2"),
+      ("e1", "urn:graft:relatedTo", "e2"))) // the other chain only
+  }
+
+  test("rdfs2/rdfs3 fire only through the rdfs7 closure (constraints live on superproperties)") {
+    val tri = Seq(("d1", "urn:graft:mentions", "e1")).toDF("s", "p", "o")
+    val dom = Rdfs.PropDomain.toDF("p", "cls")
+    val rng = Rdfs.PropRange.toDF("p", "cls")
+    // raw triples: mentions carries no domain/range constraint → empty
+    val raw = Rdfs.typeAssertions(tri, dom, rng).collect()
+    assert(raw.isEmpty)
+    // materialized set: refersTo types d1:Document + e1:Entity,
+    // linksTo types e1:Resource
+    val ent = Rdfs.entailProperties(tri, Rdfs.SubPropertyOf.toDF("p", "q"))
+    val ty = Rdfs.typeAssertions(ent, dom, rng)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(ty == Set(("d1", "Document"), ("e1", "Entity"),
+      ("e1", "Resource")))
+  }
 }

@@ -19,7 +19,9 @@ import graft.SparkSpec
   *  - txt_heavyhitters: candidate exact counts × the corpus-total
   *    scalar (`sketch/HeavyHitters.scala` exact), broadcast 1 row;
   *  - txt_collocations: bigram contingency rows × the total-bigrams
-  *    scalar (`text/TextAnalysis.scala` collocations), broadcast 1 row.
+  *    scalar (`text/TextAnalysis.scala` collocations), broadcast 1 row;
+  *  - mix_kl: per-(source, token) terms × the corpus-total scalar
+  *    (`mix/Mix.scala` klBySource), broadcast 1 row.
   * One further category is allowed: ALL-PAIRS-BY-SEMANTICS joins over
   * dictionary-scale sketch relations, where the OUTPUT is O(n²) rows
   * by definition so no join algorithm beats a broadcast nested loop —
@@ -33,7 +35,8 @@ class PlanGuardSpec extends SparkSpec {
 
   private val scalarBnljAllowed =
     Set("onto_limits", "txt_perplexity", "txt_bm25", "sketch_bloom",
-      "kg_hits", "sketch_theta", "txt_heavyhitters", "txt_collocations")
+      "kg_hits", "sketch_theta", "txt_heavyhitters", "txt_collocations",
+      "mix_kl")
 
   test("no cartesian products; BNLJ only for 1-row scalar broadcasts") {
     val dir = "/root/testdata/sf0.001"
