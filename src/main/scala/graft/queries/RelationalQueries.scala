@@ -559,7 +559,42 @@ object RelationalQueries {
       .orderBy("user_id")
   }
 
+  /** SCD type-2 compaction of a changelog: per user, consecutive runs
+    * of the same event_type collapse into one dimension row carrying
+    * [valid_from, valid_to) microsecond bounds (valid_to = the next
+    * run's start, NULL while current) and the run's event count — the
+    * warehouse-dimension build every CDC pipeline ends in. Run ids come
+    * from the classic change-flag running sum over the per-user
+    * (ts, event_id) total order.
+    *
+    * Scale shape: ONE user-keyed exchange — the change-detect window,
+    * the run rollup, and the valid_to LEAD all cluster on user, so
+    * Catalyst plans a single Exchange and sorts once per stage within
+    * it. All arithmetic is exact integers (epoch-us, counts).
+    */
+  def q25Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("event_type"), 1).over(w)
+    val e = t(spark, dir, "events")
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("chg",
+        when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("run", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    e.groupBy(col("user_id"), col("run"))
+      .agg(min(col("event_type")).as("event_type"), // constant per run
+        min(col("us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("run"))))
+      .select(col("user_id"), col("run"), col("event_type"),
+        col("valid_from_us"), col("valid_to_us"), col("n_events"))
+      .orderBy("user_id", "run")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_scd2" -> q25Scd2,
     "q24_funnel" -> q24Funnel,
     "q22_gapfill" -> q22Gapfill,
     "q23_skyline" -> q23Skyline,
@@ -587,6 +622,31 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same change-flag running sum, run rollup, and LEAD bound
+    "q25_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    CASE WHEN LAG(event_type) OVER w IS NULL
+        |      OR LAG(event_type) OVER w <> event_type
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (
+        |  SELECT user_id, event_type, us,
+        |    SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, CAST(run AS BIGINT) AS run,
+        |    MIN(event_type) AS event_type,
+        |    CAST(MIN(us) AS BIGINT) AS valid_from_us,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM r GROUP BY user_id, run)
+        |SELECT user_id, run, event_type, valid_from_us,
+        |  LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY run)
+        |    AS valid_to_us,
+        |  n_events
+        |FROM g ORDER BY user_id, run""".stripMargin,
     // the same greedy stage walk over the same per-user total order
     "q24_funnel" ->
       """WITH ev AS (
