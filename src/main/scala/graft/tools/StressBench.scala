@@ -1124,6 +1124,63 @@ object StressBench {
         frags += s""""keywords_Nx":${kwStats(s"$out/kg")}"""
     }
 
+    if (sections("skyline")) {
+      // grid-prune residue law: the REP× corpus (replicas day-shifted +k,
+      // so replica k's points are weakly dominated copies) must prune to
+      // a residue that tracks the FRONTIER, not the corpus — survivors_Nx
+      // ≪ rows_Nx while rows grow ∝ REP. The exact pass then runs on
+      // residue-scale input (the whole point of phase 1).
+      val o = spark.read.parquet(s"$base/orders.parquet")
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast(
+            org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2))
+            * 100).cast("long").as("hi"),
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+            .cast("long").as("lo"))
+      def skyStats(df: DataFrame): String = {
+        val rows = df.count()
+        val (surv, sSec) = time {
+          graft.plans.Skyline.pruneSurvivors(df, col("hi"), col("lo"), 20)
+            .count()
+        }
+        val (sky, kSec) = time {
+          graft.plans.Skyline.skyline2d(df, col("hi"), col("lo")).count()
+        }
+        s"""{"rows":$rows,"survivors":$surv,"skyline":$sky,""" +
+          s""""prune_sec":$sSec,"full_sec":$kSec}"""
+      }
+      val oN = o.crossJoin(reps).select(
+        (col("o_orderkey") + col("k") * 10000000L).as("o_orderkey"),
+        col("hi"), (col("lo") + col("k")).as("lo"))
+      frags += s""""skyline_1x":${skyStats(o)}"""
+      frags += s""""skyline_Nx":${skyStats(oN)}"""
+    }
+    if (sections("klaudit")) {
+      // token-TYPE-scale law: mix_kl's term table is |distinct (source,
+      // token)| rows, NOT corpus rows — replicas salt their words
+      // (w → w~k), so types grow ∝ REP while a corpus-row-shaped term
+      // table would grow ∝ REP × doc-length. Recorded: term rows ==
+      // Σ n_distinct exactly, at 1× and REP×.
+      val d1 = spark.read.parquet(s"$base/documents.parquet")
+        .select(col("doc_id"), col("source"), col("text"))
+      def klStats(df: DataFrame): String = {
+        val (r, secs) = time {
+          graft.mix.Mix.klBySource(df)
+            .agg(count(lit(1)), sum("n_distinct"), sum("n_tokens")).head
+        }
+        s"""{"sources":${r.getLong(0)},"term_rows":${r.getLong(1)},""" +
+          s""""tokens":${r.getLong(2)},"sec":$secs}"""
+      }
+      val dN = d1.crossJoin(reps).select(
+        (col("doc_id") + col("k") * 10000000L).as("doc_id"),
+        concat(col("source"), lit("~"), col("k")).as("source"),
+        when(col("k") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1~"), col("k")))).as("text"))
+      frags += s""""klaudit_1x":${klStats(d1)}"""
+      frags += s""""klaudit_Nx":${klStats(dN)}"""
+    }
+
     println(frags.mkString("{", ",", "}"))
     spark.stop()
   }
