@@ -606,6 +606,18 @@ object DataQueries {
         spark.read.parquet(s"$dir/documents.parquet"))
       .orderBy("source")
 
+  /** JSONL source tier: documents → to_json lines → from_json parse —
+    * the oracle is the source table itself, so a single mis-escaped
+    * byte anywhere in the JSON round trip hash-fails (see
+    * [[graft.sources.Jsonl]]; the real file write/read path and the
+    * hostile-content suite are JsonlSpec's).
+    */
+  def srcJsonl(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Jsonl.parseLines(
+        graft.sources.Jsonl.encodeLines(
+          spark.read.parquet(s"$dir/documents.parquet")))
+      .orderBy("doc_id")
+
   /** Multimodal: frame sampling plumbing (video rows, stride 7). */
   def mmFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.frameSample(media(spark, dir), stride = 7)
@@ -1148,7 +1160,8 @@ object DataQueries {
     "mm_audio_fp" -> mmAudioFp,
     "mm_vad" -> mmVad,
     "dd_softdedup" -> ddSoftdedup,
-    "mix_kl" -> mixKl
+    "mix_kl" -> mixKl,
+    "src_jsonl" -> srcJsonl
   )
 
   /** QuantileHist.bucket in DuckDB SQL (HdrHistogram-style log bucket,
@@ -2754,6 +2767,10 @@ object DataQueries {
         |SELECT c.doc_id, s.cluster_size,
         |  CAST(10000 // s.cluster_size AS BIGINT) AS weight_bp
         |FROM c JOIN s USING (text) ORDER BY doc_id""".stripMargin,
+    // identity oracle: the JSON round trip must reproduce the table
+    "src_jsonl" ->
+      """SELECT doc_id, lang, source, text FROM documents
+        |ORDER BY doc_id""".stripMargin,
     // per-term ln over integer counts only (micro-nat rule), HUGEINT
     // accumulation, double finished from identical integers
     "mix_kl" ->
