@@ -1024,6 +1024,44 @@ object DataQueries {
       .toDF("merge_rank", "a", "b", "cnt")
   }
 
+  /** Corpus BPE encoding — the inference half of txt_bpe: per-doc token
+    * counts under the trained merge table. The expensive encode runs
+    * ONCE PER WORD TYPE (vocab-scale typed map replaying the merges in
+    * training order, [[graft.text.Bpe.encodeWordSequential]]); the
+    * corpus is then touched by one explode → broadcast vocab join →
+    * map-side-combined per-doc sum — at 10^12 docs the corpus never
+    * shuffles wider than (doc_id, two longs). Oracle: the txt_bpe
+    * round-per-CTE replay carries each word to the final round, token
+    * count = symbol count of the terminal wrapped state.
+    */
+  def txtEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val wc = docs.select(explode(split(col("text"), "\\s+")).as("word"))
+      .filter(col("word") =!= "" &&
+        !col("word").contains("\u001e") && !col("word").contains("\u001f"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // reused: trainer input + the encode pass
+    val merges = graft.text.Bpe
+      .trainDetailedFromCounts(wc, numMerges = 8, maxVocab = 65536)
+      .map { case (a, b, _) => (a, b) }
+    val wordTok = wc.orderBy(desc("n"), asc("word")).limit(65536)
+      .select("word").as[String]
+      .map(w => (w,
+        graft.text.Bpe.encodeWordSequential(w, merges).length.toLong))
+      .toDF("word", "ntok")
+    val agg = docs
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
+      .join(broadcast(wordTok), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("ntok").as("n_bpe_tokens"))
+    docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Language ID over the corpus ([[TextAnalysis.langId]] — the UDF-free
     * integer-exact scorer): per-doc predicted language + micro-score.
     * The oracle carries the ~650-row trigram profile as a VALUES literal
@@ -1064,10 +1102,12 @@ object DataQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** txt_bpe oracle: init wraps each code point in sentinels; round k =
-    * split → adjacent-pair weighted histogram → (cnt DESC, a, b) argmax
-    * → LTR non-overlapping replace. */
-  private def bpeOracleSql(numMerges: Int, maxVocab: Int): String = {
+  /** Shared txt_bpe / txt_encode training-replay CTE chain: capped
+    * vocab `wc`, sentinel-wrapped `r0`, and per-round split → weighted
+    * pair histogram → (cnt DESC, a, b) argmax → LTR non-overlapping
+    * replace. Rounds carry the WORD so encode-side consumers can join
+    * the final symbol state back to the corpus. */
+  private def bpeRoundsCte(numMerges: Int, maxVocab: Int): String = {
     val rounds = (1 to numMerges).map { k =>
       s"""s$k AS (SELECT string_split(substr(st, 2, length(st) - 2),
          |    chr(31)||chr(30)) AS syms, n FROM r${k - 1}),
@@ -1075,32 +1115,56 @@ object DataQueries {
          |  FROM s$k, unnest(generate_series(1, len(syms) - 1)) AS g(i)
          |  GROUP BY 1, 2),
          |m$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
-         |r$k AS (SELECT replace(st,
+         |r$k AS (SELECT word, replace(st,
          |    chr(30)||a||chr(31)||chr(30)||b||chr(31),
          |    chr(30)||a||b||chr(31)) AS st, n FROM r${k - 1}, m$k)"""
         .stripMargin
     }.mkString(",\n")
-    val sel = (1 to numMerges).map { k =>
-      s"  SELECT CAST($k AS BIGINT) AS merge_rank, a, b," +
-        s" CAST(cnt AS BIGINT) AS cnt FROM m$k"
-    }.mkString("\n  UNION ALL\n")
-    s"""WITH wc AS (
+    s"""wc AS (
        |  SELECT word, COUNT(*) AS n FROM (
        |    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word
        |    FROM documents) t
        |  WHERE word <> '' AND word NOT LIKE '%'||chr(30)||'%'
        |    AND word NOT LIKE '%'||chr(31)||'%'
        |  GROUP BY word ORDER BY n DESC, word LIMIT $maxVocab),
-       |r0 AS (SELECT regexp_replace(word, '(.)',
+       |r0 AS (SELECT word, regexp_replace(word, '(.)',
        |    chr(30)||'\\1'||chr(31), 'g') AS st, n FROM wc),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  /** txt_bpe oracle: the training replay's per-round winning pairs. */
+  private def bpeOracleSql(numMerges: Int, maxVocab: Int): String = {
+    val sel = (1 to numMerges).map { k =>
+      s"  SELECT CAST($k AS BIGINT) AS merge_rank, a, b," +
+        s" CAST(cnt AS BIGINT) AS cnt FROM m$k"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH ${bpeRoundsCte(numMerges, maxVocab)}
        |SELECT merge_rank, a, b, cnt FROM (
        |$sel)
        |ORDER BY merge_rank""".stripMargin
   }
 
+  /** txt_encode oracle: symbol counts read off the final round state
+    * (len of the split wrapped string = tokens per word TYPE), joined
+    * back to the exploded corpus; docs with no vocab words read 0. */
+  private def bpeEncodeOracleSql(numMerges: Int, maxVocab: Int): String =
+    s"""WITH ${bpeRoundsCte(numMerges, maxVocab)},
+       |wordtok AS (SELECT word,
+       |    len(string_split(substr(st, 2, length(st) - 2),
+       |      chr(31)||chr(30))) AS ntok FROM r$numMerges),
+       |dw AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(text, '\\s+')) AS word
+       |  FROM documents),
+       |agg AS (SELECT doc_id, COUNT(*) AS n_words, SUM(ntok) AS ntoks
+       |  FROM dw JOIN wordtok USING (word) GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(a.ntoks, 0) AS BIGINT) AS n_bpe_tokens
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_bpe" -> txtBpe,
+    "txt_encode" -> txtEncode,
     "txt_langid" -> txtLangid,
     "mix_sample" -> mixSample,
     "mix_temperature" -> mixTemperature,
@@ -1303,6 +1367,7 @@ object DataQueries {
   val oracles: Map[String, String] = Map(
     // full training-loop replay: wrap → (pairs → argmax → replace)×8
     "txt_bpe" -> bpeOracleSql(8, 65536),
+    "txt_encode" -> bpeEncodeOracleSql(8, 65536),
     // profile VALUES + explode/join/div/argmax replay
     "txt_langid" -> langidOracleSql,
     // contingency table from in-row bigrams, nine quantized c·ln(c)

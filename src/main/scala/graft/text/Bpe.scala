@@ -132,6 +132,22 @@ object Bpe {
     syms
   }
 
+  /** Encode one word by replaying the merge table in TRAINING order —
+    * one non-overlapping LTR pass per merge, i.e. exactly the state the
+    * trainer's vocab reached after its last round (and what the
+    * `txt_encode` oracle's round-per-CTE replay computes). Agrees with
+    * the priority encoder [[encodeWord]] unless a later merge's output
+    * string collides with an earlier merge's input pair — impossible
+    * for merges trained on this vocab because training applied each
+    * merge exhaustively at creation (BpeSpec pins agreement on the real
+    * corpus vocab).
+    */
+  def encodeWordSequential(word: String, merges: Seq[Merge]): Seq[String] = {
+    var syms = codePoints(word)
+    merges.foreach { case (a, b) => syms = applyMergeOnce(syms, a, b) }
+    syms
+  }
+
   /** Per-doc BPE token counts under a trained merge table (broadcast to
     * executors; one corpus map pass, no shuffle).
     */

@@ -112,6 +112,24 @@ class BpeSpec extends SparkSpec {
     assert(got == trainRef(Map("😀a" -> 2L, "￿b" -> 2L), 1))
   }
 
+  test("sequential (training-order) encode: round-trips, agrees with " +
+      "the priority encoder on the trained vocab, equals the trainer's " +
+      "terminal vocab state") {
+    val merges = Bpe.train(docsDf, 8)
+    val ranks = merges.zipWithIndex.toMap
+    for (w <- wc.keys) {
+      val seq = Bpe.encodeWordSequential(w, merges)
+      assert(seq.mkString == w) // lossless
+      assert(seq == Bpe.encodeWord(w, ranks)) // priority agreement
+    }
+    // zero merges = code points
+    assert(Bpe.encodeWordSequential("widest", Nil).length == 6)
+    // more merges never lengthen a word's encoding
+    for (w <- wc.keys; k <- 0 to merges.length)
+      assert(Bpe.encodeWordSequential(w, merges.take(k)).length >=
+        Bpe.encodeWordSequential(w, merges).length)
+  }
+
   test("supplementary-plane code points survive") {
     val s = "😀😀x" // 😀😀x
     val docs = Seq((0L, s + " " + s)).toDF("doc_id", "text")
