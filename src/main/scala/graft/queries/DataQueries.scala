@@ -618,6 +618,18 @@ object DataQueries {
           spark.read.parquet(s"$dir/documents.parquet")))
       .orderBy("doc_id")
 
+  /** CSV source tier: documents → to_csv records → from_csv parse —
+    * identity oracle like src_jsonl, so one mis-quoted byte through RFC
+    * 4180 doubling hash-fails (see [[graft.sources.Csv]]; the real
+    * shard write/read path, empty-vs-null discipline and the
+    * non-splittability trade are CsvSpec's).
+    */
+  def srcCsv(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Csv.parseLines(
+        graft.sources.Csv.encodeLines(
+          spark.read.parquet(s"$dir/documents.parquet")))
+      .orderBy("doc_id")
+
   /** Multimodal: frame sampling plumbing (video rows, stride 7). */
   def mmFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.frameSample(media(spark, dir), stride = 7)
@@ -1225,7 +1237,8 @@ object DataQueries {
     "mm_vad" -> mmVad,
     "dd_softdedup" -> ddSoftdedup,
     "mix_kl" -> mixKl,
-    "src_jsonl" -> srcJsonl
+    "src_jsonl" -> srcJsonl,
+    "src_csv" -> srcCsv
   )
 
   /** QuantileHist.bucket in DuckDB SQL (HdrHistogram-style log bucket,
@@ -2834,6 +2847,10 @@ object DataQueries {
         |FROM c JOIN s USING (text) ORDER BY doc_id""".stripMargin,
     // identity oracle: the JSON round trip must reproduce the table
     "src_jsonl" ->
+      """SELECT doc_id, lang, source, text FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // identity oracle: the CSV round trip must reproduce the table
+    "src_csv" ->
       """SELECT doc_id, lang, source, text FROM documents
         |ORDER BY doc_id""".stripMargin,
     // per-term ln over integer counts only (micro-nat rule), HUGEINT
