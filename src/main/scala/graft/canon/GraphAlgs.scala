@@ -619,6 +619,79 @@ object GraphAlgs {
           .cast("long").as("jac_micro"))
   }
 
+  /** SimRank (Jeh & Widom 2002) — "two nodes are similar if their
+    * neighbours are similar", the recursive generalization of
+    * [[linkPrediction]]'s one-hop overlap scores:
+    *
+    *   s(a,a) = 1;  s(a,b) = C/(|N(a)||N(b)|) · Σ_{i∈N(a), j∈N(b)} s(i,j)
+    *
+    * evaluated for `iters` fixed rounds with C = 4/5 as integer
+    * micro-unit floor division — `s_k = (4·T) div (5·da·db)` where T
+    * sums the previous round's micro scores (diagonal = 10^6) — so the
+    * fixed point is partitioning-invariant and replays bit-exactly in
+    * the round-per-CTE DuckDB oracle. Returns the full trace
+    * (iter, a, b, s_micro), one row per pair with s > 0, a < b in
+    * code-point order.
+    *
+    * Scale shape: the textbook all-pairs SimRank is quadratic in nodes;
+    * this implementation is sparse-positive instead — round 1 pairs
+    * come from ONE wedge join (pairs ∝ Σ deg², the same bound as
+    * [[linkPrediction]]), and each later round expands only the
+    * POSITIVE pairs through two neighbour joins (cost ∝ Σ_{(i,j)∈P}
+    * |N(i)|·|N(j)|, never |V|²). The `maxHubDegree` guard excludes hub
+    * nodes from the NEIGHBOUR role (i, j) — the expansion-cost driver —
+    * exactly [[linkPrediction]]'s evidence filter; full degrees still
+    * normalize, so scores stay comparable across the guard.
+    */
+  def simRank(edges: DataFrame, iters: Int, maxHubDegree: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val e = edges.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct().localCheckpoint()
+    val und = e.select(col("a").as("z"), col("b").as("n"))
+      .union(e.select(col("b").as("z"), col("a").as("n")))
+    val deg = und.groupBy("z").agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // feeds the hub guard + both endpoint joins
+    val zn = und
+      .join(deg.select(col("z").as("n"), col("deg").as("nd")), "n")
+      .filter(col("nd") <= maxHubDegree).select("z", "n")
+      .localCheckpoint() // neighbour-role rows, hubs excluded
+    val cn = zn.alias("l").join(zn.alias("r"),
+        col("l.n") === col("r.n") && col("l.z") < col("r.z"))
+      .select(col("l.z").as("a"), col("r.z").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+      .localCheckpoint() // the diagonal term, constant across rounds
+    val degA = deg.select(col("z").as("a"), col("deg").as("da"))
+    val degB = deg.select(col("z").as("b"), col("deg").as("db"))
+    def finish(t: DataFrame): DataFrame =
+      t.join(degA, "a").join(degB, "b")
+        .select(col("a"), col("b"),
+          expr("(4 * t) div (5 * da * db)").as("s"))
+        .filter(col("s") > 0)
+    var p = finish(cn.select(col("a"), col("b"),
+        (col("cn") * lit(1000000L)).as("t")))
+      .localCheckpoint()
+    var trace = p.select(lit(1L).as("iter"), col("a"), col("b"),
+      col("s").as("s_micro"))
+    for (k <- 2 to iters) {
+      val psym = p.select(col("a").as("i"), col("b").as("j"), col("s"))
+        .union(p.select(col("b").as("i"), col("a").as("j"), col("s")))
+      val tOff = zn.select(col("z").as("a"), col("n").as("i"))
+        .join(psym, "i")
+        .join(zn.select(col("z").as("b"), col("n").as("j")), "j")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(sum("s").as("t_off"))
+      val t = cn.join(tOff, Seq("a", "b"), "full_outer")
+        .select(col("a"), col("b"),
+          (coalesce(col("cn"), lit(0L)) * lit(1000000L) +
+            coalesce(col("t_off"), lit(0L))).as("t"))
+      p = finish(t).localCheckpoint()
+      trace = trace.union(p.select(lit(k.toLong).as("iter"), col("a"),
+        col("b"), col("s").as("s_micro")))
+    }
+    trace
+  }
+
   /** Katz centrality (Katz 1953): total attenuated walk count into each
     * node, the classic complement of PageRank — no degree normalization,
     * so high-out-degree neighbours pass on their full mass and the score

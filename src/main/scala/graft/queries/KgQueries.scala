@@ -947,6 +947,19 @@ object KgQueries {
       .orderBy("a", "b")
   }
 
+  /** Recursive structural similarity over the same part–part graph as
+    * kg_adamic_adar: 2 SimRank rounds, hub guard 64 — the "similar
+    * because their neighbourhoods are similar" entity-resolution signal
+    * one hop deeper than Adamic-Adar (see
+    * [[graft.canon.GraphAlgs.simRank]] for the integer fixed point and
+    * the sparse-positive scale shape). Oracle replays both rounds
+    * CTE-per-round with `//` floor division over identical integers.
+    */
+  def kgSimrank(spark: SparkSession, dir: String): DataFrame =
+    graft.canon.GraphAlgs
+      .simRank(partEdgesOriented(spark, dir), iters = 2, maxHubDegree = 64)
+      .orderBy("iter", "a", "b")
+
   /** The part–part "ordered together" graph shared by the centrality /
     * walk / clustering queries — same slice as kg_triangles, oriented
     * a < b. */
@@ -1498,6 +1511,7 @@ object KgQueries {
     "kg_negatives" -> kgNegatives,
     "kg_pmi" -> kgPmi,
     "kg_adamic_adar" -> kgAdamicAdar,
+    "kg_simrank" -> kgSimrank,
     "kg_katz" -> kgKatz,
     "kg_walks" -> kgWalks,
     "kg_transe" -> kgTranse,
@@ -2581,6 +2595,42 @@ object KgQueries {
         |    AS jac_micro
         |FROM cand c JOIN deg da ON da.z = c.a JOIN deg db ON db.z = c.b
         |ORDER BY a, b""".stripMargin,
+    // round-per-CTE replay of the integer SimRank fixed point: round 1
+    // from the wedge-join diagonal, round 2 expands the positive pairs
+    // through the hub-guarded neighbour rows; all `//` over integers
+    "kg_simrank" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_orderkey < 300),
+        |e AS (SELECT DISTINCT least('p' || x.p, 'p' || y.p) AS a,
+        |    greatest('p' || x.p, 'p' || y.p) AS b
+        |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+        |und AS (SELECT a AS z, b AS n FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY z),
+        |zn AS (SELECT u.z, u.n FROM und u
+        |  JOIN deg d ON d.z = u.n WHERE d.deg <= 64),
+        |cn AS (SELECT l.z AS a, r.z AS b, CAST(COUNT(*) AS BIGINT) AS cn
+        |  FROM zn l JOIN zn r ON l.n = r.n AND l.z < r.z GROUP BY 1, 2),
+        |p1 AS (SELECT c.a, c.b,
+        |    CAST((4 * c.cn * 1000000) // (5 * da.deg * db.deg) AS BIGINT) AS s
+        |  FROM cn c JOIN deg da ON da.z = c.a JOIN deg db ON db.z = c.b
+        |  WHERE (4 * c.cn * 1000000) // (5 * da.deg * db.deg) > 0),
+        |psym AS (SELECT a AS i, b AS j, s FROM p1
+        |  UNION ALL SELECT b, a, s FROM p1),
+        |toff AS (SELECT za.z AS a, zb.z AS b, CAST(SUM(p.s) AS BIGINT) AS t_off
+        |  FROM psym p JOIN zn za ON za.n = p.i JOIN zn zb ON zb.n = p.j
+        |  WHERE za.z < zb.z GROUP BY 1, 2),
+        |t2 AS (SELECT COALESCE(c.a, o.a) AS a, COALESCE(c.b, o.b) AS b,
+        |    COALESCE(c.cn, 0) * 1000000 + COALESCE(o.t_off, 0) AS t
+        |  FROM cn c FULL OUTER JOIN toff o ON o.a = c.a AND o.b = c.b),
+        |p2 AS (SELECT t2.a, t2.b,
+        |    CAST((4 * t2.t) // (5 * da.deg * db.deg) AS BIGINT) AS s
+        |  FROM t2 JOIN deg da ON da.z = t2.a JOIN deg db ON db.z = t2.b
+        |  WHERE (4 * t2.t) // (5 * da.deg * db.deg) > 0)
+        |SELECT iter, a, b, s AS s_micro FROM (
+        |  SELECT CAST(1 AS BIGINT) AS iter, a, b, s FROM p1
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT) AS iter, a, b, s FROM p2)
+        |ORDER BY iter, a, b""".stripMargin,
     "kg_katz" -> katzSql,
     "kg_walks" -> walksSql,
     "kg_transe" -> transeSql,
