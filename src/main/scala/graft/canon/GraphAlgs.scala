@@ -619,6 +619,46 @@ object GraphAlgs {
           .cast("long").as("jac_micro"))
   }
 
+  /** GraphSAGE-style deterministic neighbour sampling (Hamilton et al.
+    * 2017): for every node, keep its `k1` lowest-hash neighbours
+    * (layer 1), then each sampled neighbour's `k2` lowest-hash
+    * neighbours (layer 2) — the bounded ego-subgraph generator GNN
+    * training feeds on. Selection is an avalanche hash of the EDGE
+    * ([[graft.functions.MixHash]] of `src > dst`), so each parent draws
+    * independently, and per-node-per-layer samples are shared across
+    * seeds — exactly the minibatch dedup production samplers do.
+    * Returns (seed, layer, parent, node, rk).
+    *
+    * Stability law (the reason hash-rank beats `rand()`): adding edges
+    * can only displace a sampled neighbour by inserting a smaller hash,
+    * never by reshuffling — mix_sample's membership law, per node.
+    *
+    * Scale shape: ONE window pass ranks all edges — `row_number ≤ k`
+    * over (src, hash) is the InsertWindowGroupLimits shape, so every
+    * map partition truncates to k rows per node BEFORE the exchange and
+    * the shuffle carries ≈ nodes × k rows, never the edge list. Layer 2
+    * is one frontier⋈sample equi-join at (node, node, long) width.
+    */
+  def egoSample(edges: DataFrame, k1: Int, k2: Int): DataFrame = {
+    require(k1 >= k2 && k2 >= 1, s"need k1 >= k2 >= 1: $k1, $k2")
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.functions.MixHash(
+      concat(col("src"), lit(">"), col("dst")))
+    val w = Window.partitionBy("src").orderBy(col("h"), col("dst"))
+    val s1 = edges.select(col("src"), col("dst"), h.as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k1).drop("h")
+      .localCheckpoint() // reused: layer-1 rows + both layer-2 roles
+    val layer1 = s1.select(col("src").as("seed"), lit(1L).as("layer"),
+      col("src").as("parent"), col("dst").as("node"), col("rk"))
+    val layer2 = s1.select(col("src").as("seed"), col("dst").as("c"))
+      .join(s1.filter(col("rk") <= k2)
+        .select(col("src").as("c"), col("dst").as("node"), col("rk")), "c")
+      .select(col("seed"), lit(2L).as("layer"), col("c").as("parent"),
+        col("node"), col("rk"))
+    layer1.union(layer2)
+  }
+
   /** SimRank (Jeh & Widom 2002) — "two nodes are similar if their
     * neighbours are similar", the recursive generalization of
     * [[linkPrediction]]'s one-hop overlap scores:

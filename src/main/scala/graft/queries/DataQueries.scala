@@ -1312,8 +1312,10 @@ object DataQueries {
       s" ELSE CAST($x AS HUGEINT) END)"
   }
 
-  /** BIGINT reinterpretation of an unsigned HUGEINT column. */
-  private def signedSql(hu: String): String =
+  /** BIGINT reinterpretation of an unsigned HUGEINT column.
+    * `private[queries]` so KgQueries' hash-rank oracles (kg_egosample)
+    * can finish the same splitmix chain. */
+  private[queries] def signedSql(hu: String): String =
     s"CAST($hu - (CASE WHEN $hu >= CAST('$Two63' AS HUGEINT) THEN CAST('$Two64' AS HUGEINT) ELSE 0 END) AS BIGINT)"
 
   /** Sequential-fold cosine, mirroring Similarity.dot/norm exactly:

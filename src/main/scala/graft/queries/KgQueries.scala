@@ -983,6 +983,18 @@ object KgQueries {
       .union(e.select(col("b").as("src"), col("a").as("dst")))
   }
 
+  /** GraphSAGE-style 2-layer deterministic neighbour sampling over the
+    * part–part graph (k1 = 3, k2 = 2) — the bounded ego-subgraph
+    * generator GNN training on the constructed KG feeds on; see
+    * [[graft.canon.GraphAlgs.egoSample]] for the hash-rank stability
+    * law and the WindowGroupLimit scale shape. Oracle replays the
+    * edge-keyed MixHash (FNV∘splitmix staged in HUGEINT, the kg_anf
+    * chain) and both ROW_NUMBER caps verbatim.
+    */
+  def kgEgosample(spark: SparkSession, dir: String): DataFrame =
+    graft.canon.GraphAlgs.egoSample(partEdges(spark, dir), k1 = 3, k2 = 2)
+      .orderBy("seed", "layer", "parent", "node")
+
   /** Katz centrality over the part–part graph: attenuated-walk-count
     * reachability, the degree-unnormalized complement of kg_pagerank
     * (see [[graft.canon.GraphAlgs.katz]] for the integer fixed point
@@ -1512,6 +1524,7 @@ object KgQueries {
     "kg_pmi" -> kgPmi,
     "kg_adamic_adar" -> kgAdamicAdar,
     "kg_simrank" -> kgSimrank,
+    "kg_egosample" -> kgEgosample,
     "kg_katz" -> kgKatz,
     "kg_walks" -> kgWalks,
     "kg_transe" -> kgTranse,
@@ -2631,6 +2644,7 @@ object KgQueries {
         |  UNION ALL
         |  SELECT CAST(2 AS BIGINT) AS iter, a, b, s FROM p2)
         |ORDER BY iter, a, b""".stripMargin,
+    "kg_egosample" -> egoSampleSql,
     "kg_katz" -> katzSql,
     "kg_walks" -> walksSql,
     "kg_transe" -> transeSql,
@@ -2781,6 +2795,36 @@ object KgQueries {
       |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
       |und AS (SELECT a AS src, b AS dst FROM e0
       |        UNION ALL SELECT b, a FROM e0)""".stripMargin
+
+  /** kg_egosample oracle: per-edge MixHash (FNV fold ∘ splitmix stages
+    * in HUGEINT), signed reinterpretation, ROW_NUMBER per src ordered by
+    * (h, dst), layer 1 = rk ≤ 3, layer 2 = frontier ⋈ (rk ≤ 2). */
+  private lazy val egoSampleSql: String = {
+    import DataQueries.{fnvFoldSql, mulSql, xorShrSql, signedSql}
+    s"""WITH $partGraphCte,
+       |h0 AS (SELECT src, dst,
+       |    ${fnvFoldSql("(src || '>' || dst)", "14695981039346656037")} AS hu
+       |  FROM und),
+       |m1 AS (SELECT src, dst, ${xorShrSql("hu", "1073741824")} AS hu FROM h0),
+       |m2 AS (SELECT src, dst, ${mulSql("hu", "13787848793156543929")} AS hu FROM m1),
+       |m3 AS (SELECT src, dst, ${xorShrSql("hu", "134217728")} AS hu FROM m2),
+       |m4 AS (SELECT src, dst, ${mulSql("hu", "10723151780598845931")} AS hu FROM m3),
+       |m5 AS (SELECT src, dst, ${xorShrSql("hu", "2147483648")} AS hu FROM m4),
+       |hh AS (SELECT src, dst, ${signedSql("hu")} AS h FROM m5),
+       |rk AS (SELECT src, dst,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY h, dst)
+       |      AS BIGINT) AS rk
+       |  FROM hh),
+       |s1 AS (SELECT * FROM rk WHERE rk <= 3),
+       |l1 AS (SELECT src AS seed, CAST(1 AS BIGINT) AS layer,
+       |    src AS parent, dst AS node, rk FROM s1),
+       |l2 AS (SELECT a.src AS seed, CAST(2 AS BIGINT) AS layer,
+       |    b.src AS parent, b.dst AS node, b.rk
+       |  FROM s1 a JOIN s1 b ON b.src = a.dst WHERE b.rk <= 2)
+       |SELECT seed, layer, parent, node, rk FROM
+       |  (SELECT * FROM l1 UNION ALL SELECT * FROM l2)
+       |ORDER BY seed, layer, parent, node""".stripMargin
+  }
 
   /** Katz oracle: the integer attenuated-walk recurrence unrolled
     * round-per-CTE, same floor division. */
