@@ -463,6 +463,50 @@ object Multimodal {
       .toDF("doc_id", "dhash", "ahash")
   }
 
+  /** Channel statistics for the image rows: per-image integer channel
+    * means and the dark-pixel share in basis points — the cheap
+    * brightness/exposure quality filters an image-curation pipeline
+    * runs before the expensive perceptual tiers (mm_phash). One decode
+    * kernel inside mapPartitions, zero shuffles; integer floor division
+    * keeps every stat bit-stable across engines and partitionings.
+    * Stats sum over ALL pixels, so they are orientation-invariant —
+    * BMP's bottom-up storage and PNG's top-down decode agree by
+    * construction (the spec pins it).
+    */
+  def colorStats(media: DataFrame, darkThreshold: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, bytes) =>
+          decodePixels(bytes).map { rows =>
+            val h = rows.length
+            val w = rows(0).length / 3
+            var sr = 0L; var sg = 0L; var sb = 0L; var dark = 0L
+            var y = 0
+            while (y < h) {
+              val row = rows(y)
+              var x = 0
+              while (x < w) {
+                val r = row(3 * x) & 0xff
+                val g = row(3 * x + 1) & 0xff
+                val b = row(3 * x + 2) & 0xff
+                sr += r; sg += g; sb += b
+                if ((r + g + b) / 3 < darkThreshold) dark += 1
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            (id, w.toLong, h.toLong, sr / n, sg / n, sb / n,
+              10000L * dark / n)
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "mean_r", "mean_g", "mean_b",
+        "dark_bp")
+  }
+
   // ---------------------------------------------------------------- WAV
 
   /** RIFF/WAVE, PCM (format 1), 16-bit mono. Sample i = (i mod 4096) - 2048

@@ -557,6 +557,17 @@ object DataQueries {
     Multimodal.perceptualHashes(media(spark, dir))
       .orderBy("doc_id")
 
+  /** Multimodal: per-image channel means + dark-pixel share from real
+    * decoded pixels ([[graft.multimodal.Multimodal.colorStats]]) — the
+    * brightness/exposure pre-filter tier. Oracle replays the gradient
+    * payload closed form ((3x + c + row) mod 251) over a generate_series
+    * pixel grid; stats are orientation-invariant so BMP bottom-up and
+    * PNG top-down replay identically.
+    */
+  def mmColorstats(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.colorStats(media(spark, dir))
+      .orderBy("doc_id")
+
   /** Multimodal: audio feature-extract + energy-delta fingerprint over
     * the WAV rows (the audio analogue of mm_phash). Oracle replays the
     * closed-form sawtooth payload: sample i = (i mod 4096) - 2048.
@@ -1233,6 +1244,7 @@ object DataQueries {
     "mm_resize" -> mmResize,
     "mm_frames" -> mmFrames,
     "mm_phash" -> mmPhash,
+    "mm_colorstats" -> mmColorstats,
     "mm_audio_fp" -> mmAudioFp,
     "mm_vad" -> mmVad,
     "dd_softdedup" -> ddSoftdedup,
@@ -2778,6 +2790,32 @@ object DataQueries {
         |SELECT m.doc_id, dh.dhash, ah.ahash
         |FROM m JOIN dh ON dh.doc_id = m.doc_id JOIN ah ON ah.doc_id = m.doc_id
         |ORDER BY m.doc_id""".stripMargin,
+    // gradient payload closed form: byte j of file row r = (j+r) mod 251;
+    // channel c at pixel (x, y) = (3x+c+row) mod 251 — sums run over all
+    // rows, so BMP's bottom-up storage needs no flip here
+    "mm_colorstats" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(64 + doc_id % 64 AS INTEGER) AS w,
+        |    CAST(64 + (doc_id // 2) % 64 AS INTEGER) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (
+        |  SELECT m.doc_id, m.w, m.h,
+        |    (3 * xs.x + ys.y) % 251 AS r,
+        |    (3 * xs.x + 1 + ys.y) % 251 AS g,
+        |    (3 * xs.x + 2 + ys.y) % 251 AS b
+        |  FROM m,
+        |    unnest(generate_series(0, m.w - 1)) xs(x),
+        |    unnest(generate_series(0, m.h - 1)) ys(y)),
+        |ag AS (
+        |  SELECT doc_id, w, h, SUM(r) AS sr, SUM(g) AS sg, SUM(b) AS sb,
+        |    SUM(CASE WHEN (r + g + b) // 3 < 64 THEN 1 ELSE 0 END) AS dark
+        |  FROM px GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(sr // (w * h) AS BIGINT) AS mean_r,
+        |  CAST(sg // (w * h) AS BIGINT) AS mean_g,
+        |  CAST(sb // (w * h) AS BIGINT) AS mean_b,
+        |  CAST(10000 * dark // (w * h) AS BIGINT) AS dark_bp
+        |FROM ag ORDER BY doc_id""".stripMargin,
     "mm_frames" ->
       """WITH m AS (
         |  SELECT doc_id, CAST(1 + doc_id % 30 AS INTEGER) AS n_frames
