@@ -593,7 +593,42 @@ object RelationalQueries {
       .orderBy("user_id", "run")
   }
 
+  /** Exponentially time-decayed engagement counts: each event
+    * contributes 2^-age_days (age anchored at the corpus max timestamp,
+    * floor-day granularity) to its (user, event_type) counter — the
+    * recency-weighted activity feature ranking/freshness systems keep
+    * next to raw counts. Contributions are exact integers in micro
+    * units (10^6 // 2^age, 0 beyond 62 days), so the sums replay
+    * bit-for-bit; no float pow, no libm.
+    *
+    * Scale shape: one scan for the 1-row max-ts scalar (the broadcast
+    * shape PlanGuard allowlists), then ONE map-side-combined aggregate —
+    * corpus-scale events shuffle only as (user, type, two longs)
+    * partials. The decayed sum is a MONOID (each event's weight is
+    * fixed once the anchor is), so the same aggregate serves
+    * incremental/streaming maintenance — re-anchoring by one day is a
+    * global integer halving.
+    */
+  def q26Decay(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+    val anchor = e.agg(max(col("us"))).head().getLong(0)
+    // integer floor division: Column `/` is double division, so go
+    // through the SQL `div` operator like the other exact-int queries
+    e.withColumn("age_d",
+        expr(s"($anchor - us) div 86400000000"))
+      .withColumn("w_micro",
+        when(col("age_d") > 62L, 0L)
+          .otherwise(expr(
+            "1000000 div shiftleft(cast(1 as bigint), cast(age_d as int))")))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("w_micro")).as("decayed_micro"))
+      .orderBy("user_id", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_decay" -> q26Decay,
     "q25_scd2" -> q25Scd2,
     "q24_funnel" -> q24Funnel,
     "q22_gapfill" -> q22Gapfill,
@@ -622,6 +657,22 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // anchor = scalar max(epoch_us), weight = 1e6 // 2^age_days in exact
+    // integers (no float pow on either engine)
+    "q26_decay" ->
+      """WITH mx AS (SELECT MAX(epoch_us(ts)) AS a FROM events),
+        |e AS (SELECT user_id, event_type,
+        |    (mx.a - epoch_us(ts)) // 86400000000 AS age_d
+        |  FROM events, mx),
+        |w AS (SELECT user_id, event_type,
+        |    CASE WHEN age_d > 62 THEN 0
+        |         ELSE 1000000 // (CAST(1 AS BIGINT) << CAST(age_d AS INTEGER))
+        |    END AS w_micro
+        |  FROM e)
+        |SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(w_micro) AS BIGINT) AS decayed_micro
+        |FROM w GROUP BY 1, 2
+        |ORDER BY user_id, event_type""".stripMargin,
     // the same change-flag running sum, run rollup, and LEAD bound
     "q25_scd2" ->
       """WITH e AS (
