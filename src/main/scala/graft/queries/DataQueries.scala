@@ -641,6 +641,31 @@ object DataQueries {
           spark.read.parquet(s"$dir/documents.parquet")))
       .orderBy("doc_id")
 
+  /** TFRecord source tier: documents → 32-record CRC32C-framed TFRecord
+    * files with tf.train.Example payloads → parse (both CRCs verified)
+    * → decode — identity oracle, so one wrong varint / CRC / proto tag
+    * byte hash-fails (see [[graft.sources.TfRecord]]; golden wire bytes
+    * and the corruption suite are TfRecordSpec's). Same mapGroups batch
+    * shape as src_warc: a shard's records live in one task, no
+    * cross-partition state.
+    */
+  def srcTfrecord(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .as[(Long, String, String, String)]
+      .groupByKey(_._1 / 32)
+      .mapGroups { (_, it) =>
+        graft.sources.TfRecord.encodeFile(it.toSeq.sortBy(_._1)
+          .map { case (id, l, s, t) =>
+            graft.sources.TfRecord.encodeExample(id, l, s, t) })
+      }
+      .flatMap(graft.sources.TfRecord.parseFile(_)
+        .map(graft.sources.TfRecord.decodeExample))
+      .toDF("doc_id", "lang", "source", "text")
+      .orderBy("doc_id")
+  }
+
   /** Multimodal: frame sampling plumbing (video rows, stride 7). */
   def mmFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.frameSample(media(spark, dir), stride = 7)
@@ -1250,7 +1275,8 @@ object DataQueries {
     "dd_softdedup" -> ddSoftdedup,
     "mix_kl" -> mixKl,
     "src_jsonl" -> srcJsonl,
-    "src_csv" -> srcCsv
+    "src_csv" -> srcCsv,
+    "src_tfrecord" -> srcTfrecord
   )
 
   /** QuantileHist.bucket in DuckDB SQL (HdrHistogram-style log bucket,
@@ -2891,6 +2917,11 @@ object DataQueries {
         |ORDER BY doc_id""".stripMargin,
     // identity oracle: the CSV round trip must reproduce the table
     "src_csv" ->
+      """SELECT doc_id, lang, source, text FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // identity oracle: the TFRecord/Example round trip must reproduce
+    // the table through framing CRCs and proto wire format
+    "src_tfrecord" ->
       """SELECT doc_id, lang, source, text FROM documents
         |ORDER BY doc_id""".stripMargin,
     // per-term ln over integer counts only (micro-nat rule), HUGEINT
