@@ -627,7 +627,53 @@ object RelationalQueries {
       .orderBy("user_id", "event_type")
   }
 
+  /** MERGE INTO semantics over a profile dimension — the query-level
+    * expression of the pipeline's snapshot merge (IncrementalKg): the
+    * target is the per-user profile from events BEFORE the cutoff day,
+    * the source the same aggregate AFTER it, and the merge applies
+    * WHEN MATCHED UPDATE (counts add, last_type takes the source's
+    * latest), WHEN MATCHED AND tombstone DELETE (a user whose
+    * post-cutoff stream carries ≥5 errors is purged — and a tombstone
+    * suppresses its INSERT too), WHEN NOT MATCHED INSERT. The `action`
+    * column exposes which clause fired.
+    *
+    * Scale shape: both sides pre-aggregate to user grain (map-side
+    * combined) BEFORE one user-keyed full-outer join — the delta-merge
+    * shape that never rewrites the unmatched target (here expressed
+    * relationally; the pipeline's bucketed-snapshot variant avoids even
+    * the target-side exchange). last_type = max(struct(us, event_id,
+    * event_type)) — one aggregate, no second window pass.
+    */
+  def q27Merge(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+    val cut = unix_micros(to_timestamp(lit("2024-01-16 00:00:00")))
+    def profile(df: DataFrame) = df.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col("us"), col("event_id"), col("event_type")))
+          .getField("event_type").as("last_type"))
+    val target = profile(e.filter(col("us") < cut))
+    val post = e.filter(col("us") >= cut)
+    val srcAgg = profile(post)
+      .join(post.filter(col("event_type") === "error")
+          .groupBy("user_id").agg(count(lit(1)).as("n_err")),
+        Seq("user_id"), "left")
+      .withColumn("tomb", coalesce(col("n_err"), lit(0L)) >= 5L)
+      .drop("n_err")
+    target.alias("t").join(srcAgg.alias("s"), Seq("user_id"), "full_outer")
+      .filter(!coalesce(col("tomb"), lit(false)))
+      .select(col("user_id"),
+        (coalesce(col("t.n_events"), lit(0L)) +
+          coalesce(col("s.n_events"), lit(0L))).as("n_events"),
+        coalesce(col("s.last_type"), col("t.last_type")).as("last_type"),
+        when(col("s.n_events").isNull, "kept")
+          .when(col("t.n_events").isNull, "inserted")
+          .otherwise("updated").as("action"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_merge" -> q27Merge,
     "q26_decay" -> q26Decay,
     "q25_scd2" -> q25Scd2,
     "q24_funnel" -> q24Funnel,
@@ -657,6 +703,44 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // MERGE replay: per-side profile (count + ROW_NUMBER argmax over
+    // (us, event_id, event_type) DESC = the struct-max), tombstone =
+    // >=5 post-cutoff errors, FULL OUTER + the three clauses as CASE
+    "q27_merge" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |c AS (SELECT epoch_us(TIMESTAMP '2024-01-16 00:00:00') AS cut),
+        |tb AS (SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY us DESC, event_id DESC, event_type DESC) AS rn
+        |  FROM e, c WHERE us < cut),
+        |tgt AS (SELECT a.user_id, a.n, b.event_type AS last_type
+        |  FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM tb
+        |        GROUP BY 1) a
+        |  JOIN (SELECT user_id, event_type FROM tb WHERE rn = 1) b
+        |    USING (user_id)),
+        |sb AS (SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY us DESC, event_id DESC, event_type DESC) AS rn
+        |  FROM e, c WHERE us >= cut),
+        |src AS (SELECT a.user_id, a.n, b.event_type AS last_type,
+        |    COALESCE(er.n_err, 0) >= 5 AS tomb
+        |  FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM sb
+        |        GROUP BY 1) a
+        |  JOIN (SELECT user_id, event_type FROM sb WHERE rn = 1) b
+        |    USING (user_id)
+        |  LEFT JOIN (SELECT user_id, COUNT(*) AS n_err FROM sb
+        |        WHERE event_type = 'error' GROUP BY 1) er
+        |    USING (user_id))
+        |SELECT COALESCE(t.user_id, s.user_id) AS user_id,
+        |  CAST(COALESCE(t.n, 0) + COALESCE(s.n, 0) AS BIGINT) AS n_events,
+        |  COALESCE(s.last_type, t.last_type) AS last_type,
+        |  CASE WHEN s.n IS NULL THEN 'kept'
+        |       WHEN t.n IS NULL THEN 'inserted'
+        |       ELSE 'updated' END AS action
+        |FROM tgt t FULL OUTER JOIN src s ON s.user_id = t.user_id
+        |WHERE NOT COALESCE(s.tomb, false)
+        |ORDER BY user_id""".stripMargin,
     // anchor = scalar max(epoch_us), weight = 1e6 // 2^age_days in exact
     // integers (no float pow on either engine)
     "q26_decay" ->
