@@ -53,7 +53,8 @@ object StressBench {
     val sections = sys.env.getOrElse("SPARK_GRAFT_STRESS_SECTIONS",
       "cc,dd,kg,inc,ivf,ivfpq,skew,lines,pagerank,spans,path,asof,range," +
         "domcap,sketch,bm25,tri,hits,kcore,quantile,chunk,keywords," +
-        "fuzzy,closeness,openie,zorder,scc,central,truss,contain,anf")
+        "fuzzy,closeness,openie,zorder,scc,central,truss,contain,anf," +
+        "simrank,egosample,decay")
       .split(",").map(_.trim).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -1179,6 +1180,86 @@ object StressBench {
             concat(lit("$1~"), col("k")))).as("text"))
       frags += s""""klaudit_1x":${klStats(d1)}"""
       frags += s""""klaudit_Nx":${klStats(dN)}"""
+    }
+
+    // ---- simrank: positive pairs ∝ copies on planted K4s ----------------
+    if (sections("simrank")) {
+      // disjoint K4 copies: SimRank mass cannot cross components, so
+      // positive pairs per round == 6 per copy EXACTLY — a pair table
+      // that grew faster than ∝ copies would be the quadratic failure
+      def plantedSimrank(copies: Int): (Long, Long, Double) = {
+        val ks = spark.range(copies).select(col("id").as("k"))
+        def nd(tag: String) = concat(col("k"), lit("_" + tag))
+        val vs = Seq("a", "b", "c", "d")
+        val es = (for (x <- vs; y <- vs if x < y) yield (x, y)).map {
+          case (u, v) => ks.select(nd(u).as("a"), nd(v).as("b")) }
+          .reduce(_ union _)
+        val ((p1, p2), secs) = time {
+          val r = graft.canon.GraphAlgs
+            .simRank(es, iters = 2, maxHubDegree = 64)
+            .groupBy("iter").agg(count(lit(1)).as("n")).collect()
+            .map(x => x.getLong(0) -> x.getLong(1)).toMap
+          (r.getOrElse(1L, 0L), r.getOrElse(2L, 0L))
+        }
+        (p1, p2, secs)
+      }
+      val (s1a, s2a, sta) = plantedSimrank(500)
+      val (s1b, s2b, stb) = plantedSimrank(500 * rep)
+      frags += s""""simrank_1x":{"p1":$s1a,"p2":$s2a,"sec":$sta}"""
+      frags += s""""simrank_Nx":{"p1":$s1b,"p2":$s2b,"sec":$stb}"""
+    }
+
+    // ---- egosample: sampled rows ∝ nodes × k, exactly --------------------
+    if (sections("egosample")) {
+      // K4 copies: deg = 3 everywhere, so layer 1 = 4·3 = 12 rows and
+      // layer 2 = 4 seeds · 3 children · 2 = 24 rows per copy — 36·copies
+      // EXACTLY, independent of which neighbours the hash picks
+      def plantedEgo(copies: Int): (Long, Long, Double) = {
+        val ks = spark.range(copies).select(col("id").as("k"))
+        def nd(tag: String) = concat(col("k"), lit("_" + tag))
+        val vs = Seq("a", "b", "c", "d")
+        val es = (for (x <- vs; y <- vs if x < y) yield (x, y)).map {
+          case (u, v) => ks.select(nd(u).as("src"), nd(v).as("dst")) }
+          .reduce(_ union _)
+        val sym = es.union(es.select(col("dst").as("src"),
+          col("src").as("dst")))
+        val ((l1, l2), secs) = time {
+          val r = graft.canon.GraphAlgs.egoSample(sym, k1 = 3, k2 = 2)
+            .groupBy("layer").agg(count(lit(1)).as("n")).collect()
+            .map(x => x.getLong(0) -> x.getLong(1)).toMap
+          (r.getOrElse(1L, 0L), r.getOrElse(2L, 0L))
+        }
+        (l1, l2, secs)
+      }
+      val (e1a, e2a, eta) = plantedEgo(500)
+      val (e1b, e2b, etb) = plantedEgo(500 * rep)
+      frags += s""""egosample_1x":{"l1":$e1a,"l2":$e2a,"sec":$eta}"""
+      frags += s""""egosample_Nx":{"l1":$e1b,"l2":$e2b,"sec":$etb}"""
+    }
+
+    // ---- decay: output is (user, type)-scale; mass exactly ∝ events ------
+    if (sections("decay")) {
+      val ev = spark.read.parquet(s"$base/events.parquet")
+      def decayStats(df: DataFrame): (Long, Long, Double) = {
+        val dir = s"$out/decay_in"
+        df.repartition(cpus.toInt).write.mode("overwrite")
+          .parquet(s"$dir/events.parquet")
+        val (r, secs) = time {
+          graft.queries.RelationalQueries.q26Decay(spark, dir)
+            .agg(count(lit(1)), sum("decayed_micro")).head
+        }
+        (r.getLong(0), r.getLong(1), secs)
+      }
+      val (r1, m1, t1) = decayStats(ev)
+      // replicas keep ts/user/type (anchor unchanged) → same output ROWS,
+      // decayed mass EXACTLY rep× — integer, so exact, any partitioning
+      val evN = ev.crossJoin(reps).select(
+        (col("event_id") + col("k") * 100000000L).as("event_id"),
+        col("ts"), col("user_id"), col("event_type"), col("value"),
+        col("props"))
+      val (rN, mN, tN) = decayStats(evN)
+      frags += s""""decay_1x":{"rows":$r1,"mass":$m1,"sec":$t1}"""
+      frags += s""""decay_Nx":{"rows":$rN,"mass":$mN,"sec":$tN}"""
     }
 
     println(frags.mkString("{", ",", "}"))
