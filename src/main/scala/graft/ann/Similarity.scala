@@ -120,6 +120,49 @@ object Similarity {
       d / (math.sqrt(na) * math.sqrt(nb))
     }).select("query_id", "rank", "cand_id", "cos")
 
+  /** ColBERT-style late-interaction MaxSim (Khattab & Zaharia 2020)
+    * over multi-vector documents: each 64-dim embedding is read as m=8
+    * contiguous 8-dim token slices, and score(q, d) = Σ_i max_j
+    * dot(q_i, d_j) — every query token matches its best document token.
+    * Slice dots follow the [[bruteForceTopK]] IEEE discipline (float
+    * multiplies, double accumulation in index order) and the outer sum
+    * adds the per-token maxima in token order, so the score is bitwise
+    * replayable; max over exact doubles is order-free. The raw-dot form
+    * is ColBERT's kernel on pre-normalized token embeddings, minus the
+    * per-slice norm divisions (and their zero-slice NaN hazard).
+    *
+    * Scale shape: the broadcast-query partition-local bounded top-k
+    * scan (the brute baseline); production scale routes per-token
+    * candidates through the LSH/IVF tiers above and exact-MaxSim
+    * reranks the union — the same candidate-then-rerank split as
+    * ann_pq_topk.
+    */
+  def maxSimTopK(emb: DataFrame, queryPred: Column, k: Int,
+      m: Int = 8): DataFrame =
+    scanTopK(emb, queryPred, k, { (a, b) =>
+      val sub = math.min(a.length, b.length) / m
+      var total = 0.0
+      var i = 0
+      while (i < m) {
+        var best = Double.NegativeInfinity
+        var j = 0
+        while (j < m) {
+          var d = 0.0
+          var t = 0
+          while (t < sub) {
+            d += (a(i * sub + t) * b(j * sub + t)).toDouble
+            t += 1
+          }
+          if (d > best) best = d
+          j += 1
+        }
+        total += best
+        i += 1
+      }
+      total
+    }).select(col("query_id"), col("rank").cast("long").as("rank"),
+      col("cand_id"), col("cos").as("maxsim"))
+
   /** Integer-exact top-1 by quantized dot product (oracle-checkable):
     * round(x·1000) per component, associative Long sums.
     */

@@ -294,6 +294,19 @@ object DataQueries {
         col("cand_id"), col("cos"))
       .orderBy("query_id", "rank")
 
+  /** ColBERT-style MaxSim top-5 ([[graft.ann.Similarity.maxSimTopK]]):
+    * 64-dim vectors read as 8 token slices of 8 dims, score = Σ_i max_j
+    * dot(q_i, d_j). ORACLED despite float scoring: slice dots fold
+    * left-to-right (float multiply, double accumulate — the
+    * ann_brute_topk discipline), per-token maxima are order-free exact
+    * doubles, and the outer sum adds them in token order on both
+    * engines.
+    */
+  def annMaxsimTopk(spark: SparkSession, dir: String): DataFrame =
+    Similarity.maxSimTopK(spark.read.parquet(s"$dir/embeddings.parquet"),
+        col("vec_id") % 50 === 25, k = 5)
+      .orderBy("query_id", "rank")
+
   /** LSH-bucketed approximate top-5 (scale path). ORACLED: the seeded
     * hyperplane tables are embedded in the SQL as exact round-trip double
     * literals, so DuckDB replays bucketing, multi-probe and the
@@ -1241,6 +1254,7 @@ object DataQueries {
     "dd_semantic" -> ddSemantic,
     "ann_top1" -> annTop1,
     "ann_brute_topk" -> annBruteTopk,
+    "ann_maxsim_topk" -> annMaxsimTopk,
     "ann_lsh_topk" -> annLshTopk,
     "ann_ivf_topk" -> annIvfTopk,
     "ann_pq_topk" -> annPqTopk,
@@ -2016,6 +2030,30 @@ object DataQueries {
          |  FROM scored)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, cos
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // MaxSim: slice dots via the cosineFoldSql float-product/double-fold
+    // discipline, list_max per query token (order-free exact doubles),
+    // outer list_reduce sums maxima in token order — both engines
+    // bitwise identical
+    "ann_maxsim_topk" -> {
+      val dot = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(generate_series(1, 8), t -> " +
+        "CAST(q.qv[(i-1)*8+t] * e.embedding[(j-1)*8+t] AS DOUBLE))), " +
+        "(acc, x) -> acc + x)"
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id % 50 = 25),
+         |p AS (SELECT q.qid, e.vec_id AS cid,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(generate_series(1, 8), i ->
+         |      list_max(list_transform(generate_series(1, 8), j -> $dot)))),
+         |    (acc, x) -> acc + x) AS s
+         |  FROM q, embeddings e WHERE e.vec_id <> q.qid),
+         |r AS (SELECT qid, cid, s,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rk
+         |  FROM p)
+         |SELECT qid AS query_id, CAST(rk AS BIGINT) AS rank,
+         |  cid AS cand_id, s AS maxsim
+         |FROM r WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin
+    },
     // mixture sampling: per-doc FNV-1a(doc_id string) folded in HUGEINT,
     // unsigned mod 10000 vs the recipe's basis-point rate; source group
     // = numeric suffix mod 4 (22500/10000/5000/2000 bp)
