@@ -679,6 +679,42 @@ object DataQueries {
       .orderBy("doc_id")
   }
 
+  /** Incremental-ingest dedup: a RE-DELIVERED shard (doc_id ≥ 350 —
+    * overlapping the corpus's < 400 range by 50 docs, the re-crawl /
+    * re-shipped-shard scenario every ingestion pipeline hits) checked
+    * against the EXISTING corpus through a broadcast Bloom filter
+    * ([[graft.sketch.Bloom]]) — definitely-absent docs skip the exact
+    * join entirely, only Bloom candidates (true dups + the ~1% fp tail)
+    * reach the semi-join, so at 100 TB the verify stage's input is
+    * ∝ dups, not ∝ batch. False negatives are impossible, so `is_dup`
+    * is EXACT — the filter is purely a pruning layer, which is why the
+    * oracle can state the truth as a plain semi-join while ALSO
+    * replaying the filter bits (`bloom_candidate`) via the
+    * sketch_bloom FNV machinery: candidate ⊇ dup is machine-checked on
+    * every row.
+    */
+  def ddIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val corpus = d.filter(col("doc_id") < 400)
+      .select(col("h").as("token")).distinct().localCheckpoint()
+    val batch = d.filter(col("doc_id") >= 350)
+    val filter = graft.sketch.Bloom.build(corpus)
+    val probed = graft.sketch.Bloom
+      .probe(filter, batch.select(col("h").as("token")).distinct())
+    val verified = probed.filter(col("maybe_present") === 1)
+      .join(corpus, Seq("token"), "left_semi")
+      .select(col("token"), lit(1L).as("is_dup"))
+    batch
+      .join(probed.select(col("token").as("h"),
+        col("maybe_present").cast("long").as("bloom_candidate")), "h")
+      .join(verified.select(col("token").as("h"), col("is_dup")),
+        Seq("h"), "left")
+      .select(col("doc_id"), col("bloom_candidate"),
+        coalesce(col("is_dup"), lit(0L)).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal: frame sampling plumbing (video rows, stride 7). */
   def mmFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.frameSample(media(spark, dir), stride = 7)
@@ -1290,7 +1326,8 @@ object DataQueries {
     "mix_kl" -> mixKl,
     "src_jsonl" -> srcJsonl,
     "src_csv" -> srcCsv,
-    "src_tfrecord" -> srcTfrecord
+    "src_tfrecord" -> srcTfrecord,
+    "dd_incremental" -> ddIncremental
   )
 
   /** QuantileHist.bucket in DuckDB SQL (HdrHistogram-style log bucket,
@@ -2292,6 +2329,37 @@ object DataQueries {
          |FROM hits h LEFT JOIN mem m ON m.token = h.token CROSS JOIN pc
          |ORDER BY h.token""".stripMargin
     },
+    // batch-vs-corpus dedup: is_dup = the exact semi-join truth;
+    // bloom_candidate = the 4096-bit/4-hash filter replayed bit-exactly
+    // (the sketch_bloom machinery over sha256 tokens) — candidate ⊇ dup
+    // holds on every row or the hash compare fails
+    "dd_incremental" ->
+      s"""WITH d AS (SELECT doc_id, sha256(text) AS h FROM documents),
+         |corpus AS (SELECT DISTINCT h FROM d WHERE doc_id < 400),
+         |batch AS (SELECT doc_id, h FROM d WHERE doc_id >= 350),
+         |rws AS (SELECT unnest([0, 1, 2, 3]) AS r),
+         |mb AS (SELECT CAST((${fnvFoldSql("(CAST(r AS VARCHAR) || ':' || h)", "14695981039346656037")}) % 4096 AS BIGINT) AS pos
+         |  FROM corpus CROSS JOIN rws),
+         |wrds AS (SELECT CAST(pos // 32 AS INT) AS word,
+         |    CAST(BIT_OR(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS BIGINT) AS bits
+         |  FROM mb GROUP BY 1),
+         |bq AS (SELECT DISTINCT h FROM batch),
+         |qb AS (SELECT h,
+         |    CAST((${fnvFoldSql("(CAST(r AS VARCHAR) || ':' || h)", "14695981039346656037")}) % 4096 AS BIGINT) AS pos
+         |  FROM bq CROSS JOIN rws),
+         |hits AS (SELECT h,
+         |    CAST(SUM(CASE WHEN (w.bits & (CAST(1 AS BIGINT) << CAST(qb.pos % 32 AS INT))) <> 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS hits
+         |  FROM qb LEFT JOIN wrds w ON w.word = CAST(qb.pos // 32 AS INT)
+         |  GROUP BY h)
+         |SELECT b.doc_id,
+         |  CAST(CASE WHEN t.hits = 4 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS bloom_candidate,
+         |  CAST(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_dup
+         |FROM batch b JOIN hits t ON t.h = b.h
+         |LEFT JOIN corpus c ON c.h = b.h
+         |ORDER BY b.doc_id""".stripMargin,
     // the whole AMS linear sketch replayed: FNV("r:"||tok) low-bit
     // signs, one integer sum per estimator row, squared; exact F2
     // alongside
