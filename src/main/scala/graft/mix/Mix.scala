@@ -29,6 +29,61 @@ import org.apache.spark.sql.functions.col
   */
 object Mix {
 
+  /** Water-filling token-budget allocation: given per-source token
+    * counts c_i and a budget B = ⌊total·num/den⌋, find the integer water
+    * level L = max{x : Σ min(c_i, x) ≤ B} and allocate min(c_i, L) per
+    * source — the "cap the biggest domains until the budget fits" recipe
+    * step ([[DomainCap]] applies a GIVEN cap; this derives the cap FROM
+    * the budget). All arithmetic is exact integer floor division, so the
+    * level and allocations replay bit-for-bit in the oracle.
+    *
+    * Level derivation over sources sorted by (tokens, source): with
+    * prefix sums P_k and m_k = n−k sources above the k-th kink,
+    * F(c_k) = P_k + m_k·c_k is the fill at level c_k; the largest
+    * feasible kink k (F(c_k) ≤ B) gives L = (B − P_k) div m_k (or c_n
+    * when everything fits, or B div n when no kink fits).
+    *
+    * Scale shape: ONE corpus aggregate (map-side combined) reduces to
+    * the DOMAIN-scale count table; the kink scan is a window over that
+    * table (rows = |domains| ≪ corpus — a bounded single-partition sort,
+    * NOT the corpus-wide funnel the skyline plan avoids) and the level
+    * is a 1-row scalar broadcast back onto domain rows.
+    */
+  def waterFill(docs: DataFrame, budgetNum: Long = 1L,
+      budgetDen: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(col("source"),
+        F.size(F.filter(F.split(col("text"), " "),
+          t => t =!= "")).cast("long").as("n"))
+      .groupBy("source").agg(F.sum("n").as("tokens"))
+      .localCheckpoint() // domain-scale; reused by kinks + final join
+    val agg = counts.agg(F.sum("tokens"), F.count(F.lit(1))).head()
+    val total = agg.getLong(0)
+    val n = agg.getLong(1)
+    val b = total * budgetNum / budgetDen
+    val w = Window.orderBy(col("tokens"), col("source"))
+    val kinks = counts
+      .withColumn("k", F.row_number().over(w).cast("long"))
+      .withColumn("p", F.sum("tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("m", F.lit(n) - col("k"))
+      .filter(col("p") + col("m") * col("tokens") <= b) // F(c_k) ≤ B
+    val level: Long = kinks
+      .orderBy(F.desc("k")).limit(1)
+      .select(col("tokens"), col("p"), col("m"))
+      .collect().headOption match {
+        case None => b / n // budget below the first kink
+        case Some(r) =>
+          if (r.getLong(2) == 0L) r.getLong(0) // total ≤ B: no cap binds
+          else (b - r.getLong(1)) / r.getLong(2)
+      }
+    counts.select(col("source"), col("tokens"),
+        F.least(col("tokens"), F.lit(level)).as("alloc"),
+        (col("tokens") > level).cast("int").as("capped"),
+        F.lit(level).as("water_level"))
+      .orderBy("source")
+  }
+
   /** FNV-1a over a string's UTF-16 code units — bit-parity with
     * [[graft.dedup.Dedup]]'s token hash and the oracle's HUGEINT fold.
     */

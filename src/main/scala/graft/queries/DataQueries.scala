@@ -715,6 +715,16 @@ object DataQueries {
       .orderBy("doc_id")
   }
 
+  /** Token-budget water-filling across sources
+    * ([[graft.mix.Mix.waterFill]], budget = half the corpus tokens):
+    * the integer water level and per-source allocations replay
+    * bit-for-bit — the oracle re-derives the level from the same kink
+    * scan over the domain-scale count table.
+    */
+  def mixBudget(spark: SparkSession, dir: String): DataFrame =
+    graft.mix.Mix.waterFill(
+      spark.read.parquet(s"$dir/documents.parquet"))
+
   /** Multimodal: frame sampling plumbing (video rows, stride 7). */
   def mmFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.frameSample(media(spark, dir), stride = 7)
@@ -1327,7 +1337,8 @@ object DataQueries {
     "src_jsonl" -> srcJsonl,
     "src_csv" -> srcCsv,
     "src_tfrecord" -> srcTfrecord,
-    "dd_incremental" -> ddIncremental
+    "dd_incremental" -> ddIncremental,
+    "mix_budget" -> mixBudget
   )
 
   /** QuantileHist.bucket in DuckDB SQL (HdrHistogram-style log bucket,
@@ -2329,6 +2340,34 @@ object DataQueries {
          |FROM hits h LEFT JOIN mem m ON m.token = h.token CROSS JOIN pc
          |ORDER BY h.token""".stripMargin
     },
+    // water level re-derived from the identical kink scan: largest k
+    // with P_k + (n-k)*c_k <= B, then L = (B - P_k) // (n - k)
+    "mix_budget" ->
+      """WITH c AS (SELECT source,
+        |    CAST(SUM(len(list_filter(string_split(text, ' '),
+        |      t -> t <> ''))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |b AS (SELECT CAST(SUM(tokens) // 2 AS BIGINT) AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM c),
+        |kk AS (SELECT source, tokens,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY tokens, source) AS BIGINT) AS k,
+        |    CAST(SUM(tokens) OVER (ORDER BY tokens, source
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+        |  FROM c),
+        |f AS (SELECT kk.*, b.n - kk.k AS m FROM kk, b
+        |  WHERE kk.p + (b.n - kk.k) * kk.tokens <= b.b),
+        |lvl AS (SELECT CASE
+        |    WHEN NOT EXISTS (SELECT 1 FROM f)
+        |      THEN (SELECT b // n FROM b)
+        |    ELSE (SELECT CASE WHEN f.m = 0 THEN f.tokens
+        |                 ELSE (b.b - f.p) // f.m END
+        |          FROM f, b ORDER BY f.k DESC LIMIT 1)
+        |  END AS L)
+        |SELECT c.source, c.tokens,
+        |  CAST(LEAST(c.tokens, lvl.L) AS BIGINT) AS alloc,
+        |  CAST(c.tokens > lvl.L AS INT) AS capped,
+        |  CAST(lvl.L AS BIGINT) AS water_level
+        |FROM c, lvl ORDER BY source""".stripMargin,
     // batch-vs-corpus dedup: is_dup = the exact semi-join truth;
     // bloom_candidate = the 4096-bit/4-hash filter replayed bit-exactly
     // (the sketch_bloom machinery over sha256 tokens) — candidate ⊇ dup
