@@ -672,7 +672,39 @@ object RelationalQueries {
       .orderBy("user_id")
   }
 
+  /** Cohort retention matrix: users cohorted by FIRST-activity day,
+    * retention(k) = distinct cohort members active exactly k days later
+    * (k ≤ 7), next to the cohort size — the product-analytics staple.
+    * Days are exact integer epoch-day numbers (epoch_us div 86400e6),
+    * so cohort and offset replay bit-for-bit.
+    *
+    * Scale shape: the corpus reduces to distinct (user, day) rows in ONE
+    * map-side-combined aggregate; the cohort day derives from the same
+    * user-keyed partitioning (min over the user's days — Catalyst reuses
+    * the exchange), and the matrix rollup runs over user×day rows, never
+    * raw events.
+    */
+  def q28Retention(spark: SparkSession, dir: String): DataFrame = {
+    val ud = t(spark, dir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+          .as("day"))
+      .distinct()
+    val cohort = ud.groupBy("user_id").agg(min(col("day")).as("c_day"))
+    val sizes = cohort.groupBy("c_day")
+      .agg(count(lit(1)).as("n_cohort"))
+    ud.join(cohort, "user_id")
+      .withColumn("k", col("day") - col("c_day"))
+      .filter(col("k") <= 7L)
+      .groupBy(col("c_day"), col("k"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(sizes, "c_day")
+      .select(col("c_day"), col("k"), col("n_active"), col("n_cohort"))
+      .orderBy("c_day", "k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_retention" -> q28Retention,
     "q27_merge" -> q27Merge,
     "q26_decay" -> q26Decay,
     "q25_scd2" -> q25Scd2,
@@ -703,6 +735,23 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // cohort = min epoch-day per user; matrix over distinct (user, day)
+    "q28_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(day) AS c_day FROM ud GROUP BY 1),
+        |s AS (SELECT c_day, CAST(COUNT(*) AS BIGINT) AS n_cohort
+        |  FROM c GROUP BY 1),
+        |m AS (SELECT c.c_day, ud.day - c.c_day AS k,
+        |    CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS n_active
+        |  FROM ud JOIN c USING (user_id)
+        |  WHERE ud.day - c.c_day <= 7
+        |  GROUP BY 1, 2)
+        |SELECT CAST(m.c_day AS BIGINT) AS c_day, CAST(m.k AS BIGINT) AS k,
+        |  m.n_active, s.n_cohort
+        |FROM m JOIN s USING (c_day)
+        |ORDER BY c_day, k""".stripMargin,
     // MERGE replay: per-side profile (count + ROW_NUMBER argmax over
     // (us, event_id, event_type) DESC = the struct-max), tombstone =
     // >=5 post-cutoff errors, FULL OUTER + the three clauses as CASE
