@@ -540,6 +540,30 @@ object KgQueries {
         |} WHERE { ?d <urn:graft:mentions> ?e }""".stripMargin)
       .orderBy(col("s"), col("p"), col("o"))
 
+  /** VoID dataset statistics (W3C "Vocabulary of Interlinked Datasets")
+    * over the materialized triple set: per-property partitions carrying
+    * void:triples / void:distinctSubjects / void:distinctObjects, plus
+    * the dataset-total row — the self-description a published KG ships
+    * next to its dump (the reference's CLI prints ad-hoc count summaries
+    * after conversion; this is that reporting surface made standard,
+    * cf. `/root/reference/src/app/cli.py` result summaries). Two
+    * map-side-combined aggregates over the localCheckpointed triple
+    * table (per-predicate and total — overall distinct counts are not
+    * sums of partitions, so a second pass is the honest plan).
+    */
+  def kgVoid(spark: SparkSession, dir: String): DataFrame = {
+    val t = bgpTriples(spark, dir)
+    val per = t.groupBy("p").agg(count(lit(1)).as("n_triples"),
+      countDistinct(col("s")).as("n_subjects"),
+      countDistinct(col("o")).as("n_objects"))
+    val tot = t.agg(count(lit(1)).as("n_triples"),
+        countDistinct(col("s")).as("n_subjects"),
+        countDistinct(col("o")).as("n_objects"))
+      .select(lit("(dataset)").as("p"), col("n_triples"),
+        col("n_subjects"), col("n_objects"))
+    per.union(tot).orderBy("p")
+  }
+
   /** SPARQL negation: per-entity doc counts RESTRICTED to docs that do
     * not mention `spark` — `FILTER NOT EXISTS` compiles to one LEFT
     * ANTI join on the shared ?d (the anti side is the selective
@@ -1491,6 +1515,7 @@ object KgQueries {
     "kg_path" -> kgPath,
     "kg_path_expr" -> kgPathExpr,
     "kg_construct" -> kgConstruct,
+    "kg_void" -> kgVoid,
     "kg_negation" -> kgNegation,
     "kg_values_topk" -> kgValuesTopk,
     "kg_path_star" -> kgPathStar,
@@ -2427,6 +2452,30 @@ object KgQueries {
          |          JOIN mt ON mt.s = dd.d JOIN und u ON u.s = mt.o)
          |SELECT x, COUNT(d) AS paths FROM paths GROUP BY x ORDER BY x""".stripMargin,
     // CONSTRUCT replay: one SELECT per template head, set UNION
+    // the same mention ∪ distinct-co-occurrence triple set, then the
+    // per-property partitions + the dataset-total row
+    "kg_void" ->
+      s"""WITH $tokensCte,
+         |tr AS (
+         |  SELECT 'urn:doc:' || doc_id AS s, 'urn:graft:mentions' AS p,
+         |    'urn:ent:' || entity AS o FROM m
+         |  UNION ALL
+         |  SELECT DISTINCT 'urn:ent:' || a.entity,
+         |    'urn:graft:coOccursWith', 'urn:ent:' || b.entity
+         |  FROM m a JOIN m b ON a.doc_id = b.doc_id
+         |    AND a.entity < b.entity),
+         |per AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_triples,
+         |    CAST(COUNT(DISTINCT s) AS BIGINT) AS n_subjects,
+         |    CAST(COUNT(DISTINCT o) AS BIGINT) AS n_objects
+         |  FROM tr GROUP BY p),
+         |tot AS (SELECT '(dataset)' AS p,
+         |    CAST(COUNT(*) AS BIGINT) AS n_triples,
+         |    CAST(COUNT(DISTINCT s) AS BIGINT) AS n_subjects,
+         |    CAST(COUNT(DISTINCT o) AS BIGINT) AS n_objects
+         |  FROM tr)
+         |SELECT p, n_triples, n_subjects, n_objects FROM
+         |  (SELECT * FROM per UNION ALL SELECT * FROM tot)
+         |ORDER BY p""".stripMargin,
     "kg_construct" ->
       s"""WITH $tokensCte,
          |mt AS (SELECT 'urn:doc:' || doc_id AS ds, 'urn:ent:' || entity AS es FROM m),
