@@ -1169,6 +1169,68 @@ object DataQueries {
       .orderBy("doc_id")
   }
 
+  /** Integer k-means topic bucketing
+    * ([[graft.text.TopicCluster.assign]], K = 4, 2 Lloyd's rounds over
+    * 16-dim hashed token-count vectors): per-doc cluster + exact
+    * squared distance. Oracle replays feature hashing (FNV mod 16 in
+    * HUGEINT), both centroid updates (integer floor means, empty
+    * clusters keep their centroid) and all three assignment stages
+    * round-per-CTE in sparse relational form — dense-array and sparse
+    * replays agree because every step is exact integers.
+    */
+  def txtCluster(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TopicCluster.assign(
+      spark.read.parquet(s"$dir/documents.parquet"), rounds = 2)
+
+  /** txt_cluster oracle: sparse replay of [[txtCluster]]. Round r:
+    * assignment a_r under centroids c_{r-1} (argmin by (d2, j)), update
+    * c_r = per-cluster integer floor mean with empty clusters keeping
+    * c_{r-1}; output = assignment under the final centroids. */
+  private def clusterOracleSql(rounds: Int): String = {
+    val fold = fnvFoldSql("tok", "14695981039346656037")
+    def asg(k: Int): String =
+      s"""a$k AS (SELECT doc_id, j, d2,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY d2, j) AS rn
+         |  FROM (SELECT g.doc_id, c.j,
+         |      SUM((COALESCE(dv.c, 0) - c.v) * (COALESCE(dv.c, 0) - c.v))
+         |        AS d2
+         |    FROM ids g CROSS JOIN c${k - 1} c
+         |    LEFT JOIN dv ON dv.doc_id = g.doc_id AND dv.dim = c.dim
+         |    GROUP BY 1, 2))""".stripMargin
+    def upd(k: Int): String =
+      s"""m$k AS (SELECT doc_id, j FROM a$k WHERE rn = 1),
+         |n$k AS (SELECT j, COUNT(*) AS n FROM m$k GROUP BY 1),
+         |s$k AS (SELECT m.j, d.dim, CAST(SUM(COALESCE(dv.c, 0)) AS BIGINT) AS s
+         |  FROM m$k m CROSS JOIN dims d
+         |  LEFT JOIN dv ON dv.doc_id = m.doc_id AND dv.dim = d.dim
+         |  GROUP BY 1, 2),
+         |c$k AS (SELECT c${k - 1}.j, c${k - 1}.dim,
+         |    COALESCE(s$k.s // n$k.n, c${k - 1}.v) AS v
+         |  FROM c${k - 1}
+         |  LEFT JOIN s$k ON s$k.j = c${k - 1}.j AND s$k.dim = c${k - 1}.dim
+         |  LEFT JOIN n$k ON n$k.j = c${k - 1}.j)""".stripMargin
+    val body = (1 to rounds).map(k => s"${asg(k)},\n${upd(k)}")
+      .mkString(",\n")
+    s"""WITH tk AS (SELECT doc_id,
+       |    unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+       |      AS tok
+       |  FROM documents),
+       |dv AS (SELECT doc_id, CAST(($fold) % 16 AS BIGINT) AS dim,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM tk GROUP BY 1, 2),
+       |ids AS (SELECT DISTINCT doc_id FROM dv),
+       |dims AS (SELECT unnest(generate_series(0, 15)) AS dim),
+       |init AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS j
+       |  FROM ids ORDER BY doc_id LIMIT 4),
+       |c0 AS (SELECT i.j, d.dim, COALESCE(dv.c, 0) AS v
+       |  FROM init i CROSS JOIN dims d
+       |  LEFT JOIN dv ON dv.doc_id = i.doc_id AND dv.dim = d.dim),
+       |$body,
+       |${asg(rounds + 1)}
+       |SELECT doc_id, CAST(j AS BIGINT) AS cluster, CAST(d2 AS BIGINT) AS dist2
+       |FROM a${rounds + 1} WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   /** Language ID over the corpus ([[TextAnalysis.langId]] — the UDF-free
     * integer-exact scorer): per-doc predicted language + micro-score.
     * The oracle carries the ~650-row trigram profile as a VALUES literal
@@ -1272,6 +1334,7 @@ object DataQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_bpe" -> txtBpe,
     "txt_encode" -> txtEncode,
+    "txt_cluster" -> txtCluster,
     "txt_langid" -> txtLangid,
     "mix_sample" -> mixSample,
     "mix_temperature" -> mixTemperature,
@@ -1483,6 +1546,7 @@ object DataQueries {
     // full training-loop replay: wrap → (pairs → argmax → replace)×8
     "txt_bpe" -> bpeOracleSql(8, 65536),
     "txt_encode" -> bpeEncodeOracleSql(8, 65536),
+    "txt_cluster" -> clusterOracleSql(2),
     // profile VALUES + explode/join/div/argmax replay
     "txt_langid" -> langidOracleSql,
     // contingency table from in-row bigrams, nine quantized c·ln(c)
