@@ -703,7 +703,50 @@ object RelationalQueries {
       .orderBy("c_day", "k")
   }
 
+  /** Windowed funnel (ClickHouse `windowFunnel` semantics): per user,
+    * level = the longest view → click → purchase chain whose END-TO-END
+    * span fits 4 hours — q24's greedy is exact only WITHOUT deadlines;
+    * with one, the minimal-span chain matters. Running-max windows give
+    * it exactly: lv = latest view strictly before each row, and for
+    * each purchase the latest QUALIFIED click c* (struct-max over
+    * (us, id) of clicks carrying a view) — any chain (v,c,p) has
+    * c ≤ c* and v ≤ lv(c) ≤ lv(c*), so (lv(c*), c*, p) is the max-v =
+    * minimal-span chain ending at p. The oracle deliberately uses a
+    * DIFFERENT algorithm (existential three-way join) so the
+    * minimality argument itself is machine-checked.
+    *
+    * Scale shape: ONE user-keyed exchange; both running maxima and the
+    * final rollup reuse its partitioning (q18's
+    * subset-of-clustering-keys rule) — no joins, no second shuffle.
+    */
+  def q29Wfunnel(spark: SparkSession, dir: String): DataFrame = {
+    val W = 4L * 3600000000L // 4 h: tight enough that the deadline binds
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val e = t(spark, dir, "events")
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+    val d = e
+      .withColumn("lv",
+        max(when(col("event_type") === "view", col("us"))).over(prev))
+      .withColumn("qc", when(col("event_type") === "click" &&
+        col("lv").isNotNull,
+        struct(col("us"), col("event_id"), col("lv"))))
+    val d2 = d.withColumn("bc", max(col("qc")).over(prev))
+    d2.groupBy("user_id").agg(
+        max(when(col("event_type") === "view", 1L).otherwise(0L)).as("h1"),
+        max(when(col("event_type") === "click" && col("lv").isNotNull &&
+          col("us") - col("lv") <= W, 1L).otherwise(0L)).as("h2"),
+        max(when(col("event_type") === "purchase" && col("bc").isNotNull &&
+          col("us") - col("bc.lv") <= W, 1L).otherwise(0L)).as("h3"))
+      .select(col("user_id"),
+        when(col("h3") === 1L, 3L).when(col("h2") === 1L, 2L)
+          .when(col("h1") === 1L, 1L).otherwise(0L).as("level"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_wfunnel" -> q29Wfunnel,
     "q28_retention" -> q28Retention,
     "q27_merge" -> q27Merge,
     "q26_decay" -> q26Decay,
@@ -735,6 +778,35 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // existential formulation — independent of the engine's running-max
+    // minimality argument: a level holds iff SOME chain fits the window
+    "q29_wfunnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |v AS (SELECT * FROM e WHERE event_type = 'view'),
+        |c AS (SELECT * FROM e WHERE event_type = 'click'),
+        |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        |l1 AS (SELECT DISTINCT user_id FROM v),
+        |l2 AS (SELECT DISTINCT v.user_id FROM v JOIN c
+        |  ON c.user_id = v.user_id
+        |  AND (c.us > v.us OR (c.us = v.us AND c.event_id > v.event_id))
+        |  AND c.us - v.us <= 14400000000),
+        |l3 AS (SELECT DISTINCT v.user_id FROM v
+        |  JOIN c ON c.user_id = v.user_id
+        |    AND (c.us > v.us OR (c.us = v.us AND c.event_id > v.event_id))
+        |  JOIN p ON p.user_id = v.user_id
+        |    AND (p.us > c.us OR (p.us = c.us AND p.event_id > c.event_id))
+        |    AND p.us - v.us <= 14400000000)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN l3.user_id IS NOT NULL THEN 3
+        |       WHEN l2.user_id IS NOT NULL THEN 2
+        |       WHEN l1.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS level
+        |FROM (SELECT DISTINCT user_id FROM e) u
+        |LEFT JOIN l1 USING (user_id)
+        |LEFT JOIN l2 USING (user_id)
+        |LEFT JOIN l3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     // cohort = min epoch-day per user; matrix over distinct (user, day)
     "q28_retention" ->
       """WITH ud AS (SELECT DISTINCT user_id,
