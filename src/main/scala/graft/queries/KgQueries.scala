@@ -564,6 +564,33 @@ object KgQueries {
     per.union(tot).orderBy("p")
   }
 
+  /** RDF reification of the weighted co-occurrence edges: each
+    * (s, coOccursWith, o, n_docs) becomes a statement node
+    * `urn:stmt:<fnv64(s|p|o)>` carrying rdf:subject / rdf:predicate /
+    * rdf:object plus the n_docs annotation — the classic way RDF
+    * attaches evidence weights to edges (RDF-star's `<< s p o >>`
+    * expressed in reification vocabulary, which every 1.1 store
+    * accepts). Statement ids are the deterministic FNV of the triple
+    * string, so identical edges reify identically across runs and
+    * engines. One in-row explode over the dictionary-scale pair table —
+    * no joins, no extra shuffle.
+    */
+  def kgReify(spark: SparkSession, dir: String): DataFrame = {
+    val m = MentionScan.mentions(pagesDf(spark, dir), Gazetteer(gaz))
+    val co = MentionScan.coOccurrenceTriples(m)
+    co.select(concat(lit("urn:stmt:"), graft.functions.FnvHash(
+          concat(col("s"), lit("|"), col("p"), lit("|"), col("o")))
+          .cast("string")).as("stmt"),
+        explode(array(
+          struct(lit("urn:rdf:subject").as("p"), col("s").as("o")),
+          struct(lit("urn:rdf:predicate").as("p"), col("p").as("o")),
+          struct(lit("urn:rdf:object").as("p"), col("o").as("o")),
+          struct(lit("urn:graft:nDocs").as("p"),
+            col("n_docs").cast("string").as("o")))).as("t"))
+      .select(col("stmt"), col("t.p").as("p"), col("t.o").as("o"))
+      .orderBy("stmt", "p", "o")
+  }
+
   /** SPARQL negation: per-entity doc counts RESTRICTED to docs that do
     * not mention `spark` — `FILTER NOT EXISTS` compiles to one LEFT
     * ANTI join on the shared ?d (the anti side is the selective
@@ -1516,6 +1543,7 @@ object KgQueries {
     "kg_path_expr" -> kgPathExpr,
     "kg_construct" -> kgConstruct,
     "kg_void" -> kgVoid,
+    "kg_reify" -> kgReify,
     "kg_negation" -> kgNegation,
     "kg_values_topk" -> kgValuesTopk,
     "kg_path_star" -> kgPathStar,
@@ -2452,6 +2480,30 @@ object KgQueries {
          |          JOIN mt ON mt.s = dd.d JOIN und u ON u.s = mt.o)
          |SELECT x, COUNT(d) AS paths FROM paths GROUP BY x ORDER BY x""".stripMargin,
     // CONSTRUCT replay: one SELECT per template head, set UNION
+    // the co-occurrence pair table reified: statement id = signed FNV
+    // of s|p|o (HUGEINT fold + BIGINT reinterpretation), 4 rows per edge
+    "kg_reify" -> {
+      val fold = DataQueries.fnvFoldSql(
+        "(s || '|' || 'urn:graft:coOccursWith' || '|' || o)",
+        "14695981039346656037")
+      s"""WITH $tokensCte,
+         |co AS (SELECT 'urn:ent:' || a.entity AS s,
+         |    'urn:ent:' || b.entity AS o,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.entity < b.entity
+         |  GROUP BY 1, 2),
+         |st AS (SELECT 'urn:stmt:' ||
+         |    CAST(${DataQueries.signedSql(s"($fold)")} AS VARCHAR) AS stmt,
+         |    s, o, n_docs FROM co)
+         |SELECT stmt, p, o FROM (
+         |  SELECT stmt, 'urn:rdf:subject' AS p, s AS o FROM st
+         |  UNION ALL SELECT stmt, 'urn:rdf:predicate',
+         |    'urn:graft:coOccursWith' FROM st
+         |  UNION ALL SELECT stmt, 'urn:rdf:object', o FROM st
+         |  UNION ALL SELECT stmt, 'urn:graft:nDocs',
+         |    CAST(n_docs AS VARCHAR) FROM st)
+         |ORDER BY stmt, p, o""".stripMargin
+    },
     // the same mention ∪ distinct-co-occurrence triple set, then the
     // per-property partitions + the dataset-total row
     "kg_void" ->
