@@ -1017,6 +1017,160 @@ object GraphAlgs {
       .select(col("scc_id"), col("scc_size"), col("lvl").as("level"))
   }
 
+  /** Bow-tie decomposition of a digraph (Broder et al., "Graph
+    * structure in the Web", WWW 2000 — THE structural census of web
+    * crawls, run here over the same Common-Crawl-shaped corpus family
+    * the north rule targets): CORE = the largest SCC (ties to the
+    * smallest scc_id, deterministic), IN = non-core nodes that reach
+    * the core, OUT = non-core nodes the core reaches, TENDRIL = the
+    * remainder of the core's weakly connected component (Broder's
+    * tendrils AND tubes — a tube is an IN→OUT path skirting the core;
+    * both hang off the WCC without core reachability, and the census
+    * traditionally reports them together when tubes aren't split out),
+    * DISCONNECTED = everything in other WCCs. IN and OUT cannot
+    * overlap outside the core: mutual reachability with the core IS
+    * core membership.
+    *
+    * Scale shape: SCC via [[scc]] (adaptive local/distributed), then
+    * EVERYTHING else runs on the condensation DAG — classification is
+    * an SCC-level property, so classifying nodes directly would redo
+    * per-node work the contraction already paid for. Below the
+    * adaptive threshold the DAG is driver-resident (the [[scc]]
+    * localTarjan convention): BFS both ways from the core plus a weak
+    * union-find, O(|dag edges|). Above it: frontier-DELTA BFS per
+    * direction (per round one equi-join of only the NEW frontier + one
+    * anti-join — work ∝ frontier, rounds = DAG depth) and the
+    * O(log n)-round [[ConnectedComponents]] for weak components.
+    * Node-level classes come back through ONE broadcast join of the
+    * (scc_id, btclass) dictionary against the scc labeling — the
+    * corpus-scale side never re-shuffles. The 1-row driver scalars
+    * (core scc id, core wcc id) are the allowlisted global-reduction
+    * shape. Returns (node, btclass, class_size).
+    */
+  def bowtie(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructType, StructField, StringType}
+    val spark = edges.sparkSession
+    val e0 = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    val sc = scc(e0).localCheckpoint()
+    val coreId = sc.orderBy(col("scc_size").desc, col("scc_id").asc)
+      .select("scc_id").limit(1).collect()(0).get(0)
+    // contract to the condensation DAG FIRST — everything after runs at
+    // SCC (dictionary) scale, and node-level classes come back through
+    // one broadcast join against the scc labeling
+    val lab = sc.select(col("node"), col("scc_id"))
+    val ce = e0
+      .join(lab.withColumnRenamed("node", "src")
+        .withColumnRenamed("scc_id", "cs"), Seq("src"))
+      .join(lab.withColumnRenamed("node", "dst")
+        .withColumnRenamed("scc_id", "cd"), Seq("dst"))
+      .filter(col("cs") =!= col("cd"))
+      .select(col("cs"), col("cd")).distinct().localCheckpoint()
+    val localThreshold = spark.conf
+      .getOption("spark.graft.scc.localThreshold")
+      .map(_.toLong).getOrElse(100000L)
+    val classByScc: DataFrame =
+      if (ce.count() <= localThreshold) {
+        // driver path (the [[scc]] localTarjan convention): BFS both
+        // ways from the core over the DAG + a weak union-find, O(|ce|)
+        val es = ce.collect().map(r => (r.get(0), r.get(1)))
+        val sccs = sc.select(col("scc_id")).distinct()
+          .collect().map(_.get(0))
+        val fwd = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+        val bwd = es.groupBy(_._2).map { case (k, v) => k -> v.map(_._1) }
+        def bfs(adj: Map[Any, Array[Any]]): Set[Any] = {
+          val seen = scala.collection.mutable.Set[Any](coreId)
+          val queue = scala.collection.mutable.Queue[Any](coreId)
+          while (queue.nonEmpty) {
+            val c = queue.dequeue()
+            for (n <- adj.getOrElse(c, Array.empty[Any]) if !seen(n)) {
+              seen += n; queue += n
+            }
+          }
+          seen.toSet
+        }
+        val outSet = bfs(fwd)
+        val inSet = bfs(bwd)
+        val parent = scala.collection.mutable.Map[Any, Any]()
+        def find(x: Any): Any = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val nxt = parent(c); parent(c) = r; c = nxt
+          }
+          r
+        }
+        for ((a, b) <- es) parent(find(a)) = find(b)
+        val coreComp = find(coreId)
+        val rows = sccs.map { c =>
+          val cls =
+            if (c == coreId) "CORE"
+            else if (inSet(c)) "IN"
+            else if (outSet(c)) "OUT"
+            else if (find(c) == coreComp) "TENDRIL"
+            else "DISCONNECTED"
+          Row(c, cls)
+        }
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq, 1),
+          StructType(Seq(
+            StructField("scc_id", sc.schema("scc_id").dataType),
+            StructField("btclass", StringType))))
+      } else {
+        // distributed path: frontier-DELTA BFS over the DAG (per round
+        // one equi-join of the new frontier + one anti-join; work ∝
+        // frontier, rounds = DAG depth) and the O(log n) CC for the
+        // weak components
+        def reach(fwdDir: Boolean): DataFrame = {
+          var set = sc.select(col("scc_id").as("c"))
+            .filter(col("c") === coreId).distinct().localCheckpoint()
+          var frontier = set
+          var more = true
+          while (more) {
+            val step =
+              if (fwdDir)
+                ce.join(frontier.withColumnRenamed("c", "cs"), Seq("cs"))
+                  .select(col("cd").as("c"))
+              else
+                ce.join(frontier.withColumnRenamed("c", "cd"), Seq("cd"))
+                  .select(col("cs").as("c"))
+            frontier = step.distinct()
+              .join(set, Seq("c"), "left_anti").localCheckpoint()
+            if (frontier.limit(1).count() == 0) more = false
+            else set = set.union(frontier).localCheckpoint()
+          }
+          set
+        }
+        val outSet = reach(fwdDir = true)
+        val inSet = reach(fwdDir = false)
+        val wcc = ConnectedComponents.run(
+            ce.select(col("cs").as("a"), col("cd").as("b")))
+          .localCheckpoint()
+        val coreComp = wcc.filter(col("node") === coreId)
+          .agg(min(col("component"))).collect()(0).get(0)
+        sc.select(col("scc_id")).distinct()
+          .join(inSet.withColumnRenamed("c", "scc_id")
+            .withColumn("r_in", lit(1)), Seq("scc_id"), "left")
+          .join(outSet.withColumnRenamed("c", "scc_id")
+            .withColumn("r_out", lit(1)), Seq("scc_id"), "left")
+          .join(wcc.withColumnRenamed("node", "scc_id"),
+            Seq("scc_id"), "left")
+          .select(col("scc_id"),
+            when(col("scc_id") === coreId, "CORE")
+              .when(col("r_in") === 1, "IN")
+              .when(col("r_out") === 1, "OUT")
+              .when(col("component") === coreComp, "TENDRIL")
+              .otherwise("DISCONNECTED").as("btclass"))
+      }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("btclass")
+    sc.select(col("node"), col("scc_id"))
+      .join(broadcast(classByScc), Seq("scc_id"))
+      .select(col("node"), col("btclass"),
+        count(lit(1)).over(w).as("class_size"))
+  }
+
   /** Driver-side iterative Tarjan for dictionary-scale digraphs (the
     * [[ConnectedComponents.localUnionFind]] convention): scc_id = min
     * member UNDER THE INPUT TYPE'S NATIVE ORDERING — strings by code

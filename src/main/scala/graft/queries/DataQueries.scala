@@ -141,6 +141,15 @@ object DataQueries {
         col("f_mtl"), col("score"), col("keep"))
       .orderBy("doc_id")
 
+  /** Flesch–Kincaid readability in integer micro-units (see
+    * [[graft.text.TextAnalysis.readability]]) — exact word / sentence /
+    * vowel-run counts, grade = two non-negative floor divisions + one
+    * subtraction, so every row replays bit-for-bit.
+    */
+  def txtReadability(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.readability(spark.read.parquet(s"$dir/documents.parquet"))
+      .orderBy("doc_id")
+
   /** Line-bearing corpus for the C4-style line dedup tier: the flat
     * synthetic texts are re-wrapped into 10-token lines, and every 7th
     * doc gets a boilerplate first line — the cross-document repeated-line
@@ -679,6 +688,24 @@ object DataQueries {
       .orderBy("doc_id")
   }
 
+  /** ORC source tier: documents → real ORC shard files (zlib, bloom
+    * filter on doc_id) → vectorized native read — identity oracle like
+    * src_jsonl/src_csv, so one mis-encoded byte through the
+    * writer/reader pair hash-fails (see [[graft.sources.Orc]]; the
+    * pruning/pushdown plan laws and the native null≠empty discipline
+    * are OrcSpec's). There is no in-plan `to_orc` expression, so this
+    * tier goes through real files — the honest path, since stripe
+    * layout IS what the tier is about.
+    */
+  def srcOrc(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_src_orc_${
+      java.lang.Integer.toHexString(dir.hashCode)}"
+    graft.sources.Orc.writeShards(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "source", "text"), out)
+    graft.sources.Orc.readShards(spark, out).orderBy("doc_id")
+  }
+
   /** Incremental-ingest dedup: a RE-DELIVERED shard (doc_id ≥ 350 —
     * overlapping the corpus's < 400 range by 50 docs, the re-crawl /
     * re-shipped-shard scenario every ingestion pipeline hits) checked
@@ -724,6 +751,20 @@ object DataQueries {
   def mixBudget(spark: SparkSession, dir: String): DataFrame =
     graft.mix.Mix.waterFill(
       spark.read.parquet(s"$dir/documents.parquet"))
+
+  /** Stride-scheduling mixture interleave
+    * ([[graft.mix.Interleave.schedule]]): the global training order for
+    * weighted source mixing WITHOUT a global sort — per-source ranks
+    * from one source-keyed window, global positions from the exact
+    * cross-multiplied closed form over the broadcast source
+    * dictionary. The oracle derives the SAME order by a different
+    * algorithm (LCM-scaled integer sort keys + global ROW_NUMBER), so
+    * the closed form is machine-checked row-by-row.
+    */
+  def mixInterleave(spark: SparkSession, dir: String): DataFrame =
+    graft.mix.Interleave.schedule(
+        spark.read.parquet(s"$dir/documents.parquet"))
+      .orderBy("doc_id")
 
   /** Multimodal: frame sampling plumbing (video rows, stride 7). */
   def mmFrames(spark: SparkSession, dir: String): DataFrame =
@@ -1370,6 +1411,7 @@ object DataQueries {
     "dd_pipeline" -> ddPipeline,
     "txt_quality" -> txtQuality,
     "txt_classify" -> txtClassify,
+    "txt_readability" -> txtReadability,
     "txt_repetition" -> txtRepetition,
     "txt_fingerprint" -> txtFingerprint,
     "txt_mix" -> txtMix,
@@ -1399,9 +1441,11 @@ object DataQueries {
     "mix_kl" -> mixKl,
     "src_jsonl" -> srcJsonl,
     "src_csv" -> srcCsv,
+    "src_orc" -> srcOrc,
     "src_tfrecord" -> srcTfrecord,
     "dd_incremental" -> ddIncremental,
-    "mix_budget" -> mixBudget
+    "mix_budget" -> mixBudget,
+    "mix_interleave" -> mixInterleave
   )
 
   /** QuantileHist.bucket in DuckDB SQL (HdrHistogram-style log bucket,
@@ -2432,6 +2476,21 @@ object DataQueries {
         |  CAST(c.tokens > lvl.L AS INT) AS capped,
         |  CAST(lvl.L AS BIGINT) AS water_level
         |FROM c, lvl ORDER BY source""".stripMargin,
+    // DIFFERENT algorithm than the engine: the stride order stated as
+    // an exact global sort — key (r+1)*(60//w) (60 = lcm(1..5), so the
+    // virtual time scales to an exact integer), ties by source, global
+    // ROW_NUMBER = position; the engine's per-row closed form must
+    // reproduce it row-for-row or the hash compare fails
+    "mix_interleave" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    CAST(length(source) % 5 + 1 AS BIGINT) AS w,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY doc_id) - 1 AS BIGINT) AS r
+        |  FROM documents)
+        |SELECT doc_id, source, r,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY (r + 1) * (60 // w), source)
+        |    - 1 AS BIGINT) AS pos
+        |FROM r ORDER BY doc_id""".stripMargin,
     // batch-vs-corpus dedup: is_dup = the exact semi-join truth;
     // bloom_candidate = the 4096-bit/4-hash filter replayed bit-exactly
     // (the sketch_bloom machinery over sha256 tokens) — candidate ⊇ dup
@@ -2902,6 +2961,23 @@ object DataQueries {
         |    w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE)
         |            / length(regexp_split_to_array(trim(text), '\s+')) END AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // exact integer counts; both floor divisions non-negative so Spark
+    // `div` ≡ DuckDB `//`; the grade's only negative step is the final
+    // subtraction — bit-replayable on both engines
+    "txt_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_words,
+        |  GREATEST(CAST(1 AS BIGINT),
+        |    CAST(length(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sents,
+        |  CAST(length(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) AS n_syll
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sents, n_syll,
+        |  CASE WHEN n_words > 0
+        |       THEN (390000 * n_words) // n_sents
+        |            + (11800000 * n_syll) // n_words - 15590000
+        |       ELSE 0 END AS fk_micro
+        |FROM c ORDER BY doc_id""".stripMargin,
     // the oracle recomputes width/height/sample-rate/file-size from the
     // CONTAINER SPECS — BMP's 54-byte headers + 4-byte-padded 24bpp rows,
     // WAV's 44-byte RIFF/fmt/data framing + 16-bit mono payload, Y4M's
@@ -3126,6 +3202,10 @@ object DataQueries {
         |ORDER BY doc_id""".stripMargin,
     // identity oracle: the CSV round trip must reproduce the table
     "src_csv" ->
+      """SELECT doc_id, lang, source, text FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // identity oracle: the ORC file round trip must reproduce the table
+    "src_orc" ->
       """SELECT doc_id, lang, source, text FROM documents
         |ORDER BY doc_id""".stripMargin,
     // identity oracle: the TFRecord/Example round trip must reproduce

@@ -858,6 +858,17 @@ object KgQueries {
         rounds = 6)
       .orderBy("scc_id")
 
+  /** Bow-tie census of the part-sequence digraph (Broder et al. 2000 —
+    * the classic web-crawl structure report): CORE / IN / OUT /
+    * TENDRIL (incl. tubes) / DISCONNECTED per node with class sizes
+    * (see [[graft.canon.GraphAlgs.bowtie]]). Oracle reuses kg_scc's
+    * transitive-closure truth for the SCCs and both reachability sets,
+    * plus an undirected closure for the weak components.
+    */
+  def kgBowtie(spark: SparkSession, dir: String): DataFrame =
+    graft.canon.GraphAlgs.bowtie(partSeqEdges(spark, dir))
+      .orderBy("node")
+
   /** Community detection: 4 rounds of deterministic synchronous label
     * propagation over the same bipartite graph as kg_cc — each node
     * adopts its neighbourhood's most frequent label, ties toward the
@@ -1554,6 +1565,7 @@ object KgQueries {
     "kg_sssp" -> kgSssp,
     "kg_scc" -> kgScc,
     "kg_condense" -> kgCondense,
+    "kg_bowtie" -> kgBowtie,
     "kg_stress" -> kgStress,
     "kg_matching" -> kgMatching,
     "kg_mis" -> kgMis,
@@ -2599,6 +2611,40 @@ object KgQueries {
          |  CAST(COUNT(*) OVER (PARTITION BY scc_id) AS BIGINT) AS scc_size
          |FROM scc ORDER BY node""".stripMargin,
     "kg_condense" -> condenseSql,
+    // bow-tie truth from the same closure: largest SCC = core (ties to
+    // smallest scc_id, binary string order both engines), IN/OUT from
+    // the directed closure, weak components from the undirected one
+    "kg_bowtie" ->
+      s"""WITH RECURSIVE $sccCte,
+         |sz AS (SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM scc GROUP BY scc_id),
+         |core AS (SELECT scc_id FROM sz ORDER BY n DESC, scc_id ASC
+         |  LIMIT 1),
+         |cn AS (SELECT node FROM scc
+         |  WHERE scc_id = (SELECT scc_id FROM core)),
+         |rin AS (SELECT DISTINCT r.s AS node FROM reach r
+         |  WHERE r.x IN (SELECT node FROM cn)),
+         |rout AS (SELECT DISTINCT r.x AS node FROM reach r
+         |  WHERE r.s IN (SELECT node FROM cn)),
+         |ue AS (SELECT s, o FROM e UNION SELECT o, s FROM e),
+         |wreach(s, x) AS (
+         |  SELECT v, v FROM nodes
+         |  UNION
+         |  SELECT w.s, ue.o FROM wreach w JOIN ue ON w.x = ue.s),
+         |wcc AS (SELECT s AS node, MIN(x) AS comp FROM wreach GROUP BY s),
+         |cw AS (SELECT MIN(comp) AS comp FROM wcc
+         |  WHERE node IN (SELECT node FROM cn)),
+         |cls AS (SELECT w.node,
+         |  CASE WHEN w.node IN (SELECT node FROM cn) THEN 'CORE'
+         |       WHEN w.node IN (SELECT node FROM rin) THEN 'IN'
+         |       WHEN w.node IN (SELECT node FROM rout) THEN 'OUT'
+         |       WHEN w.comp = (SELECT comp FROM cw) THEN 'TENDRIL'
+         |       ELSE 'DISCONNECTED' END AS btclass
+         |  FROM wcc w)
+         |SELECT node, btclass,
+         |  CAST(COUNT(*) OVER (PARTITION BY btclass) AS BIGINT)
+         |    AS class_size
+         |FROM cls ORDER BY node""".stripMargin,
     "kg_lpa" -> lpaSql,
     "kg_stress" -> stressSql,
     "kg_matching" -> matchingSql,

@@ -745,7 +745,56 @@ object RelationalQueries {
       .orderBy("user_id")
   }
 
+  /** Frontier closure for [[q30Bom]]: every (anc, dsc) pair of the
+    * hierarchy with the PRODUCT of edge quantities along the (unique,
+    * in a tree) path and the path depth. One equi-join of the previous
+    * frontier against the broadcast edge table per round — the frontier
+    * extends one level per round, so rounds = hierarchy depth; each
+    * round localCheckpoints to cut lineage (the [[graft.canon]]
+    * iteration convention). Exact integer quantities.
+    */
+  private[queries] def bomClosure(e: DataFrame): DataFrame = {
+    val e0 = e.select(col("anc"), col("dsc"), col("qty")).localCheckpoint()
+    var acc = e0.withColumn("depth", lit(1L))
+    var frontier = acc
+    var more = true
+    while (more) {
+      val next = frontier.alias("f")
+        .join(broadcast(e0.alias("g")), col("f.dsc") === col("g.anc"))
+        .select(col("f.anc").as("anc"), col("g.dsc").as("dsc"),
+          (col("f.qty") * col("g.qty")).as("qty"),
+          (col("f.depth") + 1L).as("depth"))
+        .localCheckpoint()
+      if (next.limit(1).count() == 0) more = false
+      else { acc = acc.union(next); frontier = next }
+    }
+    acc
+  }
+
+  /** BOM explosion — the classic iterated-transitive-closure rollup
+    * (assemblies, org charts, category trees: the hierarchical shape
+    * every warehouse keeps next to its facts). Hierarchy synthesized
+    * deterministically from `part`: parent(p) = p div 2 (a binary tree
+    * over p_partkey ∈ [2, 255], depth ≤ 7), qty(child) =
+    * (child mod 3) + 1 units per parent. Emits every (anc, dsc) pair
+    * with the quantity product along the path (exact integers ≤ 3⁷) and
+    * the depth — see [[bomClosure]] for the per-round join shape. The
+    * edge table is the DICTIONARY-scale side (a real estate's hierarchy
+    * is orders of magnitude below its facts), hence the broadcast; the
+    * oracle replays the closure as a WITH RECURSIVE over the identical
+    * edge derivation.
+    */
+  def q30Bom(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "part")
+      .filter(col("p_partkey") >= 2 && col("p_partkey") <= 255)
+      .select(expr("p_partkey div 2").cast("long").as("anc"),
+        col("p_partkey").cast("long").as("dsc"),
+        (col("p_partkey") % 3 + 1).cast("long").as("qty"))
+    bomClosure(e).orderBy("anc", "dsc")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_bom" -> q30Bom,
     "q29_wfunnel" -> q29Wfunnel,
     "q28_retention" -> q28Retention,
     "q27_merge" -> q27Merge,
@@ -778,6 +827,20 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the closure replayed as WITH RECURSIVE over the identical
+    // deterministic hierarchy; integer qty products replay exactly
+    "q30_bom" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT CAST(p_partkey // 2 AS BIGINT) AS anc,
+        |    CAST(p_partkey AS BIGINT) AS dsc,
+        |    CAST(p_partkey % 3 + 1 AS BIGINT) AS qty
+        |  FROM part WHERE p_partkey BETWEEN 2 AND 255),
+        |bom(anc, dsc, qty, depth) AS (
+        |  SELECT anc, dsc, qty, CAST(1 AS BIGINT) FROM e
+        |  UNION ALL
+        |  SELECT b.anc, e.dsc, b.qty * e.qty, b.depth + 1
+        |  FROM bom b JOIN e ON e.anc = b.dsc)
+        |SELECT anc, dsc, qty, depth FROM bom ORDER BY anc, dsc""".stripMargin,
     // existential formulation — independent of the engine's running-max
     // minimality argument: a level holds iff SOME chain fits the window
     "q29_wfunnel" ->

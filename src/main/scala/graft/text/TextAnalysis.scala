@@ -290,6 +290,40 @@ object TextAnalysis {
       .withColumn("keep", col("score") >= 0L)
   }
 
+  /** Flesch–Kincaid grade level (Kincaid et al. 1975) in exact integer
+    * micro-units — the classic readability signal curation recipes keep
+    * next to [[quality]]'s ratio features (C4/Gopher-era heuristic
+    * filtering bins documents by grade band). Counts are exact
+    * integers: whitespace words, sentence marks as `[.!?]+` runs
+    * (clamped to ≥1 so fragments still score), and the standard
+    * syllable PROXY of vowel-group runs (`[aeiouyAEIOUY]+`, counted
+    * case-insensitively via the class itself — no `lower()`, whose
+    * locale edge cases differ across engines). The grade
+    * `0.39·W/S + 11.8·Y/W − 15.59` becomes
+    * `(390000·W) div S + (11800000·Y) div W − 15590000`: both floor
+    * divisions are non-negative (Spark `div` ≡ DuckDB `//` there), the
+    * only possibly-negative step is the final subtraction, so the score
+    * replays bit-for-bit on any engine. Empty docs get the 0 sentinel.
+    *
+    * One codegen'd projection per row (two regexp counters + one
+    * split); nothing shuffles.
+    */
+  def readability(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val words = when(length(trim(t)) === 0, lit(0L))
+      .otherwise(size(split(trim(t), "\\s+")).cast("long"))
+    val sents = greatest(lit(1L),
+      regexp_count(t, lit("[.!?]+")).cast("long"))
+    val syll = regexp_count(t, lit("[aeiouyAEIOUY]+")).cast("long")
+    docs.select(col("doc_id"), words.as("n_words"), sents.as("n_sents"),
+        syll.as("n_syll"))
+      .withColumn("fk_micro",
+        when(col("n_words") > 0,
+          expr("(390000 * n_words) div n_sents") +
+            expr("(11800000 * n_syll) div n_words") - lit(15590000L))
+          .otherwise(lit(0L)))
+  }
+
   // ---- Language identification (character n-gram heuristic) -----------
 
   /** Tiny deterministic char-trigram profiles per language, derived from
