@@ -905,6 +905,239 @@ object Multimodal {
     out
   }
 
+  // ---------------------------------------------------------------- GIF
+
+  /** GIF89a with a REAL LZW codec, pure JVM from the published spec
+    * (GIF89a, CompuServe 1990; the LZW variant is Welch 1984 with
+    * GIF's variable code widths and clear/end codes). Layout: header,
+    * logical screen descriptor, 256-entry global color table
+    * (deterministic palette: entry i = (i, 2i mod 256, 3i mod 256)),
+    * image descriptor, min-code-size byte (8), LZW data in ≤255-byte
+    * sub-blocks, trailer. Pixel INDEX at (x, y) is the (x+y) mod 251
+    * gradient every other container here uses, so index-derived stats
+    * replay as closed forms in SQL without running LZW — while the
+    * values themselves only come out right if the LZW round trip is
+    * bit-correct. The encoder emits a genuine compressor (greedy
+    * longest-match dictionary, width growth at the decoder's exact
+    * schedule, proactive CLEAR when the 4096-entry space fills), not
+    * the single-codes-only "uncompressed GIF" shortcut — GifSpec
+    * cross-checks the output against the JDK's own ImageIO decoder,
+    * an independent implementation.
+    */
+  def encodeGif(width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && width <= 0xffff && height > 0 && height <= 0xffff)
+    val n = width * height
+    val idx = new Array[Int](n)
+    var p = 0; var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { idx(p) = (x + y) % 251; p += 1; x += 1 }
+      y += 1
+    }
+    val lzw = lzwEncode(idx, 8)
+    val out = new java.io.ByteArrayOutputStream(
+      13 + 768 + 10 + 1 + lzw.length + lzw.length / 255 + 3)
+    out.write("GIF89a".getBytes(StandardCharsets.US_ASCII))
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    u16(width); u16(height)
+    out.write(0xF7) // GCT present, 8-bit color resolution, 256 entries
+    out.write(0)    // background color index
+    out.write(0)    // aspect ratio
+    var i = 0
+    while (i < 256) {
+      out.write(i); out.write((2 * i) & 0xff); out.write((3 * i) & 0xff)
+      i += 1
+    }
+    out.write(0x2C) // image descriptor
+    u16(0); u16(0); u16(width); u16(height)
+    out.write(0)    // no local color table, not interlaced
+    out.write(8)    // LZW min code size
+    var off = 0
+    while (off < lzw.length) {
+      val len = math.min(255, lzw.length - off)
+      out.write(len); out.write(lzw, off, len)
+      off += len
+    }
+    out.write(0)    // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** GIF-variant LZW compress: codes LSB-first at variable width
+    * starting minCodeSize+1; dictionary keyed (prefix code, symbol);
+    * width grows when the DECODER's next-entry counter reaches 2^w
+    * (the encoder runs one entry ahead, hence the +1 in the check);
+    * a CLEAR resets the table when the 4096-entry space fills.
+    */
+  private[multimodal] def lzwEncode(indices: Array[Int],
+                                    minCodeSize: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val end = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    var width = minCodeSize + 1
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt; bitCnt += width
+      while (bitCnt >= 8) {
+        out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8
+      }
+    }
+    var dict = new java.util.HashMap[Long, Integer]()
+    var encNext = end + 1   // encoder's next entry code (runs one ahead)
+    var decNext = end + 1   // DECODER's counter — drives the width
+    var sinceClear = 0      // decoder adds no entry after the 1st code
+    emit(clear)
+    def bookkeep(): Unit = { // decoder state after it reads the code
+      sinceClear += 1
+      if (sinceClear >= 2 && decNext < 4096) {
+        decNext += 1
+        if (decNext == (1 << width) && width < 12) width += 1
+      }
+    }
+    var prev = indices(0)
+    var i = 1
+    while (i < indices.length) {
+      val key = prev.toLong << 12 | indices(i)
+      val hit = dict.get(key)
+      if (hit != null) prev = hit.intValue()
+      else {
+        emit(prev); bookkeep()
+        if (encNext < 4096) { dict.put(key, encNext); encNext += 1 }
+        else {
+          emit(clear)
+          dict = new java.util.HashMap[Long, Integer]()
+          encNext = end + 1; decNext = end + 1; sinceClear = 0
+          width = minCodeSize + 1
+        }
+        prev = indices(i)
+      }
+      i += 1
+    }
+    emit(prev); bookkeep()
+    emit(end)
+    if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** GIF-variant LZW decompress (the dual of [[lzwEncode]], incl. the
+    * code==next "KwKwK" case and deferred-clear tolerance). Returns
+    * None on any malformed stream rather than wild output. */
+  private[multimodal] def lzwDecode(data: Array[Byte], minCodeSize: Int,
+                                    expected: Int): Option[Array[Int]] = {
+    val clear = 1 << minCodeSize
+    val end = clear + 1
+    val out = new Array[Int](expected)
+    var produced = 0
+    var bitBuf = 0L; var bitCnt = 0; var pos = 0
+    var width = minCodeSize + 1
+    // dict entries as (prefix entry index, last symbol); roots implicit
+    val prefixOf = new Array[Int](4096)
+    val symOf = new Array[Int](4096)
+    val lenOf = new Array[Int](4096)
+    var next = end + 1
+    var prevCode = -1
+    def readCode(): Int = {
+      while (bitCnt < width && pos < data.length) {
+        bitBuf |= (data(pos) & 0xffL) << bitCnt; bitCnt += 8; pos += 1
+      }
+      if (bitCnt < width) return -1
+      val c = (bitBuf & ((1L << width) - 1)).toInt
+      bitBuf >>>= width; bitCnt -= width
+      c
+    }
+    def expand(code: Int, extra: Int): Boolean = {
+      // write entry `code` (+ optional first-symbol repeat) at produced
+      val len = if (code < clear) 1 else lenOf(code)
+      if (produced + len + extra > expected) return false
+      var c = code; var q = produced + len - 1
+      while (c >= clear) { out(q) = symOf(c); q -= 1; c = prefixOf(c) }
+      out(q) = c
+      if (extra == 1) out(produced + len) = out(produced)
+      produced += len + extra
+      true
+    }
+    var running = true
+    while (running) {
+      val code = readCode()
+      if (code < 0) return None
+      if (code == clear) {
+        next = end + 1; width = minCodeSize + 1; prevCode = -1
+      } else if (code == end) {
+        running = false
+      } else if (prevCode < 0) {
+        if (code >= clear) return None // first code must be a root
+        if (!expand(code, 0)) return None
+        prevCode = code
+      } else {
+        val prevLen = if (prevCode < clear) 1 else lenOf(prevCode)
+        if (code < next && (code < clear || code >= end + 1)) {
+          val mark = produced
+          if (!expand(code, 0)) return None
+          if (next < 4096) {
+            prefixOf(next) = prevCode; symOf(next) = out(mark)
+            lenOf(next) = prevLen + 1; next += 1
+            if (next == (1 << width) && width < 12) width += 1
+          }
+        } else if (code == next && next < 4096) {
+          // KwKwK: entry being defined right now
+          val mark = produced
+          if (!expand(prevCode, 1)) return None
+          prefixOf(next) = prevCode; symOf(next) = out(mark)
+          lenOf(next) = prevLen + 1; next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        } else return None
+        prevCode = code
+      }
+    }
+    if (produced == expected) Some(out) else None
+  }
+
+  /** GIF metadata via the real parse (dims from the image descriptor,
+    * extensions skipped per spec). */
+  def decodeGif(bytes: Array[Byte]): Option[Meta] =
+    decodeGifIndices(bytes).map { case (w, h, _) =>
+      Meta("image", w, h, 3, 1, 0)
+    }
+
+  /** Full GIF decode to the palette-index array: header + LSD + GCT,
+    * any 0x21 extension blocks skipped (label + sub-blocks), image
+    * descriptor (+ optional local color table), LZW data reassembled
+    * from sub-blocks and decompressed. None on malformed input. */
+  def decodeGifIndices(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (bytes.length < 14) return None
+    val sig = new String(bytes, 0, 6, StandardCharsets.US_ASCII)
+    if (sig != "GIF89a" && sig != "GIF87a") return None
+    def u16(p: Int) = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+    var p = 6
+    p += 4 // logical screen dims (the image descriptor's govern)
+    val packed = bytes(p) & 0xff; p += 3
+    if ((packed & 0x80) != 0) p += 3 * (2 << (packed & 7)) // skip GCT
+    while (p < bytes.length && (bytes(p) & 0xff) == 0x21) {
+      p += 2 // extension introducer + label
+      while (p < bytes.length && bytes(p) != 0) p += 1 + (bytes(p) & 0xff)
+      p += 1
+    }
+    if (p >= bytes.length || (bytes(p) & 0xff) != 0x2C) return None
+    if (p + 10 > bytes.length) return None
+    val w = u16(p + 5); val h = u16(p + 7)
+    val ipacked = bytes(p + 9) & 0xff
+    p += 10
+    if ((ipacked & 0x80) != 0) p += 3 * (2 << (ipacked & 7)) // local CT
+    if (p >= bytes.length) return None
+    val minCode = bytes(p) & 0xff; p += 1
+    if (minCode < 2 || minCode > 8) return None
+    if (w <= 0 || h <= 0 || w.toLong * h > Int.MaxValue) return None
+    val lzw = new java.io.ByteArrayOutputStream()
+    var ok = true
+    while (ok && p < bytes.length && bytes(p) != 0) {
+      val len = bytes(p) & 0xff
+      if (p + 1 + len > bytes.length) ok = false
+      else { lzw.write(bytes, p + 1, len); p += 1 + len }
+    }
+    if (!ok) return None
+    lzwDecode(lzw.toByteArray, minCode, w * h).map((w, h, _))
+  }
+
   /** Synthesize a deterministic media table from documents: kind cycles
     * image/audio/video by doc_id; dimensions derive from doc_id. Every
     * row is a REAL container (BMP / WAV / Y4M) — the mm_meta oracle

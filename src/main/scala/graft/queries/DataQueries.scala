@@ -752,6 +752,37 @@ object DataQueries {
     graft.mix.Mix.waterFill(
       spark.read.parquet(s"$dir/documents.parquet"))
 
+  /** GIF tier: a REAL LZW codec behind the same closed-form contract as
+    * the other containers ([[graft.multimodal.Multimodal.encodeGif]]) —
+    * per image doc the full GIF89a encode → parse → LZW decode runs in
+    * one mapPartitions kernel (zero shuffles) and emits index-derived
+    * stats. The (x+y) mod 251 payload means the oracle replays the
+    * stats from a generate_series grid WITHOUT running LZW, while the
+    * engine's values only match if the compressor/decompressor pair is
+    * bit-correct — one wrong code width, clear, or KwKwK expansion
+    * hash-fails. The codec's independent cross-check (JDK ImageIO
+    * decodes our encoder's output pixel-identically) is GifSpec's.
+    */
+  def mmGif(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 4 == 1)
+      .mapPartitions(_.map { id =>
+        val w = (16 + id % 48).toInt
+        val h = (16 + (id / 2) % 32).toInt
+        val (dw, dh, idx) =
+          Multimodal.decodeGifIndices(Multimodal.encodeGif(w, h)).get
+        var s = 0L; var g = 0L; var i = 0
+        while (i < idx.length) {
+          s += idx(i); g += (2 * idx(i)) % 256; i += 1
+        }
+        (id, dw.toLong, dh.toLong, s, g)
+      })
+      .toDF("doc_id", "width", "height", "idx_sum", "g_sum")
+      .orderBy("doc_id")
+  }
+
   /** Stride-scheduling mixture interleave
     * ([[graft.mix.Interleave.schedule]]): the global training order for
     * weighted source mixing WITHOUT a global sort — per-source ranks
@@ -1445,7 +1476,8 @@ object DataQueries {
     "src_tfrecord" -> srcTfrecord,
     "dd_incremental" -> ddIncremental,
     "mix_budget" -> mixBudget,
-    "mix_interleave" -> mixInterleave
+    "mix_interleave" -> mixInterleave,
+    "mm_gif" -> mmGif
   )
 
   /** QuantileHist.bucket in DuckDB SQL (HdrHistogram-style log bucket,
@@ -2476,6 +2508,23 @@ object DataQueries {
         |  CAST(c.tokens > lvl.L AS INT) AS capped,
         |  CAST(lvl.L AS BIGINT) AS water_level
         |FROM c, lvl ORDER BY source""".stripMargin,
+    // index stats replayed from the (x+y) mod 251 grid closed form —
+    // no LZW on the oracle side; the engine's numbers only agree if
+    // the real compress/decompress round trip is bit-correct
+    "mm_gif" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(16 + doc_id % 48 AS INTEGER) AS w,
+        |    CAST(16 + (doc_id // 2) % 32 AS INTEGER) AS h
+        |  FROM documents WHERE doc_id % 4 = 1),
+        |px AS (SELECT m.doc_id, m.w, m.h, (xs.x + ys.y) % 251 AS i
+        |  FROM m,
+        |    unnest(generate_series(0, m.w - 1)) xs(x),
+        |    unnest(generate_series(0, m.h - 1)) ys(y))
+        |SELECT doc_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(SUM(i) AS BIGINT) AS idx_sum,
+        |  CAST(SUM((2 * i) % 256) AS BIGINT) AS g_sum
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
     // DIFFERENT algorithm than the engine: the stride order stated as
     // an exact global sort — key (r+1)*(60//w) (60 = lcm(1..5), so the
     // virtual time scales to an exact integer), ties by source, global
