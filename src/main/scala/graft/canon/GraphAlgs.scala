@@ -1017,6 +1017,58 @@ object GraphAlgs {
       .select(col("scc_id"), col("scc_size"), col("lvl").as("level"))
   }
 
+  /** Weisfeiler–Leman color refinement (WL 1968; the graph-kernel
+    * form is Shervashidze et al., JMLR 2011): iteratively relabel each
+    * node with a hash of (own label, sorted multiset of neighbour
+    * labels). After k rounds, equal labels ⇒ locally isomorphic
+    * k-neighbourhoods — the structural FINGERPRINT that lets a KG
+    * dedup tier catch re-crawled/mirrored subgraphs whose entity names
+    * differ but whose shape is identical (the graph-shaped sibling of
+    * the text tiers' SimHash), and the exact label algebra GNN
+    * expressiveness is measured against. Known boundary, spec-pinned:
+    * WL cannot split regular graphs of equal degree (C6 vs 2×C3).
+    *
+    * Determinism: init label = degree; refinement hash = FNV-1a over
+    * `own:sorted,neighbour,labels` (decimal rendering — ASCII, so the
+    * [[graft.functions.FnvHash]] UTF-16 fold ≡ the oracle's
+    * code-point HUGEINT fold), multiset sorted numerically on both
+    * engines. Scale shape: each round is the canonical message-passing
+    * pair — one dst-keyed equi-join shipping (edge, 8-byte label) rows
+    * + one src-keyed sort-agg with the same width — exactly a GNN
+    * aggregation step; labels stay fixed-width longs so round cost is
+    * ∝ edges, never label-history. (The per-node neighbour string is
+    * degree-bounded; a production run folds the sorted numeric array
+    * directly — same determinism, no string materialization — and
+    * hubs are bounded by the same guards the CC/kCore family uses.)
+    * Returns (node, lbl, class_size) after `rounds` rounds.
+    */
+  def wl(edges: DataFrame, rounds: Int): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val und = e0.union(e0.select(col("dst").as("src"),
+        col("src").as("dst"))).distinct().localCheckpoint()
+    var lab = und.groupBy("src")
+      .agg(count(lit(1)).cast("long").as("lbl"))
+      .select(col("src").as("node"), col("lbl")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val nbs = und
+        .join(lab.withColumnRenamed("node", "dst")
+          .withColumnRenamed("lbl", "nlbl"), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(array_join(transform(sort_array(collect_list(col("nlbl"))),
+          _.cast("string")), ",").as("nbs"))
+      lab = lab
+        .join(nbs.withColumnRenamed("src", "node"), Seq("node"))
+        .select(col("node"), graft.functions.FnvHash(
+          concat(col("lbl").cast("string"), lit(":"), col("nbs")))
+          .as("lbl"))
+        .localCheckpoint()
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lbl")
+    lab.select(col("node"), col("lbl"),
+      count(lit(1)).over(w).as("class_size"))
+  }
+
   /** Bow-tie decomposition of a digraph (Broder et al., "Graph
     * structure in the Web", WWW 2000 — THE structural census of web
     * crawls, run here over the same Common-Crawl-shaped corpus family

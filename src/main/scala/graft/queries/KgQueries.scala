@@ -1333,6 +1333,17 @@ object KgQueries {
       .union(e0.select(col("b").as("src"), col("a").as("dst")))
   }
 
+  /** Weisfeiler–Leman structural fingerprints over the part graph, 2
+    * refinement rounds (see [[graft.canon.GraphAlgs.wl]] — the
+    * graph-shaped dedup fingerprint + the GNN-expressiveness label
+    * algebra). Oracle replays init-by-degree and both rounds
+    * round-per-CTE: ordered string_agg of neighbour labels + the FNV
+    * HUGEINT fold over the identical `own:sorted,list` rendering.
+    */
+  def kgWl(spark: SparkSession, dir: String): DataFrame =
+    graft.canon.GraphAlgs.wl(partEdges1000(spark, dir), rounds = 2)
+      .orderBy("node")
+
   def kgStress(spark: SparkSession, dir: String): DataFrame = {
     val e = partEdges1000(spark, dir)
     val seeds = e.select(col("src").as("node")).distinct()
@@ -1566,6 +1577,7 @@ object KgQueries {
     "kg_scc" -> kgScc,
     "kg_condense" -> kgCondense,
     "kg_bowtie" -> kgBowtie,
+    "kg_wl" -> kgWl,
     "kg_stress" -> kgStress,
     "kg_matching" -> kgMatching,
     "kg_mis" -> kgMis,
@@ -2645,6 +2657,31 @@ object KgQueries {
          |  CAST(COUNT(*) OVER (PARTITION BY btclass) AS BIGINT)
          |    AS class_size
          |FROM cls ORDER BY node""".stripMargin,
+    // WL refinement round-per-CTE: degree init, ordered string_agg of
+    // neighbour labels, FNV HUGEINT fold over the same own:sorted,list
+    // ASCII rendering the engine hashes
+    "kg_wl" -> {
+      import DataQueries.{fnvFoldSql, signedSql}
+      def round(prev: String, cur: String): String = {
+        val s = "(CAST(l.lbl AS VARCHAR) || ':' || n.nbs)"
+        s"""n$cur AS (SELECT u.src AS node,
+           |    string_agg(CAST(l.lbl AS VARCHAR), ',' ORDER BY l.lbl)
+           |      AS nbs
+           |  FROM und u JOIN l$prev l ON l.node = u.dst GROUP BY u.src),
+           |l$cur AS (SELECT n.node,
+           |    ${signedSql(s"(${fnvFoldSql(s, "14695981039346656037")})")}
+           |      AS lbl
+           |  FROM n$cur n JOIN l$prev l ON l.node = n.node)""".stripMargin
+      }
+      s"""WITH $part1000Cte,
+         |l0 AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS lbl
+         |  FROM und GROUP BY src),
+         |${round("0", "1")},
+         |${round("1", "2")}
+         |SELECT node, lbl,
+         |  CAST(COUNT(*) OVER (PARTITION BY lbl) AS BIGINT) AS class_size
+         |FROM l2 ORDER BY node""".stripMargin
+    },
     "kg_lpa" -> lpaSql,
     "kg_stress" -> stressSql,
     "kg_matching" -> matchingSql,
