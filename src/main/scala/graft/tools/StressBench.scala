@@ -54,7 +54,7 @@ object StressBench {
       "cc,dd,kg,inc,ivf,ivfpq,skew,lines,pagerank,spans,path,asof,range," +
         "domcap,sketch,bm25,tri,hits,kcore,quantile,chunk,keywords," +
         "fuzzy,closeness,openie,zorder,scc,central,truss,contain,anf," +
-        "simrank,egosample,decay")
+        "simrank,egosample,decay,bowtie,wl,interleave")
       .split(",").map(_.trim).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -1260,6 +1260,88 @@ object StressBench {
       val (rN, mN, tN) = decayStats(evN)
       frags += s""""decay_1x":{"rows":$r1,"mass":$m1,"sec":$t1}"""
       frags += s""""decay_Nx":{"rows":$rN,"mass":$mN,"sec":$tN}"""
+    }
+
+    // ---- bowtie: class sizes have an EXACT closed form under copies ------
+    if (sections("bowtie")) {
+      // disjoint copies of the canonical fixture (9 nodes: 3-cycle core,
+      // in, out, tendril, tube, 2-cycle). One copy's triangle wins the
+      // largest-SCC tie-break; every OTHER copy is then a different WCC,
+      // so the census collapses to the closed form CORE=3, IN=1, OUT=1,
+      // TENDRIL=2, DISCONNECTED=9(c-1)+2 — growth lands ENTIRELY in the
+      // disconnected class, checked exactly, and the runtime stays flat
+      // because everything after SCC runs on the contracted DAG
+      def plantedBowtie(copies: Int): (Map[String, Long], Double) = {
+        val ks = spark.range(copies).select(col("id").as("k"))
+        def nd(tag: String) = concat(col("k"), lit("_" + tag))
+        val fixture = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("i", "a"),
+          ("c", "o"), ("i", "t"), ("i", "u"), ("u", "o"), ("x", "y"),
+          ("y", "x"))
+        val es = fixture.map { case (u, v) =>
+          ks.select(nd(u).as("src"), nd(v).as("dst")) }.reduce(_ union _)
+        val (r, secs) = time {
+          graft.canon.GraphAlgs.bowtie(es)
+            .groupBy("btclass").agg(count(lit(1)).as("n")).collect()
+            .map(x => x.getString(0) -> x.getLong(1)).toMap
+        }
+        (r, secs)
+      }
+      val (b1, t1) = plantedBowtie(500)
+      val (bN, tN) = plantedBowtie(500 * rep)
+      def j(m: Map[String, Long]) = m.toSeq.sorted
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      frags += s""""bowtie_1x":{"classes":${j(b1)},"sec":$t1}"""
+      frags += s""""bowtie_Nx":{"classes":${j(bN)},"sec":$tN}"""
+    }
+
+    // ---- wl: distinct labels INVARIANT under copies, rows ∝ copies -------
+    if (sections("wl")) {
+      // WL is isomorphism-invariant, so k disjoint copies of one graph
+      // must produce EXACTLY the label set of a single copy — distinct
+      // labels flat while node rows grow ∝ copies. A label count that
+      // crept with copies would mean the hash leaked node identity.
+      def plantedWl(copies: Int): (Long, Long, Double) = {
+        val ks = spark.range(copies).select(col("id").as("k"))
+        def nd(tag: String) = concat(col("k"), lit("_" + tag))
+        val fixture = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("b", "d"),
+          ("d", "e"))
+        val es = fixture.map { case (u, v) =>
+          ks.select(nd(u).as("src"), nd(v).as("dst")) }.reduce(_ union _)
+        val ((rows, classes), secs) = time {
+          val r = graft.canon.GraphAlgs.wl(es, rounds = 2)
+            .agg(count(lit(1)), countDistinct(col("lbl"))).head
+          (r.getLong(0), r.getLong(1))
+        }
+        (rows, classes, secs)
+      }
+      val (r1, c1, t1) = plantedWl(500)
+      val (rN, cN, tN) = plantedWl(500 * rep)
+      frags += s""""wl_1x":{"rows":$r1,"classes":$c1,"sec":$t1}"""
+      frags += s""""wl_Nx":{"rows":$rN,"classes":$cN,"sec":$tN}"""
+    }
+
+    // ---- interleave: exact-permutation law at scale ----------------------
+    if (sections("interleave")) {
+      // closed-form positions must stay a bijection onto 0..N-1 at any
+      // corpus size: count == distinct == N, min 0, max N-1, sum the
+      // triangular number — all exact integers, any partitioning
+      def interleaveStats(df: DataFrame): (Long, Long, Long, Long, Long,
+          Double) = {
+        val (r, secs) = time {
+          graft.mix.Interleave.schedule(df)
+            .agg(count(lit(1)), countDistinct(col("pos")), min("pos"),
+              max("pos"), sum("pos")).head
+        }
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), secs)
+      }
+      val (n1, d1, lo1, hi1, s1, t1) = interleaveStats(docs)
+      val docsN = docs.crossJoin(reps).select(
+        (col("doc_id") + col("k") * 100000000L).as("doc_id"),
+        col("source"))
+      val (nN, dN, loN, hiN, sN, tN) = interleaveStats(docsN)
+      frags += s""""interleave_1x":{"n":$n1,"distinct":$d1,"min":$lo1,"max":$hi1,"sum":$s1,"sec":$t1}"""
+      frags += s""""interleave_Nx":{"n":$nN,"distinct":$dN,"min":$loN,"max":$hiN,"sum":$sN,"sec":$tN}"""
     }
 
     println(frags.mkString("{", ",", "}"))
