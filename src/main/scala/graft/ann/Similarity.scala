@@ -163,6 +163,40 @@ object Similarity {
     }).select(col("query_id"), col("rank").cast("long").as("rank"),
       col("cand_id"), col("cos").as("maxsim"))
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    * of two ranked retrieval lists — THE standard hybrid-retrieval
+    * combiner (sparse BM25 + dense cosine in every production RAG
+    * stack): score(q, d) = Σ_lists 1e6 div (c + rank_l(q, d)), docs
+    * absent from a list contribute 0, re-rank by (score DESC, cand
+    * ASC). Rank-based, so the two scorers' incomparable score scales
+    * never touch — exactly why RRF beats score interpolation without
+    * calibration — and INTEGER-exact by the micro-unit floor division
+    * (ranks are ints; the engine's `div` ≡ the oracle's `//`).
+    *
+    * Scale shape: rank lists are |Q|·k rows (retrieval output, not
+    * corpus), so the full-outer join + per-query window run at result
+    * scale; the corpus was only touched by the upstream retrieval
+    * tiers, each already scale-shaped. Window top-k plans as
+    * InsertWindowGroupLimits (partial truncation before the exchange).
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Int = 60)
+      : DataFrame = {
+    val ra = a.select(col("query_id"), col("cand_id"),
+      col("rank").cast("long").as("rank_a"))
+    val rb = b.select(col("query_id"), col("cand_id"),
+      col("rank").cast("long").as("rank_b"))
+    val fused = ra.join(rb, Seq("query_id", "cand_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr(s"1000000 div ($c + rank_a)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($c + rank_b)"), lit(0L)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("cand_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        col("rrf_micro"))
+  }
+
   /** Integer-exact top-1 by quantized dot product (oracle-checkable):
     * round(x·1000) per component, associative Long sums.
     */

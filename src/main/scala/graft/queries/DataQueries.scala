@@ -316,6 +316,22 @@ object DataQueries {
         col("vec_id") % 50 === 25, k = 5)
       .orderBy("query_id", "rank")
 
+  /** Hybrid-retrieval fusion ([[graft.ann.Similarity.rrfFuse]], RRF —
+    * Cormack et al. 2009): the exact-cosine top-20 and the MaxSim
+    * late-interaction top-20 for the SAME query set fused by integer
+    * reciprocal ranks, top-5 re-ranked. Both input rankings are the
+    * already-oracled bitwise-exact scorers, so the fusion oracle
+    * replays list A, list B and the fold end-to-end.
+    */
+  def annRrf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    Similarity.rrfFuse(
+      Similarity.bruteForceTopK(emb, col("vec_id") % 50 === 0, k = 20),
+      Similarity.maxSimTopK(emb, col("vec_id") % 50 === 0, k = 20),
+      k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** LSH-bucketed approximate top-5 (scale path). ORACLED: the seeded
     * hyperplane tables are embedded in the SQL as exact round-trip double
     * literals, so DuckDB replays bucketing, multi-probe and the
@@ -1435,6 +1451,7 @@ object DataQueries {
     "dd_semantic" -> ddSemantic,
     "ann_top1" -> annTop1,
     "ann_brute_topk" -> annBruteTopk,
+    "ann_rrf" -> annRrf,
     "ann_maxsim_topk" -> annMaxsimTopk,
     "ann_lsh_topk" -> annLshTopk,
     "ann_ivf_topk" -> annIvfTopk,
@@ -2218,6 +2235,54 @@ object DataQueries {
          |  FROM scored)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, cos
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // RRF: both input rankings replayed with their own proven-exact
+    // folds (cosine + MaxSim), then the integer reciprocal-rank sum
+    // and the re-rank — ranks are ints so // ≡ div everywhere
+    "ann_rrf" -> {
+      val dot = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(generate_series(1, 8), t -> " +
+        "CAST(q.qv[(i-1)*8+t] * e.embedding[(j-1)*8+t] AS DOUBLE))), " +
+        "(acc, x) -> acc + x)"
+      s"""WITH e0 AS (SELECT vec_id, embedding FROM embeddings),
+         |pairs AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |         q.embedding AS qv, c.embedding AS cv
+         |  FROM e0 q JOIN e0 c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id % 50 = 0),
+         |scored AS (SELECT query_id, cand_id,
+         |  ${cosineFoldSql("qv", "cv")} AS cos FROM pairs),
+         |a AS (SELECT query_id, cand_id, rank FROM (
+         |  SELECT query_id, cand_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, cand_id) AS rank
+         |  FROM scored) WHERE rank <= 20),
+         |qm AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |pm AS (SELECT q.qid, e.vec_id AS cid,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(generate_series(1, 8), i ->
+         |      list_max(list_transform(generate_series(1, 8), j -> $dot)))),
+         |    (acc, x) -> acc + x) AS s
+         |  FROM qm q, embeddings e WHERE e.vec_id <> q.qid),
+         |b AS (SELECT qid AS query_id, cid AS cand_id, rank FROM (
+         |  SELECT qid, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, cid)
+         |      AS rank
+         |  FROM pm) WHERE rank <= 20),
+         |f AS (SELECT COALESCE(a.query_id, b.query_id) AS qid,
+         |    COALESCE(a.cand_id, b.cand_id) AS cid,
+         |    COALESCE(1000000 // (60 + a.rank), 0)
+         |      + COALESCE(1000000 // (60 + b.rank), 0) AS s
+         |  FROM a FULL OUTER JOIN b
+         |    ON a.query_id = b.query_id AND a.cand_id = b.cand_id),
+         |r AS (SELECT qid, cid, s,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY s DESC, cid) AS rk
+         |  FROM f)
+         |SELECT qid AS query_id, CAST(rk AS BIGINT) AS rank,
+         |  cid AS cand_id, CAST(s AS BIGINT) AS rrf_micro
+         |FROM r WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin
+    },
     // MaxSim: slice dots via the cosineFoldSql float-product/double-fold
     // discipline, list_max per query token (order-free exact doubles),
     // outer list_reduce sums maxima in token order — both engines
