@@ -722,6 +722,30 @@ object DataQueries {
     graft.sources.Orc.readShards(spark, out).orderBy("doc_id")
   }
 
+  /** Arrow IPC source tier: documents → complete ARROW1-framed IPC
+    * files (32-doc shards) → columnar decode — identity oracle like
+    * src_tfrecord, so one wrong offset/validity-bit/UTF-8 byte in the
+    * columnar layout hash-fails (see [[graft.sources.ArrowIpc]]; the
+    * footer-seek framing laws and the no-per-batch-CRC trade vs
+    * TFRecord are ArrowIpcSpec's). Same mapGroups batch shape as
+    * src_warc/src_tfrecord: a shard's records live in one task.
+    */
+  def srcArrow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .as[(Long, String, String, String)]
+      .groupByKey(_._1 / 32)
+      .mapGroups { (_, it) =>
+        graft.sources.ArrowIpc.encodeFile(it.toSeq.sortBy(_._1)
+          .map { case (id, l, s, t) => graft.sources.ArrowIpc.Doc(id, l, s, t) })
+      }
+      .flatMap(graft.sources.ArrowIpc.decodeFile(_)
+        .map(d => (d.doc_id, d.lang, d.source, d.text)))
+      .toDF("doc_id", "lang", "source", "text")
+      .orderBy("doc_id")
+  }
+
   /** Incremental-ingest dedup: a RE-DELIVERED shard (doc_id ≥ 350 —
     * overlapping the corpus's < 400 range by 50 docs, the re-crawl /
     * re-shipped-shard scenario every ingestion pipeline hits) checked
@@ -1490,6 +1514,7 @@ object DataQueries {
     "src_jsonl" -> srcJsonl,
     "src_csv" -> srcCsv,
     "src_orc" -> srcOrc,
+    "src_arrow" -> srcArrow,
     "src_tfrecord" -> srcTfrecord,
     "dd_incremental" -> ddIncremental,
     "mix_budget" -> mixBudget,
@@ -3320,6 +3345,11 @@ object DataQueries {
         |ORDER BY doc_id""".stripMargin,
     // identity oracle: the ORC file round trip must reproduce the table
     "src_orc" ->
+      """SELECT doc_id, lang, source, text FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // identity oracle: the Arrow IPC round trip must reproduce the
+    // table through the columnar offsets/validity/footer layout
+    "src_arrow" ->
       """SELECT doc_id, lang, source, text FROM documents
         |ORDER BY doc_id""".stripMargin,
     // identity oracle: the TFRecord/Example round trip must reproduce
