@@ -793,7 +793,37 @@ object RelationalQueries {
     bomClosure(e).orderBy("anc", "dsc")
   }
 
+  /** RANGE-interval window frame — the TIME-bounded moving aggregate
+    * (per user, events + cent-exact value mass + integer micro-mean
+    * over the trailing hour INCLUDING the current row). Distinct from
+    * every ROWS-frame window in the suite: the frame is defined by the
+    * ORDER-BY VALUE (`us ∈ [cur − 1h, cur]`), so ties in `us` all see
+    * the identical frame regardless of physical order — which is what
+    * makes it deterministic, and what a rows-frame can't express.
+    * Values quantized to integer cents HALF_UP before any aggregation
+    * (the quantizedTop1 rounding discipline) so sums are associative
+    * exact longs; the mean finishes in micro-cents by floor division.
+    * One user-keyed exchange serves the single window.
+    */
+  def q31Movavg(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-hourUs, 0)
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_cents_1h", sum(col("cents")).over(w))
+      .withColumn("avg_microcents_1h",
+        expr("(1000000 * sum_cents_1h) div n_1h"))
+      .select(col("event_id"), col("user_id"), col("us"), col("n_1h"),
+        col("sum_cents_1h"), col("avg_microcents_1h"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_movavg" -> q31Movavg,
     "q30_bom" -> q30Bom,
     "q29_wfunnel" -> q29Wfunnel,
     "q28_retention" -> q28Retention,
@@ -827,6 +857,20 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // RANGE frame over epoch-us; cents quantized HALF_UP from the same
+    // IEEE double product; non-negative floor division
+    "q31_movavg" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |w AS (SELECT event_id, user_id, us,
+        |    CAST(COUNT(*) OVER fr AS BIGINT) AS n_1h,
+        |    CAST(SUM(cents) OVER fr AS BIGINT) AS sum_cents_1h
+        |  FROM e
+        |  WINDOW fr AS (PARTITION BY user_id ORDER BY us
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, us, n_1h, sum_cents_1h,
+        |  (1000000 * sum_cents_1h) // n_1h AS avg_microcents_1h
+        |FROM w ORDER BY event_id""".stripMargin,
     // the closure replayed as WITH RECURSIVE over the identical
     // deterministic hierarchy; integer qty products replay exactly
     "q30_bom" ->
