@@ -33,6 +33,14 @@ class MovavgSpec extends SparkSpec {
     assert(got(5L) == ((1L, 1600L, 1600000000L)))
   }
 
+  test("one user-keyed exchange serves the whole query") {
+    val df = RelationalQueries.q31Movavg(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange:\n$plan")
+  }
+
   test("≡ brute per-row replay over real events") {
     val dir = "/root/testdata/sf0.001"
     val rows = spark.read.parquet(s"$dir/events.parquet")
