@@ -130,6 +130,42 @@ object DataQueries {
       .orderBy("doc_id")
   }
 
+  /** Quality-aware near-dup survivor selection — the curation decision
+    * [[ddMinhashClusters]] deliberately defers: within each near-dup
+    * family keep the member the quality model scores HIGHEST (ties to
+    * the smallest id), not the arbitrary min id. Meaningful exactly at
+    * the FUZZY tier: exact-dup clusters share text (and therefore
+    * score), but near-dup members differ — the planted truncated twins
+    * score differently from their originals, so the model genuinely
+    * decides. Scale shape: the cluster table is ∝ dups (banded tier +
+    * CC), classify's score is one in-row projection over the corpus
+    * (no shuffle), the winner is one component-keyed struct-max
+    * aggregate (max(score), ties to min id via the negated-id field) —
+    * everything after the already-scale-shaped candidate tier runs at
+    * RESULT scale. Oracle: the exact pair truth + closure + the
+    * classify formula + a ROW_NUMBER argmax.
+    */
+  private[graft] def bestSurvivorClusters(corpus: DataFrame): DataFrame = {
+    val pairs = Dedup.minHashCandidates(corpus,
+        n = 3, Dedup.MinHashParams(numHashes = 64, bands = 16, seed = 42L),
+        verifyThreshold = 0.8)
+      .select(col("a"), col("b"))
+    val cc = graft.canon.ConnectedComponents.run(pairs)
+    val scores = TextAnalysis.classify(corpus)
+      .select(col("doc_id").as("node"), col("score"))
+    val best = cc.join(scores, Seq("node"))
+      .groupBy("component")
+      .agg(max(struct(col("score").as("s"),
+        (-col("node")).as("negid"))).as("w"))
+      .select(col("component"), (-col("w.negid")).as("keep_id"))
+    cc.join(best, Seq("component"))
+      .filter(col("node") =!= col("keep_id"))
+      .select(col("node").as("doc_id"), col("keep_id"))
+  }
+
+  def ddNearBest(spark: SparkSession, dir: String): DataFrame =
+    bestSurvivorClusters(minhashCorpus(spark, dir)).orderBy("doc_id")
+
   /** Fixed-weight integer quality classifier (see
     * [[graft.text.TextAnalysis.classify]]) — the model-based filtering
     * tier of the curation funnel; features, score and keep decision all
@@ -1470,6 +1506,7 @@ object DataQueries {
     "dd_winnow" -> ddWinnow,
     "dd_minhash" -> ddMinhash,
     "dd_minhash_clusters" -> ddMinhashClusters,
+    "dd_near_best" -> ddNearBest,
     "dd_simhash" -> ddSimhash,
     "dd_embed" -> ddEmbed,
     "dd_semantic" -> ddSemantic,
@@ -2976,6 +3013,63 @@ object DataQueries {
          |comp AS (SELECT n AS vec_id, MIN(x) AS keep_id FROM reach GROUP BY n)
          |SELECT vec_id, keep_id FROM comp WHERE vec_id <> keep_id
          |ORDER BY vec_id""".stripMargin,
+    // the exact pair truth + closure, then the classify score formula
+    // and a (score DESC, id) argmax picks each family's survivor
+    "dd_near_best" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(list_slice(string_split(text, ' '), 1,
+        |      greatest(len(string_split(text, ' ')) - 2, 3)), ' ')
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i)
+        |  WHERE len(w) >= 3
+        |  UNION
+        |  SELECT doc_id, array_to_string(w, ' ') FROM toks WHERE len(w) < 3),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sel AS (
+        |  SELECT p.a, p.b
+        |  FROM pairs p JOIN sizes sa ON p.a = sa.doc_id
+        |  JOIN sizes sb ON p.b = sb.doc_id
+        |  WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.8),
+        |und AS (SELECT a, b FROM sel UNION SELECT b, a FROM sel),
+        |reach(n, x) AS (
+        |  SELECT a, a FROM und
+        |  UNION
+        |  SELECT r.n, u.b FROM reach r JOIN und u ON r.x = u.a),
+        |cmp AS (SELECT n AS doc_id, MIN(x) AS cl FROM reach GROUP BY n),
+        |feat AS (SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_tokens,
+        |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS n_punct,
+        |    CAST(length(list_filter(string_split_regex(trim(text), '\s+'),
+        |      w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) AS BIGINT) AS n_stopwords
+        |  FROM corpus),
+        |sc AS (SELECT doc_id,
+        |    3 * (CASE WHEN n_tokens > 0 THEN (1000000 * n_stopwords) // n_tokens ELSE 0 END)
+        |    - 4 * (CASE WHEN n_chars > 0 THEN (1000000 * n_punct) // n_chars ELSE 0 END)
+        |    + 2 * least(CAST(1000000 AS BIGINT), (1000000 * n_tokens) // 400)
+        |    + (CASE WHEN n_tokens > 0 THEN (1000000 * (n_chars - n_tokens + 1)) // (6 * n_tokens) ELSE 0 END)
+        |    - 1500000 AS score
+        |  FROM feat),
+        |best AS (SELECT cl, doc_id AS keep_id FROM (
+        |    SELECT c.cl, c.doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY c.cl
+        |        ORDER BY s.score DESC, c.doc_id) AS rn
+        |    FROM cmp c JOIN sc s USING (doc_id)) WHERE rn = 1)
+        |SELECT c.doc_id, b.keep_id FROM cmp c JOIN best b USING (cl)
+        |WHERE c.doc_id <> b.keep_id ORDER BY doc_id""".stripMargin,
     // the exact >=0.8 pair truth (dd_minhash's oracle) + recursive
     // symmetric closure with MIN-label read-off
     "dd_minhash_clusters" ->
