@@ -873,6 +873,18 @@ object DataQueries {
         spark.read.parquet(s"$dir/documents.parquet"))
       .orderBy("doc_id")
 
+  /** Priority sampling ([[graft.sketch.PrioritySample]], Duffield et
+    * al. 2007): k=16 weighted draw by char mass with the max(w, τ)
+    * unbiased subset-sum estimator — priorities are identical IEEE
+    * doubles on both engines (same MixHash-derived ints, same
+    * division), so the whole draw, τ, and every estimate replay
+    * bit-for-bit.
+    */
+  def sketchPriority(spark: SparkSession, dir: String): DataFrame =
+    graft.sketch.PrioritySample.sample(
+        spark.read.parquet(s"$dir/documents.parquet"), k = 16)
+      .orderBy("doc_id")
+
   /** Multimodal: frame sampling plumbing (video rows, stride 7). */
   def mmFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.frameSample(media(spark, dir), stride = 7)
@@ -1535,6 +1547,7 @@ object DataQueries {
     "sketch_quantile" -> sketchQuantile,
     "sketch_quantile_src" -> sketchQuantileSrc,
     "sketch_mad" -> sketchMad,
+    "sketch_priority" -> sketchPriority,
     "txt_keywords" -> txtKeywords,
     "txt_chunk" -> txtChunk,
     "txt_bm25" -> txtBm25,
@@ -1839,6 +1852,30 @@ object DataQueries {
          |  FROM hh)
          |SELECT source, doc_id, CAST(rn AS BIGINT) AS rk
          |FROM fin WHERE rn <= 5 ORDER BY source, rk""".stripMargin,
+    // the splitmix chain (mix_sample machinery) -> pmod u -> IEEE
+    // priority w/u -> global top-17 rank -> tau = the 17th priority ->
+    // max(w, tau) estimator; every double identical on both engines
+    "sketch_priority" ->
+      s"""WITH h0 AS (SELECT doc_id, n_chars,
+         |    ${fnvFoldSql("CAST(doc_id AS VARCHAR)", "14695981039346656037")} AS hu
+         |  FROM documents),
+         |m1 AS (SELECT doc_id, n_chars, ${xorShrSql("hu", "1073741824")} AS hu FROM h0),
+         |m2 AS (SELECT doc_id, n_chars, ${mulSql("hu", "13787848793156543929")} AS hu FROM m1),
+         |m3 AS (SELECT doc_id, n_chars, ${xorShrSql("hu", "134217728")} AS hu FROM m2),
+         |m4 AS (SELECT doc_id, n_chars, ${mulSql("hu", "10723151780598845931")} AS hu FROM m3),
+         |m5 AS (SELECT doc_id, n_chars, ${xorShrSql("hu", "2147483648")} AS hu FROM m4),
+         |hh AS (SELECT doc_id, n_chars, ${signedSql("hu")} AS h FROM m5),
+         |pr AS (SELECT doc_id, GREATEST(1, n_chars) AS w,
+         |    CAST(GREATEST(1, n_chars) AS DOUBLE)
+         |      / ((h % 2147483647 + 2147483647) % 2147483647 + 1) AS pri
+         |  FROM hh),
+         |rk AS (SELECT doc_id, w, pri,
+         |    ROW_NUMBER() OVER (ORDER BY pri DESC, doc_id) AS rn FROM pr),
+         |tv AS (SELECT COALESCE(
+         |    (SELECT pri FROM rk WHERE rn = 17), 0.0) AS tau)
+         |SELECT r.doc_id, CAST(r.w AS BIGINT) AS w,
+         |  GREATEST(CAST(r.w AS DOUBLE), t.tau) AS est_w, t.tau AS tau
+         |FROM rk r, tv t WHERE r.rn <= 16 ORDER BY r.doc_id""".stripMargin,
     // per-doc token histogram -> per-count micro-nat quantization ->
     // exact integer sum -> floor division, mirroring TextAnalysis.entropy
     "txt_entropy" ->
