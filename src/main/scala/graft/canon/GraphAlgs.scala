@@ -1017,6 +1017,28 @@ object GraphAlgs {
       .select(col("scc_id"), col("scc_size"), col("lvl").as("level"))
   }
 
+  /** Double-sweep diameter lower bound (Magnien, Latapy & Habib 2009):
+    * BFS from the minimal node, re-BFS from its farthest node u (ties
+    * to the smallest id) — ecc(u) is a certified diameter LOWER bound
+    * (≥ ⌈diam/2⌉ always, exact on trees, near-exact on real-world
+    * graphs), u peripheral by construction. Two unit-weight [[sssp]]
+    * passes + two 1-row driver argmax scalars; returns per-node
+    * distances from u with `sweep_src` and `diam_lb` inline.
+    * `rounds` hop-bounds both sweeps (the engine's fixed-rounds
+    * convention; exact when ≥ the true eccentricities).
+    */
+  def doubleSweep(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), lit(1L).as("w"))
+    val s0 = e.agg(min(col("src"))).collect()(0).getString(0)
+    val d1 = sssp(e, s0, rounds)
+    val u = d1.orderBy(col("dist").desc, col("node").asc)
+      .limit(1).collect()(0).getString(0)
+    val d2 = sssp(e, u, rounds).localCheckpoint()
+    val diam = d2.agg(max(col("dist"))).collect()(0).getLong(0)
+    d2.select(col("node"), col("dist"), lit(u).as("sweep_src"),
+      lit(diam).as("diam_lb"))
+  }
+
   /** Weisfeiler–Leman color refinement (WL 1968; the graph-kernel
     * form is Shervashidze et al., JMLR 2011): iteratively relabel each
     * node with a hash of (own label, sorted multiset of neighbour

@@ -1333,6 +1333,24 @@ object KgQueries {
       .union(e0.select(col("b").as("src"), col("a").as("dst")))
   }
 
+  /** Double-sweep diameter lower bound (Magnien, Latapy & Habib 2009 —
+    * THE practical diameter estimator for web-scale graphs, exact on
+    * trees and near-exact on real-world graphs): BFS from the minimal
+    * node, hop to its farthest node u (ties to the smallest id), BFS
+    * again from u — ecc(u) is a certified diameter LOWER bound, and u
+    * sits on the graph's periphery. Two unit-weight [[GraphAlgs.sssp]]
+    * passes (12 hop-bounded rounds each — one frontier⋈edges join +
+    * min-agg per round, the PageRank shape) + two 1-row driver argmax
+    * scalars. Output: per-node distances from u with the sweep source
+    * and the bound inline; the oracle replays both BFS passes as
+    * hop-bounded recursive closures with MIN read-off (identical to
+    * the bounded Bellman rounds for unit weights).
+    */
+  def kgDiameter(spark: SparkSession, dir: String): DataFrame =
+    graft.canon.GraphAlgs.doubleSweep(partEdges1000(spark, dir),
+        rounds = 12)
+      .orderBy("node")
+
   /** Weisfeiler–Leman structural fingerprints over the part graph, 2
     * refinement rounds (see [[graft.canon.GraphAlgs.wl]] — the
     * graph-shaped dedup fingerprint + the GNN-expressiveness label
@@ -1578,6 +1596,7 @@ object KgQueries {
     "kg_condense" -> kgCondense,
     "kg_bowtie" -> kgBowtie,
     "kg_wl" -> kgWl,
+    "kg_diameter" -> kgDiameter,
     "kg_stress" -> kgStress,
     "kg_matching" -> kgMatching,
     "kg_mis" -> kgMis,
@@ -2657,6 +2676,31 @@ object KgQueries {
          |  CAST(COUNT(*) OVER (PARTITION BY btclass) AS BIGINT)
          |    AS class_size
          |FROM cls ORDER BY node""".stripMargin,
+    // both sweeps as hop-bounded recursive closures (UNION dedups the
+    // (node, hop) state space) with MIN read-off — identical to 12
+    // unit-weight Bellman rounds; argmaxes replay the (dist DESC, node)
+    // tie-break
+    "kg_diameter" ->
+      s"""WITH RECURSIVE $part1000Cte,
+         |nd AS (SELECT src AS v FROM und UNION SELECT dst FROM und),
+         |s0 AS (SELECT MIN(v) AS v FROM nd),
+         |r1(x, d) AS (
+         |  SELECT v, 0 FROM s0
+         |  UNION
+         |  SELECT u.dst, r.d + 1 FROM r1 r JOIN und u ON u.src = r.x
+         |  WHERE r.d < 12),
+         |d1 AS (SELECT x, MIN(d) AS d FROM r1 GROUP BY x),
+         |uu AS (SELECT x FROM d1 ORDER BY d DESC, x ASC LIMIT 1),
+         |r2(x, d) AS (
+         |  SELECT x, 0 FROM uu
+         |  UNION
+         |  SELECT u.dst, r.d + 1 FROM r2 r JOIN und u ON u.src = r.x
+         |  WHERE r.d < 12),
+         |d2 AS (SELECT x, CAST(MIN(d) AS BIGINT) AS d FROM r2 GROUP BY x),
+         |dm AS (SELECT CAST(MAX(d) AS BIGINT) AS diam FROM d2)
+         |SELECT d2.x AS node, d2.d AS dist,
+         |  (SELECT x FROM uu) AS sweep_src, dm.diam AS diam_lb
+         |FROM d2, dm ORDER BY node""".stripMargin,
     // WL refinement round-per-CTE: degree init, ordered string_agg of
     // neighbour labels, FNV HUGEINT fold over the same own:sorted,list
     // ASCII rendering the engine hashes
