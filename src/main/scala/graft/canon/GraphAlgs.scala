@@ -1021,19 +1021,49 @@ object GraphAlgs {
     * BFS from the minimal node, re-BFS from its farthest node u (ties
     * to the smallest id) — ecc(u) is a certified diameter LOWER bound
     * (≥ ⌈diam/2⌉ always, exact on trees, near-exact on real-world
-    * graphs), u peripheral by construction. Two unit-weight [[sssp]]
-    * passes + two 1-row driver argmax scalars; returns per-node
-    * distances from u with `sweep_src` and `diam_lb` inline.
-    * `rounds` hop-bounds both sweeps (the engine's fixed-rounds
-    * convention; exact when ≥ the true eccentricities).
+    * graphs), u peripheral by construction. Two frontier-delta BFS
+    * passes (per round one equi-join of only the NEW frontier + one
+    * anti-join — total work ∝ edges, early exit on an empty frontier)
+    * + two 1-row driver argmax scalars; returns per-node distances
+    * from u with `sweep_src` and `diam_lb` inline. `rounds` hop-bounds
+    * both sweeps (the engine's fixed-rounds convention, matching the
+    * oracle's bounded closure; exact when ≥ the true eccentricities).
     */
   def doubleSweep(edges: DataFrame, rounds: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst"), lit(1L).as("w"))
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).localCheckpoint()
+    // frontier-DELTA BFS: for unit weights first-reach IS min-hop, so
+    // each round joins only the NEW nodes — work ∝ edges TOTAL, not
+    // reached × rounds. At sandbox scale both shapes are job-latency
+    // bound (A/B measured 5.9 vs 5.3 s in one window); the delta shape
+    // is the one that survives a 100× graph, where per-round
+    // whole-reached-set joins multiply by the round count.
+    def bfs(source: String): DataFrame = {
+      var dist = e.sparkSession.range(1)
+        .select(lit(source).as("node"), lit(0L).as("dist"))
+        .localCheckpoint()
+      var frontier = dist.select("node")
+      var k = 1L
+      while (k <= rounds) {
+        // ONE action per round (the frontier checkpoint); dist stays a
+        // union of ≤rounds checkpointed frames, and a drained frontier
+        // makes the remaining rounds near-free rather than paying a
+        // convergence-count action each
+        val step = e
+          .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node")).distinct()
+        val fr = step.join(dist, Seq("node"), "left_anti")
+          .select(col("node"), lit(k).as("dist")).localCheckpoint()
+        dist = dist.union(fr)
+        frontier = fr.select("node")
+        k += 1
+      }
+      dist
+    }
     val s0 = e.agg(min(col("src"))).collect()(0).getString(0)
-    val d1 = sssp(e, s0, rounds)
-    val u = d1.orderBy(col("dist").desc, col("node").asc)
+    val u = bfs(s0).orderBy(col("dist").desc, col("node").asc)
       .limit(1).collect()(0).getString(0)
-    val d2 = sssp(e, u, rounds).localCheckpoint()
+    val d2 = bfs(u).localCheckpoint()
     val diam = d2.agg(max(col("dist"))).collect()(0).getLong(0)
     d2.select(col("node"), col("dist"), lit(u).as("sweep_src"),
       lit(diam).as("diam_lb"))
