@@ -105,13 +105,33 @@ object GraphAlgs {
     var d = e.select(col("src").as("root")).distinct()
       .select(col("root"), col("root").as("node"), lit(0L).as("dist"))
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
-      val stepped = d.join(e, d("node") === e("src"))
+    // SEMI-NAIVE (round-6, the sssp delta shape): unit-weight BFS first
+    // reach IS min-dist, so only the rows REACHED last round can extend
+    // the ball — stepping from older rows re-derives dominated
+    // distances. Identical fixpoint, per-round joined rows ∝ the
+    // wavefront instead of the whole reached ball × rounds; an empty
+    // delta ends the walk early (provable no-op rounds).
+    var delta = d
+    var k = 0
+    var done = false
+    while (k < rounds && !done) {
+      val stepped = delta.join(e, delta("node") === e("src"))
         .select(col("root"), col("dst").as("node"),
           (col("dist") + 1L).as("dist"))
-      d = d.union(stepped)
-        .groupBy("root", "node").agg(min(col("dist")).as("dist"))
+      val agged = d.select(col("root"), col("node"), col("dist"),
+          lit(0).as("tag"))
+        .union(stepped.select(col("root"), col("node"), col("dist"),
+          lit(1).as("tag")))
+        .groupBy("root", "node")
+        .agg(min(struct(col("dist"), col("tag"))).as("m"))
+        .select(col("root"), col("node"), col("m.dist").as("dist"),
+          col("m.tag").as("tag"))
         .localCheckpoint()
+      d = agged.select("root", "node", "dist")
+      delta = agged.filter(col("tag") === 1)
+        .select("root", "node", "dist")
+      k += 1
+      done = k < rounds && delta.isEmpty
     }
     d.filter(col("dist") > 0)
       .groupBy("root")
@@ -155,19 +175,38 @@ object GraphAlgs {
     var d = seeds.select(col("node"), lit(Long.MinValue).as("t_arr"),
         lit(0).as("r"))
       .localCheckpoint()
-    for (k <- 1 to rounds) {
-      val stepped = d.join(e, d("node") === e("src") &&
-          e("t") >= d("t_arr"))
+    // SEMI-NAIVE (round-6, the sssp delta shape): step only from rows
+    // whose arrival IMPROVED last round. A step from an unimproved u
+    // re-derives (dst, t, k) rows whose (t_arr=t, r=j<k) twin already
+    // won the struct-min when u last improved — monotone dominance, so
+    // the fixpoint (and the r bookkeeping) is identical and the
+    // unrolled oracle replays unchanged. Delta via a tag column on the
+    // same min-agg (old tag 0, stepped tag 1; struct-min ties keep the
+    // old row); empty delta ⇒ remaining rounds are provable no-ops.
+    var delta = d
+    var k = 0
+    var done = false
+    while (k < rounds && !done) {
+      val stepped = delta.join(e, delta("node") === e("src") &&
+          e("t") >= delta("t_arr"))
         .select(col("dst").as("node"), col("t").as("t_arr"),
-          lit(k).as("r"))
-      // min over (t_arr, r) — struct min orders lexicographically, so
-      // the earliest arrival wins and ties keep the earliest round
-      d = d.union(stepped)
+          lit(k + 1).as("r"))
+      // min over (t_arr, r, tag) — struct min orders lexicographically,
+      // so the earliest arrival wins and ties keep the earliest round
+      val agged = d.select(col("node"), col("t_arr"), col("r"),
+          lit(0).as("tag"))
+        .union(stepped.select(col("node"), col("t_arr"), col("r"),
+          lit(1).as("tag")))
         .groupBy("node")
-        .agg(min(struct(col("t_arr"), col("r"))).as("m"))
+        .agg(min(struct(col("t_arr"), col("r"), col("tag"))).as("m"))
         .select(col("node"), col("m.t_arr").as("t_arr"),
-          col("m.r").as("r"))
+          col("m.r").as("r"), col("m.tag").as("tag"))
         .localCheckpoint()
+      d = agged.select("node", "t_arr", "r")
+      delta = agged.filter(col("tag") === 1)
+        .select("node", "t_arr", "r")
+      k += 1
+      done = k < rounds && delta.isEmpty
     }
     d.filter(col("r") > 0)
       .select(col("node"), col("t_arr"),
@@ -182,10 +221,25 @@ object GraphAlgs {
     * Exact on graphs whose shortest paths use ≤ `rounds` hops; min over
     * integer sums is order-invariant, so the result is bit-exact across
     * partitionings and engines (the oracle unrolls the identical
-    * recurrence). Scale shape: per round one equi-join of the frontier
-    * against the src-partitioned edge table plus one map-side-combined
-    * min-agg keyed on dst — the PageRank iteration shape at (node,
-    * dist) width; localCheckpoint cuts the per-round lineage.
+    * recurrence).
+    *
+    * SEMI-NAIVE (round-6): each round relaxes only the DELTA — the rows
+    * whose distance strictly improved last round — instead of the whole
+    * reached set. Identical fixpoint (Bellman-Ford's classic delta
+    * argument: a relaxation through an unimproved u was already applied
+    * the round after u last improved, and dist is monotone
+    * non-increasing, so re-relaxing adds nothing), hence the unrolled
+    * oracle replays unchanged; but per-round joined rows are ∝ the
+    * improving frontier, total work ∝ edges — not |reached| × rounds
+    * (the [[doubleSweep]] BFS shape, generalized to weights). The delta
+    * falls out of the SAME min-agg via a tag column (old rows tag 0,
+    * relaxed tag 1; struct-min ties prefer old, so tag 1 survives only
+    * on a strict improvement) — no extra join. An empty delta is the
+    * fixpoint; the remaining rounds are provable no-ops and are
+    * skipped (one cheap isEmpty on the checkpointed frame per round).
+    * Scale shape: per round one equi-join of the delta against the
+    * src-partitioned edge table plus one map-side-combined min-agg
+    * keyed on node; localCheckpoint cuts the per-round lineage.
     */
   def sssp(edges: DataFrame, source: String, rounds: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w").cast("long"))
@@ -193,13 +247,23 @@ object GraphAlgs {
       .localCheckpoint()
     var dist = e.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0L).as("dist"))
-    for (_ <- 1 to rounds) {
-      val relaxed = e.join(dist, e("src") === dist("node"))
+    var delta = dist
+    var k = 0
+    var done = false
+    while (k < rounds && !done) {
+      val relaxed = e.join(delta, e("src") === delta("node"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      dist = dist.union(relaxed)
+      val agged = dist.select(col("node"), col("dist"), lit(0).as("tag"))
+        .union(relaxed.select(col("node"), col("dist"), lit(1).as("tag")))
         .groupBy("node")
-        .agg(min(col("dist")).as("dist"))
+        .agg(min(struct(col("dist"), col("tag"))).as("m"))
+        .select(col("node"), col("m.dist").as("dist"),
+          col("m.tag").as("tag"))
         .localCheckpoint()
+      dist = agged.select("node", "dist")
+      delta = agged.filter(col("tag") === 1).select("node", "dist")
+      k += 1
+      done = k < rounds && delta.isEmpty
     }
     dist
   }
@@ -242,7 +306,16 @@ object GraphAlgs {
     var b = seeds.select(col("node").as("seed"), col("node"),
         lit(0L).as("dist"), lit(1L).as("sigma"))
       .localCheckpoint()
-    for (k <- 1 to rounds) {
+    // Round-6: the BFS already steps only from the last layer; a round
+    // that adds no first-arrival row drains every later layer too (the
+    // next filter dist === k matches nothing), so an unchanged state
+    // count proves the remaining rounds are no-ops and they are
+    // skipped.
+    var bCnt = b.count()
+    var k = 0
+    var done = false
+    while (k < rounds && !done) {
+      k += 1
       val stepped = b.filter(col("dist") === lit(k - 1L))
         .join(e, col("node") === e("src"))
         .groupBy(col("seed"), col("dst"))
@@ -254,6 +327,9 @@ object GraphAlgs {
           "left_anti")
       b = b.union(fresh.select("seed", "node", "dist", "sigma"))
         .localCheckpoint()
+      val c2 = b.count()
+      done = k < rounds && c2 == bCnt
+      bCnt = c2
     }
     // seed-pair distances: rows of the BFS state landing ON a seed
     val seedSet = seeds.select(col("node").as("t"))
@@ -301,7 +377,14 @@ object GraphAlgs {
       .repartition(col("src"))
       .localCheckpoint()
     var out: DataFrame = null
-    for (_ <- 1 to rounds) {
+    // Round-6: an empty mutual-proposal round is the exact fixpoint —
+    // the graph is unchanged, proposals are a deterministic function of
+    // the graph, so every later round re-derives the same empty set.
+    // Exit early (and skip the edge-confinement anti-joins of the
+    // fixpoint round, which would rebuild e identically).
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
       val prop = e.groupBy("src").agg(min(col("dst")).as("p"))
         .localCheckpoint()
       val mutual = prop.alias("x").join(prop.alias("y"),
@@ -309,17 +392,25 @@ object GraphAlgs {
         .filter(col("x.src") < col("y.src"))
         .select(col("x.src").as("a"), col("y.src").as("b"))
         .localCheckpoint()
-      out = if (out == null) mutual
-        else out.union(mutual).localCheckpoint()
-      val matched = mutual.select(col("a").as("node"))
-        .union(mutual.select(col("b").as("node")))
-        .localCheckpoint()
-      e = e.join(matched.withColumnRenamed("node", "src"),
-          Seq("src"), "left_anti")
-        .join(matched.withColumnRenamed("node", "dst"),
-          Seq("dst"), "left_anti")
-        .select(col("src"), col("dst"))
-        .localCheckpoint()
+      r += 1
+      if (mutual.isEmpty) {
+        if (out == null) out = mutual
+        done = true
+      } else {
+        out = if (out == null) mutual
+          else out.union(mutual).localCheckpoint()
+        if (r < rounds) {
+          val matched = mutual.select(col("a").as("node"))
+            .union(mutual.select(col("b").as("node")))
+            .localCheckpoint()
+          e = e.join(matched.withColumnRenamed("node", "src"),
+              Seq("src"), "left_anti")
+            .join(matched.withColumnRenamed("node", "dst"),
+              Seq("dst"), "left_anti")
+            .select(col("src"), col("dst"))
+            .localCheckpoint()
+        }
+      }
     }
     if (out == null)
       edges.sparkSession.emptyDataFrame
@@ -491,7 +582,14 @@ object GraphAlgs {
     var e = edges.select(col("src"), col("dst"))
       .repartition(col("src"))
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
+    // Round-6: peel survivors ⊆ input each round, so an unchanged edge
+    // count proves the exact fixpoint — remaining rounds are no-ops
+    // and are skipped (the kTruss early-exit argument, node-degree
+    // flavored).
+    var eCnt = e.count()
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
       // checkpoint the (node-cardinality) survivor set: it feeds BOTH
       // endpoint semi-joins, and the renamed dst side means the degree
       // agg would otherwise execute twice per round (ReuseExchange does
@@ -506,6 +604,10 @@ object GraphAlgs {
           "left_semi")
         .select(col("src"), col("dst"))
         .localCheckpoint()
+      val c2 = e.count()
+      r += 1
+      done = r < rounds && c2 == eCnt
+      eCnt = c2
     }
     e.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
@@ -553,12 +655,31 @@ object GraphAlgs {
         .groupBy("a", "b").agg(count(lit(1)).as("support"))
     }
     var e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
-    for (_ <- 1 to rounds) {
-      e = support(e).filter(col("support") >= k - 2)
+    // Round-6: peeling is monotone (each round's survivors ⊆ the
+    // round's input), so an unchanged edge COUNT proves the exact
+    // fixpoint — every remaining round is a no-op and the support
+    // table just computed is already the final graph's support (the
+    // peel that didn't drop anything ran over the final edge set).
+    // Early exit both skips those rounds and reuses that table,
+    // saving one whole wedge-join enumeration vs the unconditional
+    // trailing support(e) the fixed-rounds loop paid before.
+    var eCnt = e.count()
+    var supAtFixpoint: DataFrame = null
+    var r = 0
+    while (r < rounds && supAtFixpoint == null) {
+      val sup = support(e).localCheckpoint()
+      val e2 = sup.filter(col("support") >= k - 2)
         .select(col("a"), col("b"))
         .localCheckpoint()
+      val c2 = e2.count()
+      if (c2 == eCnt) supAtFixpoint = sup
+      e = e2
+      eCnt = c2
+      r += 1
     }
-    e.join(support(e), Seq("a", "b"), "left")
+    val supFinal =
+      if (supAtFixpoint != null) supAtFixpoint else support(e)
+    e.join(supFinal, Seq("a", "b"), "left")
       .select(col("a"), col("b"),
         coalesce(col("support"), lit(0L)).as("support"))
   }
@@ -759,13 +880,16 @@ object GraphAlgs {
     var scores = e.select(col("src").as("node")).distinct()
       .select(col("node"), lit(base).as("score"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
-      scores = e.join(scores, e("src") === scores("node"))
+    for (i <- 1 to iters) {
+      scores = e.join(scores.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst"))
         .agg(sum(col("score")).as("in"))
         .select(col("dst").as("node"),
           (lit(base) + expr(s"in div $att")).cast("long").as("score"))
-        .localCheckpoint()
+      // batched lineage cut (round-6, the PageRank.run rationale): the
+      // checkpoint is an eager job; cutting every second round halves
+      // the per-query job round-trips at ≤ 2 rounds of lazy depth
+      if (i % 2 == 0 || i == iters) scores = scores.localCheckpoint()
     }
     scores
   }
@@ -986,9 +1110,18 @@ object GraphAlgs {
     *
     * Scale shape: two dictionary-width label joins contract the edge
     * list (∝ edges, fixed width); per level round one equi-join of the
-    * (scc, lvl) state against the cs-partitioned condensed edges plus
-    * one map-side-combined max-agg — the SSSP shape with max instead
-    * of min. Returns (scc_id, scc_size, level), one row per SCC.
+    * level DELTA against the cs-partitioned condensed edges plus one
+    * map-side-combined max-agg — the semi-naive [[sssp]] shape with
+    * max instead of min (round-6): only levels that ROSE last round
+    * are forwarded (a propagation through an unrisen c was already
+    * applied the round after c last rose, and lvl is monotone
+    * non-decreasing), so per-round work is ∝ the rising wavefront and
+    * total work ∝ condensed edges — not |condensation| × depth. The
+    * delta falls out of the same max-agg via a tag column (old rows
+    * tag 1, stepped tag 0; struct-max ties prefer old, so tag 0
+    * survives only on a strict rise); an empty delta is the fixpoint
+    * and the remaining rounds are skipped as provable no-ops.
+    * Returns (scc_id, scc_size, level), one row per SCC.
     */
   def condensation(edges: DataFrame, rounds: Int): DataFrame = {
     val sc = scc(edges).localCheckpoint()
@@ -1005,12 +1138,21 @@ object GraphAlgs {
       .localCheckpoint()
     var lvl = sc.select(col("scc_id").as("c")).distinct()
       .withColumn("lvl", lit(0L)).localCheckpoint()
-    for (_ <- 1 to rounds) {
-      val stepped = lvl.join(ce, lvl("c") === ce("cs"))
+    var delta = lvl
+    var k = 0
+    var done = false
+    while (k < rounds && !done) {
+      val stepped = delta.join(ce, delta("c") === ce("cs"))
         .select(col("cd").as("c"), (col("lvl") + 1L).as("lvl"))
-      lvl = lvl.union(stepped)
-        .groupBy("c").agg(max(col("lvl")).as("lvl"))
+      val agged = lvl.select(col("c"), col("lvl"), lit(1).as("tag"))
+        .union(stepped.select(col("c"), col("lvl"), lit(0).as("tag")))
+        .groupBy("c").agg(max(struct(col("lvl"), col("tag"))).as("m"))
+        .select(col("c"), col("m.lvl").as("lvl"), col("m.tag").as("tag"))
         .localCheckpoint()
+      lvl = agged.select("c", "lvl")
+      delta = agged.filter(col("tag") === 0).select("c", "lvl")
+      k += 1
+      done = k < rounds && delta.isEmpty
     }
     sc.select(col("scc_id"), col("scc_size")).distinct()
       .join(lvl.withColumnRenamed("c", "scc_id"), Seq("scc_id"))
@@ -1020,35 +1162,37 @@ object GraphAlgs {
   /** Double-sweep diameter lower bound (Magnien, Latapy & Habib 2009):
     * BFS from the minimal node, re-BFS from its farthest node u (ties
     * to the smallest id) — ecc(u) is a certified diameter LOWER bound
-    * (≥ ⌈diam/2⌉ always, exact on trees, near-exact on real-world
-    * graphs), u peripheral by construction. Two frontier-delta BFS
-    * passes (per round one equi-join of only the NEW frontier + one
-    * anti-join — total work ∝ edges, early exit on an empty frontier)
-    * + two 1-row driver argmax scalars; returns per-node distances
-    * from u with `sweep_src` and `diam_lb` inline. `rounds` hop-bounds
-    * both sweeps (the engine's fixed-rounds convention, matching the
-    * oracle's bounded closure; exact when ≥ the true eccentricities).
+    * (≥ ⌈diam/2⌉ on UNDIRECTED graphs — the certification does not
+    * transfer to directed input; the sole call site passes a symmetric
+    * edge list, which is this function's contract), u peripheral by
+    * construction. Two frontier-delta BFS passes (per round one
+    * equi-join of only the NEW frontier + one anti-join — total work
+    * ∝ edges; a DRAINED frontier ends the sweep early, skipping the
+    * remaining rounds' job submissions outright, round-6) + two 1-row
+    * driver argmax scalars; returns per-node distances from u with
+    * `sweep_src` and `diam_lb` inline. `rounds` hop-bounds both sweeps
+    * (the engine's fixed-rounds convention, matching the oracle's
+    * bounded closure; exact when ≥ the true eccentricities — skipped
+    * empty-frontier rounds are provable no-ops, so the hop-bounded
+    * result is unchanged).
     */
   def doubleSweep(edges: DataFrame, rounds: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
       .repartition(col("src")).localCheckpoint()
     // frontier-DELTA BFS: for unit weights first-reach IS min-hop, so
     // each round joins only the NEW nodes — work ∝ edges TOTAL, not
-    // reached × rounds. At sandbox scale both shapes are job-latency
-    // bound (A/B measured 5.9 vs 5.3 s in one window); the delta shape
-    // is the one that survives a 100× graph, where per-round
-    // whole-reached-set joins multiply by the round count.
+    // reached × rounds. The per-round isEmpty on the just-checkpointed
+    // frontier costs one tiny scan and buys the early exit: when the
+    // true eccentricity < rounds, the remaining rounds' join jobs
+    // (24 submissions at the kg_diameter call site) never launch.
     def bfs(source: String): DataFrame = {
       var dist = e.sparkSession.range(1)
         .select(lit(source).as("node"), lit(0L).as("dist"))
         .localCheckpoint()
       var frontier = dist.select("node")
       var k = 1L
-      while (k <= rounds) {
-        // ONE action per round (the frontier checkpoint); dist stays a
-        // union of ≤rounds checkpointed frames, and a drained frontier
-        // makes the remaining rounds near-free rather than paying a
-        // convergence-count action each
+      var drained = false
+      while (k <= rounds && !drained) {
         val step = e
           .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
           .select(col("dst").as("node")).distinct()
@@ -1057,10 +1201,15 @@ object GraphAlgs {
         dist = dist.union(fr)
         frontier = fr.select("node")
         k += 1
+        drained = k <= rounds && fr.isEmpty
       }
       dist
     }
-    val s0 = e.agg(min(col("src"))).collect()(0).getString(0)
+    // start node = min over BOTH endpoint roles (matches the oracle's
+    // src UNION dst min; identical on the symmetric-input contract, and
+    // correct for any future directed caller — round-6 advice)
+    val s0 = e.select(col("src")).union(e.select(col("dst")))
+      .agg(min(col("src"))).collect()(0).getString(0)
     val u = bfs(s0).orderBy(col("dist").desc, col("node").asc)
       .limit(1).collect()(0).getString(0)
     val d2 = bfs(u).localCheckpoint()
@@ -1381,23 +1530,33 @@ object GraphAlgs {
       .localCheckpoint()
     var act = e.select(col("src").as("node")).distinct().localCheckpoint()
     var out: DataFrame = null
-    for (_ <- 1 to rounds) {
+    // Round-6: an empty active set is the exact fixpoint — every later
+    // round's winner set is empty and the graph is unchanged, so the
+    // remaining rounds (and the fixpoint round's confinement joins)
+    // are skipped as provable no-ops.
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
       val minN = e.groupBy("src").agg(min(col("dst")).as("mn"))
       val win = act.join(minN, act("node") === minN("src"), "left")
         .filter(col("mn").isNull || col("node") < col("mn"))
         .select(col("node"))
         .localCheckpoint()
       out = if (out == null) win else out.union(win).localCheckpoint()
-      val nbr = e.join(win.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"))
-      val removed = win.union(nbr).distinct().localCheckpoint()
-      act = act.join(removed, Seq("node"), "left_anti").localCheckpoint()
-      e = e.join(removed.withColumnRenamed("node", "src"),
-          Seq("src"), "left_anti")
-        .join(removed.withColumnRenamed("node", "dst"),
-          Seq("dst"), "left_anti")
-        .select(col("src"), col("dst"))
-        .localCheckpoint()
+      r += 1
+      if (r < rounds) {
+        val nbr = e.join(win.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"))
+        val removed = win.union(nbr).distinct().localCheckpoint()
+        act = act.join(removed, Seq("node"), "left_anti").localCheckpoint()
+        e = e.join(removed.withColumnRenamed("node", "src"),
+            Seq("src"), "left_anti")
+          .join(removed.withColumnRenamed("node", "dst"),
+            Seq("dst"), "left_anti")
+          .select(col("src"), col("dst"))
+          .localCheckpoint()
+        done = act.isEmpty
+      }
     }
     out
   }
@@ -1430,7 +1589,13 @@ object GraphAlgs {
       .select(col("node"), col("node").as("comp"))
       .localCheckpoint()
     var out: DataFrame = null
-    for (r <- 1 to rounds) {
+    // Round-6: an empty chosen set (no inter-component edge remains) is
+    // the exact fixpoint — later rounds re-derive the same empty set —
+    // so the remaining rounds, and the fixpoint round's CC contraction
+    // and relabel join, are skipped as provable no-ops.
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
       val ca = comp.select(col("node").as("a"), col("comp").as("ca"))
       val cb = comp.select(col("node").as("b"), col("comp").as("cb"))
       val lab = e0.join(ca, "a").join(cb, "b")
@@ -1444,16 +1609,20 @@ object GraphAlgs {
           col("e.b").as("b"), col("e.ca").as("ca"), col("e.cb").as("cb"))
         .distinct()
         .localCheckpoint()
+      r += 1
       val f = chosen.select(col("a"), col("b"), col("w"),
         lit(r).as("round"))
       out = if (out == null) f.localCheckpoint()
         else out.union(f).localCheckpoint()
-      val merged = ConnectedComponents.run(
-          chosen.select(col("ca").as("a"), col("cb").as("b")))
-        .select(col("node").as("comp"), col("component").as("nc"))
-      comp = comp.join(merged, Seq("comp"), "left")
-        .select(col("node"), coalesce(col("nc"), col("comp")).as("comp"))
-        .localCheckpoint()
+      if (chosen.isEmpty) done = true
+      else if (r < rounds) {
+        val merged = ConnectedComponents.run(
+            chosen.select(col("ca").as("a"), col("cb").as("b")))
+          .select(col("node").as("comp"), col("component").as("nc"))
+        comp = comp.join(merged, Seq("comp"), "left")
+          .select(col("node"), coalesce(col("nc"), col("comp")).as("comp"))
+          .localCheckpoint()
+      }
     }
     out
   }
@@ -1488,10 +1657,22 @@ object GraphAlgs {
     var bestNe = e.count() / 2
     var bestNv = v.count()
     var bestD = if (bestNv == 0) -1.0 else bestNe.toDouble / bestNv
-    for (r <- 1 to rounds) {
-      val ne = e.count() / 2
-      val nv = v.count()
-      if (nv > 0) {
+    // Round-6: a round that drops no node leaves (v, e) unchanged, so
+    // every later round recomputes the identical state and density —
+    // never beating bestD (strict >) — and is skipped as a provable
+    // no-op. An emptied graph likewise never changes again.
+    // (the fixpoint round's exit counts double as the next round's
+    // entry counts — the old shape recounted the same frames twice)
+    var curNe = bestNe
+    var curNv = bestNv
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      r += 1
+      val ne = curNe
+      val nv = curNv
+      if (nv == 0) done = true
+      else {
         val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
         v = v.join(deg, v("node") === deg("src"), "left")
           .filter(coalesce(col("deg"), lit(0L)) * nv > lit(3L) * ne)
@@ -1509,6 +1690,9 @@ object GraphAlgs {
         if (d > bestD) {
           bestD = d; best = v; bestR = r; bestNe = ne2; bestNv = nv2
         }
+        curNe = ne2
+        curNv = nv2
+        done = nv2 == nv
       }
     }
     best.select(col("node"), lit(bestNv).as("n_nodes"),
@@ -1541,7 +1725,13 @@ object GraphAlgs {
       .localCheckpoint()
     var colored: DataFrame = null
     var unc = e.select(col("src").as("node")).distinct().localCheckpoint()
-    for (_ <- 1 to rounds) {
+    // Round-6: an empty uncolored set is the exact fixpoint — every
+    // later round wins nothing and colors nothing — so remaining
+    // rounds are skipped as provable no-ops.
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      r += 1
       val eu = e.join(unc.withColumnRenamed("node", "dst"), Seq("dst"),
           "left_semi")
         .join(unc.withColumnRenamed("node", "src"), Seq("src"),
@@ -1574,8 +1764,11 @@ object GraphAlgs {
         .localCheckpoint()
       colored = if (colored == null) pick
         else colored.union(pick).localCheckpoint()
-      unc = unc.join(pick.select(col("node")), Seq("node"), "left_anti")
-        .localCheckpoint()
+      if (r < rounds) {
+        unc = unc.join(pick.select(col("node")), Seq("node"), "left_anti")
+          .localCheckpoint()
+        done = unc.isEmpty
+      }
     }
     colored
   }
@@ -1852,14 +2045,15 @@ object GraphAlgs {
     var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
-      labels = e.join(labels, e("src") === labels("node"))
+    for (i <- 1 to rounds) {
+      labels = e.join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst"))
         .agg(max(struct(col("cnt"), col("label"))).as("top"))
         .select(col("dst").as("node"), col("top.label").as("label"))
-        .localCheckpoint()
+      // batched lineage cut (round-6, the PageRank.run rationale)
+      if (i % 2 == 0 || i == rounds) labels = labels.localCheckpoint()
     }
     labels
   }

@@ -54,17 +54,21 @@ object PageRank {
       .repartition(col("src"))
       .localCheckpoint()
     var scores = deg.select(col("src").as("node"), lit(Scale).as("score"))
-    for (_ <- 1 to iters) {
-      scores = e.join(scores, e("src") === scores("node"))
+    for (i <- 1 to iters) {
+      scores = e.join(scores.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst"), expr("score div deg").as("c"))
         .groupBy("dst")
         .agg(sum(col("c")).as("in"))
         .select(col("dst").as("node"),
           (lit(Teleport) + expr(s"($DampNum * in) div $DampDen"))
             .cast("long").as("score"))
-      // cut lineage each round: without this the plan doubles per
-      // iteration and Catalyst re-optimizes an exponentially growing tree
-      scores = scores.localCheckpoint()
+      // cut lineage every SECOND round (round-6): the checkpoint is an
+      // eager job, so batching two iterations per cut halves the job
+      // round-trips while the lazy tree stays ≤ 2 rounds deep — far
+      // below the exponential-plan regime the cut guards against. The
+      // using-column join keeps the twice-used edge table unambiguous
+      // inside one lazy tree (same rows as the old attribute-ref join).
+      if (i % 2 == 0 || i == iters) scores = scores.localCheckpoint()
     }
     scores
   }
@@ -92,15 +96,16 @@ object PageRank {
       .repartition(col("src"))
       .localCheckpoint()
     var scores = wtot.select(col("src").as("node"), lit(Scale).as("score"))
-    for (_ <- 1 to iters) {
-      scores = e.join(scores, e("src") === scores("node"))
+    for (i <- 1 to iters) {
+      scores = e.join(scores.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst"), expr("(score * w) div wtot").as("c"))
         .groupBy("dst")
         .agg(sum(col("c")).as("in"))
         .select(col("dst").as("node"),
           (lit(Teleport) + expr(s"($DampNum * in) div $DampDen"))
             .cast("long").as("score"))
-        .localCheckpoint()
+      // batched lineage cut, same rationale as [[run]] (round-6)
+      if (i % 2 == 0 || i == iters) scores = scores.localCheckpoint()
     }
     scores
   }
@@ -129,8 +134,8 @@ object PageRank {
       .join(seedSet, Seq("node"), "left_outer")
       .select(col("node"),
         (coalesce(col("is_seed"), lit(0L)) * Scale).as("score"))
-    for (_ <- 1 to iters) {
-      scores = e.join(scores, e("src") === scores("node"))
+    for (i <- 1 to iters) {
+      scores = e.join(scores.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst"), expr("score div deg").as("c"))
         .groupBy("dst")
         .agg(sum(col("c")).as("in"))
@@ -139,7 +144,8 @@ object PageRank {
         .select(col("dst").as("node"),
           (coalesce(col("is_seed"), lit(0L)) * Teleport +
             expr(s"($DampNum * in) div $DampDen")).cast("long").as("score"))
-      scores = scores.localCheckpoint()
+      // batched lineage cut, same rationale as [[run]] (round-6)
+      if (i % 2 == 0 || i == iters) scores = scores.localCheckpoint()
     }
     scores
   }

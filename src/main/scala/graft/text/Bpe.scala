@@ -73,12 +73,106 @@ object Bpe {
       maxVocab: Int = 1000000): Seq[(String, String, Long)] =
     trainDetailedFromCounts(wordCounts(docs), numMerges, maxVocab)
 
+  /** Unicode code-point comparison — identical to Spark's binary
+    * UTF8String ordering (and DuckDB varchar order): UTF-8 byte order
+    * equals code-point order, whereas Java's `String.compareTo` is
+    * UTF-16 code-UNIT order, which ranks supplementary-plane characters
+    * below some BMP characters. The driver-side merge loop must break
+    * count ties exactly the way the old `orderBy(asc("a"), asc("b"))`
+    * Spark job did, so it compares code points.
+    */
+  private[text] def cpCompare(x: String, y: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i)
+      val cy = y.codePointAt(j)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx)
+      j += Character.charCount(cy)
+    }
+    Integer.compare(x.length - i, y.length - j)
+  }
+
   /** [[trainDetailed]] over a caller-built (word, n) frequency table —
     * the driver query pre-filters words there (sentinel guard) so the
     * SQL replay's wrapped-string representation stays unambiguous.
+    *
+    * Round-6: after the cap the word table is ≤ `maxVocab` rows by
+    * construction, so the merge loop runs DRIVER-SIDE over the
+    * collected table (the classic trainer shape) — one Spark job total
+    * instead of one shuffle job + one checkpoint job PER merge. At a
+    * production 50k-merge vocabulary the old shape paid 100k job
+    * round-trips of pure latency regardless of cluster size; the new
+    * one pays one capped collect (bounded by `maxVocab`, the same bound
+    * the old per-round shuffle carried). Pair counts are the identical
+    * integer sums and ties break by the identical (cnt DESC, a ASC,
+    * b ASC) code-point order, so the training trace — which the
+    * txt_bpe oracle replays round-per-CTE — is byte-identical
+    * (BpeSpec pins driver ≡ distributed on the real corpus vocab).
+    * Caps beyond `spark.graft.bpe.localThreshold` (default 2,000,000
+    * rows) fall back to the distributed per-round loop.
     */
   def trainDetailedFromCounts(wc: DataFrame, numMerges: Int,
       maxVocab: Int = 1000000): Seq[(String, String, Long)] = {
+    val spark = wc.sparkSession
+    val localThreshold = spark.conf
+      .getOption("spark.graft.bpe.localThreshold").map(_.toInt)
+      .getOrElse(2000000)
+    if (maxVocab > localThreshold)
+      return trainDetailedDistributed(wc, numMerges, maxVocab)
+    import spark.implicits._
+    val words: Array[(Array[String], Long)] = wc
+      .orderBy(desc("n"), asc("word")).limit(maxVocab)
+      .as[(String, Long)]
+      .collect()
+      .map { case (w, n) => (codePoints(w).toArray, n) }
+    val syms: Array[Array[String]] = words.map(_._1)
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var done = false
+    while (merges.length < numMerges && !done) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      var wi = 0
+      while (wi < syms.length) {
+        val s = syms(wi)
+        val n = words(wi)._2
+        var i = 0
+        while (i + 1 < s.length) {
+          counts.merge((s(i), s(i + 1)), n, (x, y) => x + y)
+          i += 1
+        }
+        wi += 1
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var bestA: String = null
+        var bestB: String = null
+        var bestC = Long.MinValue
+        counts.forEach { (p, c) =>
+          val better = c > bestC || (c == bestC && {
+            val ca = cpCompare(p._1, bestA)
+            ca < 0 || (ca == 0 && cpCompare(p._2, bestB) < 0)
+          })
+          if (better) { bestA = p._1; bestB = p._2; bestC = c }
+        }
+        merges += ((bestA, bestB, bestC))
+        wi = 0
+        while (wi < syms.length) {
+          syms(wi) = applyMergeOnce(syms(wi), bestA, bestB).toArray
+          wi += 1
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The pre-round-6 distributed merge loop — one vocab-scale Spark job
+    * per merge. Kept as the overflow fallback for caps too large to
+    * collect; byte-identical trace to the driver-side loop (same
+    * integer pair sums, same code-point tie-break).
+    */
+  private[text] def trainDetailedDistributed(wc: DataFrame, numMerges: Int,
+      maxVocab: Int): Seq[(String, String, Long)] = {
     val spark = wc.sparkSession
     import spark.implicits._
     var vocab: Dataset[(Seq[String], Long)] = wc

@@ -130,6 +130,18 @@ class BpeSpec extends SparkSpec {
         Bpe.encodeWordSequential(w, merges).length)
   }
 
+  test("driver-side merge loop ≡ distributed fallback: identical trace " +
+      "(merges, winning counts) on the real corpus vocab and on the " +
+      "beyond-BMP tie fixture") {
+    val wc1 = Bpe.wordCounts(docsDf)
+    assert(Bpe.trainDetailedFromCounts(wc1, 8, 65536) ==
+      Bpe.trainDetailedDistributed(wc1, 8, 65536))
+    val wc2 = Bpe.wordCounts(
+      Seq((0L, "😀a 😀a ￿b ￿b")).toDF("doc_id", "text"))
+    assert(Bpe.trainDetailedFromCounts(wc2, 3, 65536) ==
+      Bpe.trainDetailedDistributed(wc2, 3, 65536))
+  }
+
   test("supplementary-plane code points survive") {
     val s = "😀😀x" // 😀😀x
     val docs = Seq((0L, s + " " + s)).toDF("doc_id", "text")
