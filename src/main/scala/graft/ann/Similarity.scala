@@ -808,7 +808,13 @@ object Similarity {
     */
   def lshTopK(emb: DataFrame, queryPred: Column, k: Int, nBits: Int = 7,
               numTables: Int = 10, seed: Long = 42L): DataFrame = {
+    // checkpoint: the signature table feeds BOTH the candidate side and
+    // the query-probe side of the bucket join — without it the typed
+    // 10-table projection pass runs twice (round-6; the Hits/kCore
+    // reuse rationale: ReuseExchange does not fire across renamed
+    // branches)
     val buckets = lshBucketsTyped(emb, nBits, numTables, seed)
+      .localCheckpoint()
     val c = buckets.select(col("table"), col("bucket"),
       col("vec_id").as("cand_id"))
     val queryIds = emb.filter(queryPred).select(col("vec_id").as("query_id"))

@@ -306,16 +306,12 @@ object GraphAlgs {
     var b = seeds.select(col("node").as("seed"), col("node"),
         lit(0L).as("dist"), lit(1L).as("sigma"))
       .localCheckpoint()
-    // Round-6: the BFS already steps only from the last layer; a round
-    // that adds no first-arrival row drains every later layer too (the
-    // next filter dist === k matches nothing), so an unchanged state
-    // count proves the remaining rounds are no-ops and they are
-    // skipped.
-    var bCnt = b.count()
-    var k = 0
-    var done = false
-    while (k < rounds && !done) {
-      k += 1
+    // (The BFS steps only from the last layer already — the semi-naive
+    // shape by construction; a drained-layer early exit was A/B'd in
+    // round 6 and reverted: the per-round state count it needs grows
+    // with the reached ball while the small fixed rounds budget rarely
+    // drains, so the check was pure overhead.)
+    for (k <- 1 to rounds) {
       val stepped = b.filter(col("dist") === lit(k - 1L))
         .join(e, col("node") === e("src"))
         .groupBy(col("seed"), col("dst"))
@@ -327,9 +323,6 @@ object GraphAlgs {
           "left_anti")
       b = b.union(fresh.select("seed", "node", "dist", "sigma"))
         .localCheckpoint()
-      val c2 = b.count()
-      done = k < rounds && c2 == bCnt
-      bCnt = c2
     }
     // seed-pair distances: rows of the BFS state landing ON a seed
     val seedSet = seeds.select(col("node").as("t"))

@@ -396,10 +396,17 @@ object Dedup {
     sig
   }
 
-  private def fnv1a(s: String): Long = {
+  private def fnv1a(s: String): Long = fnv1aRange(s, 0, s.length)
+
+  /** FNV-1a over s[from, until) without materializing a substring —
+    * identical hash to `fnv1a(s.substring(from, until))` (round-6: the
+    * CDC scan below hashes EVERY gram-length window, so the substring
+    * form allocated one short-lived String per input character).
+    */
+  private def fnv1aRange(s: String, from: Int, until: Int): Long = {
     var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    var i = from
+    while (i < until) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
     h
   }
 
@@ -425,15 +432,18 @@ object Dedup {
     var start = 0
     var i = 0
     while (i + gram <= n) {
-      val h = fnv1a(text.substring(i, i + gram))
+      // windowed FNV computed in place (round-6): the substring form
+      // allocated one 8-char String per position — pure GC pressure on
+      // the hot path; hashes are bit-identical
+      val h = fnv1aRange(text, i, i + gram)
       if (java.lang.Long.remainderUnsigned(h, maskMod) == 0L) {
         val end = i + gram // exclusive
-        out += ((fnv1a(text.substring(start, end)), end - start))
+        out += ((fnv1aRange(text, start, end), end - start))
         start = end
       }
       i += 1
     }
-    if (start < n) out += ((fnv1a(text.substring(start, n)), n - start))
+    if (start < n) out += ((fnv1aRange(text, start, n), n - start))
     out.toSeq
   }
 

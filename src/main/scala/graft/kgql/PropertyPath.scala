@@ -58,7 +58,12 @@ object PropertyPath {
         .join(known.select("src", "dst"), Seq("src", "dst"), "left_anti")
         .withColumn("dist", lit(hop))
         .localCheckpoint()
-      known = known.union(next).localCheckpoint()
+      // round-6: keep `known` as a lazy union of the per-hop
+      // checkpointed frames (the doubleSweep dist shape) — the old
+      // checkpoint on the union re-materialized ALL known rows every
+      // round, O(|known| · rounds) total copy work for no lineage
+      // benefit (every union leaf is already a checkpoint)
+      known = known.union(next)
       frontier = next
     }
     known.filter(col("src") =!= col("dst"))

@@ -53,13 +53,25 @@ object Interleave {
       .collect()
       .map(row => (row.getString(0), row.getLong(1), row.getLong(2)))
       .sortBy(_._1)
+    // Column API, not string-spliced SQL (round-6 advice): a source
+    // name containing a quote/backslash would break expr() parsing —
+    // lit() carries the value out-of-band. `div` has no Column-API
+    // twin, so the two floor divisions go through pmod-free floor_div
+    // on provably non-negative operands: both numerators are products
+    // of non-negative counts/weights, so `cast(a / b as long)` is NOT
+    // used (double rounding); integer division of non-negative longs
+    // via the `div` FUNCTION call keeps exact floor semantics.
+    val divLong = (a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) => call_function("div", a, b)
     val terms = stats.map { case (s2, w2, n2) =>
-      val a = s"((r + 1) * ${w2}L)"
-      s"""CASE WHEN source = '$s2' THEN 0L
-         |  WHEN '$s2' < source THEN least(${n2}L, $a div w)
-         |  ELSE least(${n2}L, (($a + w - 1L) div w) - 1L) END""".stripMargin
+      val a = (col("r") + 1L) * lit(w2)
+      when(col("source") === lit(s2), lit(0L))
+        .when(lit(s2) < col("source"),
+          least(lit(n2), divLong(a, col("w"))))
+        .otherwise(
+          least(lit(n2), divLong(a + col("w") - 1L, col("w")) - 1L))
     }
-    base.withColumn("pos", expr(s"r + ${terms.mkString(" + ")}"))
+    base.withColumn("pos", terms.foldLeft(col("r"))(_ + _))
       .select(col("doc_id"), col("source"), col("r"), col("pos"))
   }
 }

@@ -750,12 +750,18 @@ object DataQueries {
     * layout IS what the tier is about.
     */
   def srcOrc(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_src_orc_${
-      java.lang.Integer.toHexString(dir.hashCode)}"
+    // unique dir per invocation (round-6 advice): a fixed path keyed on
+    // dir.hashCode raced concurrent/interleaved invocations — an
+    // overwrite against a still-live read-back scan — and accumulated
+    // at one address; createTempDirectory isolates each call and the
+    // JVM-exit hook below reclaims the shards once the session ends
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_src_orc_").toFile
+    out.deleteOnExit()
     graft.sources.Orc.writeShards(
       spark.read.parquet(s"$dir/documents.parquet")
-        .select("doc_id", "lang", "source", "text"), out)
-    graft.sources.Orc.readShards(spark, out).orderBy("doc_id")
+        .select("doc_id", "lang", "source", "text"), out.toString)
+    graft.sources.Orc.readShards(spark, out.toString).orderBy("doc_id")
   }
 
   /** Arrow IPC source tier: documents → complete ARROW1-framed IPC
@@ -848,7 +854,9 @@ object DataQueries {
         val w = (16 + id % 48).toInt
         val h = (16 + (id / 2) % 32).toInt
         val (dw, dh, idx) =
-          Multimodal.decodeGifIndices(Multimodal.encodeGif(w, h)).get
+          Multimodal.decodeGifIndices(Multimodal.encodeGif(w, h))
+            .getOrElse(sys.error(
+              s"GIF round trip failed for doc $id (${w}x$h)"))
         var s = 0L; var g = 0L; var i = 0
         while (i < idx.length) {
           s += idx(i); g += (2 * idx(i)) % 256; i += 1

@@ -804,6 +804,14 @@ object RelationalQueries {
     * (the quantizedTop1 rounding discipline) so sums are associative
     * exact longs; the mean finishes in micro-cents by floor division.
     * One user-keyed exchange serves the single window.
+    *
+    * PRECONDITION (round-6 advice): events.value ≥ 0, so every
+    * sum_cents_1h is non-negative and Spark's `div` (truncate toward
+    * zero) agrees with the oracle's `//` (floor) — the testdata
+    * generator emits non-negative values by construction (verified:
+    * min(value) ≥ 0 at every SF). A corpus with negative event values
+    * would need a sign-safe floor (e.g. pmod-adjusted division) on
+    * BOTH engines before this query could be reused unchanged.
     */
   def q31Movavg(spark: SparkSession, dir: String): DataFrame = {
     val hourUs = 3600000000L

@@ -54,7 +54,7 @@ object StressBench {
       "cc,dd,kg,inc,ivf,ivfpq,skew,lines,pagerank,spans,path,asof,range," +
         "domcap,sketch,bm25,tri,hits,kcore,quantile,chunk,keywords," +
         "fuzzy,closeness,openie,zorder,scc,central,truss,contain,anf," +
-        "simrank,egosample,decay,bowtie,wl,interleave")
+        "simrank,egosample,decay,bowtie,wl,interleave,seminaive")
       .split(",").map(_.trim).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -431,6 +431,93 @@ object StressBench {
       val (pN, sN) = pathStats(eN, srcN)
       frags += s""""path_1x":{"pairs":$p1,"sec":$s1}"""
       frags += s""""path_Nx":{"pairs":$pN,"sec":$sN}"""
+    }
+
+    // ---- semi-naive fixpoint laws (round-6 verdict #1/#2): per-round
+    // forwarded rows ∝ the improving frontier, not |reached| × rounds.
+    // Replays the EXACT delta recurrence GraphAlgs.sssp /
+    // GraphAlgs.condensation run (tag-agg, ties to old), recording per
+    // round [delta_rows, state_rows]: delta_rows is what the semi-naive
+    // shape joins against the edge table next round; state_rows is what
+    // the old full-relaxation shape joined EVERY round. Law: Σ delta ≈
+    // |reached| (each row forwarded ~once ⇒ total work ∝ edges) and
+    // delta collapses to 0 after the frontier passes, while the old
+    // shape's per-round joined rows stay at |state| forever.
+    if (sections("seminaive")) {
+      val li0 = spark.read.parquet(s"$base/lineitem.parquet")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      // weighted SSSP delta law on the undirected order–part graph
+      val e0 = li0.select(concat(lit("o"), col("ok")).as("src"),
+        concat(lit("p"), col("pk")).as("dst"))
+      val und = e0.union(e0.select(col("dst").as("src"),
+          col("src").as("dst")))
+        .distinct().withColumn("w", lit(1L))
+        .repartition(col("src")).localCheckpoint()
+      val s0 = und.select(col("src")).agg(min(col("src")))
+        .collect()(0).getString(0)
+      var dist = spark.range(1)
+        .select(lit(s0).as("node"), lit(0L).as("dist"))
+      var delta = dist
+      val ssspRounds = scala.collection.mutable.ListBuffer[(Long, Long)]()
+      val (_, ssspSec) = time {
+        for (_ <- 1 to 12) {
+          val relaxed = und.join(delta, und("src") === delta("node"))
+            .select(col("dst").as("node"),
+              (col("dist") + col("w")).as("dist"))
+          val agged = dist.select(col("node"), col("dist"),
+              lit(0).as("tag"))
+            .union(relaxed.select(col("node"), col("dist"),
+              lit(1).as("tag")))
+            .groupBy("node")
+            .agg(min(struct(col("dist"), col("tag"))).as("m"))
+            .select(col("node"), col("m.dist").as("dist"),
+              col("m.tag").as("tag"))
+            .localCheckpoint()
+          dist = agged.select("node", "dist")
+          delta = agged.filter(col("tag") === 1).select("node", "dist")
+          ssspRounds += ((delta.count(), dist.count()))
+        }
+      }
+      frags += s""""seminaive_sssp":{"per_round_delta_vs_state":[${
+        ssspRounds.map { case (d, s) => s"[$d,$s]" }.mkString(",")
+      }],"sum_delta":${ssspRounds.map(_._1).sum},"final_state":${
+        ssspRounds.last._2},"old_shape_joined_rows":${
+        ssspRounds.map(_._2).sum},"sec":$ssspSec}"""
+      // condensation-level delta law on a planted depth-8 chain DAG
+      // (every part p links to p+1 within its 8-block): the level
+      // wavefront shrinks by one block-position per round and DRAINS at
+      // round 8 — rounds 9-12 forward zero rows, while the old
+      // full-re-agg shape would keep aggregating all |V| rows
+      val parts = li0.select(col("pk")).distinct()
+      val chain = parts.select(concat(lit("c"), col("pk")).as("cs"),
+          concat(lit("c"), col("pk") + 1).as("cd"))
+        .where(col("pk") % 8 =!= 7)
+        .repartition(col("cs")).localCheckpoint()
+      var lvl = chain.select(col("cs").as("c"))
+        .union(chain.select(col("cd").as("c"))).distinct()
+        .withColumn("lvl", lit(0L)).localCheckpoint()
+      var ldelta = lvl
+      val lvlRounds = scala.collection.mutable.ListBuffer[(Long, Long)]()
+      val (_, lvlSec) = time {
+        for (_ <- 1 to 12) {
+          val stepped = ldelta.join(chain, ldelta("c") === chain("cs"))
+            .select(col("cd").as("c"), (col("lvl") + 1L).as("lvl"))
+          val agged = lvl.select(col("c"), col("lvl"), lit(1).as("tag"))
+            .union(stepped.select(col("c"), col("lvl"), lit(0).as("tag")))
+            .groupBy("c").agg(max(struct(col("lvl"), col("tag"))).as("m"))
+            .select(col("c"), col("m.lvl").as("lvl"),
+              col("m.tag").as("tag"))
+            .localCheckpoint()
+          lvl = agged.select("c", "lvl")
+          ldelta = agged.filter(col("tag") === 0).select("c", "lvl")
+          lvlRounds += ((ldelta.count(), lvl.count()))
+        }
+      }
+      frags += s""""seminaive_condense":{"per_round_delta_vs_state":[${
+        lvlRounds.map { case (d, s) => s"[$d,$s]" }.mkString(",")
+      }],"sum_delta":${lvlRounds.map(_._1).sum},"n_sccs":${
+        lvlRounds.last._2},"old_shape_joined_rows":${
+        lvlRounds.map(_._2).sum},"sec":$lvlSec}"""
     }
 
     // ---- as-of join: output ∝ input, one merge pass per partition -----
