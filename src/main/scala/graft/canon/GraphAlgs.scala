@@ -329,11 +329,26 @@ object GraphAlgs {
     val pd = b.join(seedSet, b("node") === col("t"))
       .filter(col("seed") < col("t"))
       .select(col("seed").as("s"), col("t"), col("dist").as("d_st"))
-    val x = b.select(col("seed").as("sa"), col("node"),
-      col("dist").as("da"), col("sigma").as("ga"))
-    val y = b.select(col("seed").as("sb"), col("node"),
-      col("dist").as("db"), col("sigma").as("gb"))
-    x.join(y, Seq("node")).filter(col("sa") < col("sb"))
+    // Pair combine as ONE node-keyed aggregation instead of the x⋈y
+    // self-join (round 6, guide §2.4): the join exchanged the same BFS
+    // state twice by node; collecting each node's ≤|S| seed rows once
+    // and expanding the sa<sb pairs in-row halves the phase-2 shuffle
+    // (2 Exchange → 1) and leaves the output hash-partitioned by node,
+    // so the final sum-agg reuses the exchange too. Identical terms:
+    // the HOF filter `c.seed > a.seed` is the same binary string order
+    // as the join's sa < sb, the broadcast d_st check is unchanged, and
+    // the stress sum is an order-independent exact long.
+    val per = b.groupBy("node")
+      .agg(collect_list(struct(col("seed"), col("dist"),
+        col("sigma"))).as("ss"))
+    val pairCol = flatten(transform(col("ss"), a =>
+      transform(filter(col("ss"), c => c("seed") > a("seed")), c =>
+        struct(a("seed").as("sa"), a("dist").as("da"),
+          a("sigma").as("ga"), c("seed").as("sb"),
+          c("dist").as("db"), c("sigma").as("gb")))))
+    per.select(col("node"), explode(pairCol).as("pr"))
+      .select(col("node"), col("pr.sa"), col("pr.da"), col("pr.ga"),
+        col("pr.sb"), col("pr.db"), col("pr.gb"))
       .join(broadcast(pd), col("sa") === pd("s") && col("sb") === pd("t")
         && col("da") + col("db") === pd("d_st"))
       .filter(col("node") =!= col("sa") && col("node") =!= col("sb"))
@@ -379,11 +394,20 @@ object GraphAlgs {
     var done = false
     while (r < rounds && !done) {
       val prop = e.groupBy("src").agg(min(col("dst")).as("p"))
-        .localCheckpoint()
-      val mutual = prop.alias("x").join(prop.alias("y"),
-          col("x.p") === col("y.src") && col("y.p") === col("x.src"))
-        .filter(col("x.src") < col("y.src"))
-        .select(col("x.src").as("a"), col("y.src").as("b"))
+      // Mutuality as ONE pair-keyed aggregation instead of the
+      // prop⋈prop self-join (round 6, guide §2.4): proposals are keyed
+      // by src (one row per node), so the unordered pair
+      // (least, greatest) carries exactly 2 rows iff i→j AND j→i —
+      // the mutual handshake, same (a, b) = (min, max) output as the
+      // old x.src < y.src join. One pair-key exchange replaces the two
+      // composite-key exchanges of the self-join, and prop is now
+      // consumed once, so its checkpoint job goes too.
+      val mutual = prop
+        .select(least(col("src"), col("p")).as("a"),
+          greatest(col("src"), col("p")).as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c"))
+        .filter(col("c") === 2)
+        .select(col("a"), col("b"))
         .localCheckpoint()
       r += 1
       if (mutual.isEmpty) {
