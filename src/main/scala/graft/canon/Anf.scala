@@ -81,15 +81,31 @@ object Anf {
       // two orientations coincide)
       val inherited = e.join(delta, e("dst") === delta("node"))
         .select(e("src").as("node"), col("b"), col("r"))
-      val merged = regs.unionAll(inherited)
-        .groupBy("node", "b").agg(max(col("r")).as("r"))
+      // The rose-or-appeared delta falls out of the SAME max-agg (the
+      // sssp/condensation delta idea, round 6) but with PRIMITIVE
+      // aggregates only: alongside max(r), carry the previous round's
+      // register as max(r over old rows) — old rows are unique per
+      // (node, b), so that IS the old value, null for a new register.
+      // delta = old-null-or-strictly-rose ≡ `merged.except(regs)` for
+      // a (node, b)-keyed relation with r functionally determined.
+      // One checkpoint job per round instead of two and the except's
+      // extra shuffle pair over both register relations is gone, while
+      // both aggs keep the codegen'd primitive-buffer HashAggregate (a
+      // max(struct(r, tag)) variant was A/B-refuted: struct buffers
+      // drop to ObjectHashAggregate and measured slower than the
+      // except it replaced).
+      val agged = regs.select(col("node"), col("b"), col("r"),
+          col("r").as("r_old"))
+        .unionAll(inherited.select(col("node"), col("b"), col("r"),
+          lit(null).cast(inherited.schema("r").dataType).as("r_old")))
+        .groupBy("node", "b")
+        .agg(max(col("r")).as("r"), max(col("r_old")).as("r_old"))
         .localCheckpoint()
-      // rows that rose or appeared: set-minus on the (node, b, r)
-      // triples (r is functionally determined by (node, b), so a
-      // changed r makes the whole row new)
-      delta = merged.except(regs).localCheckpoint()
+      delta = agged.filter(col("r_old").isNull ||
+          col("r") > col("r_old"))
+        .select("node", "b", "r")
       fixpoint = delta.isEmpty
-      regs = merged
+      regs = agged.select("node", "b", "r")
       out += summarize(regs, t)
       t += 1
     }

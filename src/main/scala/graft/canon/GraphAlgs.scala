@@ -118,17 +118,21 @@ object GraphAlgs {
       val stepped = delta.join(e, delta("node") === e("src"))
         .select(col("root"), col("dst").as("node"),
           (col("dist") + 1L).as("dist"))
+      // Primitive-aggregate delta (round-6 session 2, the sssp shape):
+      // min(d_old) is the previous value (old rows unique per key),
+      // null for a newly reached (root, node); two primitive mins keep
+      // the codegen'd HashAggregate where min(struct(dist, tag))
+      // dropped to ObjectHashAggregate. Identical rows.
       val agged = d.select(col("root"), col("node"), col("dist"),
-          lit(0).as("tag"))
+          col("dist").as("d_old"))
         .union(stepped.select(col("root"), col("node"), col("dist"),
-          lit(1).as("tag")))
+          lit(null).cast("long").as("d_old")))
         .groupBy("root", "node")
-        .agg(min(struct(col("dist"), col("tag"))).as("m"))
-        .select(col("root"), col("node"), col("m.dist").as("dist"),
-          col("m.tag").as("tag"))
+        .agg(min(col("dist")).as("dist"), min(col("d_old")).as("d_old"))
         .localCheckpoint()
       d = agged.select("root", "node", "dist")
-      delta = agged.filter(col("tag") === 1)
+      delta = agged.filter(col("d_old").isNull ||
+          col("dist") < col("d_old"))
         .select("root", "node", "dist")
       k += 1
       done = k < rounds && delta.isEmpty
@@ -232,9 +236,11 @@ object GraphAlgs {
     * oracle replays unchanged; but per-round joined rows are ∝ the
     * improving frontier, total work ∝ edges — not |reached| × rounds
     * (the [[doubleSweep]] BFS shape, generalized to weights). The delta
-    * falls out of the SAME min-agg via a tag column (old rows tag 0,
-    * relaxed tag 1; struct-min ties prefer old, so tag 1 survives only
-    * on a strict improvement) — no extra join. An empty delta is the
+    * falls out of the SAME min-agg: the old distance rides along as its
+    * own primitive min column (unique per node, null for fresh nodes),
+    * and old-null-or-strictly-improved is the delta — no extra join,
+    * and both mins stay on the codegen'd HashAggregate path (a
+    * struct-min variant forces ObjectHashAggregate). An empty delta is the
     * fixpoint; the remaining rounds are provable no-ops and are
     * skipped (one cheap isEmpty on the checkpointed frame per round).
     * Scale shape: per round one equi-join of the delta against the
@@ -253,15 +259,25 @@ object GraphAlgs {
     while (k < rounds && !done) {
       val relaxed = e.join(delta, e("src") === delta("node"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      val agged = dist.select(col("node"), col("dist"), lit(0).as("tag"))
-        .union(relaxed.select(col("node"), col("dist"), lit(1).as("tag")))
+      // Primitive-aggregate delta (round-6 session 2): carry the old
+      // distance as its own min column (old rows are unique per node,
+      // so min(d_old) IS the previous value, null for a fresh node);
+      // delta = old-null-or-strictly-improved — identical rows to the
+      // min(struct(dist, tag)) form, but a struct aggregation buffer
+      // drops HashAggregate to ObjectHashAggregate (no codegen, row
+      // objects), while two primitive mins keep the codegen'd
+      // vectorized path — A/B-measured on the Anf sibling.
+      val agged = dist.select(col("node"), col("dist"),
+          col("dist").as("d_old"))
+        .union(relaxed.select(col("node"), col("dist"),
+          lit(null).cast("long").as("d_old")))
         .groupBy("node")
-        .agg(min(struct(col("dist"), col("tag"))).as("m"))
-        .select(col("node"), col("m.dist").as("dist"),
-          col("m.tag").as("tag"))
+        .agg(min(col("dist")).as("dist"), min(col("d_old")).as("d_old"))
         .localCheckpoint()
       dist = agged.select("node", "dist")
-      delta = agged.filter(col("tag") === 1).select("node", "dist")
+      delta = agged.filter(col("d_old").isNull ||
+          col("dist") < col("d_old"))
+        .select("node", "dist")
       k += 1
       done = k < rounds && delta.isEmpty
     }
@@ -1161,13 +1177,22 @@ object GraphAlgs {
     while (k < rounds && !done) {
       val stepped = delta.join(ce, delta("c") === ce("cs"))
         .select(col("cd").as("c"), (col("lvl") + 1L).as("lvl"))
-      val agged = lvl.select(col("c"), col("lvl"), lit(1).as("tag"))
-        .union(stepped.select(col("c"), col("lvl"), lit(0).as("tag")))
-        .groupBy("c").agg(max(struct(col("lvl"), col("tag"))).as("m"))
-        .select(col("c"), col("m.lvl").as("lvl"), col("m.tag").as("tag"))
+      // Primitive-aggregate delta (round-6 session 2, the sssp shape
+      // with max): max(l_old) is the previous level (old rows unique
+      // per c, and every c is present from round 0), so the risen set
+      // is a strict > — two primitive maxes keep the codegen'd
+      // HashAggregate where max(struct(lvl, tag)) dropped to
+      // ObjectHashAggregate. Identical rows.
+      val agged = lvl.select(col("c"), col("lvl"), col("lvl").as("l_old"))
+        .union(stepped.select(col("c"), col("lvl"),
+          lit(null).cast("long").as("l_old")))
+        .groupBy("c")
+        .agg(max(col("lvl")).as("lvl"), max(col("l_old")).as("l_old"))
         .localCheckpoint()
       lvl = agged.select("c", "lvl")
-      delta = agged.filter(col("tag") === 0).select("c", "lvl")
+      delta = agged.filter(col("l_old").isNull ||
+          col("lvl") > col("l_old"))
+        .select("c", "lvl")
       k += 1
       done = k < rounds && delta.isEmpty
     }

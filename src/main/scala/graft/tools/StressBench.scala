@@ -465,16 +465,16 @@ object StressBench {
             .select(col("dst").as("node"),
               (col("dist") + col("w")).as("dist"))
           val agged = dist.select(col("node"), col("dist"),
-              lit(0).as("tag"))
+              col("dist").as("d_old"))
             .union(relaxed.select(col("node"), col("dist"),
-              lit(1).as("tag")))
+              lit(null).cast("long").as("d_old")))
             .groupBy("node")
-            .agg(min(struct(col("dist"), col("tag"))).as("m"))
-            .select(col("node"), col("m.dist").as("dist"),
-              col("m.tag").as("tag"))
+            .agg(min(col("dist")).as("dist"), min(col("d_old")).as("d_old"))
             .localCheckpoint()
           dist = agged.select("node", "dist")
-          delta = agged.filter(col("tag") === 1).select("node", "dist")
+          delta = agged.filter(col("d_old").isNull ||
+              col("dist") < col("d_old"))
+            .select("node", "dist")
           ssspRounds += ((delta.count(), dist.count()))
         }
       }
@@ -502,14 +502,17 @@ object StressBench {
         for (_ <- 1 to 12) {
           val stepped = ldelta.join(chain, ldelta("c") === chain("cs"))
             .select(col("cd").as("c"), (col("lvl") + 1L).as("lvl"))
-          val agged = lvl.select(col("c"), col("lvl"), lit(1).as("tag"))
-            .union(stepped.select(col("c"), col("lvl"), lit(0).as("tag")))
-            .groupBy("c").agg(max(struct(col("lvl"), col("tag"))).as("m"))
-            .select(col("c"), col("m.lvl").as("lvl"),
-              col("m.tag").as("tag"))
+          val agged = lvl.select(col("c"), col("lvl"),
+              col("lvl").as("l_old"))
+            .union(stepped.select(col("c"), col("lvl"),
+              lit(null).cast("long").as("l_old")))
+            .groupBy("c")
+            .agg(max(col("lvl")).as("lvl"), max(col("l_old")).as("l_old"))
             .localCheckpoint()
           lvl = agged.select("c", "lvl")
-          ldelta = agged.filter(col("tag") === 0).select("c", "lvl")
+          ldelta = agged.filter(col("l_old").isNull ||
+              col("lvl") > col("l_old"))
+            .select("c", "lvl")
           lvlRounds += ((ldelta.count(), lvl.count()))
         }
       }
